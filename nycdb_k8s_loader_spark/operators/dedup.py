@@ -1,0 +1,226 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+Exact, n-gram Jaccard, and MinHash+LSH dedup over a `documents`-shaped
+DataFrame (doc_id bigint, text string). All JVM-side built-ins — no
+Python UDFs — so the hot path stays in whole-stage codegen and every
+hash is computed map-side before any shuffle.
+
+Scale design (100 TB corpus):
+- exact: shuffle carries (32-char md5, doc_id) only, never text bodies.
+- jaccard: the inverted-index self-join is quadratic in posting-list
+  length for high-frequency tokens — correct at test scale, replaced
+  by MinHash bands at corpus scale (that is *why* d03 exists).
+- minhash: signature computation is a single groupBy(doc_id); the
+  band-bucket self-join shuffles (band_key, doc_id) pairs, linear in
+  corpus size with tunable band count for the recall/precision trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(col: str = "text") -> F.Column:
+    """Shared normalization: lower + trim (the dedup equivalence class)."""
+    return F.lower(F.trim(F.col(col)))
+
+
+def tokenize_distinct(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct (doc_id, word) posting list: split on single space,
+    drop empties. Matches DuckDB ``unnest(string_split(...))`` exactly
+    so oracles are byte-identical."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(normalized_text(text_col), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: md5(normalized text) → groupBy →
+    keep the minimum id (deterministic winner)."""
+    return (
+        df.select(
+            F.md5(normalized_text(text_col)).alias("content_hash"),
+            F.col(id_col),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by word-set Jaccard ≥ threshold.
+
+    Inverted-index self-join: postings joined on token, common-count
+    per pair, then |A∩B| / (|A| + |B| - |A∩B|). The division is exact
+    integer-over-integer in doubles, so the oracle compare is stable.
+    """
+    words = tokenize_distinct(df, id_col, text_col)
+    sizes = words.groupBy(id_col).agg(F.count("*").alias("n_words"))
+
+    a = words.select(F.col(id_col).alias("doc_a"), "w")
+    b = words.select(F.col(id_col).alias("doc_b"), "w")
+    common = (
+        a.join(b, ["w"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_words").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_words").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + LSH banding candidate pairs.
+
+    Permutation family: ``min(md5(word || '#i'))`` per document — the
+    lexicographic min of a salted cryptographic hash is a valid
+    min-wise permutation and (crucially for the oracle) identical in
+    any engine with md5. Bands of ``num_hashes/bands`` rows are
+    collapsed to one md5 band key; docs sharing any band key are
+    candidates.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows_per_band = num_hashes // bands
+
+    words = tokenize_distinct(df, id_col, text_col)
+    sig_cols = [
+        F.min(F.md5(F.concat(F.col("w"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = words.groupBy(id_col).agg(*sig_cols)
+
+    band_frames = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_frames.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat(*parts)).alias("band_key"),
+            )
+        )
+    all_bands = band_frames[0]
+    for bf in band_frames[1:]:
+        all_bands = all_bands.unionByName(bf)
+
+    a = all_bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")
+    b2 = all_bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b2, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nibbles: int = 16,
+) -> DataFrame:
+    """SimHash over md5 nibbles: each of the first ``nibbles`` hex
+    digits of md5(word) votes +1 (digit ≥ 8) or -1; the sign vector is
+    the fingerprint, emitted as a '01…' string so Hamming distance is a
+    character-wise compare in any engine."""
+    words = tokenize_distinct(df, id_col, text_col)
+    h = F.md5(F.col("w"))
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.conv(F.substring(h, i + 1, 1), 16, 10).cast("int") >= 8, 1
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(nibbles)
+    ]
+    sums = words.groupBy(id_col).agg(*bit_sums)
+    fp = F.concat(
+        *[F.when(F.col(f"b{i}") >= 0, "1").otherwise("0") for i in range(nibbles)]
+    )
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nibbles: int = 16,
+) -> DataFrame:
+    """Near-dup pairs with simhash Hamming distance ≤ ``max_hamming``.
+
+    Blocking: split the fingerprint into (max_hamming+1) segments — by
+    pigeonhole, any pair within the distance shares at least one exact
+    segment, so the self-join runs on segment buckets, not all pairs.
+    """
+    fps = simhash_fingerprints(df, id_col, text_col, nibbles)
+    n_seg = max_hamming + 1
+    seg_len = nibbles // n_seg
+    segs = []
+    for s in range(n_seg):
+        start = s * seg_len + 1
+        length = seg_len if s < n_seg - 1 else nibbles - seg_len * (n_seg - 1)
+        segs.append(
+            fps.select(
+                F.col(id_col),
+                F.col("simhash"),
+                F.lit(s).alias("seg"),
+                F.substring("simhash", start, length).alias("seg_key"),
+            )
+        )
+    blocked = segs[0]
+    for sf_ in segs[1:]:
+        blocked = blocked.unionByName(sf_)
+
+    a = blocked.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("fp_a"), "seg", "seg_key"
+    )
+    b = blocked.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("fp_b"), "seg", "seg_key"
+    )
+    pairs = (
+        a.join(b, ["seg", "seg_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    # Hamming distance = count of differing positions (character-wise).
+    dist = F.aggregate(
+        F.zip_with(
+            F.split(F.col("fp_a"), ""),
+            F.split(F.col("fp_b"), ""),
+            lambda x, y: F.when(x != y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return pairs.withColumn("hamming", dist).filter(
+        F.col("hamming") <= max_hamming
+    ).select("doc_a", "doc_b", "hamming")

@@ -1,0 +1,94 @@
+"""Text-analysis operators for corpus pipelines (north-star pack).
+
+Language-ID heuristics, quality scoring, token counting, and document
+fingerprinting over a `documents`-shaped DataFrame. Built-in functions
+only — narrow projections with no shuffle, fully codegen'd; at 100 TB
+these run at parquet-scan speed.
+
+The fingerprint operator mirrors the reference's own normalization
+trick: whitespace-collapse then compare
+(/root/reference/load_dataset.py:155-160 uses re.sub(r"\\W+", " ") to
+fingerprint function-SQL text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _ws_tokens(text: F.Column) -> F.Column:
+    """Whitespace token count via length arithmetic (single-space
+    delimited corpus): len(trim) - len(remove-spaces) + 1. Expressed
+    this way so the DuckDB oracle is the same closed-form expression."""
+    t = F.trim(text)
+    return F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Char count, whitespace token count, BPE-ish token estimate
+    (≈1.3 tokens per word for English-like text)."""
+    text = F.col(text_col)
+    n_tokens = _ws_tokens(text)
+    return df.select(
+        "doc_id",
+        F.length(text).cast("long").alias("n_chars"),
+        n_tokens.alias("n_tokens_ws"),
+        F.round(n_tokens * 1.3, 2).alias("est_bpe_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality heuristics: punctuation ratio, average token length, and
+    a keep/flag bucket (length + density thresholds)."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_tokens = _ws_tokens(text)
+    stripped = F.replace(
+        F.replace(F.replace(text, F.lit("."), F.lit("")), F.lit(","), F.lit("")),
+        F.lit("!"),
+        F.lit(""),
+    )
+    n_punct = n_chars - F.length(stripped)
+    avg_token_len = n_chars * F.lit(1.0) / n_tokens
+    return df.select(
+        "doc_id",
+        "lang",
+        F.round(n_punct * F.lit(1.0) / n_chars, 4).alias("punct_ratio"),
+        F.round(avg_token_len, 4).alias("avg_token_len"),
+        F.when((n_tokens >= 40) & (avg_token_len <= 12), "keep")
+        .otherwise("flag")
+        .alias("quality_bucket"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token language heuristic: count high-frequency English
+    stopword occurrences by substring-removal length arithmetic. The
+    rule is deterministic and shared verbatim with the oracle."""
+    text = F.col(text_col)
+
+    def marker_count(marker: str) -> F.Column:
+        return F.length(text) - F.length(F.replace(text, F.lit(marker), F.lit("")))
+
+    the_count = marker_count(" the ")
+    a_count = marker_count(" a ")
+    return df.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(the_count >= 5 * 5, "en")  # each hit removes len(' the ')=5 chars
+        .when(a_count >= 3 * 3, "en")
+        .otherwise("und")
+        .alias("predicted_lang"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace-normalized md5 fingerprint + 8-char shard prefix."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    fp = F.md5(normalized)
+    return df.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 8).alias("shard_key"),
+    )

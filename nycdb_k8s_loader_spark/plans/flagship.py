@@ -1,0 +1,176 @@
+"""Flagship query — the wow_bldgs shape on the synthetic star schema.
+
+Re-expresses the reference's flagship transformation
+(/root/reference/tests/sql/wow_2021_create_bldgs_table.sql: 4 CTEs,
+7 left joins against aggregation subqueries, DISTINCT ON, filtered
+counts, ordered json_agg, coalesce+casts) with TPC-H-ish stand-ins
+(FIXTURES.md §4): customer ≈ registrations fact, orders ≈
+violations/complaints detail, lineitem ≈ ACRIS amounts, the
+latest-order-per-customer ≈ firstdeeds latest-per-bbl.
+
+Scale notes: every aggregate is a map-side-combinable groupBy on the
+join key; the per-customer aggregate dims are small relative to the
+fact, so AQE broadcasts them into the final join pipeline (the analog
+of the reference's 7-way join at wow_2021 sql:89-125, where Postgres
+relies on b-tree indexes — wow_2021 sql:130-131 — and we rely on
+broadcast + AQE instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nycdb_k8s_loader_spark.operators.relational import (
+    arg_max,
+    coalesce_int,
+    count_where,
+    ordered_string_agg,
+)
+from nycdb_k8s_loader_spark.plans.catalog import register
+
+RECENT_CUTOFF = "1998-03-02"  # dataset-relative analog of CURRENT_DATE - '3 YEARS' (wow_2021 sql:58)
+
+FLAGSHIP_ORACLE = f"""
+WITH order_stats AS (
+    SELECT
+        o_custkey,
+        count(*)::BIGINT AS n_orders_raw,
+        count(CASE WHEN o_orderstatus = 'O' THEN 1 END)::BIGINT AS n_open_raw,
+        count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '{RECENT_CUTOFF} 00:00:00')::BIGINT
+            AS n_recent_raw
+    FROM orders
+    GROUP BY o_custkey
+),
+latest_order AS (
+    SELECT o_custkey, o_orderkey AS latest_orderkey, o_totalprice AS latest_orderprice
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+        ) AS rn
+        FROM orders
+    ) WHERE rn = 1
+),
+revenue AS (
+    SELECT o_custkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_custkey
+),
+prio AS (
+    SELECT o_custkey,
+           string_agg(o_orderpriority || ':' || cnt, ','
+                      ORDER BY cnt DESC, o_orderpriority ASC) AS priority_breakdown
+    FROM (
+        SELECT o_custkey, o_orderpriority, count(*)::BIGINT AS cnt
+        FROM orders GROUP BY o_custkey, o_orderpriority
+    )
+    GROUP BY o_custkey
+)
+SELECT
+    c_custkey,
+    c_name,
+    c_mktsegment,
+    CASE WHEN c_mktsegment IN ('BUILDING', 'AUTOMOBILE') THEN 'industrial'
+         ELSE 'consumer' END AS segment_class,
+    COALESCE(n_orders_raw, 0)::INT AS total_orders,
+    COALESCE(n_open_raw, 0)::INT AS open_orders,
+    COALESCE(n_recent_raw, 0)::INT AS recent_orders,
+    latest_orderkey,
+    latest_orderprice,
+    COALESCE(revenue, 0.0) AS revenue,
+    priority_breakdown
+FROM customer
+LEFT JOIN order_stats ON c_custkey = order_stats.o_custkey
+LEFT JOIN latest_order ON c_custkey = latest_order.o_custkey
+LEFT JOIN revenue ON c_custkey = revenue.o_custkey
+LEFT JOIN prio ON c_custkey = prio.o_custkey
+"""
+
+
+@register(
+    "flagship_bldgs",
+    FLAGSHIP_ORACLE,
+    doc=(
+        "wow_bldgs analog: fact left-joined to 4 aggregation subqueries "
+        "with conditional/filtered counts (A1-A5), latest-per-group via "
+        "max_by (A7/D1), ordered string_agg (A8/A11), coalesce+cast "
+        "(P11), CASE (P10), date window (P9). Reference: "
+        "wow_2021_create_bldgs_table.sql:1-131."
+    ),
+    tags=("flagship", "join", "agg"),
+)
+def flagship_bldgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    recent = F.lit(RECENT_CUTOFF).cast("timestamp")
+
+    # violations-style counts per key (wow_2021 sql:92-95) — one
+    # map-side-combined shuffle on o_custkey.
+    order_stats = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders_raw"),
+        count_where(F.col("o_orderstatus") == "O").alias("n_open_raw"),
+        count_where(F.col("o_orderdate") >= recent).alias("n_recent_raw"),
+    )
+
+    # firstdeeds-style latest-per-key (wow_2021 sql:6-26): max_by with a
+    # (date, key) struct — deterministic tiebreak, partial-agg friendly.
+    latest_order = orders.groupBy("o_custkey").agg(
+        arg_max("o_orderkey", "o_orderdate", "o_orderkey").alias("latest_orderkey"),
+        arg_max("o_totalprice", "o_orderdate", "o_orderkey").alias("latest_orderprice"),
+    )
+
+    # money aggregate through a join (docamount shape, wow_2021 sql:9-14).
+    revenue = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue")
+        )
+    )
+
+    # ordered json_agg/string_agg analog (wow_2021 sql:38-65): nested
+    # aggregation — per-(key,type) counts, then ordered collect per key.
+    per_prio = orders.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+    prio = per_prio.groupBy("o_custkey").agg(
+        ordered_string_agg(
+            value=F.concat_ws(":", F.col("o_orderpriority"), F.col("cnt")),
+            order=F.struct(
+                (-F.col("cnt")).alias("neg_cnt"),
+                F.col("o_orderpriority").alias("prio"),
+            ),
+            sep=",",
+        ).alias("priority_breakdown")
+    )
+
+    return (
+        customer.join(order_stats, customer.c_custkey == order_stats.o_custkey, "left")
+        .drop("o_custkey")
+        .join(latest_order, customer.c_custkey == latest_order.o_custkey, "left")
+        .drop("o_custkey")
+        .join(revenue, customer.c_custkey == revenue.o_custkey, "left")
+        .drop("o_custkey")
+        .join(prio, customer.c_custkey == prio.o_custkey, "left")
+        .drop("o_custkey")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.when(
+                F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"), "industrial"
+            )
+            .otherwise("consumer")
+            .alias("segment_class"),
+            coalesce_int("n_orders_raw").alias("total_orders"),
+            coalesce_int("n_open_raw").alias("open_orders"),
+            coalesce_int("n_recent_raw").alias("recent_orders"),
+            "latest_orderkey",
+            "latest_orderprice",
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            "priority_breakdown",
+        )
+    )

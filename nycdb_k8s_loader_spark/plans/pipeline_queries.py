@@ -1,0 +1,213 @@
+"""Training-data-pipeline operator pack (dedup / similarity / text).
+
+These go beyond the reference's own surface (BASELINE.json
+"north_star"): the operations a large-scale LLM training-data pipeline
+needs, each expressed Spark-first over the `documents` and
+`embeddings` tables with a DuckDB oracle twin where SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nycdb_k8s_loader_spark.operators.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from nycdb_k8s_loader_spark.operators.textops import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+from nycdb_k8s_loader_spark.plans.catalog import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- exact dedup -------------------------------------------------------------
+
+@register(
+    "d01_exact_dedup",
+    """
+    SELECT md5(lower(trim(text))) AS content_hash,
+           MIN(doc_id)::BIGINT AS keep_doc_id,
+           COUNT(*)::BIGINT AS n_copies
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
+    """,
+    doc="Exact dedup: normalize → md5 → hash-groupBy, keep min doc_id. "
+        "At 100TB this is one shuffle on a 32-char key; the md5 is "
+        "computed map-side so the shuffle carries hashes, not bodies.",
+    tags=("dedup",),
+)
+def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+# --- n-gram Jaccard near-dup -------------------------------------------------
+
+@register(
+    "d02_jaccard_pairs",
+    """
+    WITH words AS (
+        SELECT DISTINCT doc_id, w
+        FROM documents, unnest(string_split(lower(trim(text)), ' ')) AS t(w)
+        WHERE w <> ''
+    ),
+    sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n_words FROM words GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_common
+        FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_common * 1.0 / (sa.n_words + sb.n_words - n_common), 4)
+               AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n_words + sb.n_words - n_common) >= 0.6
+    """,
+    doc="Word-set Jaccard near-dup pairs ≥ 0.6 via token inverted "
+        "index self-join (SURVEY north-star dedup). Scale path: the "
+        "posting-list join explodes on stopword-frequency tokens — "
+        "d03's MinHash bands replace it at 100TB.",
+    tags=("dedup", "join"),
+)
+def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.6)
+
+
+# --- MinHash signatures ------------------------------------------------------
+
+@register(
+    "d03_minhash_band_candidates",
+    """
+    WITH words AS (
+        SELECT DISTINCT doc_id, w
+        FROM documents, unnest(string_split(lower(trim(text)), ' ')) AS t(w)
+        WHERE w <> ''
+    ),
+    sigs AS (
+        SELECT doc_id,
+               MIN(md5(w || '#0')) AS h0, MIN(md5(w || '#1')) AS h1,
+               MIN(md5(w || '#2')) AS h2, MIN(md5(w || '#3')) AS h3,
+               MIN(md5(w || '#4')) AS h4, MIN(md5(w || '#5')) AS h5,
+               MIN(md5(w || '#6')) AS h6, MIN(md5(w || '#7')) AS h7
+        FROM words GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, md5(h0 || h1) AS band_key FROM sigs
+        UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sigs
+        UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sigs
+        UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash+LSH candidate pairs: 8 md5-keyed min-hash permutations "
+        "→ 4 bands of 2 → bucket self-join (shingle→minhash→band→"
+        "bucket-join). Identical md5 on both engines makes the oracle "
+        "exact. At scale the band join shuffles only (doc_id, 32-char "
+        "band_key) pairs — linear in corpus size, unlike d02.",
+    tags=("dedup", "lsh"),
+)
+def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(_docs(spark, sf_dir), num_hashes=8, bands=4)
+
+
+# --- text analysis -----------------------------------------------------------
+
+@register(
+    "t01_token_stats",
+    """
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+               AS n_tokens_ws,
+           ROUND((length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)
+                 * 1.3, 2) AS est_bpe_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish estimate "
+        "(north-star text analysis). Pure narrow projection — no "
+        "shuffle, whole-stage codegen.",
+    tags=("text",),
+)
+def t01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "t02_quality_scores",
+    """
+    WITH stats AS (
+        SELECT doc_id, lang,
+               length(text) AS n_chars,
+               length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+                   AS n_tokens,
+               (length(text) - length(replace(replace(replace(text, '.', ''),
+                   ',', ''), '!', ''))) AS n_punct
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           ROUND(n_punct * 1.0 / n_chars, 4) AS punct_ratio,
+           ROUND(n_chars * 1.0 / n_tokens, 4) AS avg_token_len,
+           CASE WHEN n_tokens >= 40 AND n_chars * 1.0 / n_tokens <= 12
+                THEN 'keep' ELSE 'flag' END AS quality_bucket
+    FROM stats
+    """,
+    doc="Quality scoring: punct ratio, avg token length, keep/flag "
+        "bucket (north-star text analysis).",
+    tags=("text",),
+)
+def t02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_docs(spark, sf_dir))
+
+
+@register(
+    "t03_language_id",
+    """
+    SELECT doc_id, lang AS labeled_lang,
+           CASE
+             WHEN length(text) - length(replace(text, ' the ', '')) >= 25 THEN 'en'
+             WHEN length(text) - length(replace(text, ' a ', '')) >= 9 THEN 'en'
+             ELSE 'und'
+           END AS predicted_lang
+    FROM documents
+    """,
+    doc="Language-ID n-gram/stopword heuristic (north-star text "
+        "analysis; deterministic marker-count rule shared with oracle).",
+    tags=("text",),
+)
+def t03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_docs(spark, sf_dir))
+
+
+@register(
+    "t04_doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 8)
+               AS shard_key
+    FROM documents
+    """,
+    doc="Document fingerprinting: whitespace-normalized md5 + shard "
+        "prefix (north-star text analysis; the reference fingerprints "
+        "function-SQL the same way — whitespace-collapse then compare, "
+        "load_dataset.py:155-160).",
+    tags=("text", "dedup"),
+)
+def t04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprint(_docs(spark, sf_dir))

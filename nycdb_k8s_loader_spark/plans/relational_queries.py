@@ -1,0 +1,809 @@
+"""Relational operator pack — one registered query per SURVEY.md §2 row.
+
+Each query exercises one operator family from the reference's SQL
+workload (/root/reference/tests/sql/*.sql, lib/db_perms.py) on the
+synthetic star schema, with a DuckDB oracle twin. Floating aggregates
+are ROUNDed identically on both sides so value-hashes are stable
+across engines (summation order differs; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nycdb_k8s_loader_spark.operators.relational import (
+    count_where,
+    latest_per_group,
+    min_where,
+    top_k_per_group,
+)
+from nycdb_k8s_loader_spark.plans.catalog import register
+
+
+from nycdb_k8s_loader_spark.session import read_table as _t
+
+
+# --- A1/A4/A5: grouped aggregation (TPC-H Q1 shape) --------------------------
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="GROUP BY + SUM/AVG/COUNT (A1,A4; wow_2021 sql:41-42,92-95). "
+        "Filter pushes to parquet scan; partial agg map-side.",
+    tags=("agg",),
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- D1/A7: DISTINCT ON / latest-per-group -----------------------------------
+
+@register(
+    "q02_latest_order_per_customer",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS latest_orderkey,
+           o_orderdate AS latest_orderdate, o_totalprice AS latest_totalprice
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+        ) AS rn FROM orders
+    ) WHERE rn = 1
+    """,
+    doc="Postgres DISTINCT ON (wow_2021 sql:67) with explicit total "
+        "tiebreak (SURVEY §2 D1): ranked window, single shuffle on key.",
+    tags=("dedup", "window"),
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return latest_per_group(
+        orders, ["o_custkey"], ["o_orderdate", "o_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("latest_orderkey"),
+        F.col("o_orderdate").alias("latest_orderdate"),
+        F.col("o_totalprice").alias("latest_totalprice"),
+    )
+
+
+# --- A2/A3: conditional + filtered aggregates --------------------------------
+
+@register(
+    "q03_conditional_counts",
+    """
+    SELECT o_orderpriority,
+           COUNT(*)::BIGINT AS n_total,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END)::BIGINT AS n_open,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000)::BIGINT AS n_big,
+           MIN(o_orderdate) FILTER (WHERE o_orderstatus = 'O') AS first_open_date,
+           ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS filled_value
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="count(CASE WHEN) + FILTER(WHERE) aggregates (A2/A3; wow_2021 "
+        "sql:58,93,116-117). F.count skips nulls — exact semantics.",
+    tags=("agg",),
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_total"),
+        count_where(F.col("o_orderstatus") == "O").alias("n_open"),
+        count_where(F.col("o_totalprice") > 200000).alias("n_big"),
+        min_where("o_orderdate", F.col("o_orderstatus") == "O").alias(
+            "first_open_date"
+        ),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 2
+        ).alias("filled_value"),
+    )
+
+
+# --- J1/J5/J6: multi-way join pipeline (TPC-H Q5 shape) ----------------------
+
+@register(
+    "q04_revenue_by_nation",
+    """
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(DISTINCT o_orderkey)::BIGINT AS n_orders
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name IN ('ASIA', 'AFRICA')
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="Multi-way join pipeline, dims broadcast (J1/J5/J6; wow_2021 "
+        "sql:89-125). region/nation/customer broadcast into the "
+        "fact-side scan; only the final groupBy shuffles.",
+    tags=("join", "agg"),
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "AFRICA"))
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    lineitem = _t(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        customer.join(
+            F.broadcast(nation.join(region, nation.n_regionkey == region.r_regionkey)),
+            customer.c_nationkey == F.col("n_nationkey"),
+        )
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+# --- P3-P8/P10-P13: projection + predicate pack ------------------------------
+
+@register(
+    "q05_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charged,
+           COALESCE(NULLIF(l_returnflag, 'N'), 'NONE') AS flag,
+           CASE WHEN l_quantity >= 30 THEN 'bulk' ELSE 'small' END AS qty_class,
+           2021 AS batch_year
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R') AND l_quantity > 1
+      AND l_shipdate IS NOT NULL
+      AND (l_linestatus = 'F' OR l_discount > 0.05)
+    """,
+    doc="Projection/rename, IN-list (= any('{...}')), OR-of-predicates, "
+        "CASE WHEN, arithmetic, literal col (P1-P13; wow_2021 "
+        "sql:9,14,54-57,33,82). All predicates push into parquet scan.",
+    tags=("filter", "project"),
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_quantity") > 1)
+            & F.col("l_shipdate").isNotNull()
+            & ((F.col("l_linestatus") == "F") | (F.col("l_discount") > 0.05))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            # round at 6dp: the true decimal product has ≤6 decimals
+            # (2dp × 2dp × 2dp), so 6dp rounding is exact and immune to
+            # the half-cent round() divergence between engines.
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                6,
+            ).alias("charged"),
+            F.coalesce(
+                F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("NONE")
+            ).alias("flag"),
+            F.when(F.col("l_quantity") >= 30, "bulk").otherwise("small").alias(
+                "qty_class"
+            ),
+            F.lit(2021).alias("batch_year"),
+        )
+    )
+
+
+# --- semi/anti joins (Spark-native extensions; SURVEY §2.4 "not present") ----
+
+@register(
+    "q06_customers_with_recent_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
+    """,
+    doc="EXISTS → left_semi join (F12-adjacent; lib/db_perms.py:13-19 "
+        "EXISTS shape). No fact columns flow past the join.",
+    tags=("join",),
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return customer.join(
+        recent, customer.c_custkey == recent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q07_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="NOT EXISTS → left_anti join.",
+    tags=("join",),
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# --- set operations (SURVEY §2.7) -------------------------------------------
+
+@register(
+    "q08_repeat_buyers_intersect",
+    """
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    """,
+    doc="INTERSECT (distinct semantics both engines).",
+    tags=("setop",),
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select(F.col("o_custkey").alias("custkey"))
+
+    return year(1995).intersect(year(1996))
+
+
+@register(
+    "q09_churned_buyers_except",
+    """
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    """,
+    doc="EXCEPT (distinct semantics both engines).",
+    tags=("setop",),
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select(F.col("o_custkey").alias("custkey"))
+
+    return year(1995).subtract(year(1996))
+
+
+# --- window functions --------------------------------------------------------
+
+@register(
+    "q10_running_totals",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           row_number() OVER w AS order_seq,
+           ROUND(SUM(o_totalprice) OVER w, 2) AS running_spend,
+           ROUND(o_totalprice - lag(o_totalprice, 1) OVER w, 2) AS delta_vs_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Window functions: row_number, running SUM, LAG. One shuffle on "
+        "the partition key serves all three (shared window frame).",
+    tags=("window",),
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.row_number().over(w).alias("order_seq"),
+        F.round(F.sum("o_totalprice").over(running), 2).alias("running_spend"),
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice", 1).over(w), 2
+        ).alias("delta_vs_prev"),
+    )
+
+
+@register(
+    "q11_top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+               ) AS rank
+        FROM orders
+    ) WHERE rank <= 3
+    """,
+    doc="Top-k per group with deterministic tiebreak (SURVEY §2.6 "
+        "extension of D1).",
+    tags=("window", "dedup"),
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return top_k_per_group(
+        orders,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+
+
+# --- A8: ordered JSON aggregation -------------------------------------------
+
+@register(
+    "q12_priority_json_per_customer",
+    """
+    SELECT o_custkey,
+           '[' || string_agg(
+               '{"priority":"' || o_orderpriority || '","count":' || cnt || '}',
+               ',' ORDER BY cnt DESC, o_orderpriority ASC
+           ) || ']' AS priorities_json
+    FROM (
+        SELECT o_custkey, o_orderpriority, count(*)::BIGINT AS cnt
+        FROM orders GROUP BY o_custkey, o_orderpriority
+    )
+    GROUP BY o_custkey
+    """,
+    doc="json_agg(json_build_object(...) ORDER BY ... DESC) (A8/F5; "
+        "wow_2021 sql:43-46). collect_list is order-nondeterministic → "
+        "explicit sort_array on a (neg count, priority) struct, then "
+        "reshape + to_json at the edge.",
+    tags=("agg", "json"),
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+    sorted_pairs = F.sort_array(
+        F.collect_list(
+            F.struct(
+                (-F.col("cnt")).alias("neg_cnt"),
+                F.col("o_orderpriority").alias("priority"),
+                F.col("cnt").alias("count"),
+            )
+        )
+    )
+    reshaped = F.transform(
+        sorted_pairs,
+        lambda s: F.struct(s["priority"].alias("priority"), s["count"].alias("count")),
+    )
+    return per.groupBy("o_custkey").agg(
+        F.to_json(reshaped).alias("priorities_json")
+    )
+
+
+# --- P9/F2/F3: date-interval predicates --------------------------------------
+
+@register(
+    "q13_recent_order_counts",
+    """
+    SELECT o_orderpriority, COUNT(*)::BIGINT AS n_recent
+    FROM orders
+    WHERE o_orderdate > TIMESTAMP '2001-08-01 00:00:00' - INTERVAL 3 YEAR
+    GROUP BY o_orderpriority
+    """,
+    doc="Date-window predicate with INTERVAL arithmetic (P9; wow_2021 "
+        "sql:58 `receiveddate > CURRENT_DATE - '3 YEARS'::INTERVAL` — "
+        "anchored to the dataset max date for a deterministic oracle).",
+    tags=("filter", "date"),
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.expr("TIMESTAMP '2001-08-01 00:00:00' - INTERVAL 3 YEARS")
+    return (
+        orders.filter(F.col("o_orderdate") > cutoff)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_recent"))
+    )
+
+
+# --- P7/F7: regex predicates and string transforms ---------------------------
+
+@register(
+    "q14_regex_part_search",
+    """
+    SELECT p_brand, COUNT(*)::BIGINT AS n_parts,
+           ROUND(AVG(p_retailprice), 2) AS avg_price
+    FROM part
+    WHERE regexp_matches(p_type, '(?i)(econ|medium)')
+      AND NOT regexp_matches(p_name, '(?i)^(red|blue)')
+    GROUP BY p_brand
+    """,
+    doc="Case-insensitive regex match ~* (P7; wow_2021 sql:120) via "
+        "rlike('(?i)...') + negation.",
+    tags=("filter", "string"),
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.filter(
+            F.col("p_type").rlike("(?i)(econ|medium)")
+            & ~F.col("p_name").rlike("(?i)^(red|blue)")
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "q15_slugify_parts",
+    """
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_uc,
+           lower(regexp_replace(trim(p_name), '\\W+', '-', 'g')) AS name_slug,
+           p_brand || '/' || p_type AS brand_type
+    FROM part
+    WHERE p_size >= 10
+    """,
+    doc="String transform pack: upper, regex whitespace-collapse "
+        "slugify, concat (F7/F8; load_dataset.py:155-160 collapses "
+        "whitespace with re.sub(r'\\W+', ' '), k8s_build_jobs.py:37-38 "
+        "slugifies job names).",
+    tags=("string", "project"),
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.filter(F.col("p_size") >= 10).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_uc"),
+        F.lower(F.regexp_replace(F.trim(F.col("p_name")), r"\W+", "-")).alias(
+            "name_slug"
+        ),
+        F.concat_ws("/", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+# --- A10: nested aggregation -------------------------------------------------
+
+@register(
+    "q16_nested_agg",
+    """
+    SELECT o_custkey,
+           COUNT(*)::BIGINT AS n_priorities,
+           SUM(cnt)::BIGINT AS n_orders,
+           MAX(cnt)::BIGINT AS max_per_priority
+    FROM (
+        SELECT o_custkey, o_orderpriority, count(*)::BIGINT AS cnt
+        FROM orders GROUP BY o_custkey, o_orderpriority
+    )
+    GROUP BY o_custkey
+    """,
+    doc="Aggregation of an aggregation (A10; wow_2021 sql:38-65 inner "
+        "per-(bbl,type) counts → outer per-bbl rollup). Both stages "
+        "share the o_custkey hash partitioning — Catalyst reuses the "
+        "exchange, no second shuffle.",
+    tags=("agg",),
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+    return per.groupBy("o_custkey").agg(
+        F.count("*").alias("n_priorities"),
+        F.sum("cnt").alias("n_orders"),
+        F.max("cnt").alias("max_per_priority"),
+    )
+
+
+# --- rollup / cube (free extensions noted in SURVEY §2.5) --------------------
+
+@register(
+    "q17_rollup_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*)::BIGINT AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP grouping-set aggregate (SURVEY §2.5 'free extension').",
+    tags=("agg",),
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "q18_cube_flag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*)::BIGINT AS n, ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping-set aggregate.",
+    tags=("agg",),
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+
+
+# --- pivot -------------------------------------------------------------------
+
+@register(
+    "q19_pivot_status_qty",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Pivot (wide conditional aggregate). Spark .pivot with explicit "
+        "value list avoids the extra distinct-values job at scale.",
+    tags=("agg", "pivot"),
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_o")
+        .withColumnRenamed("F", "qty_f")
+    )
+
+
+# --- SQL API with correlated subquery (F12) ----------------------------------
+
+@register(
+    "q20_sql_exists",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_suppkey = s_suppkey AND l_quantity > 49
+    )
+    """,
+    doc="Correlated EXISTS through the SQL API (F12; db_perms.py:13-19). "
+        "Catalyst decorrelates to a left-semi join.",
+    tags=("sql", "join"),
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_suppkey = s_suppkey AND l_quantity > 49
+        )
+        """
+    )
+
+
+# --- A11/A12: ordered string_agg (grants shape) ------------------------------
+
+@register(
+    "q21_event_types_per_user",
+    """
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ', ' ORDER BY event_type) AS event_types,
+           COUNT(DISTINCT event_type)::BIGINT AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="string_agg with deterministic order (A11/A12; db_perms.py:36 "
+        "`string_agg(privilege_type, ', ')`): collect_set → sort_array "
+        "→ array_join.",
+    tags=("agg", "string"),
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ", ").alias(
+            "event_types"
+        ),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+# --- sessionization (events; gap-based) --------------------------------------
+
+@register(
+    "q22_sessionize_events",
+    """
+    WITH seq AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM seq
+    )
+    SELECT user_id, session_id::BIGINT AS session_id,
+           COUNT(*)::BIGINT AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (30-min idle gap): lag + cumulative "
+        "sum of session-start markers + grouped agg. The batch twin of "
+        "the streaming session operator in streaming/ (SURVEY §2.9 — "
+        "reference has no streaming; this is the additive scale path).",
+    tags=("window", "sessionize", "events"),
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (
+            F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+            > 30 * 60 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        events.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(run).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+# --- time bucketing (events) -------------------------------------------------
+
+@register(
+    "q23_hourly_event_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
+           COUNT(*)::BIGINT AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    doc="Tumbling time-window aggregate (batch form of the streaming "
+        "windowed agg; date_trunc keys both engines identically).",
+    tags=("agg", "events", "date"),
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# --- JSON extraction (F5 consumption side) -----------------------------------
+
+@register(
+    "q24_json_props_extract",
+    """
+    SELECT event_type,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT))::INT AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON field extraction + cast + aggregate (F5 consumption; the "
+        "reference only produces JSON via json_build_object, wow_2021 "
+        "sql:44 — we also consume it).",
+    tags=("json", "agg", "events"),
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).cast("int").alias("max_k"),
+    )
+
+
+# --- S8: multi-file / multi-slice union -------------------------------------
+
+@register(
+    "q25_union_slices",
+    """
+    SELECT src, COUNT(*)::BIGINT AS n, ROUND(SUM(l_quantity), 2) AS qty
+    FROM (
+        SELECT 'early' AS src, l_quantity FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        UNION ALL
+        SELECT 'late' AS src, l_quantity FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    )
+    GROUP BY src
+    """,
+    doc="UNION ALL by name (S8 multi-file union; load_dataset.py:115-118 "
+        "loads many files into one table). unionByName guards against "
+        "positional drift between file batches.",
+    tags=("setop", "source"),
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    early = li.filter(F.col("l_shipdate") < cut).select(
+        F.lit("early").alias("src"), "l_quantity"
+    )
+    late = li.filter(F.col("l_shipdate") >= cut).select(
+        F.lit("late").alias("src"), "l_quantity"
+    )
+    return (
+        early.unionByName(late)
+        .groupBy("src")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+    )

@@ -1,0 +1,120 @@
+"""SparkSession factory.
+
+The reference opens one psycopg2 connection per job
+(load_dataset.py:343-344 in /root/reference); our unit of execution is
+one SparkSession per job. Defaults are tuned so the same code runs on
+``local[N]`` for tests and on a multi-executor cluster unchanged:
+
+- AQE on (runtime broadcast/skew re-planning — replaces the manual
+  index tuning the reference does with CREATE INDEX, wow_2021 sql:130).
+- shuffle partitions sized to the environment, not the 200 default.
+- Arrow enabled for the few pandas-UDF paths (dedup/similarity pack).
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "nycdb_k8s_loader_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    warehouse_dir: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master=None`` defers to spark-submit / an existing session, so the
+    same entrypoints work under ``local[32]`` and on a real cluster.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    elif not SparkSession.getActiveSession():
+        builder = builder.master(f"local[{cpus}]")
+
+    sp = shuffle_partitions if shuffle_partitions is not None else DEFAULT_SHUFFLE_PARTITIONS
+    conf = {
+        "spark.sql.shuffle.partitions": str(sp),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.ui.enabled": os.environ.get("SPARK_GRAFT_UI", "false"),
+        # Broadcast threshold: dims in our workload (region/nation/part
+        # aggregates) are tiny relative to facts; 64m keeps 7-way join
+        # pipelines broadcast-heavy at 100TB fact scale too.
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+    }
+    if warehouse_dir:
+        conf["spark.sql.warehouse.dir"] = warehouse_dir
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def testdata_dir(sf: str = "0.01") -> str:
+    """Path to driver-generated synthetic parquet (TESTDATA.md)."""
+    return os.environ.get("SPARK_GRAFT_SF_DIR", f"/root/testdata/sf{sf}")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one synthetic table, normalizing physical-type quirks.
+
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects outright. We read nanos as long
+    (legacy conf, settable at runtime) and rebuild a microsecond
+    timestamp with integer division — float division would lose
+    precision above 2^53 ns.
+    """
+    from pyspark.sql import functions as F
+
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """Read every synthetic table in ``sf_dir`` as a DataFrame dict."""
+    return {
+        t: read_table(spark, sf_dir, t)
+        for t in TPCH_TABLES
+        if os.path.exists(f"{sf_dir}/{t}.parquet")
+    }
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view for the SQL-facing operators."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
