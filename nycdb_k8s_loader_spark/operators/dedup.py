@@ -109,26 +109,47 @@ def minhash_signatures(
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
 
-    words = tokenize_distinct(df, id_col, text_col)
+    # Signatures as per-row array expressions — no explode, no shuffle:
+    # min(md5(w||salt)) over the word *multiset* equals the min over the
+    # distinct word set, so splitting to an array and taking array_min
+    # of the salted-hash transform is semantically identical to the
+    # posting-list groupBy, at parquet-scan speed (codegen'd).
+    words_arr = F.filter(
+        F.split(normalized_text(text_col), " "), lambda w: w != ""
+    )
+
+    def salted(i: int):
+        # NB: must be a 1-arg lambda — a 2-arg lambda (e.g. `lambda w,
+        # i=i`) is interpreted by F.transform as (element, index) and
+        # the array index silently replaces the salt.
+        return lambda w: F.md5(F.concat(w, F.lit(f"#{i}")))
+
     sig_cols = [
-        F.min(F.md5(F.concat(F.col("w"), F.lit(f"#{i}")))).alias(f"h{i}")
+        F.array_min(F.transform(words_arr, salted(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    sigs = words.groupBy(id_col).agg(*sig_cols)
+    sigs = df.select(F.col(id_col), *sig_cols)
 
-    band_frames = []
-    for b in range(bands):
-        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_frames.append(
-            sigs.select(
-                F.col(id_col),
+    # One explode over a bands-array of structs (not N unioned scans).
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat(*parts)).alias("band_key"),
+                F.md5(
+                    F.concat(
+                        *[
+                            F.col(f"h{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                ).alias("band_key"),
             )
-        )
-    all_bands = band_frames[0]
-    for bf in band_frames[1:]:
-        all_bands = all_bands.unionByName(bf)
+            for b in range(bands)
+        ]
+    )
+    all_bands = sigs.select(
+        F.col(id_col), F.explode(band_structs).alias("bk")
+    ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
     a = all_bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")
     b2 = all_bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
