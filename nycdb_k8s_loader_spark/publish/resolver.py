@@ -1,0 +1,63 @@
+"""Namespace resolution — the ``search_path`` emulation.
+
+The reference resolves unqualified table names across an ordered
+namespace list with Postgres ``SET search_path temp,public,oca,wow``
+(/root/reference/load_dataset.py:222, wowutil.py:132). Spark's
+``setCurrentDatabase`` resolves against exactly one database, so the
+engine rewrites unqualified table references in SQL text before
+``spark.sql`` (SURVEY.md §4.3 item 1).
+
+Resolution rule: for each table identifier position (after FROM / JOIN
+/ INTO / UPDATE / TABLE / INSERT INTO), if the name is unqualified,
+qualify it with the first namespace in the search path where the table
+exists. Names already qualified, CTE names, and temp views are left
+alone.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+
+_TABLE_POS = re.compile(
+    r"\b(?:(CREATE(?:\s+OR\s+REPLACE)?(?:\s+TEMP(?:ORARY)?)?|ALTER|DROP)\s+)?"
+    r"(TABLE|FROM|JOIN|INTO|UPDATE)\s+"
+    r"((?!SELECT\b|LATERAL\b|VALUES\b|IF\b)[A-Za-z_][\w$]*)",
+    re.IGNORECASE,
+)
+
+_CTE_NAMES = re.compile(r"\b(?:WITH|,)\s*([A-Za-z_][\w$]*)\s+AS\s*\(", re.IGNORECASE)
+
+
+class SearchPathResolver:
+    def __init__(self, spark: SparkSession, search_path: list[str]) -> None:
+        self.spark = spark
+        self.search_path = search_path
+
+    def _resolve_one(self, name: str, local_names: set[str]) -> str:
+        if name.lower() in local_names:
+            return name  # CTE name — never qualify
+        for db in self.search_path:
+            if self.spark.catalog.tableExists(f"`{db}`.`{name}`"):
+                return f"`{db}`.`{name}`"
+        return name  # temp view / builtin — let Spark resolve it
+
+    def rewrite(self, sql: str) -> str:
+        """Qualify unqualified table refs per the search path."""
+        local_names = {m.group(1).lower() for m in _CTE_NAMES.finditer(sql)}
+
+        def sub(m: re.Match) -> str:
+            ddl, kw, name = m.group(1), m.group(2), m.group(3)
+            if ddl:
+                # CREATE/ALTER/DROP targets resolve to the *first*
+                # namespace (current database = staging), matching
+                # Postgres's create-in-head-of-search-path rule — never
+                # rewrite them to an existing downstream table.
+                return m.group(0)
+            return f"{kw} {self._resolve_one(name, local_names)}"
+
+        return _TABLE_POS.sub(sub, sql)
+
+    def sql(self, query: str):
+        return self.spark.sql(self.rewrite(query))

@@ -1,0 +1,98 @@
+"""Declarative dataset registry.
+
+Capability twin of the nycdb dataset registry the reference consumes
+(/root/reference/load_dataset.py:92-118: ``datasets()[name]`` →
+``files`` (url/dest), ``schema`` (table list), ``sql`` (script list))
+plus the dependency ordering its derived pipelines assert
+(tests/test_wowutil.py:9-11, tests/test_signatureutil.py:34-57).
+
+A dataset entry drives the whole load: source files → typed tables →
+SQL transformation scripts → publish. Custom datasets (the reference's
+wow/oca/signature/good_cause bypass, load_dataset.py:319-338) register
+a builder callable instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+
+@dataclass
+class SourceFile:
+    url: str
+    dest: str
+    format: str = "csv"  # csv | excel | parquet | json
+
+
+@dataclass
+class TableDef:
+    name: str
+    schema: T.StructType | None = None  # None → derived (CTAS) table
+
+
+@dataclass
+class DatasetDef:
+    name: str
+    files: list[SourceFile] = field(default_factory=list)
+    tables: list[TableDef] = field(default_factory=list)
+    sql: list[str] = field(default_factory=list)  # ordered script paths
+    depends_on: list[str] = field(default_factory=list)
+    schedule: str | None = None  # key into scheduling.SCHEDULES
+    builder: Callable | None = None  # custom dataset escape hatch
+
+
+class Registry:
+    def __init__(self) -> None:
+        self._datasets: dict[str, DatasetDef] = {}
+
+    def add(self, ds: DatasetDef) -> DatasetDef:
+        if ds.name in self._datasets:
+            raise ValueError(f"duplicate dataset {ds.name!r}")
+        self._datasets[ds.name] = ds
+        return ds
+
+    def get(self, name: str) -> DatasetDef:
+        return self._datasets[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._datasets
+
+    def names(self) -> list[str]:
+        return list(self._datasets)
+
+    def urls(self, name: str) -> list[str]:
+        return [f.url for f in self.get(name).files]
+
+    def tables_for(self, name: str) -> list[str]:
+        """Table names a dataset produces (reference:
+        get_tables_for_dataset, load_dataset.py:108-112)."""
+        return [t.name for t in self.get(name).tables]
+
+    def topo_order(self, targets: list[str] | None = None) -> list[str]:
+        """Dependency-respecting load order (reference O4: wow depends
+        on nycdb datasets + oca; signature on 22 datasets; gce on wow).
+        Deterministic: dependencies first, insertion order otherwise.
+        """
+        targets = targets if targets is not None else self.names()
+        out: list[str] = []
+        seen: set[str] = set()
+        visiting: set[str] = set()
+
+        def visit(n: str) -> None:
+            if n in seen:
+                return
+            if n in visiting:
+                raise ValueError(f"dependency cycle through {n!r}")
+            visiting.add(n)
+            for dep in self.get(n).depends_on:
+                visit(dep)
+            visiting.discard(n)
+            seen.add(n)
+            out.append(n)
+
+        for t in targets:
+            visit(t)
+        return out

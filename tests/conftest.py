@@ -18,12 +18,17 @@ SF_MEDIUM = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
     sp = get_spark(
         app_name="nycdb-spark-tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.driver.memory": "4g"},
+        warehouse_dir=warehouse,
+        extra_conf={
+            "spark.driver.memory": "4g",
+            "spark.driver.extraJavaOptions": f"-Dderby.system.home={warehouse}",
+        },
     )
     yield sp
 

@@ -1,0 +1,206 @@
+"""End-to-end engine lifecycle tests (mirrors the reference's e2e
+pyramid, tests/test_load_dataset.py:44-151): load a registry dataset
+from CSV → staging → publish, assert >0 rows, re-load idempotently,
+verify 304-skip and error rollback."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from nycdb_k8s_loader_spark.engine import Engine, split_statements
+from nycdb_k8s_loader_spark.publish.protocol import Publisher, staging_db_name
+from nycdb_k8s_loader_spark.publish.resolver import SearchPathResolver
+from nycdb_k8s_loader_spark.registry import DatasetDef, Registry, SourceFile, TableDef
+from nycdb_k8s_loader_spark.state.kvstore import DictKVStore
+from nycdb_k8s_loader_spark.state.lastmod import FetchResult
+
+BLDGS_SCHEMA = T.StructType(
+    [
+        T.StructField("bbl", T.StringType()),
+        T.StructField("unitsres", T.IntegerType()),
+        T.StructField("borough", T.StringType()),
+    ]
+)
+
+CSV_V1 = "bbl,unitsres,borough\n1000010001,10,MN\n2000020002,5,BX\n"
+CSV_V2 = CSV_V1 + "3000030003,7,BK\n"
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    d = tmp_path / "landing" / "bldgs"
+    d.mkdir(parents=True)
+    (d / "bldgs.csv").write_text(CSV_V1)
+    return str(tmp_path / "landing")
+
+
+@pytest.fixture()
+def registry(tmp_path):
+    reg = Registry()
+    sql_path = tmp_path / "derive.sql"
+    sql_path.write_text(
+        """
+        -- derived rollup (CTAS), exercises created-table discovery
+        CREATE TABLE bldg_rollup AS
+        SELECT borough, SUM(unitsres) AS total_units, COUNT(*) AS n
+        FROM bldgs GROUP BY borough;
+        """
+    )
+    reg.add(
+        DatasetDef(
+            name="bldgs",
+            files=[SourceFile(url="https://x/bldgs.csv", dest="bldgs.csv")],
+            tables=[TableDef("bldgs", BLDGS_SCHEMA)],
+            sql=[str(sql_path)],
+        )
+    )
+    return reg
+
+
+def transport_always(result: FetchResult):
+    def t(url, headers):
+        return result
+
+    return t
+
+
+def make_engine(spark, registry, landing, kv=None, transport=None, db="pubtest"):
+    return Engine(
+        spark,
+        registry,
+        kv if kv is not None else DictKVStore(),
+        target_db=db,
+        landing_root=landing,
+        transport=transport or transport_always(FetchResult(200, etag='"v1"')),
+        downloader=lambda url, dest: (_ for _ in ()).throw(
+            AssertionError("no network in tests")
+        ),
+    )
+
+
+class TestEngineLifecycle:
+    def test_load_publish_and_idempotent_rerun(self, spark, registry, landing):
+        eng = make_engine(spark, registry, landing)
+        res = eng.load("bldgs")
+        assert not res.skipped
+        assert set(res.published) == {"pubtest.bldgs", "pubtest.bldg_rollup"}
+
+        assert spark.table("pubtest.bldgs").count() == 2
+        rollup = {
+            r["borough"]: (r["total_units"], r["n"])
+            for r in spark.table("pubtest.bldg_rollup").collect()
+        }
+        assert rollup == {"MN": (10, 1), "BX": (5, 1)}
+
+        # rerun → identical counts (reference idempotency,
+        # tests/test_load_dataset.py:78-84)
+        res2 = eng.load("bldgs", force=True)
+        assert not res2.skipped
+        assert spark.table("pubtest.bldgs").count() == 2
+        assert spark.table("pubtest.bldg_rollup").count() == 2
+
+        # no staging namespaces left behind
+        assert Publisher(spark).list_staging_dbs("bldgs") == []
+
+    def test_304_skips_everything(self, spark, registry, landing):
+        kv = DictKVStore()
+        eng = make_engine(
+            spark, registry, landing, kv=kv, transport=transport_always(FetchResult(304))
+        )
+        res = eng.load("bldgs")
+        assert res.skipped and res.published == []
+
+    def test_change_detection_roundtrip(self, spark, registry, landing):
+        kv = DictKVStore()
+        eng1 = make_engine(
+            spark,
+            registry,
+            landing,
+            kv=kv,
+            transport=transport_always(FetchResult(200, etag='"v1"')),
+        )
+        assert not eng1.load("bldgs").skipped
+        assert kv["etag:https://x/bldgs.csv"] == '"v1"'
+
+        eng2 = make_engine(
+            spark, registry, landing, kv=kv, transport=transport_always(FetchResult(304))
+        )
+        assert eng2.load("bldgs").skipped
+
+    def test_failed_transform_rolls_back(self, spark, landing, tmp_path):
+        reg = Registry()
+        bad_sql = tmp_path / "bad.sql"
+        bad_sql.write_text("CREATE TABLE boom AS SELECT * FROM does_not_exist;")
+        reg.add(
+            DatasetDef(
+                name="bldgs",
+                files=[SourceFile(url="https://x/bldgs.csv", dest="bldgs.csv")],
+                tables=[TableDef("bldgs", BLDGS_SCHEMA)],
+                sql=[str(bad_sql)],
+            )
+        )
+        eng = make_engine(spark, reg, landing, db="rollbacktest")
+        with pytest.raises(Exception):
+            eng.load("bldgs")
+        # target namespace never created / no partial publish
+        assert not spark.catalog.tableExists("rollbacktest.bldgs")
+        # staging cleaned up
+        assert Publisher(spark).list_staging_dbs("bldgs") == []
+
+    def test_topo_order(self):
+        reg = Registry()
+        reg.add(DatasetDef(name="a"))
+        reg.add(DatasetDef(name="wow", depends_on=["a", "oca"]))
+        reg.add(DatasetDef(name="oca"))
+        reg.add(DatasetDef(name="gce", depends_on=["wow"]))
+        order = reg.topo_order(["gce"])
+        assert order == ["a", "oca", "wow", "gce"]
+        with pytest.raises(KeyError):
+            reg.get("missing")
+
+
+class TestSplitStatements:
+    def test_basic(self):
+        assert split_statements("SELECT 1; SELECT 2;") == ["SELECT 1", "SELECT 2"]
+
+    def test_semicolon_in_string(self):
+        stmts = split_statements("SELECT 'a;b' AS x; SELECT 2;")
+        assert stmts == ["SELECT 'a;b' AS x", "SELECT 2"]
+
+    def test_comments_removed(self):
+        stmts = split_statements("SELECT 1 -- trailing; comment\n; SELECT 2;")
+        assert stmts[0].startswith("SELECT 1")
+        assert len(stmts) == 2
+
+    def test_escaped_quote(self):
+        assert split_statements("SELECT 'it''s; fine';") == ["SELECT 'it''s; fine'"]
+
+
+class TestResolver:
+    def test_search_path_qualification(self, spark):
+        spark.sql("CREATE DATABASE IF NOT EXISTS rp_stage")
+        spark.sql("CREATE DATABASE IF NOT EXISTS rp_pub")
+        spark.sql("DROP TABLE IF EXISTS rp_stage.t1")
+        spark.sql("DROP TABLE IF EXISTS rp_pub.t1")
+        spark.sql("DROP TABLE IF EXISTS rp_pub.t2")
+        spark.sql("CREATE TABLE rp_stage.t1 AS SELECT 1 AS stage_marker")
+        spark.sql("CREATE TABLE rp_pub.t1 AS SELECT 2 AS pub_marker")
+        spark.sql("CREATE TABLE rp_pub.t2 AS SELECT 3 AS only_pub")
+
+        r = SearchPathResolver(spark, ["rp_stage", "rp_pub"])
+        # staging shadows public
+        assert r.sql("SELECT * FROM t1").columns == ["stage_marker"]
+        # fallback to public
+        assert r.sql("SELECT * FROM t2").columns == ["only_pub"]
+        # CTE names not qualified
+        out = r.sql("WITH t1 AS (SELECT 99 AS cte_marker) SELECT * FROM t1")
+        assert out.columns == ["cte_marker"]
+        # already-running SQL without any table untouched
+        assert r.rewrite("SELECT 1") == "SELECT 1"
+
+    def test_staging_db_name_shape(self):
+        name = staging_db_name("my-dataset", epoch=123)
+        assert name == "staging_my_dataset_123"
