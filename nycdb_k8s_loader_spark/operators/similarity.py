@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (north-star pack).
+
+Approximate-nearest-neighbor over ``array<float>`` embeddings:
+brute-force cosine top-k as the correctness baseline, and a
+sign-bucket LSH variant as the scale path. All arithmetic is
+JVM-side array expressions (``zip_with`` + sequential ``aggregate``
+fold) — empirically bit-identical to DuckDB's
+``list_cosine_similarity`` on DOUBLE[], which makes exact oracles
+possible.
+
+Scale design (100 TB / billions of vectors):
+- brute-force is O(Q×N): the query set is broadcast, the corpus
+  streams; per-query top-k via window on qid — fine for thousands of
+  queries, pathological beyond.
+- LSH buckets: deterministic sign-bit bucket over the first B
+  dimensions (axis-aligned random-hyperplane LSH). The bucket join is
+  an equi-join — shuffle on a small int key — and cuts candidate sets
+  by ~2^B. More planes → IVF-style partition pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_vec(col: str = "embedding") -> Column:
+    """Promote array<float> → array<double> so the fold matches the
+    oracle's DOUBLE[] arithmetic exactly."""
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, z: acc + z
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def sign_bucket(vec: Column, n_bits: int = 6) -> Column:
+    """Axis-aligned hyperplane LSH bucket: bit i set iff vec[i] > 0.
+
+    Deterministic (no RNG) so the DuckDB oracle reproduces it; random
+    rotations would improve balance but break cross-engine parity —
+    at deploy time swap in fixed pseudo-random hyperplanes shipped as
+    a literal matrix.
+    """
+    bits = [
+        F.when(F.element_at(vec, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(n_bits)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucketed: bool = False,
+    n_bits: int = 6,
+) -> DataFrame:
+    """Top-k cosine neighbors per query vector.
+
+    ``bucketed=False``: exact brute force (broadcast queries × corpus).
+    ``bucketed=True``: candidates restricted to the query's LSH bucket.
+    Rank is (rounded cosine DESC, neighbor id ASC) — a total order, so
+    results are deterministic and oracle-stable. Self-matches excluded.
+    """
+    vecs = emb.select(F.col(id_col), as_double_vec(vec_col).alias("v"))
+    if bucketed:
+        vecs = vecs.withColumn("bucket", sign_bucket(F.col("v"), n_bits))
+
+    q = vecs
+    if query_ids is not None:
+        q = q.filter(F.col(id_col).isin(query_ids))
+    q = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        *([F.col("bucket").alias("qbucket")] if bucketed else []),
+    )
+    c = vecs.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        *([F.col("bucket")] if bucketed else []),
+    )
+
+    if bucketed:
+        joined = c.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+    else:
+        joined = c.crossJoin(F.broadcast(q))
+
+    joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    cos_r = F.round(cosine(F.col("qv"), F.col("nv")), 6)
+    scored = joined.select("query_id", "neighbor_id", cos_r.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding-cosine near-dup).
+
+    Brute-force half-matrix at test scale; ids only in the output so
+    the oracle compare never touches float representations. Scale
+    path: restrict to LSH-bucket collisions first (same trade as
+    MinHash bands for text).
+    """
+    vecs = emb.select(F.col(id_col), as_double_vec(vec_col).alias("v"))
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def label_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid, exploded to (label, pos, avg_val) rows.
+
+    posexplode → per-(label, dim) mean: one shuffle keyed on
+    (label, pos); at billion-vector scale this is the map-side-combined
+    reduction you want (a vector-valued agg would serialize whole
+    arrays through the shuffle instead of scalar partials).
+    """
+    exploded = emb.select(
+        F.col(label_col), F.posexplode(as_double_vec(vec_col)).alias("pos0", "val")
+    ).select(F.col(label_col), (F.col("pos0") + 1).alias("pos"), F.col("val"))
+    return exploded.groupBy(label_col, "pos").agg(
+        F.round(F.avg("val"), 6).alias("avg_val")
+    )

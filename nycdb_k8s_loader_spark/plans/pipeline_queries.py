@@ -15,6 +15,13 @@ from nycdb_k8s_loader_spark.operators.dedup import (
     exact_dedup,
     minhash_signatures,
     ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from nycdb_k8s_loader_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    label_centroids,
 )
 from nycdb_k8s_loader_spark.operators.textops import (
     doc_fingerprint,
@@ -211,3 +218,163 @@ def t03(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_docs(spark, sf_dir))
+
+
+# --- similarity search (embeddings) ------------------------------------------
+
+_VEC = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN v[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(6)
+)
+
+
+@register(
+    "s01_ann_cosine_topk",
+    f"""
+    WITH e AS ({_VEC}),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+        FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+        ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="Brute-force cosine top-k ANN baseline: broadcast query set × "
+        "corpus scan, sequential-fold dot product (bit-identical to "
+        "DuckDB list_cosine_similarity on DOUBLE[]), rank with total "
+        "tiebreak (north-star similarity search).",
+    tags=("similarity",),
+)
+def s01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(_emb(spark, sf_dir), query_ids=list(range(10)), k=5)
+
+
+@register(
+    "s02_ann_lsh_bucketed_topk",
+    f"""
+    WITH e AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket
+               FROM ({_VEC})),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+        FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+        ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="LSH-bucketed ANN: sign-bit hyperplane bucket (6 planes) "
+        "restricts candidates to an equi-join on a small int key — "
+        "the 100TB scale path where brute force is O(Q*N).",
+    tags=("similarity", "lsh"),
+)
+def s02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(
+        _emb(spark, sf_dir), query_ids=list(range(10)), k=5, bucketed=True
+    )
+
+
+@register(
+    "s03_label_centroids",
+    """
+    SELECT label, pos, ROUND(AVG(val), 6) AS avg_val
+    FROM (
+        SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+    )
+    GROUP BY label, pos
+    """,
+    doc="Per-label centroid via posexplode + scalar mean per (label, "
+        "dim): map-side-combined shuffle of scalar partials, not "
+        "whole vectors.",
+    tags=("similarity", "agg"),
+)
+def s03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_centroids(_emb(spark, sf_dir))
+
+
+@register(
+    "d04_embedding_neardup_pairs",
+    f"""
+    WITH e AS ({_VEC})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+    """,
+    doc="Embedding-cosine near-dup pairs >= 0.9 (ids only so the "
+        "oracle never compares float encodings).",
+    tags=("dedup", "similarity"),
+)
+def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.9)
+
+
+# --- simhash -----------------------------------------------------------------
+
+_SIMHASH_FP_SQL = """
+    WITH words AS (
+        SELECT DISTINCT doc_id, w
+        FROM documents, unnest(string_split(lower(trim(text)), ' ')) AS t(w)
+        WHERE w <> ''
+    ),
+    bits AS (
+        SELECT doc_id, gs.i AS pos,
+               SUM(CASE WHEN substr(md5(w), gs.i, 1)
+                        IN ('8','9','a','b','c','d','e','f')
+                   THEN 1 ELSE -1 END) AS s
+        FROM words CROSS JOIN generate_series(1, 16) AS gs(i)
+        GROUP BY doc_id, gs.i
+    ),
+    fps AS (
+        SELECT doc_id,
+               string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                          ORDER BY pos) AS simhash
+        FROM bits GROUP BY doc_id
+    )
+"""
+
+_HAMMING_SQL = " + ".join(
+    f"(CASE WHEN substr(a.simhash,{i},1) <> substr(b.simhash,{i},1) "
+    f"THEN 1 ELSE 0 END)"
+    for i in range(1, 17)
+)
+
+
+@register(
+    "d05_simhash_fingerprints",
+    _SIMHASH_FP_SQL + "SELECT doc_id, simhash FROM fps",
+    doc="SimHash fingerprints: md5-nibble votes over the word set → "
+        "16-bit sign vector as a '01' string (engine-portable).",
+    tags=("dedup", "text"),
+)
+def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(_docs(spark, sf_dir))
+
+
+@register(
+    "d06_simhash_near_pairs",
+    _SIMHASH_FP_SQL
+    + f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ({_HAMMING_SQL})::BIGINT AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE {_HAMMING_SQL} <= 3
+    """,
+    doc="SimHash near-dup pairs (Hamming <= 3) via pigeonhole segment "
+        "blocking — exact w.r.t. the brute-force oracle because any "
+        "pair within distance d shares one of d+1 segments.",
+    tags=("dedup", "lsh"),
+)
+def d06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3).withColumn(
+        "hamming", F.col("hamming").cast("long")
+    )
