@@ -1,0 +1,137 @@
+"""Multimodal column handling (north-star pack).
+
+Image/audio/video payloads are opaque ``binary`` columns traveling
+next to typed metadata; decode / feature-extraction runs as
+Arrow-batched ``mapInPandas`` so each Python worker touches a batch of
+payloads at a time (never a Python UDF per row).
+
+The actual codecs (Pillow/torchaudio/ffmpeg) are NOT in this
+container, so the decode kernel is stubbed: ``decode_stub=True`` runs
+a deterministic fake (hash-derived dimensions) that keeps the whole
+Spark-side contract — schema, batch shape, partitioning — real and
+testable; ``decode_stub=False`` raises NotImplementedError at the
+exact seam where a real decoder plugs in.
+
+Scale notes: binary payloads make wide shuffles catastrophic — every
+operator here is shuffle-free (mapInPandas over the scan) and metadata
+projections drop the payload column as early as possible. Partition
+input files so one parquet row-group's payloads fit executor memory
+(spark.sql.files.maxPartitionBytes is the knob).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("source_uri", T.StringType(), True),
+    ]
+)
+
+DECODED_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("checksum", T.StringType(), True),
+    ]
+)
+
+
+def decode_media_metadata(df: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Extract typed metadata from payloads via Arrow-batched
+    mapInPandas. Stub mode derives deterministic fake dimensions from
+    the payload checksum so tests exercise real batch plumbing."""
+
+    def batches(it: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decoding requires Pillow/ffmpeg; "
+                    "plug a decoder into decode_media_metadata.batches"
+                )
+            checksums, widths, heights, durations, sizes = [], [], [], [], []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                raw = bytes(payload) if payload is not None else b""
+                digest = hashlib.md5(raw).hexdigest()
+                checksums.append(digest)
+                sizes.append(len(raw))
+                seed = int(digest[:8], 16)
+                if kind == "image":
+                    widths.append(64 + seed % 1920)
+                    heights.append(64 + (seed >> 8) % 1080)
+                    durations.append(None)
+                else:
+                    widths.append(None)
+                    heights.append(None)
+                    durations.append(1000 + seed % 600_000)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": sizes,
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "duration_ms": pd.array(durations, dtype="Int64"),
+                    "checksum": checksums,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=DECODED_META_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """Frame-sampling plan for video rows: one output row per sampled
+    frame offset. The offset lattice is computed JVM-side; only the
+    (stubbed) frame decode would touch Python."""
+    meta = decode_media_metadata(df.filter(F.col("kind") == "video"))
+    offsets = F.slice(
+        F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms)), 1, max_frames
+    )
+    return meta.select(
+        "media_id",
+        "duration_ms",
+        F.posexplode(offsets).alias("frame_idx", "offset_ms"),
+    )
+
+
+def media_stats(df: DataFrame) -> DataFrame:
+    """Corpus-level stats without ever decoding: payload sizes per
+    kind. Payload column is pruned immediately after length()."""
+    return (
+        df.select("kind", F.length(F.col("payload")).alias("n_bytes"))
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+        )
+    )
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests (no codecs in env)."""
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        payload = bytes((i * 7 + j) % 256 for j in range(128 + (i % 5) * 64))
+        rows.append((i, kind, payload, f"application/x-{kind}", f"s3://fake/{i}"))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

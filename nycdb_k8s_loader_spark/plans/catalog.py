@@ -49,9 +49,10 @@ def register(
 def _load_all() -> None:
     """Import every module that registers queries (side-effect imports)."""
     from nycdb_k8s_loader_spark.plans import (  # noqa: F401
+        extended_queries,
         flagship,
-        relational_queries,
         pipeline_queries,
+        relational_queries,
     )
 
 

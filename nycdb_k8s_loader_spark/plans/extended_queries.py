@@ -1,0 +1,209 @@
+"""Extended packs: graph clustering, trigram similarity, streaming,
+multimodal (stub-decoded).
+
+- g01: the WOW-portfolio capability (reference wowutil.py:74-85 builds
+  a networkx graph driver-side; we do distributed label propagation)
+  composed with the dedup pack: near-dup pairs → cluster ids.
+- f01: the pg_trgm capability (reference wowutil.py:68-71) as native
+  array expressions.
+- st01: Structured Streaming windowed aggregation whose availableNow
+  result must equal the batch oracle — the streaming/batch parity
+  check.
+- m01/m02: multimodal plumbing over synthetic binary payloads
+  (rows-only checks; codecs are stubbed — no image/audio libs here).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nycdb_k8s_loader_spark.functions.text_similarity import trigram_similarity
+from nycdb_k8s_loader_spark.operators.dedup import ngram_jaccard_pairs
+from nycdb_k8s_loader_spark.operators.graph import cluster_assignments
+from nycdb_k8s_loader_spark.operators.multimodal import (
+    decode_media_metadata,
+    media_stats,
+    synthetic_media,
+)
+from nycdb_k8s_loader_spark.plans.catalog import register
+from nycdb_k8s_loader_spark.streaming.pipeline import windowed_event_counts
+
+_JACCARD_EDGES_08 = """
+    words AS (
+        SELECT DISTINCT doc_id, w
+        FROM documents, unnest(string_split(lower(trim(text)), ' ')) AS t(w)
+        WHERE w <> ''
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common * 1.0 / (sa.n_words + sb.n_words - n_common) >= 0.8
+    )
+"""
+
+
+@register(
+    "g01_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_JACCARD_EDGES_08},
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION SELECT doc_b, doc_a FROM edges
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT reach.a, sym.b FROM reach JOIN sym ON reach.b = sym.a
+    )
+    SELECT a AS doc_id, MIN(b)::BIGINT AS cluster_id FROM reach GROUP BY a
+    """,
+    doc="Connected-component dedup clusters over 0.8-Jaccard edges: "
+        "distributed min-label propagation (portfolio-graph capability, "
+        "wowutil.py:74-85, re-expressed without driver-side networkx). "
+        "Oracle: recursive-CTE transitive closure.",
+    tags=("graph", "dedup"),
+)
+def g01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    return cluster_assignments(edges)
+
+
+@register(
+    "f01_trigram_name_matches",
+    """
+    WITH t AS (
+        SELECT p_partkey, p_brand,
+               list_distinct(list_transform(
+                   generate_series(1, length(p) - 2),
+                   i -> substring(p, i, 3)
+               )) AS tg
+        FROM (SELECT p_partkey, p_brand,
+                     '  ' || lower(trim(p_name)) || ' ' AS p
+              FROM part)
+    )
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           ROUND(length(list_intersect(a.tg, b.tg)) * 1.0
+                 / length(list_distinct(list_concat(a.tg, b.tg))), 4) AS sim
+    FROM t a JOIN t b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE length(list_intersect(a.tg, b.tg)) * 1.0
+          / length(list_distinct(list_concat(a.tg, b.tg))) >= 0.5
+    """,
+    doc="pg_trgm similarity (K8/F13; wowutil.py:68-71) as native array "
+        "expressions: padded trigram sets, Jaccard ratio, brand-blocked "
+        "self-join (blocking keeps the pair space linear at scale).",
+    tags=("string", "similarity"),
+)
+def f01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    a = part.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_b"),
+    )
+    sim = trigram_similarity(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, "brand")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(sim >= 0.5)
+        .select("key_a", "key_b", F.round(sim, 4).alias("sim"))
+    )
+
+
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@register(
+    "st01_streaming_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*)::BIGINT AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    doc="Structured Streaming windowed aggregation (watermarked "
+        "tumbling window, availableNow trigger, complete-mode memory "
+        "sink) — result must equal the *batch* oracle: the streaming/"
+        "batch parity guarantee. Reference has no streaming (SURVEY "
+        "§2.9); this is the incremental-cadence upgrade of its cron "
+        "model.",
+    tags=("streaming", "agg"),
+)
+def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        # file-stream sources take a directory; filter to the events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    events = raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
+    )
+    windowed = windowed_event_counts(
+        events, window_duration="1 hour", watermark="2 hours"
+    )
+    name = f"st01_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "window_start", "event_type", "n", "total_value"
+    )
+
+
+@register(
+    "m01_media_stats",
+    None,  # synthetic in-memory table — no parquet for DuckDB; rows-only
+    doc="Multimodal payload stats (binary column + typed metadata): "
+        "payload pruned right after length(), no decode, no shuffle of "
+        "bodies. Rows-only check (input is synthetic — no codecs in "
+        "this container).",
+    tags=("multimodal",),
+)
+def m01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_stats(synthetic_media(spark))
+
+
+@register(
+    "m02_media_decode_meta",
+    None,
+    doc="Arrow-batched mapInPandas decode plumbing (stub decoder "
+        "derives deterministic metadata from payload checksums): "
+        "exercises the real UDF signature, batch shape, and output "
+        "schema a production decoder drops into.",
+    tags=("multimodal",),
+)
+def m02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_media_metadata(synthetic_media(spark), decode_stub=True)

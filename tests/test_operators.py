@@ -1,0 +1,125 @@
+"""Unit tests for operator helpers: relational determinism, graph
+components, multimodal plumbing, trigram similarity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nycdb_k8s_loader_spark.functions.text_similarity import (
+    normalized_name,
+    trigram_similarity,
+)
+from nycdb_k8s_loader_spark.operators.graph import (
+    cluster_assignments,
+    connected_components,
+)
+from nycdb_k8s_loader_spark.operators.multimodal import (
+    decode_media_metadata,
+    sample_frames,
+    synthetic_media,
+)
+from nycdb_k8s_loader_spark.operators.relational import (
+    arg_max,
+    count_where,
+    latest_per_group,
+)
+
+
+class TestRelationalDeterminism:
+    def test_latest_per_group_total_tiebreak(self, spark):
+        # two rows with the SAME sort key — unique id must break the tie
+        df = spark.createDataFrame(
+            [(1, "2024-01-01", 100), (1, "2024-01-01", 200), (2, "2024-01-02", 300)],
+            "k int, d string, id int",
+        )
+        out = {
+            r["k"]: r["id"]
+            for r in latest_per_group(df, ["k"], ["d", "id"]).collect()
+        }
+        assert out == {1: 200, 2: 300}
+
+    def test_arg_max_matches_window(self, spark):
+        df = spark.createDataFrame(
+            [(1, "2024-01-01", 10), (1, "2024-01-02", 20), (1, "2024-01-02", 30)],
+            "k int, d string, v int",
+        )
+        agg = df.groupBy("k").agg(arg_max("v", "d", "v").alias("v")).collect()
+        assert agg[0]["v"] == 30
+
+    def test_count_where_skips_nulls(self, spark):
+        df = spark.createDataFrame([(1,), (2,), (None,)], "x int")
+        n = df.agg(count_where(F.col("x") > 1).alias("n")).collect()[0]["n"]
+        assert n == 1
+
+
+class TestConnectedComponents:
+    def test_two_components_and_chain(self, spark):
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "src bigint, dst bigint"
+        )
+        comp = {
+            r["node"]: r["component"]
+            for r in connected_components(edges).collect()
+        }
+        assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_cluster_assignments_shape(self, spark):
+        pairs = spark.createDataFrame([(5, 7), (7, 9)], "doc_a bigint, doc_b bigint")
+        rows = cluster_assignments(pairs).collect()
+        assert {(r["doc_id"], r["cluster_id"]) for r in rows} == {
+            (5, 5),
+            (7, 5),
+            (9, 5),
+        }
+
+
+class TestMultimodal:
+    def test_decode_stub_schema_and_determinism(self, spark):
+        media = synthetic_media(spark, n=12)
+        meta = decode_media_metadata(media)
+        rows = meta.collect()
+        assert len(rows) == 12
+        by_id = {r["media_id"]: r for r in rows}
+        img = next(r for r in rows if r["kind"] == "image")
+        assert img["width"] is not None and img["duration_ms"] is None
+        aud = next(r for r in rows if r["kind"] == "audio")
+        assert aud["width"] is None and aud["duration_ms"] is not None
+        # deterministic: same payload → same checksum on rerun
+        rows2 = decode_media_metadata(media).collect()
+        assert {r["media_id"]: r["checksum"] for r in rows2} == {
+            k: v["checksum"] for k, v in by_id.items()
+        }
+
+    def test_decode_without_stub_raises(self, spark):
+        media = synthetic_media(spark, n=3)
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="NotImplementedError|decoding"):
+            decode_media_metadata(media, decode_stub=False).collect()
+
+    def test_frame_sampling_lattice(self, spark):
+        media = synthetic_media(spark, n=9)
+        frames = sample_frames(media, every_ms=1000, max_frames=4)
+        rows = frames.collect()
+        assert rows, "expected video rows"
+        for r in rows:
+            assert r["frame_idx"] < 4
+            assert r["offset_ms"] % 1000 == 0
+            assert r["offset_ms"] <= r["duration_ms"]
+
+
+class TestTrigram:
+    def test_identical_strings_sim_1(self, spark):
+        df = spark.createDataFrame([("hello world", "hello world")], "a string, b string")
+        sim = df.select(trigram_similarity("a", "b").alias("s")).collect()[0]["s"]
+        assert sim == 1.0
+
+    def test_disjoint_strings_sim_0(self, spark):
+        df = spark.createDataFrame([("aaaa", "zzzz")], "a string, b string")
+        sim = df.select(trigram_similarity("a", "b").alias("s")).collect()[0]["s"]
+        assert sim == 0.0
+
+    def test_normalized_name(self, spark):
+        df = spark.createDataFrame([("  Ácme,   LLC.  ",)], "n string")
+        out = df.select(normalized_name("n").alias("n")).collect()[0]["n"]
+        assert out == "CME LLC"  # non-ASCII collapsed with punctuation
