@@ -142,8 +142,8 @@ def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
            length(text)::BIGINT AS n_chars,
            length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
                AS n_tokens_ws,
-           ROUND((length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)
-                 * 1.3, 2) AS est_bpe_tokens
+           CAST(ROUND((length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)
+                 * 1.3, 2) AS DOUBLE) AS est_bpe_tokens
     FROM documents
     """,
     doc="Token counting: whitespace tokens + BPE-ish estimate "
