@@ -90,33 +90,75 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_array(words: F.Column, shingles: int) -> F.Column:
+    """Array of word-``shingles``-grams (space-joined) from an
+    already-materialized words-array *column reference*. ``shingles=1``
+    returns the input. Built from ``transform(sequence(...))`` over the
+    array — pure codegen'd array expressions, no explode, no shuffle.
+
+    IMPORTANT: pass a bound column (e.g. ``F.col("words")`` from a
+    prior ``select``), never the raw split expression — each
+    ``element_at`` call inlines its argument, so an unbound split would
+    be re-evaluated O(shingles × grams) times per row (measured 4×
+    slowdown at sf0.1)."""
+    if shingles == 1:
+        return words
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - shingles, F.lit(0)))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + k + 1).cast("int"))
+                                     for k in range(shingles)]),
+    )
+    # A doc shorter than `shingles` words yields one truncated gram of
+    # whatever words exist (never empty) — same rule in the oracle SQL.
+    return F.when(n >= shingles, gram).otherwise(F.array(F.concat_ws(" ", words)))
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 8,
     bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: int = 1,
 ) -> DataFrame:
     """MinHash + LSH banding candidate pairs.
 
-    Permutation family: ``min(md5(word || '#i'))`` per document — the
-    lexicographic min of a salted cryptographic hash is a valid
+    Permutation family: ``min(md5(shingle || '#i'))`` per document —
+    the lexicographic min of a salted cryptographic hash is a valid
     min-wise permutation and (crucially for the oracle) identical in
     any engine with md5. Bands of ``num_hashes/bands`` rows are
     collapsed to one md5 band key; docs sharing any band key are
     candidates.
+
+    ``shingles`` controls the token unit: 1 = single words (fine for
+    natural vocabularies), k>1 = k-word shingles. On small-vocabulary
+    corpora word *sets* are near-identical across unrelated docs, so
+    unigram MinHash buckets everything together and the band join goes
+    quadratic; shingling restores discriminative power and keeps the
+    candidate-pair output linear-ish — the standard
+    shingle→minhash→band→bucket-join pipeline.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
 
     # Signatures as per-row array expressions — no explode, no shuffle:
-    # min(md5(w||salt)) over the word *multiset* equals the min over the
-    # distinct word set, so splitting to an array and taking array_min
-    # of the salted-hash transform is semantically identical to the
-    # posting-list groupBy, at parquet-scan speed (codegen'd).
-    words_arr = F.filter(
-        F.split(normalized_text(text_col), " "), lambda w: w != ""
+    # min(md5(s||salt)) over the shingle *multiset* equals the min over
+    # the distinct shingle set, so taking array_min of the salted-hash
+    # transform is semantically identical to the posting-list groupBy,
+    # at parquet-scan speed (codegen'd). Words and shingles are
+    # materialized in staged selects so each array is built once per
+    # row (see shingle_array docstring).
+    df = df.select(
+        F.col(id_col),
+        F.filter(F.split(normalized_text(text_col), " "),
+                 lambda w: w != "").alias("__words"),
+    ).select(
+        F.col(id_col),
+        shingle_array(F.col("__words"), shingles).alias("__shingles"),
     )
+    words_arr = F.col("__shingles")
 
     def salted(i: int):
         # NB: must be a 1-arg lambda — a 2-arg lambda (e.g. `lambda w,

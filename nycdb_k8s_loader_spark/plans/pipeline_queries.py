@@ -99,10 +99,20 @@ def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d03_minhash_band_candidates",
     """
-    WITH words AS (
-        SELECT DISTINCT doc_id, w
-        FROM documents, unnest(string_split(lower(trim(text)), ' ')) AS t(w)
-        WHERE w <> ''
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS l
+        FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(l) >= 3
+                    THEN l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                    ELSE array_to_string(l, ' ') END AS w
+        FROM toks,
+             unnest(CASE WHEN len(l) >= 3 THEN range(1, len(l) - 1)
+                         ELSE [CAST(1 AS BIGINT)] END) AS t(i)
     ),
     sigs AS (
         SELECT doc_id,
@@ -110,7 +120,7 @@ def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
                MIN(md5(w || '#2')) AS h2, MIN(md5(w || '#3')) AS h3,
                MIN(md5(w || '#4')) AS h4, MIN(md5(w || '#5')) AS h5,
                MIN(md5(w || '#6')) AS h6, MIN(md5(w || '#7')) AS h7
-        FROM words GROUP BY doc_id
+        FROM shingles GROUP BY doc_id
     ),
     bands AS (
         SELECT doc_id, 0 AS band, md5(h0 || h1) AS band_key FROM sigs
@@ -122,15 +132,20 @@ def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     """,
-    doc="MinHash+LSH candidate pairs: 8 md5-keyed min-hash permutations "
-        "→ 4 bands of 2 → bucket self-join (shingle→minhash→band→"
-        "bucket-join). Identical md5 on both engines makes the oracle "
-        "exact. At scale the band join shuffles only (doc_id, 32-char "
-        "band_key) pairs — linear in corpus size, unlike d02.",
+    doc="MinHash+LSH candidate pairs: 3-word shingles → 8 md5-keyed "
+        "min-hash permutations → 4 bands of 2 → bucket self-join "
+        "(shingle→minhash→band→bucket-join). Identical md5 on both "
+        "engines makes the oracle exact. Shingling (not unigrams) is "
+        "what keeps this linear: on a small-vocabulary corpus word "
+        "sets are near-identical across unrelated docs, so unigram "
+        "minhash would bucket everything together and the band join "
+        "would go quadratic. At scale the join shuffles only (doc_id, "
+        "32-char band_key) pairs.",
     tags=("dedup", "lsh"),
 )
 def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_signatures(_docs(spark, sf_dir), num_hashes=8, bands=4)
+    return minhash_signatures(_docs(spark, sf_dir), num_hashes=8, bands=4,
+                              shingles=3)
 
 
 # --- text analysis -----------------------------------------------------------
