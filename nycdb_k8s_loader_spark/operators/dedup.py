@@ -115,6 +115,31 @@ def shingle_array(words: F.Column, shingles: int) -> F.Column:
     return F.when(n >= shingles, gram).otherwise(F.array(F.concat_ws(" ", words)))
 
 
+# Fixed (a, b) pairs for the universal-hash permutation family
+# h_i(x) = ((x mod M) * a_i + b_i) mod M over M = 2^31 - 1. All a_i
+# fit in 31 bits, so (M-1)*a_i stays < 2^62 — no int64 overflow in
+# either engine. Shared verbatim with the DuckDB oracle SQL.
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (1000000007, 337),
+    (998244353, 7331),
+    (774856531, 12345),
+    (602398169, 54321),
+    (516688307, 2468),
+    (402653189, 13579),
+    (268435459, 97531),
+    (160481183, 86420),
+    (1103515245, 12821),
+    (1299709103, 31337),
+    (715827883, 40507),
+    (1073741827, 65537),
+    (858993459, 77773),
+    (1431655765, 91193),
+    (1717986917, 10601),
+    (1927868237, 20011),
+]
+_MERSENNE31 = 2147483647
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 8,
@@ -125,12 +150,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash + LSH banding candidate pairs.
 
-    Permutation family: ``min(md5(shingle || '#i'))`` per document —
-    the lexicographic min of a salted cryptographic hash is a valid
-    min-wise permutation and (crucially for the oracle) identical in
-    any engine with md5. Bands of ``num_hashes/bands`` rows are
-    collapsed to one md5 band key; docs sharing any band key are
-    candidates.
+    Permutation family: one md5 per shingle, rebased to a 60-bit int
+    (first 15 hex chars), then ``num_hashes`` cheap universal-hash
+    permutations ``(x*a_i + b_i) mod (2^31-1)`` — exactly reproducible
+    in any engine with md5 + 64-bit integer arithmetic, and ~8× fewer
+    md5 evaluations than salting the digest per permutation. Bands of
+    ``num_hashes/bands`` signature rows are collapsed to one md5 band
+    key; docs sharing any band key are candidates.
 
     ``shingles`` controls the token unit: 1 = single words (fine for
     natural vocabularies), k>1 = k-word shingles. On small-vocabulary
@@ -139,38 +165,53 @@ def minhash_signatures(
     quadratic; shingling restores discriminative power and keeps the
     candidate-pair output linear-ish — the standard
     shingle→minhash→band→bucket-join pipeline.
+
+    Physical shape (100 TB notes): signatures are per-row array
+    expressions — no explode, no shuffle, one md5 pass + ``num_hashes``
+    integer passes, all codegen'd. Candidate pairs come from ONE
+    groupBy on (band, band_key) with in-bucket pair expansion as array
+    expressions — a band-bucket *self-join* would recompute the whole
+    signature scan for both sides (measured 2× at sf0.1). The shuffle
+    carries (band_key, doc_id) only. Bucket width is bounded by LSH
+    selectivity; a degenerate corpus that funnels everything into one
+    bucket is a parameter problem (raise rows-per-band / shingle size),
+    not a plan problem.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
+    assert num_hashes <= len(MINHASH_PERMS), "extend MINHASH_PERMS"
     rows_per_band = num_hashes // bands
 
-    # Signatures as per-row array expressions — no explode, no shuffle:
-    # min(md5(s||salt)) over the shingle *multiset* equals the min over
-    # the distinct shingle set, so taking array_min of the salted-hash
-    # transform is semantically identical to the posting-list groupBy,
-    # at parquet-scan speed (codegen'd). Words and shingles are
-    # materialized in staged selects so each array is built once per
-    # row (see shingle_array docstring).
-    df = df.select(
-        F.col(id_col),
-        F.filter(F.split(normalized_text(text_col), " "),
-                 lambda w: w != "").alias("__words"),
-    ).select(
-        F.col(id_col),
-        shingle_array(F.col("__words"), shingles).alias("__shingles"),
+    # Staged selects so each array is materialized once per row (see
+    # shingle_array docstring): words → shingles → 60-bit base hashes.
+    base = (
+        df.select(
+            F.col(id_col),
+            F.filter(F.split(normalized_text(text_col), " "),
+                     lambda w: w != "").alias("__words"),
+        )
+        .select(
+            F.col(id_col),
+            shingle_array(F.col("__words"), shingles).alias("__shingles"),
+        )
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col("__shingles"),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+                .cast("long"),
+            ).alias("__base"),
+        )
     )
-    words_arr = F.col("__shingles")
 
-    def salted(i: int):
-        # NB: must be a 1-arg lambda — a 2-arg lambda (e.g. `lambda w,
-        # i=i`) is interpreted by F.transform as (element, index) and
-        # the array index silently replaces the salt.
-        return lambda w: F.md5(F.concat(w, F.lit(f"#{i}")))
+    def perm(i: int):
+        a, b = MINHASH_PERMS[i]
+        return lambda x: ((x % _MERSENNE31) * a + b) % _MERSENNE31
 
     sig_cols = [
-        F.array_min(F.transform(words_arr, salted(i))).alias(f"h{i}")
+        F.array_min(F.transform(F.col("__base"), perm(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    sigs = df.select(F.col(id_col), *sig_cols)
+    sigs = base.select(F.col(id_col), *sig_cols)
 
     # One explode over a bands-array of structs (not N unioned scans).
     band_structs = F.array(
@@ -180,7 +221,7 @@ def minhash_signatures(
                 F.md5(
                     F.concat(
                         *[
-                            F.col(f"h{b * rows_per_band + r}")
+                            F.col(f"h{b * rows_per_band + r}").cast("string")
                             for r in range(rows_per_band)
                         ]
                     )
@@ -193,12 +234,30 @@ def minhash_signatures(
         F.col(id_col), F.explode(band_structs).alias("bk")
     ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
-    a = all_bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")
-    b2 = all_bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
+    # Bucket → sorted id list → pair expansion, all codegen'd. Sorted
+    # ids make doc_a < doc_b by construction; DISTINCT collapses pairs
+    # that share several bands.
+    buckets = (
+        all_bands.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    n = F.size(F.col("ids"))
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(F.col("ids"), (i + 1).cast("int"), (n - i).cast("int")),
+                lambda x: F.struct(
+                    F.element_at(F.col("ids"), i.cast("int")).alias("doc_a"),
+                    x.alias("doc_b"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(b2, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 

@@ -114,33 +114,45 @@ def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(CASE WHEN len(l) >= 3 THEN range(1, len(l) - 1)
                          ELSE [CAST(1 AS BIGINT)] END) AS t(i)
     ),
+    base AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)
+                   % 2147483647 AS x
+        FROM shingles
+    ),
     sigs AS (
         SELECT doc_id,
-               MIN(md5(w || '#0')) AS h0, MIN(md5(w || '#1')) AS h1,
-               MIN(md5(w || '#2')) AS h2, MIN(md5(w || '#3')) AS h3,
-               MIN(md5(w || '#4')) AS h4, MIN(md5(w || '#5')) AS h5,
-               MIN(md5(w || '#6')) AS h6, MIN(md5(w || '#7')) AS h7
-        FROM shingles GROUP BY doc_id
+               MIN((x * 1000000007 + 337)   % 2147483647) AS h0,
+               MIN((x * 998244353  + 7331)  % 2147483647) AS h1,
+               MIN((x * 774856531  + 12345) % 2147483647) AS h2,
+               MIN((x * 602398169  + 54321) % 2147483647) AS h3,
+               MIN((x * 516688307  + 2468)  % 2147483647) AS h4,
+               MIN((x * 402653189  + 13579) % 2147483647) AS h5,
+               MIN((x * 268435459  + 97531) % 2147483647) AS h6,
+               MIN((x * 160481183  + 86420) % 2147483647) AS h7
+        FROM base GROUP BY doc_id
     ),
     bands AS (
-        SELECT doc_id, 0 AS band, md5(h0 || h1) AS band_key FROM sigs
-        UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sigs
-        UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sigs
-        UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sigs
+        SELECT doc_id, 0 AS band, md5(h0 || '' || h1) AS band_key FROM sigs
+        UNION ALL SELECT doc_id, 1, md5(h2 || '' || h3) FROM sigs
+        UNION ALL SELECT doc_id, 2, md5(h4 || '' || h5) FROM sigs
+        UNION ALL SELECT doc_id, 3, md5(h6 || '' || h7) FROM sigs
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     """,
-    doc="MinHash+LSH candidate pairs: 3-word shingles → 8 md5-keyed "
-        "min-hash permutations → 4 bands of 2 → bucket self-join "
-        "(shingle→minhash→band→bucket-join). Identical md5 on both "
-        "engines makes the oracle exact. Shingling (not unigrams) is "
+    doc="MinHash+LSH candidate pairs: 3-word shingles → one md5 per "
+        "shingle rebased to a 60-bit int → 8 universal-hash "
+        "permutations (x*a+b mod 2^31-1) → 4 bands of 2 → bucket "
+        "groupBy with in-bucket pair expansion (shingle→minhash→band→"
+        "bucket-join). md5 + int64 arithmetic is bit-identical on both "
+        "engines, so the oracle is exact. Shingling (not unigrams) is "
         "what keeps this linear: on a small-vocabulary corpus word "
         "sets are near-identical across unrelated docs, so unigram "
         "minhash would bucket everything together and the band join "
-        "would go quadratic. At scale the join shuffles only (doc_id, "
-        "32-char band_key) pairs.",
+        "would go quadratic. The single shuffle carries only (32-char "
+        "band_key, doc_id).",
     tags=("dedup", "lsh"),
 )
 def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
