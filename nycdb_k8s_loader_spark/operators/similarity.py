@@ -154,3 +154,84 @@ def label_centroids(
     return exploded.groupBy(label_col, "pos").agg(
         F.round(F.avg("val"), 6).alias("avg_val")
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: coarse quantizer → probe one cell → exact top-k
+    inside it.
+
+    The inverted-file index's cells are the ``label_col`` partitions
+    and the quantizer is their centroids (at deploy time the labels
+    come from a k-means pass; here they ship with the data, which
+    keeps the oracle deterministic — k-means itself is
+    initialization-order-sensitive). Each query probes its nearest
+    centroid (cosine, rounded 6dp, label-asc tiebreak ⇒ total order)
+    and searches only that cell: with C balanced cells this scans
+    N/C ≈ corpus/cells candidates per query instead of N — the
+    IVF partition-pruning path, complementary to s02's hyperplane-LSH
+    bucketing.
+
+    Physical shape: centroids are a C×dim table built with one
+    scalar-partial shuffle (label_centroids) and broadcast; the
+    cell search is an equi-join on the cell id — shuffle carries
+    (cell, query) pairs only, never the corpus twice.
+    """
+    vecs = emb.select(
+        F.col(id_col), F.col(label_col), as_double_vec(vec_col).alias("v")
+    )
+    cents = (
+        label_centroids(emb, id_col=id_col, vec_col=vec_col, label_col=label_col)
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "avg_val"))),
+                lambda s: s["avg_val"],
+            ).alias("cv")
+        )
+    )
+    q = vecs
+    if query_ids is not None:
+        q = q.filter(F.col(id_col).isin(query_ids))
+    q = q.select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"))
+
+    probe_score = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    wq = Window.partitionBy("query_id").orderBy(
+        probe_score.desc(), F.col(label_col).asc()
+    )
+    assigned = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", "qv", F.col(label_col).alias("cell"))
+    )
+
+    cands = vecs.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("cell"),
+        F.col("v").alias("nv"),
+    )
+    scored = (
+        assigned.join(cands, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "cell",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cell", "neighbor_id", "rank", "cos_sim")
+    )

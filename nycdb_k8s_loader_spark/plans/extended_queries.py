@@ -184,6 +184,52 @@ def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st02_stateful_user_totals",
+    """
+    SELECT user_id, COUNT(*)::BIGINT AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+        "per-user running (count, value-sum) carried across "
+        "micro-batches in the state store, Arrow-batched per key "
+        "group. The running counter is monotone, so the final "
+        "emission per key must equal the batch aggregate — which is "
+        "the oracle. Cross-batch state is exercised in "
+        "tests/test_streaming.py (two forced micro-batches).",
+    tags=("streaming", "stateful"),
+)
+def st02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from nycdb_k8s_loader_spark.streaming.pipeline import (
+        run_available_now,
+        stateful_running_totals,
+    )
+    from pyspark.sql.window import Window
+
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    totals = stateful_running_totals(raw.select("user_id", "value"))
+    tmp = tempfile.mkdtemp(prefix="st02_")
+    run_available_now(totals, f"{tmp}/sink", f"{tmp}/ckpt")
+    out = spark.read.parquet(f"{tmp}/sink")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+        )
+    )
+
+
+@register(
     "m01_media_stats",
     None,  # synthetic in-memory table — no parquet for DuckDB; rows-only
     doc="Multimodal payload stats (binary column + typed metadata): "

@@ -21,6 +21,7 @@ from nycdb_k8s_loader_spark.operators.dedup import (
 from nycdb_k8s_loader_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup_pairs,
+    ivf_topk,
     label_centroids,
 )
 from nycdb_k8s_loader_spark.operators.textops import (
@@ -308,6 +309,59 @@ def s02(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(
         _emb(spark, sf_dir), query_ids=list(range(10)), k=5, bucketed=True
     )
+
+
+@register(
+    "s04_ivf_cell_topk",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    dims AS (
+        SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        FROM e
+    ),
+    cent_dims AS (
+        SELECT label, pos, ROUND(AVG(val), 6) AS avg_val
+        FROM dims GROUP BY label, pos
+    ),
+    cents AS (
+        SELECT label, list(avg_val ORDER BY pos) AS cv
+        FROM cent_dims GROUP BY label
+    ),
+    assigned AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT q.vec_id AS query_id, q.v AS qv, c.label AS cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(q.v, c.cv), 6)
+                                DESC, c.label ASC
+                   ) AS rn
+            FROM e q CROSS JOIN cents c
+            WHERE q.vec_id < 10
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT a.query_id, a.cell, n.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(a.qv, n.v), 6) AS cos_sim
+        FROM assigned a JOIN e n ON n.label = a.cell
+        WHERE n.vec_id <> a.query_id
+    )
+    SELECT query_id, cell, neighbor_id, rank, cos_sim FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+        ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="IVF-style ANN: label cells as the inverted-file partitions, "
+        "their centroids as the coarse quantizer (broadcast C×dim "
+        "table); each query probes its nearest centroid and runs exact "
+        "top-k inside that one cell — scans N/C candidates instead of "
+        "N. Complementary to s02's hyperplane-LSH: IVF prunes by "
+        "partition, LSH by hash bucket.",
+    tags=("similarity", "ivf"),
+)
+def s04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(_emb(spark, sf_dir), query_ids=list(range(10)), k=5)
 
 
 @register(

@@ -1,0 +1,111 @@
+"""Temporal-join queries: as-of join and range join over events/orders.
+
+Custom operators Spark lacks as single primitives (SURVEY.md §2.4
+notes the reference has none either — these are the standard
+extensions an event-analytics workload needs), implemented as
+compositions of built-in ops in operators/temporal.py and verified
+against window-form / theta-join DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nycdb_k8s_loader_spark.operators.temporal import asof_join, range_join
+from nycdb_k8s_loader_spark.plans.catalog import register
+from nycdb_k8s_loader_spark.session import read_table
+
+
+@register(
+    "q26_asof_latest_order",
+    """
+    WITH j AS (
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+               ) AS rn
+        FROM events e
+        JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id, ts, o_orderkey, o_orderdate, o_totalprice
+    FROM j WHERE rn = 1
+    """,
+    doc="As-of join: each event paired with the user's most recent "
+        "order at-or-before the event time. Spark side is the "
+        "union-merge form — ONE shuffle on the key, running "
+        "last(ignorenulls) over (time, side, payload-struct) — no "
+        "per-key pair blowup; the oracle is the naive join+window "
+        "form, which is the blowup we avoid. Ties (equal order "
+        "timestamps) resolve to max o_orderkey on both sides — a "
+        "total order, hash-stable.",
+    tags=("temporal", "join"),
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+    )
+    return asof_join(
+        events,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
+        how="inner",
+    ).select(
+        "event_id", "user_id", "ts", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+
+@register(
+    "q27_error_aftermath_window",
+    """
+    SELECT a.event_id AS anchor_id,
+           COUNT(*)::BIGINT AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events a
+    JOIN events e
+      ON e.user_id = a.user_id
+     AND e.ts >= a.ts
+     AND e.ts < a.ts + INTERVAL 1 HOUR
+    WHERE a.event_type = 'error'
+    GROUP BY a.event_id
+    """,
+    doc="Range (interval) join: per error event, the same user's "
+        "activity in the following hour (count + value sum, anchor "
+        "included). Catalyst plans the key equality as the join and "
+        "evaluates the range residually — matches only, no theta "
+        "blowup. (Key-less variant: operators/temporal."
+        "range_join_binned buckets time and joins bin±1.)",
+    tags=("temporal", "join", "agg"),
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    anchors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("anchor_id"),
+        "user_id",
+        F.col("ts").alias("anchor_ts"),
+    )
+    activity = events.select("user_id", "ts", "value")
+    joined = range_join(
+        activity,
+        anchors,
+        key="user_id",
+        left_ts="ts",
+        right_start="anchor_ts",
+        width_expr="INTERVAL 1 HOUR",
+    )
+    return joined.groupBy("anchor_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -123,3 +123,68 @@ class TestTrigram:
         df = spark.createDataFrame([("  Ácme,   LLC.  ",)], "n string")
         out = df.select(normalized_name("n").alias("n")).collect()[0]["n"]
         assert out == "CME LLC"  # non-ASCII collapsed with punctuation
+
+
+class TestTemporalJoins:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, "e1"), (1, 20, "e2"), (1, 5, "e0"), (2, 50, "e3")],
+            "k int, t int, ev string",
+        )
+        right = spark.createDataFrame(
+            [(1, 10, "r-10"), (1, 15, "r-15"), (2, 60, "r-60")],
+            "k int, rt int, payload string",
+        )
+        return left, right
+
+    def test_asof_inner_inclusive_and_unmatched_dropped(self, spark):
+        from nycdb_k8s_loader_spark.operators.temporal import asof_join
+
+        left, right = self._frames(spark)
+        out = {
+            r["ev"]: r["payload"]
+            for r in asof_join(
+                left, right, "k", "t", "rt", ["payload"], how="inner"
+            ).collect()
+        }
+        # e1 at t=10 matches r-10 (inclusive); e2 picks the later r-15;
+        # e0 precedes all right rows -> dropped; e3 at 50 < 60 -> dropped.
+        assert out == {"e1": "r-10", "e2": "r-15"}
+
+    def test_asof_left_keeps_unmatched_null(self, spark):
+        from nycdb_k8s_loader_spark.operators.temporal import asof_join
+
+        left, right = self._frames(spark)
+        out = {
+            r["ev"]: r["payload"]
+            for r in asof_join(
+                left, right, "k", "t", "rt", ["payload"], how="left"
+            ).collect()
+        }
+        assert out == {"e1": "r-10", "e2": "r-15", "e0": None, "e3": None}
+
+    def test_asof_equal_time_tie_resolves_to_struct_max(self, spark):
+        from nycdb_k8s_loader_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame([(1, 10, "e")], "k int, t int, ev string")
+        right = spark.createDataFrame(
+            [(1, 10, 1), (1, 10, 2)], "k int, rt int, rid int"
+        )
+        rows = asof_join(left, right, "k", "t", "rt", ["rid"]).collect()
+        assert [r["rid"] for r in rows] == [2]
+
+    def test_range_join_window_bounds(self, spark):
+        from nycdb_k8s_loader_spark.operators.temporal import range_join
+
+        left = spark.createDataFrame(
+            [(1, "2024-01-01 00:30:00"), (1, "2024-01-01 01:00:00")],
+            "k int, ts string",
+        ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+        right = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", "w")], "k int, start string, tag string"
+        ).select(
+            "k", F.col("start").cast("timestamp").alias("start"), "tag"
+        )
+        out = range_join(left, right, "k", "ts", "start", "INTERVAL 1 HOUR")
+        # 00:30 inside [00:00, 01:00); 01:00 excluded (half-open)
+        assert [r["ts"].minute for r in out.collect()] == [30]

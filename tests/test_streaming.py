@@ -69,3 +69,55 @@ def test_streaming_dedup_drops_repeats(spark, tmp_path):
     out = spark.read.schema(SCHEMA).parquet(sink)
     assert out.count() == 2
     assert set(r["id"] for r in out.collect()) == {1, 2}
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState must carry (count, sum) state across
+    micro-batches: two landing files, maxFilesPerTrigger=1 forces two
+    batches; the final emission per key equals the batch aggregate."""
+    from nycdb_k8s_loader_spark.streaming.pipeline import (
+        run_available_now,
+        stateful_running_totals,
+    )
+
+    landing = tmp_path / "landing"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    landing.mkdir()
+    (landing / "f1.csv").write_text(
+        "user_id,value\n1,1.0\n1,2.0\n2,10.0\n"
+    )
+    (landing / "f2.csv").write_text(
+        "user_id,value\n1,4.0\n2,0.5\n3,7.0\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", "1")
+        .csv(str(landing))
+    )
+    run_available_now(stateful_running_totals(src), sink, ckpt)
+    out = spark.read.parquet(sink)
+    # one emission per key per batch it appears in; final = max n_events
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in out.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("user_id")
+                .orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert final == {1: (3, 7.0), 2: (2, 10.5), 3: (1, 7.0)}
+    # and state really crossed batches: user 1 emitted twice
+    assert out.filter(F.col("user_id") == 1).count() == 2
