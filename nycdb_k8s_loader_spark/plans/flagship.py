@@ -25,7 +25,6 @@ from nycdb_k8s_loader_spark.operators.relational import (
     arg_max,
     coalesce_int,
     count_where,
-    ordered_string_agg,
 )
 from nycdb_k8s_loader_spark.plans.catalog import register
 
@@ -106,19 +105,55 @@ def flagship_bldgs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     recent = F.lit(RECENT_CUTOFF).cast("timestamp")
 
-    # violations-style counts per key (wow_2021 sql:92-95) — one
-    # map-side-combined shuffle on o_custkey.
-    order_stats = orders.groupBy("o_custkey").agg(
+    # ONE map-side-combined shuffle of orders on o_custkey computes the
+    # violations-style counts (wow_2021 sql:92-95), the
+    # firstdeeds-style latest-per-key (sql:6-26, max_by with a
+    # deterministic (date, key) tiebreak), AND the raw material for the
+    # ordered string_agg (sql:38-65). The reference (and our first
+    # version) built these as three separate aggregate subqueries —
+    # three full scans + three shuffles of the fact table; fused, the
+    # fact is scanned and shuffled once. At 100 TB this is the
+    # difference that matters: the per-key dim stays small either way,
+    # but orders does not.
+    fused = orders.groupBy("o_custkey").agg(
         F.count("*").alias("n_orders_raw"),
         count_where(F.col("o_orderstatus") == "O").alias("n_open_raw"),
         count_where(F.col("o_orderdate") >= recent).alias("n_recent_raw"),
-    )
-
-    # firstdeeds-style latest-per-key (wow_2021 sql:6-26): max_by with a
-    # (date, key) struct — deterministic tiebreak, partial-agg friendly.
-    latest_order = orders.groupBy("o_custkey").agg(
         arg_max("o_orderkey", "o_orderdate", "o_orderkey").alias("latest_orderkey"),
         arg_max("o_totalprice", "o_orderdate", "o_orderkey").alias("latest_orderprice"),
+        F.sort_array(F.collect_list("o_orderpriority")).alias("__prios"),
+    )
+
+    # priority breakdown from the collected array, all codegen'd:
+    # distinct values (≤ a handful), per-value counts, (count desc,
+    # value asc) ordering, "value:count" join — the nested-aggregation
+    # shape (per-(key,type) counts → ordered agg per key) without a
+    # second shuffle. O(orders_per_key × distinct_types) per row.
+    prios = F.col("__prios")
+    entries = F.transform(
+        F.array_distinct(prios),
+        lambda v: F.struct(
+            (-F.size(F.filter(prios, lambda x: x == v))).alias("neg_cnt"),
+            v.alias("prio"),
+        ),
+    )
+    breakdown = F.array_join(
+        F.transform(
+            F.array_sort(entries),
+            lambda s: F.concat_ws(
+                ":", s["prio"], (-s["neg_cnt"]).cast("string")
+            ),
+        ),
+        ",",
+    )
+    order_dims = fused.select(
+        "o_custkey",
+        "n_orders_raw",
+        "n_open_raw",
+        "n_recent_raw",
+        "latest_orderkey",
+        "latest_orderprice",
+        breakdown.alias("priority_breakdown"),
     )
 
     # money aggregate through a join (docamount shape, wow_2021 sql:9-14).
@@ -131,30 +166,10 @@ def flagship_bldgs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # ordered json_agg/string_agg analog (wow_2021 sql:38-65): nested
-    # aggregation — per-(key,type) counts, then ordered collect per key.
-    per_prio = orders.groupBy("o_custkey", "o_orderpriority").agg(
-        F.count("*").alias("cnt")
-    )
-    prio = per_prio.groupBy("o_custkey").agg(
-        ordered_string_agg(
-            value=F.concat_ws(":", F.col("o_orderpriority"), F.col("cnt")),
-            order=F.struct(
-                (-F.col("cnt")).alias("neg_cnt"),
-                F.col("o_orderpriority").alias("prio"),
-            ),
-            sep=",",
-        ).alias("priority_breakdown")
-    )
-
     return (
-        customer.join(order_stats, customer.c_custkey == order_stats.o_custkey, "left")
-        .drop("o_custkey")
-        .join(latest_order, customer.c_custkey == latest_order.o_custkey, "left")
+        customer.join(order_dims, customer.c_custkey == order_dims.o_custkey, "left")
         .drop("o_custkey")
         .join(revenue, customer.c_custkey == revenue.o_custkey, "left")
-        .drop("o_custkey")
-        .join(prio, customer.c_custkey == prio.o_custkey, "left")
         .drop("o_custkey")
         .select(
             "c_custkey",

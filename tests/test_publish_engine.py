@@ -204,3 +204,41 @@ class TestResolver:
     def test_staging_db_name_shape(self):
         name = staging_db_name("my-dataset", epoch=123)
         assert name == "staging_my_dataset_123"
+
+
+class TestScheduling:
+    def test_slot_map_mirrors_reference(self):
+        from nycdb_k8s_loader_spark.scheduling import (
+            DATASET_SCHEDULES,
+            DEFAULT_SCHEDULE,
+            Schedule,
+            schedule_for,
+        )
+
+        assert schedule_for("hpd_violations") is Schedule.DAILY_10PM
+        assert schedule_for("acris") is Schedule.EVEN_DAYS_11PM
+        assert schedule_for("wow") is Schedule.DAILY_7AM
+        # unknown datasets fall back to yearly (reference default)
+        assert schedule_for("brand_new_dataset") is DEFAULT_SCHEDULE
+        assert len(DATASET_SCHEDULES) == 36
+        # overrides win
+        assert (
+            schedule_for("acris", {"acris": Schedule.DAILY_8AM})
+            is Schedule.DAILY_8AM
+        )
+
+    def test_cronjob_manifests(self, tmp_path):
+        from nycdb_k8s_loader_spark.scheduling import (
+            build_all_manifests,
+            cronjob_manifest,
+        )
+
+        m = cronjob_manifest("hpd_violations")
+        assert "load-dataset-hpd-violations" in m  # slugified
+        assert 'schedule: "0 22 * * *"' in m
+        assert '"America/New_York"' in m
+        assert '"load", "hpd_violations"' in m
+
+        paths = build_all_manifests(str(tmp_path / "jobs"))
+        assert len(paths) == 36
+        assert all(p.endswith(".yml") for p in paths)
