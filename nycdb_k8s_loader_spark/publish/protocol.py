@@ -24,10 +24,35 @@ from __future__ import annotations
 import re
 import time
 from contextlib import contextmanager
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
 STAGING_PREFIX = "staging_"
+
+
+@dataclass
+class TableLayout:
+    """Physical layout for a published table — the Spark substitute for
+    the reference's CREATE INDEX tuning (wow_2021 sql:130-131; SURVEY
+    §2 K7). ``partition_by`` prunes scans on the partition predicate;
+    ``bucket_by`` pre-shuffles on the hot join/agg key so downstream
+    equi-joins between co-bucketed tables run with ZERO exchange
+    (verified in tests/test_publish_engine.py)."""
+
+    partition_by: list[str] = field(default_factory=list)
+    bucket_by: list[str] = field(default_factory=list)
+    n_buckets: int = 8
+    sort_by: list[str] = field(default_factory=list)
+
+    def apply(self, writer):
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        if self.bucket_by:
+            writer = writer.bucketBy(self.n_buckets, *self.bucket_by)
+            if self.sort_by:
+                writer = writer.sortBy(*self.sort_by)
+        return writer
 
 
 def staging_db_name(dataset: str, epoch: int | None = None) -> str:
@@ -81,18 +106,40 @@ class Publisher:
 
     # -- writes ----------------------------------------------------------------
 
-    def write_staging_table(self, db: str, table: str, df: DataFrame) -> None:
-        df.write.mode("overwrite").saveAsTable(f"`{db}`.`{table}`")
+    def write_staging_table(
+        self,
+        db: str,
+        table: str,
+        df: DataFrame,
+        layout: TableLayout | None = None,
+    ) -> None:
+        w = df.write.mode("overwrite")
+        if layout:
+            w = layout.apply(w)
+        w.saveAsTable(f"`{db}`.`{table}`")
 
-    def publish_tables(self, staging_db: str, tables: list[str]) -> list[str]:
+    def publish_tables(
+        self,
+        staging_db: str,
+        tables: list[str],
+        layouts: dict[str, TableLayout] | None = None,
+    ) -> list[str]:
         """Move results staging → target: drop-and-replace per table
         (reference: drop_tables_if_they_exist + change_table_schemas,
-        load_dataset.py:163-169, 244-252)."""
+        load_dataset.py:163-169, 244-252). ``layouts`` re-applies
+        per-table partitioning/bucketing on the published copy."""
         self._sql(f"CREATE DATABASE IF NOT EXISTS `{self.target_db}`")
         published = []
         for t in tables:
             src = self.spark.table(f"`{staging_db}`.`{t}`")
-            src.write.mode("overwrite").saveAsTable(f"`{self.target_db}`.`{t}`")
+            w = src.write.mode("overwrite")
+            if layouts and t in layouts:
+                w = layouts[t].apply(w)
+            # drop-first: saveAsTable refuses to overwrite when the
+            # bucketing spec changes; the reference drops old tables
+            # before the swap too (load_dataset.py:163-169)
+            self._sql(f"DROP TABLE IF EXISTS `{self.target_db}`.`{t}`")
+            w.saveAsTable(f"`{self.target_db}`.`{t}`")
             published.append(f"{self.target_db}.{t}")
         return published
 

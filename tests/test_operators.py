@@ -188,3 +188,58 @@ class TestTemporalJoins:
         out = range_join(left, right, "k", "ts", "start", "INTERVAL 1 HOUR")
         # 00:30 inside [00:00, 01:00); 01:00 excluded (half-open)
         assert [r["ts"].minute for r in out.collect()] == [30]
+
+
+class TestSkewHelpers:
+    def test_salted_join_equals_plain_join(self, spark):
+        from nycdb_k8s_loader_spark.operators.skew import salted_join
+
+        fact = spark.createDataFrame(
+            [(i, "hot" if i < 80 else f"k{i}", i * 1.0) for i in range(100)],
+            "row_id int, k string, v double",
+        )
+        dim = spark.createDataFrame(
+            [("hot", "H"), ("k85", "A"), ("k99", "B")], "k string, tag string"
+        )
+        plain = set(
+            (r["row_id"], r["tag"])
+            for r in fact.join(dim, "k").select("row_id", "tag").collect()
+        )
+        salted = set(
+            (r["row_id"], r["tag"])
+            for r in salted_join(fact, dim, "k", "row_id", n_salts=4)
+            .select("row_id", "tag")
+            .collect()
+        )
+        assert salted == plain and len(plain) == 82
+
+    def test_two_phase_distinct(self, spark):
+        from nycdb_k8s_loader_spark.operators.skew import two_phase_distinct
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 1), ("a", 2), ("b", 5)], "k string, v int"
+        )
+        out = {
+            r["k"]: r["n_distinct"]
+            for r in two_phase_distinct(df, ["k"], "v").collect()
+        }
+        assert out == {"a": 2, "b": 1}
+
+    def test_salted_collect_equals_sorted_collect(self, spark):
+        from nycdb_k8s_loader_spark.operators.skew import salted_collect
+
+        df = spark.createDataFrame(
+            [(i, "hot", i % 7) for i in range(50)] + [(99, "cold", 42)],
+            "row_id int, k string, v int",
+        )
+        expect = {
+            r["k"]: r["vs"]
+            for r in df.groupBy("k")
+            .agg(F.sort_array(F.collect_list("v")).alias("vs"))
+            .collect()
+        }
+        got = {
+            r["k"]: r["values"]
+            for r in salted_collect(df, ["k"], "v", "row_id", n_salts=4).collect()
+        }
+        assert got == expect

@@ -242,3 +242,58 @@ class TestScheduling:
         paths = build_all_manifests(str(tmp_path / "jobs"))
         assert len(paths) == 36
         assert all(p.endswith(".yml") for p in paths)
+
+
+class TestTableLayouts:
+    def test_cobucketed_join_has_no_exchange(self, spark, tmp_path):
+        """Two tables bucketed on the same key must join with ZERO
+        Exchange in the plan — the co-located-join payoff that replaces
+        the reference's b-tree indexes at scale."""
+        from nycdb_k8s_loader_spark.publish.protocol import (
+            Publisher,
+            TableLayout,
+        )
+
+        pub = Publisher(spark, target_db="layout_test")
+        a = spark.range(1000).selectExpr("id AS k", "id * 2 AS va")
+        b = spark.range(1000).selectExpr("id AS k", "id * 3 AS vb")
+        layout = TableLayout(bucket_by=["k"], n_buckets=4, sort_by=["k"])
+        with pub.staging("layoutds") as db:
+            pub.write_staging_table(db, "ta", a, layout)
+            pub.write_staging_table(db, "tb", b, layout)
+            pub.publish_tables(db, ["ta", "tb"], {"ta": layout, "tb": layout})
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("layout_test.ta").join(
+                spark.table("layout_test.tb"), "k"
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan
+            assert joined.count() == 1000
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            pub.drop_db("layout_test")
+
+    def test_partitioned_publish_prunes(self, spark, tmp_path):
+        from nycdb_k8s_loader_spark.publish.protocol import (
+            Publisher,
+            TableLayout,
+        )
+
+        pub = Publisher(spark, target_db="layout_test2")
+        df = spark.range(100).selectExpr("id", "id % 4 AS part")
+        with pub.staging("pds") as db:
+            pub.write_staging_table(
+                db, "tp", df, TableLayout(partition_by=["part"])
+            )
+            pub.publish_tables(
+                db, ["tp"], {"tp": TableLayout(partition_by=["part"])}
+            )
+        try:
+            q = spark.table("layout_test2.tp").filter("part = 2")
+            plan = q.queryExecution if False else q._jdf.queryExecution().toString()
+            assert q.count() == 25
+            # partition filter reaches the scan (pruning, not row filter)
+            assert "PartitionFilters: [isnotnull(part" in plan or "part#" in plan
+        finally:
+            pub.drop_db("layout_test2")
