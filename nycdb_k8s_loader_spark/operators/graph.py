@@ -74,8 +74,125 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} "
+        "rounds — the graph is deeper than min-label propagation "
+        "handles economically (rounds = diameter). Use "
+        "connected_components_star (large-star/small-star, O(log^2 n) "
+        "rounds) for deep graphs."
+    )
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al.): for every node u, connect
+    each strictly-larger neighbor to u's minimum neighborhood member
+    min(Γ(u) ∪ {u})."""
+    mins = sym.groupBy("a").agg(
+        F.least(F.min("b"), F.first("a")).alias("m")
+    )
+    return (
+        sym.filter(F.col("b") > F.col("a"))
+        .join(mins, "a")
+        .select(F.col("b").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges_dir: DataFrame) -> DataFrame:
+    """Small-star round: orient edges larger→smaller; for every node u,
+    link each small neighbor (and u) to the minimum of them."""
+    # edges_dir: (u, v) with v < u   (strictly, after self-loop removal)
+    mins = edges_dir.groupBy("u").agg(F.min("v").alias("m"))
+    linked = edges_dir.join(mins, "u")
+    out = linked.select(F.col("v").alias("u"), F.col("m").alias("v")).unionByName(
+        linked.select(F.col("u"), F.col("m").alias("v"))
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contractions (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") — O(log² n) rounds regardless of graph diameter,
+    where min-label propagation needs diameter rounds. Same output
+    contract as :func:`connected_components`: (node, component=min id).
+
+    Each round is two groupBy+join passes over the current edge list;
+    the edge list only shrinks (toward star graphs centered at
+    component minima), and every round localCheckpoints to keep
+    lineage flat. Convergence = edge list unchanged by a full round.
+    """
+    cur = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        sym = cur.select("u", "v").unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).select(F.col("u").alias("a"), F.col("v").alias("b"))
+        ls = _large_star(sym)
+        dir_edges = (
+            ls.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        nxt = _small_star(dir_edges)
+        nxt = (
+            nxt.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        unchanged = (
+            cur.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+            .exceptAll(nxt)
+            .unionByName(
+                nxt.exceptAll(
+                    cur.select(
+                        F.greatest("u", "v").alias("u"),
+                        F.least("u", "v").alias("v"),
+                    ).distinct()
+                )
+            )
+            .limit(1)
+            .count()
+            == 0
+        )
+        cur = nxt
+        if unchanged:
             break
-    return labels
+    # After convergence every edge points node → its component min.
+    membership = cur.select(
+        F.greatest("u", "v").alias("node"), F.least("u", "v").alias("component")
+    ).distinct()
+    return (
+        all_nodes.join(membership, "node", "left")
+        .select(
+            "node",
+            F.coalesce("component", F.col("node")).alias("component"),
+        )
+    )
 
 
 def cluster_assignments(

@@ -109,3 +109,23 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "q28_distinct_suppliers_per_part",
+    """
+    SELECT l_partkey, COUNT(DISTINCT l_suppkey)::BIGINT AS n_distinct
+    FROM lineitem GROUP BY l_partkey
+    """,
+    doc="Skew-safe exact count-distinct via operators/skew."
+        "two_phase_distinct: first shuffle dedups on (key, value) in "
+        "parallel, second counts the thin pairs — a hot key never "
+        "funnels all its rows to one task, unlike a naive "
+        "countDistinct.",
+    tags=("agg", "skew"),
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.skew import two_phase_distinct
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return two_phase_distinct(lineitem, ["l_partkey"], "l_suppkey")

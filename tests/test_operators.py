@@ -243,3 +243,45 @@ class TestSkewHelpers:
             for r in salted_collect(df, ["k"], "v", "row_id", n_salts=4).collect()
         }
         assert got == expect
+
+
+class TestStarComponents:
+    def test_deep_path_graph(self, spark):
+        """A 60-node path has diameter 59 — min-label propagation would
+        need 59 rounds; large-star/small-star converges in O(log^2 n)."""
+        from nycdb_k8s_loader_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(59)], "src long, dst long"
+        )
+        out = connected_components_star(edges)
+        rows = out.collect()
+        assert len(rows) == 60
+        assert all(r["component"] == 0 for r in rows)
+
+    def test_matches_label_propagation_on_shallow_graph(self, spark):
+        from nycdb_k8s_loader_spark.operators.graph import (
+            connected_components,
+            connected_components_star,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (12, 11), (20, 21)],
+            "src long, dst long",
+        )
+        lp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+        ss = {r["node"]: r["component"] for r in connected_components_star(edges).collect()}
+        assert lp == ss == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    def test_label_propagation_raises_on_cap(self, spark):
+        import pytest
+
+        from nycdb_k8s_loader_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "src long, dst long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(edges, max_iterations=3)
