@@ -93,3 +93,75 @@ def is_function_sql(sql: str) -> bool:
     substring-matches)."""
     collapsed = re.sub(r"\s+", " ", _strip_sql_comments(sql))
     return bool(_FUNCTION_RE.search(collapsed))
+
+
+def split_statements(sql: str) -> list[str]:
+    """Split a script into statements on ``;`` outside string literals
+    and line/block comments (the unit the reference executes one
+    ``cur.execute`` at a time — wowutil.py:59-65 runs whole files, but
+    Spark's parser wants one statement per call). Dollar-quoted bodies
+    (``$$...$$``, Postgres function DDL) are kept intact."""
+    out: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(sql)
+    in_str = in_line = in_block = in_dollar = False
+    while i < n:
+        ch = sql[i]
+        two = sql[i:i + 2]
+        if in_line:
+            if ch == "\n":
+                in_line = False
+            buf.append(ch)
+        elif in_block:
+            if two == "*/":
+                in_block = False
+                buf.append(two)
+                i += 2
+                continue
+            buf.append(ch)
+        elif in_str:
+            if ch == "'" and sql[i + 1:i + 2] == "'":
+                buf.append("''")
+                i += 2
+                continue
+            if ch == "'":
+                in_str = False
+            buf.append(ch)
+        elif in_dollar:
+            if two == "$$":
+                in_dollar = False
+                buf.append(two)
+                i += 2
+                continue
+            buf.append(ch)
+        else:
+            if two == "--":
+                in_line = True
+                buf.append(two)
+                i += 2
+                continue
+            if two == "/*":
+                in_block = True
+                buf.append(two)
+                i += 2
+                continue
+            if two == "$$":
+                in_dollar = True
+                buf.append(two)
+                i += 2
+                continue
+            if ch == "'":
+                in_str = True
+                buf.append(ch)
+            elif ch == ";":
+                stmt = "".join(buf).strip()
+                if stmt:
+                    out.append(stmt)
+                buf = []
+            else:
+                buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        out.append(tail)
+    return out

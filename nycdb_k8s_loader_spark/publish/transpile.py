@@ -238,9 +238,22 @@ def _rewrite_json_build(sql: str) -> str:
     return "".join(out)
 
 
+def _rewrite_drop_cascade(sql: str) -> str:
+    """``DROP TABLE ... CASCADE`` → plain DROP TABLE. Spark has no
+    CASCADE at table granularity (SURVEY §2 K2; dependent views are
+    re-created by the engine's function/view registry, mirroring the
+    reference's re-run-after-swap pattern)."""
+    return re.sub(
+        r"(?i)(\bDROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?[\w\".]+)\s+CASCADE\b",
+        r"\1",
+        sql,
+    )
+
+
 def transpile_pg(sql: str) -> str:
     """Apply all rewrites. Order matters: interval-casts before simple
     casts, DISTINCT ON last (it restructures the statement)."""
+    sql = _rewrite_drop_cascade(sql)
     sql = _rewrite_casts(sql)
     sql = _rewrite_any(sql)
     sql = _rewrite_regex_ops(sql)

@@ -120,3 +120,59 @@ class TestExecutesOnSpark:
         assert rows["1000010001"] == (
             '{"type":"DEED","amt":150.0},{"type":"DEEDO","amt":0.5}'
         )
+
+
+REFERENCE_SQL_DIR = "/root/reference/tests/sql"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(REFERENCE_SQL_DIR),
+    reason="reference checkout not present",
+)
+class TestReferenceScriptsParse:
+    """Integration parity: the reference's real SQL transformation
+    scripts, transpiled, must be *parseable* Spark SQL (analysis will
+    still fail on missing tables — we assert no ParseException). This
+    is the 'run the reference's scripts verbatim' path (SURVEY §4.3
+    option b) checked against the genuine artifacts."""
+
+    def _statements(self, text: str) -> list[str]:
+        from nycdb_k8s_loader_spark.publish.parse_created_tables import (
+            split_statements,
+        )
+
+        return split_statements(text)
+
+    def test_wow_scripts_transpile_to_parseable_spark_sql(self, spark):
+        import os
+
+        from pyspark.errors import ParseException
+
+        checked = 0
+        for fname in sorted(os.listdir(REFERENCE_SQL_DIR)):
+            if not fname.endswith(".sql"):
+                continue
+            text = open(os.path.join(REFERENCE_SQL_DIR, fname)).read()
+            for stmt in self._statements(text):
+                s = stmt.strip()
+                if not s:
+                    continue
+                up = s.upper()
+                # index DDL is recorded+ignored (K7); function DDL is
+                # routed to the function registry (O10), not spark.sql
+                if up.startswith("CREATE INDEX") or "FUNCTION" in up.split("(")[0]:
+                    continue
+                out = transpile_pg(s)
+                try:
+                    spark._jsparkSession.sessionState().sqlParser().parsePlan(out)
+                except ParseException as exc:  # pragma: no cover
+                    raise AssertionError(f"{fname}: unparseable after transpile:\n{out}") from exc
+                except Exception:
+                    # Py4J wraps ParseException; anything else (analysis)
+                    # is fine — tables don't exist here.
+                    err = str(__import__("sys").exc_info()[1])
+                    assert "ParseException" not in err, f"{fname}:\n{out}\n{err}"
+                checked += 1
+        # three fixture scripts, each: big CTAS + drop + rename (+
+        # CREATE INDEX rows skipped) => 7 parseable statements today
+        assert checked >= 7
