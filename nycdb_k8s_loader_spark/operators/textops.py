@@ -92,3 +92,39 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         fp.alias("fingerprint"),
         F.substring(fp, 1, 8).alias("shard_key"),
     )
+
+
+STOPWORDS = (
+    "the", "a", "an", "and", "of", "to", "in", "is", "on", "for",
+)
+
+
+def regex_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish regex tokenization + stopword ratio.
+
+    Tokens = maximal ``[a-z0-9]+`` runs of the lowercased text plus
+    every non-alphanumeric non-space symbol — the word/punct split a
+    byte-pair pre-tokenizer makes before merges. Pattern is RE2-safe
+    (no lookarounds) so Spark's Java regex and DuckDB's RE2 agree
+    byte-for-byte. Staged select materializes the token array once;
+    everything stays codegen'd — parquet-scan speed at 100 TB.
+    """
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z0-9]+|[^a-z0-9 ]', 0)"
+    )
+    words = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    staged = df.select(
+        "doc_id",
+        toks.alias("__toks"),
+        words.alias("__words"),
+    )
+    n_words = F.size("__words")
+    n_stop = F.size(
+        F.filter(F.col("__words"), lambda w: w.isin(*STOPWORDS))
+    )
+    return staged.select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("n_bpe_tokens"),
+        n_words.cast("long").alias("n_words"),
+        F.round(n_stop * F.lit(1.0) / n_words, 4).alias("stopword_ratio"),
+    )

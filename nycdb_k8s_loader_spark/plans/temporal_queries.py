@@ -129,3 +129,34 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return two_phase_distinct(lineitem, ["l_partkey"], "l_suppkey")
+
+
+@register(
+    "t05_regex_tokens_stopwords",
+    """
+    WITH staged AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]') AS toks,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+        FROM documents
+    )
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_bpe_tokens,
+           len(words)::BIGINT AS n_words,
+           ROUND(len(list_filter(words, w -> list_contains(
+               ['the','a','an','and','of','to','in','is','on','for'], w)))
+               * 1.0 / len(words), 4) AS stopword_ratio
+    FROM staged
+    """,
+    doc="BPE-ish regex tokenization (word runs + symbol singles, the "
+        "pre-merge split of a byte-pair tokenizer) and stopword ratio. "
+        "RE2-safe pattern so Java regex and DuckDB RE2 agree "
+        "byte-for-byte; token arrays staged once per row, fully "
+        "codegen'd.",
+    tags=("text",),
+)
+def t05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.textops import regex_token_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return regex_token_stats(docs)
