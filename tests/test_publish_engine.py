@@ -297,3 +297,53 @@ class TestTableLayouts:
             assert "PartitionFilters: [isnotnull(part" in plan or "part#" in plan
         finally:
             pub.drop_db("layout_test2")
+
+
+class TestGrantRegistry:
+    def test_statement_shape_matches_reference(self):
+        from nycdb_k8s_loader_spark.publish.grants import Grant, GrantRegistry
+        from nycdb_k8s_loader_spark.state.kvstore import DictKVStore
+
+        reg = GrantRegistry(DictKVStore())
+        reg.add(Grant("public", "bldgs", "readonly", ("SELECT",)))
+        reg.add(Grant("public", "bldgs", "etl", ("INSERT", "SELECT"), True))
+        sql = reg.grant_sql("public", "bldgs")
+        assert "GRANT INSERT, SELECT ON TABLE public.bldgs TO etl WITH GRANT OPTION;" in sql
+        assert "GRANT SELECT ON TABLE public.bldgs TO readonly;" in sql
+
+    def test_grants_survive_publish_roundtrip(self, spark):
+        from nycdb_k8s_loader_spark.publish.grants import Grant, GrantRegistry
+        from nycdb_k8s_loader_spark.publish.protocol import Publisher
+        from nycdb_k8s_loader_spark.state.kvstore import DictKVStore
+
+        pub = Publisher(spark, target_db="grants_test")
+        reg = GrantRegistry(DictKVStore())
+        reg.add(Grant("grants_test", "t1", "readonly", ("SELECT",)))
+
+        applied: list[str] = []
+        try:
+            with reg.save_and_reapply(
+                "grants_test", ["t1"], executor=applied.append
+            ):
+                # the publish drops and replaces the table
+                with pub.staging("gds") as db:
+                    pub.write_staging_table(db, "t1", spark.range(5))
+                    pub.publish_tables(db, ["t1"])
+            assert spark.table("grants_test.t1").count() == 5
+            assert applied == [
+                "GRANT SELECT ON TABLE grants_test.t1 TO readonly;"
+            ]
+            # registry still answers after the swap
+            assert len(reg.for_table("grants_test", "t1")) == 1
+        finally:
+            pub.drop_db("grants_test")
+
+    def test_regrant_replaces_same_grantee(self):
+        from nycdb_k8s_loader_spark.publish.grants import Grant, GrantRegistry
+        from nycdb_k8s_loader_spark.state.kvstore import DictKVStore
+
+        reg = GrantRegistry(DictKVStore())
+        reg.add(Grant("d", "t", "u", ("SELECT",)))
+        reg.add(Grant("d", "t", "u", ("SELECT", "INSERT")))
+        [g] = reg.for_table("d", "t")
+        assert g.privileges == ("INSERT", "SELECT")
