@@ -253,3 +253,18 @@ def m01(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def m02(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_metadata(synthetic_media(spark), decode_stub=True)
+
+
+@register(
+    "m03_video_frame_samples",
+    None,
+    doc="Frame-sampling plan for video rows: offset lattice (every N "
+        "ms, capped) computed JVM-side via sequence+slice+posexplode; "
+        "only the (stubbed) frame decode itself would cross into "
+        "Python. Rows-only check (synthetic input).",
+    tags=("multimodal",),
+)
+def m03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.multimodal import sample_frames
+
+    return sample_frames(synthetic_media(spark))
