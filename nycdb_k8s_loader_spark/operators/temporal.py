@@ -62,6 +62,12 @@ def asof_join(
     assert how in ("inner", "left")
     lcols = left.columns
     assert not set(payload_cols) & set(lcols), "payload/left name collision"
+    # A NULL right timestamp would sort nulls-first and masquerade as
+    # the earliest payload; SQL `right_ts <= left_ts` semantics exclude
+    # it, so drop such rows up front (left NULL timestamps are fine:
+    # they sort first, find no preceding payload, and resolve to
+    # no-match — same as the SQL comparison).
+    right = right.filter(F.col(right_ts).isNotNull())
     payload = F.struct(*[F.col(c) for c in payload_cols])
     r2 = right.select(
         F.col(key),

@@ -285,3 +285,14 @@ class TestStarComponents:
         )
         with pytest.raises(RuntimeError, match="did not converge"):
             connected_components(edges, max_iterations=3)
+
+    def test_asof_null_right_ts_excluded(self, spark):
+        from nycdb_k8s_loader_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame([(1, 10, "e")], "k int, t int, ev string")
+        right = spark.createDataFrame(
+            [(1, None, "null-ts"), (1, 5, "ok")],
+            "k int, rt int, payload string",
+        )
+        rows = asof_join(left, right, "k", "t", "rt", ["payload"]).collect()
+        assert [r["payload"] for r in rows] == ["ok"]
