@@ -182,6 +182,12 @@ def connected_components_star(
         cur = nxt
         if unchanged:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} "
+            "rounds — raise max_rounds (the bound is O(log² n), so a "
+            "handful more rounds covers enormous graphs)."
+        )
     # After convergence every edge points node → its component min.
     membership = cur.select(
         F.greatest("u", "v").alias("node"), F.least("u", "v").alias("component")

@@ -50,7 +50,11 @@ def salted_join(
     small). The join key becomes (key, salt), so the hot key's rows
     land on N tasks instead of one. Result is row-identical to the
     unsalted join (tested), just differently partitioned.
+
+    Only ``inner``/``left`` are supported: right/full would emit each
+    unmatched dim row once per salt replica.
     """
+    assert how in ("inner", "left"), "right/full would duplicate dim rows"
     left = skewed.withColumn("__salt", salt_expr(unique_col, n_salts))
     right = small.withColumn(
         "__salt",

@@ -126,5 +126,8 @@ def regex_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.size("__toks").cast("long").alias("n_bpe_tokens"),
         n_words.cast("long").alias("n_words"),
-        F.round(n_stop * F.lit(1.0) / n_words, 4).alias("stopword_ratio"),
+        # NULL (not an error or NaN) for wordless docs — guarded the
+        # same way in the oracle SQL so parity holds on any corpus
+        F.when(n_words > 0, F.round(n_stop * F.lit(1.0) / n_words, 4))
+        .alias("stopword_ratio"),
     )

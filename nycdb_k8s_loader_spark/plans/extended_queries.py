@@ -200,6 +200,7 @@ def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "stateful"),
 )
 def st02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
     import tempfile
 
     from nycdb_k8s_loader_spark.streaming.pipeline import (
@@ -214,7 +215,12 @@ def st02(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     totals = stateful_running_totals(raw.select("user_id", "value"))
-    tmp = tempfile.mkdtemp(prefix="st02_")
+    # One stable sink/checkpoint per input dir (NOT a fresh mkdtemp per
+    # call, which leaks a directory every invocation): reruns reuse the
+    # checkpoint, process zero new files, and read back the same sink —
+    # exactly-once bookkeeping doubling as idempotency.
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = f"{tempfile.gettempdir()}/spark_graft_st02_{digest}"
     run_available_now(totals, f"{tmp}/sink", f"{tmp}/ckpt")
     out = spark.read.parquet(f"{tmp}/sink")
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())

@@ -143,9 +143,11 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(toks)::BIGINT AS n_bpe_tokens,
            len(words)::BIGINT AS n_words,
-           ROUND(len(list_filter(words, w -> list_contains(
-               ['the','a','an','and','of','to','in','is','on','for'], w)))
-               * 1.0 / len(words), 4) AS stopword_ratio
+           CASE WHEN len(words) > 0 THEN
+               ROUND(len(list_filter(words, w -> list_contains(
+                   ['the','a','an','and','of','to','in','is','on','for'], w)))
+                   * 1.0 / len(words), 4)
+           END AS stopword_ratio
     FROM staged
     """,
     doc="BPE-ish regex tokenization (word runs + symbol singles, the "

@@ -135,10 +135,14 @@ class Publisher:
             w = src.write.mode("overwrite")
             if layouts and t in layouts:
                 w = layouts[t].apply(w)
-            # drop-first: saveAsTable refuses to overwrite when the
-            # bucketing spec changes; the reference drops old tables
-            # before the swap too (load_dataset.py:163-169)
-            self._sql(f"DROP TABLE IF EXISTS `{self.target_db}`.`{t}`")
+                if layouts[t].bucket_by:
+                    # saveAsTable cannot overwrite across a bucketing-
+                    # spec change, so bucketed publishes drop first.
+                    # This narrows per-table atomicity (reader gap +
+                    # loss-on-crash window) — accepted ONLY for tables
+                    # that opted into bucketing; plain tables keep the
+                    # atomic overwrite (files first, catalog flip last).
+                    self._sql(f"DROP TABLE IF EXISTS `{self.target_db}`.`{t}`")
             w.saveAsTable(f"`{self.target_db}`.`{t}`")
             published.append(f"{self.target_db}.{t}")
         return published

@@ -130,8 +130,16 @@ def cronjob_manifest(
     ``spark-submit`` of our CLI. Emitted as a literal template (no
     yaml dependency): same resources/backoff/timeZone knobs as
     k8s-job-template.yml."""
+    # Secrets/config are referenced, never baked in: generation-time
+    # interpolation would write live env values (including webhook
+    # secrets) into files that get committed or shipped.
     env_lines = "\n".join(
-        f'            - name: {v}\n              value: "{os.environ.get(v, "")}"'
+        f"            - name: {v}\n"
+        f"              valueFrom:\n"
+        f"                secretKeyRef:\n"
+        f"                  name: spark-graft-env\n"
+        f"                  key: {v}\n"
+        f"                  optional: true"
         for v in CONTAINER_ENV_VARS
     )
     return f"""apiVersion: batch/v1
@@ -150,7 +158,7 @@ spec:
           containers:
           - name: load-dataset
             image: {image}
-            command: ["spark-submit", "--master", "k8s://https://kubernetes.default", "-m", "nycdb_k8s_loader_spark.cli", "load", "{dataset}"]
+            command: ["spark-submit", "--master", "k8s://https://kubernetes.default", "/app/nycdb_k8s_loader_spark/cli.py", "load", "{dataset}"]
             resources:
               requests:
                 memory: "128Mi"

@@ -291,10 +291,13 @@ class TestTableLayouts:
             )
         try:
             q = spark.table("layout_test2.tp").filter("part = 2")
-            plan = q.queryExecution if False else q._jdf.queryExecution().toString()
+            plan = q._jdf.queryExecution().executedPlan().toString()
             assert q.count() == 25
-            # partition filter reaches the scan (pruning, not row filter)
-            assert "PartitionFilters: [isnotnull(part" in plan or "part#" in plan
+            # the predicate must land in PartitionFilters (pruning),
+            # not as a post-scan row Filter
+            assert "PartitionFilters: [" in plan
+            part_filters = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+            assert "= 2" in part_filters
         finally:
             pub.drop_db("layout_test2")
 
