@@ -28,9 +28,14 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
 
+from nycdb_k8s_loader_spark.functions.registry import (
+    FunctionRegistry,
+    default_registry,
+)
 from nycdb_k8s_loader_spark.publish.parse_created_tables import (
     is_function_sql,
     parse_created_tables,
+    split_statements,
 )
 from nycdb_k8s_loader_spark.publish.protocol import Publisher
 from nycdb_k8s_loader_spark.publish.resolver import SearchPathResolver
@@ -76,6 +81,7 @@ class Engine:
         downloader: Callable[[str, str], None] | None = None,
         notifier: Notifier | None = None,
         search_path: list[str] | None = None,
+        functions: FunctionRegistry | None = None,
     ) -> None:
         self.spark = spark
         self.registry = registry
@@ -87,6 +93,10 @@ class Engine:
         self.notifier = notifier or Notifier()
         self.tracker = DatasetTracker(kv)
         self.search_path = search_path or [target_db]
+        self.functions = functions or default_registry()
+        # session-start registration (reference re-creates functions at
+        # connect time via search-path scripts; O2/U2)
+        self.functions.apply(spark)
 
     @staticmethod
     def _download(url: str, dest: str) -> None:  # pragma: no cover - network
@@ -120,31 +130,37 @@ class Engine:
     def _standard_load(self, ds: DatasetDef) -> list[str]:
         import os
 
+        # 0. refresh the landing copy of EVERY source file. The
+        # conditional-GET gate already decided the dataset changed, so
+        # an existing landing file may be stale — re-downloading only
+        # missing files would publish old bytes and then persist the
+        # new validators, silently losing the update forever.
+        dest_paths: dict[str, str] = {}
+        for f in ds.files:
+            dest = os.path.join(self.landing_root, ds.name, f.dest)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            self.downloader(f.url, dest)
+            dest_paths[f.dest] = dest
+
+        function_stmts: list[str] = []
         with self.publisher.staging(ds.name) as staging_db:
-            # 1. ingest typed source tables
+            # 1. ingest typed source tables (each table reads only the
+            # files mapped to it; None = the whole dataset)
             for table in ds.tables:
                 if table.schema is None:
                     continue  # derived table, produced by SQL below
-                paths = [
-                    os.path.join(self.landing_root, ds.name, f.dest)
-                    for f in ds.files
-                ]
-                existing = [p for p in paths if os.path.exists(p)]
-                missing = [
-                    (f.url, os.path.join(self.landing_root, ds.name, f.dest))
-                    for f in ds.files
-                    if not os.path.exists(
-                        os.path.join(self.landing_root, ds.name, f.dest)
-                    )
-                ]
-                for url, dest in missing:
-                    os.makedirs(os.path.dirname(dest), exist_ok=True)
-                    self.downloader(url, dest)
-                    existing.append(dest)
-                df = read_csv(self.spark, existing, table.schema)
+                dests = (
+                    table.files if table.files is not None else list(dest_paths)
+                )
+                df = read_csv(
+                    self.spark, [dest_paths[d] for d in dests], table.schema
+                )
                 self.publisher.write_staging_table(staging_db, table.name, df)
 
-            # 2. SQL transformation scripts, staging-first resolution
+            # 2. SQL transformation scripts, staging-first resolution.
+            # Function DDL is collected per-STATEMENT (a mixed script's
+            # CREATE TABLEs still run) and re-registered post-publish,
+            # the reference's pattern (load_dataset.py:372-376).
             resolver = SearchPathResolver(
                 self.spark, [staging_db, *self.search_path]
             )
@@ -157,13 +173,11 @@ class Engine:
                 for script in ds.sql:
                     with open(script, encoding="utf-8") as fh:
                         sql_text = fh.read()
-                    if is_function_sql(sql_text):
-                        # function re-registration handled post-publish
-                        # (reference: load_dataset.py:372-376) — engine
-                        # keeps a session-level function registry.
-                        continue
                     for stmt in split_statements(sql_text):
-                        resolver.sql(stmt)
+                        if is_function_sql(stmt):
+                            function_stmts.append(stmt)
+                        else:
+                            resolver.sql(stmt)
                     for t in parse_created_tables(sql_text):
                         if t not in created:
                             created.append(t)
@@ -171,54 +185,24 @@ class Engine:
                 self.spark.catalog.setCurrentDatabase(prev_db)
 
             # 3. atomic publish
-            return self.publisher.publish_tables(staging_db, created)
+            published = self.publisher.publish_tables(staging_db, created)
+
+        # 4. post-publish function re-registration (reference:
+        # load_dataset.py:372-376). Registry functions always re-apply;
+        # script-declared functions run if they are Spark-compatible
+        # DDL (CREATE TEMPORARY FUNCTION ... RETURN expr) — Postgres
+        # procedural bodies are logged and skipped.
+        self.functions.apply(self.spark)
+        for stmt in function_stmts:
+            try:
+                self.spark.sql(stmt)
+            except Exception:  # noqa: BLE001 - dialect gap, not fatal
+                log.warning(
+                    "function DDL is not Spark-compatible; register it "
+                    "in the FunctionRegistry instead:\n%s", stmt[:200]
+                )
+        return published
 
     def load_all(self, targets: list[str] | None = None) -> list[LoadResult]:
         """Dependency-ordered multi-dataset load (reference O4)."""
         return [self.load(n) for n in self.registry.topo_order(targets)]
-
-
-def split_statements(sql_text: str) -> list[str]:
-    """Split a script into statements on top-level semicolons
-    (string-literal- and comment-aware; the reference executes whole
-    files per cursor so Postgres splits for it — Spark needs one
-    statement per ``spark.sql`` call)."""
-    out: list[str] = []
-    buf: list[str] = []
-    in_str: str | None = None
-    i, n = 0, len(sql_text)
-    while i < n:
-        ch = sql_text[i]
-        nxt = sql_text[i + 1] if i + 1 < n else ""
-        if in_str:
-            buf.append(ch)
-            if ch == in_str:
-                if in_str == "'" and nxt == "'":
-                    buf.append(nxt)
-                    i += 1
-                else:
-                    in_str = None
-        elif ch == "-" and nxt == "-":
-            while i < n and sql_text[i] != "\n":
-                i += 1
-            buf.append("\n")
-        elif ch == "/" and nxt == "*":
-            i += 2
-            while i + 1 < n and not (sql_text[i] == "*" and sql_text[i + 1] == "/"):
-                i += 1
-            i += 1
-        elif ch in ("'", '"'):
-            in_str = ch
-            buf.append(ch)
-        elif ch == ";":
-            stmt = "".join(buf).strip()
-            if stmt:
-                out.append(stmt)
-            buf = []
-        else:
-            buf.append(ch)
-        i += 1
-    tail = "".join(buf).strip()
-    if tail:
-        out.append(tail)
-    return out

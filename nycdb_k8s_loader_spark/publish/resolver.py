@@ -44,8 +44,21 @@ class SearchPathResolver:
         return name  # temp view / builtin — let Spark resolve it
 
     def rewrite(self, sql: str) -> str:
-        """Qualify unqualified table refs per the search path."""
-        local_names = {m.group(1).lower() for m in _CTE_NAMES.finditer(sql)}
+        """Qualify unqualified table refs per the search path.
+
+        String literals and comments are masked first so quoted data
+        that happens to contain ``from <table>`` is never rewritten
+        (NUL-delimited placeholders can't match an identifier)."""
+        literals: list[str] = []
+
+        def _mask(m: re.Match) -> str:
+            literals.append(m.group(0))
+            return f"\x00{len(literals) - 1}\x00"
+
+        masked = re.sub(
+            r"'(?:[^']|'')*'|--[^\n]*|/\*.*?\*/", _mask, sql, flags=re.DOTALL
+        )
+        local_names = {m.group(1).lower() for m in _CTE_NAMES.finditer(masked)}
 
         def sub(m: re.Match) -> str:
             ddl, kw, name = m.group(1), m.group(2), m.group(3)
@@ -57,7 +70,8 @@ class SearchPathResolver:
                 return m.group(0)
             return f"{kw} {self._resolve_one(name, local_names)}"
 
-        return _TABLE_POS.sub(sub, sql)
+        out = _TABLE_POS.sub(sub, masked)
+        return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], out)
 
     def sql(self, query: str):
         return self.spark.sql(self.rewrite(query))

@@ -31,6 +31,10 @@ class SourceFile:
 class TableDef:
     name: str
     schema: T.StructType | None = None  # None → derived (CTAS) table
+    #: dest names (SourceFile.dest) feeding this table; None → every
+    #: dataset file (the single-table common case). Multi-table
+    #: datasets MUST map files to tables or rows would cross-load.
+    files: list[str] | None = None
 
 
 @dataclass

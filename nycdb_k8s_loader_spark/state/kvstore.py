@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+from contextlib import contextmanager
 from collections.abc import Iterator, MutableMapping
 
 import pyarrow as pa
@@ -109,8 +110,24 @@ class ParquetKVStore(DictKVStore):
 
     def __setitem__(self, key: str, value: str) -> None:
         super().__setitem__(key, value)
-        self._flush()
+        if not self._suspended:
+            self._flush()
 
     def __delitem__(self, key: str) -> None:
         super().__delitem__(key)
-        self._flush()
+        if not self._suspended:
+            self._flush()
+
+    _suspended = False
+
+    @contextmanager
+    def batch(self):
+        """Suspend write-through inside the block, flush once at exit.
+        Without this, N key mutations (e.g. validator updates after a
+        big load) rewrite the whole file N times — O(N²) bytes."""
+        self._suspended = True
+        try:
+            yield self
+        finally:
+            self._suspended = False
+            self._flush()

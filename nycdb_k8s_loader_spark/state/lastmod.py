@@ -46,15 +46,19 @@ Transport = Callable[[str, dict[str, str]], FetchResult]
 
 
 def requests_transport(url: str, headers: dict[str, str]) -> FetchResult:
-    """Default transport: a real conditional GET (stream, no body read)."""
+    """Default transport: a real conditional GET (stream, no body
+    read). The context manager closes the response so the socket goes
+    back to the pool — headers are available before any body bytes,
+    and probing hundreds of registry URLs must not leak a connection
+    each."""
     if requests is None:
         raise RuntimeError("requests not available; inject a transport")
-    resp = requests.get(url, headers=headers, stream=True, timeout=30)
-    return FetchResult(
-        status_code=resp.status_code,
-        etag=resp.headers.get("ETag"),
-        last_modified=resp.headers.get("Last-Modified"),
-    )
+    with requests.get(url, headers=headers, stream=True, timeout=30) as resp:
+        return FetchResult(
+            status_code=resp.status_code,
+            etag=resp.headers.get("ETag"),
+            last_modified=resp.headers.get("Last-Modified"),
+        )
 
 
 class LastmodInfo:
@@ -130,7 +134,13 @@ class UrlModTracker:
         return any(s.changed for s in self.check())
 
     def update_lastmods(self) -> None:
-        """Persist validators for changed URLs (call after publish)."""
-        for url, result in self._pending.items():
-            LastmodInfo.write(self.kv, url, result.etag, result.last_modified)
+        """Persist validators for changed URLs (call after publish).
+        Batched when the store supports it — one file rewrite for the
+        whole URL set instead of two per URL."""
+        from contextlib import nullcontext
+
+        ctx = self.kv.batch() if hasattr(self.kv, "batch") else nullcontext()
+        with ctx:
+            for url, result in self._pending.items():
+                LastmodInfo.write(self.kv, url, result.etag, result.last_modified)
         self._pending.clear()

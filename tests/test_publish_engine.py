@@ -10,7 +10,8 @@ import os
 import pytest
 from pyspark.sql import types as T
 
-from nycdb_k8s_loader_spark.engine import Engine, split_statements
+from nycdb_k8s_loader_spark.engine import Engine
+from nycdb_k8s_loader_spark.publish.parse_created_tables import split_statements
 from nycdb_k8s_loader_spark.publish.protocol import Publisher, staging_db_name
 from nycdb_k8s_loader_spark.publish.resolver import SearchPathResolver
 from nycdb_k8s_loader_spark.registry import DatasetDef, Registry, SourceFile, TableDef
@@ -67,7 +68,22 @@ def transport_always(result: FetchResult):
     return t
 
 
-def make_engine(spark, registry, landing, kv=None, transport=None, db="pubtest"):
+def fake_downloader(content: str = CSV_V1):
+    """Simulated fetch: writes `content` to dest (the engine ALWAYS
+    re-downloads once change detection fires — a pre-existing landing
+    file may be stale)."""
+
+    def dl(url, dest):
+        with open(dest, "w") as f:
+            f.write(content)
+
+    return dl
+
+
+def make_engine(
+    spark, registry, landing, kv=None, transport=None, db="pubtest",
+    downloader=None,
+):
     return Engine(
         spark,
         registry,
@@ -75,9 +91,7 @@ def make_engine(spark, registry, landing, kv=None, transport=None, db="pubtest")
         target_db=db,
         landing_root=landing,
         transport=transport or transport_always(FetchResult(200, etag='"v1"')),
-        downloader=lambda url, dest: (_ for _ in ()).throw(
-            AssertionError("no network in tests")
-        ),
+        downloader=downloader or fake_downloader(),
     )
 
 
@@ -149,6 +163,75 @@ class TestEngineLifecycle:
         assert not spark.catalog.tableExists("rollbacktest.bldgs")
         # staging cleaned up
         assert Publisher(spark).list_staging_dbs("bldgs") == []
+
+    def test_stale_landing_file_is_refreshed(self, spark, registry, landing):
+        """A changed URL must be re-downloaded even when a landing copy
+        exists — otherwise old bytes get published while the NEW etag
+        is persisted, losing the update forever."""
+        eng = make_engine(
+            spark, registry, landing, downloader=fake_downloader(CSV_V2)
+        )
+        eng.load("bldgs")  # landing dir already held CSV_V1 (2 rows)
+        assert spark.table("pubtest.bldgs").count() == 3
+
+    def test_multi_table_datasets_map_files_to_tables(
+        self, spark, landing, tmp_path
+    ):
+        reg = Registry()
+        reg.add(
+            DatasetDef(
+                name="bldgs",
+                files=[
+                    SourceFile(url="https://x/bldgs.csv", dest="bldgs.csv"),
+                    SourceFile(url="https://x/extra.csv", dest="extra.csv"),
+                ],
+                tables=[
+                    TableDef("bldgs", BLDGS_SCHEMA, files=["bldgs.csv"]),
+                    TableDef("extra", BLDGS_SCHEMA, files=["extra.csv"]),
+                ],
+            )
+        )
+        eng = make_engine(spark, reg, landing, db="multitest")
+        try:
+            eng.load("bldgs")
+            # each table sees only its own file's rows — NOT the union
+            assert spark.table("multitest.bldgs").count() == 2
+            assert spark.table("multitest.extra").count() == 2
+        finally:
+            Publisher(spark, "multitest").drop_db("multitest")
+
+    def test_mixed_function_script_still_creates_tables(
+        self, spark, landing, tmp_path
+    ):
+        """A script containing function DDL + CTAS must not lose the
+        CTAS; Spark-compatible function DDL registers post-publish."""
+        reg = Registry()
+        mixed = tmp_path / "mixed.sql"
+        mixed.write_text(
+            """
+            CREATE OR REPLACE TEMPORARY FUNCTION double_units(u INT)
+            RETURNS INT RETURN u * 2;
+            CREATE TABLE doubled AS
+            SELECT bbl, unitsres * 2 AS units2 FROM bldgs;
+            """
+        )
+        reg.add(
+            DatasetDef(
+                name="bldgs",
+                files=[SourceFile(url="https://x/bldgs.csv", dest="bldgs.csv")],
+                tables=[TableDef("bldgs", BLDGS_SCHEMA)],
+                sql=[str(mixed)],
+            )
+        )
+        eng = make_engine(spark, reg, landing, db="fntest")
+        try:
+            res = eng.load("bldgs")
+            assert "fntest.doubled" in res.published
+            assert spark.table("fntest.doubled").count() == 2
+            # the function DDL was registered post-publish
+            assert spark.sql("SELECT double_units(3) AS v").first()["v"] == 6
+        finally:
+            Publisher(spark, "fntest").drop_db("fntest")
 
     def test_topo_order(self):
         reg = Registry()
@@ -350,3 +433,43 @@ class TestGrantRegistry:
         reg.add(Grant("d", "t", "u", ("SELECT", "INSERT")))
         [g] = reg.for_table("d", "t")
         assert g.privileges == ("INSERT", "SELECT")
+
+
+class TestResolverLiteralMasking:
+    def test_table_name_inside_string_literal_untouched(self, spark):
+        from nycdb_k8s_loader_spark.publish.resolver import SearchPathResolver
+
+        spark.sql("CREATE DATABASE IF NOT EXISTS maskdb")
+        spark.range(1).write.mode("overwrite").saveAsTable("maskdb.pluto")
+        try:
+            r = SearchPathResolver(spark, ["maskdb"])
+            out = r.rewrite(
+                "SELECT 'derived from pluto table' AS note FROM pluto"
+            )
+            # the literal is untouched; the real table ref is qualified
+            assert "'derived from pluto table'" in out
+            assert "FROM `maskdb`.`pluto`" in out
+        finally:
+            spark.sql("DROP DATABASE maskdb CASCADE")
+
+
+class TestKVBatch:
+    def test_batch_flushes_once(self, tmp_path):
+        from nycdb_k8s_loader_spark.state.kvstore import ParquetKVStore
+
+        kv = ParquetKVStore(str(tmp_path / "kv.parquet"))
+        flushes = 0
+        orig = kv._flush
+
+        def counting_flush():
+            nonlocal flushes
+            flushes += 1
+            orig()
+
+        kv._flush = counting_flush
+        with kv.batch():
+            for i in range(10):
+                kv[f"k{i}"] = str(i)
+        assert flushes == 1
+        kv2 = ParquetKVStore(str(tmp_path / "kv.parquet"))
+        assert len(kv2) == 10
