@@ -162,3 +162,29 @@ def t05(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return regex_token_stats(docs)
+
+
+@register(
+    "q29_salted_priority_lists",
+    """
+    SELECT o_custkey,
+           string_agg(o_orderpriority, ',' ORDER BY o_orderpriority)
+               AS priorities
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="Hot-key-safe collect_list via operators/skew.salted_collect: "
+        "the first shuffle spreads each key over N salted partial "
+        "arrays (collect_list has no partial aggregation), the second "
+        "merges N small arrays. Output proven equal to the single-hop "
+        "ordered aggregate by the oracle.",
+    tags=("agg", "skew"),
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.skew import salted_collect
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return salted_collect(
+        orders, ["o_custkey"], "o_orderpriority", "o_orderkey", n_salts=8
+    ).select(
+        "o_custkey", F.array_join("values", ",").alias("priorities")
+    )
