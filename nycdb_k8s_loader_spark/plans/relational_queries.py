@@ -669,7 +669,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_sessionize_events",
     """
     WITH seq AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          > INTERVAL 30 MINUTE
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -678,7 +678,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
         SELECT user_id, ts,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_id
         FROM seq
     )
@@ -696,7 +696,10 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # (ts, event_id) total order: a ts-only running sum is
+    # nondeterministic when a user has tied timestamps and the tied
+    # pair straddles a session boundary
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     prev_ts = F.lag("ts").over(w)

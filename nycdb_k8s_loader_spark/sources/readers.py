@@ -47,16 +47,49 @@ def read_csv_union_by_name(
     spark: SparkSession,
     paths: list[str],
     schema: T.StructType,
+    header: bool = True,
     **options,
 ) -> DataFrame:
     """Column-name-based union for file batches whose column order may
     drift between vintages (safer than positional union for yearly
-    dataset revisions)."""
-    frames = [read_csv(spark, p, schema, **options) for p in paths]
+    dataset revisions).
+
+    Each file is read with header-derived column names (NOT the
+    registry schema — Spark applies an explicit schema positionally
+    and ignores the header, which would silently misbind drifted
+    columns), then cast/selected by NAME into the registry schema and
+    unioned. A header missing a schema column surfaces as nulls via
+    allowMissingColumns; an order change is harmless by construction.
+    """
+    from pyspark.sql import functions as F
+
+    frames = []
+    for p in paths:
+        reader = spark.read.option("header", str(header).lower())
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        raw = reader.csv(p)  # header names, all strings
+        frames.append(
+            raw.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                    if f.name in raw.columns
+                ]
+            )
+        )
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
-    return out
+    # normalize to the full registry schema (missing columns → null)
+    return out.select(
+        *[
+            F.col(f.name).cast(f.dataType)
+            if f.name in out.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
 
 
 def read_excel(
@@ -81,7 +114,13 @@ def read_excel(
             "no excel engine (openpyxl/xlrd) in this environment; "
             "convert to CSV upstream or install an engine"
         ) from e
-    pdf.columns = [f.name for f in schema.fields[: len(pdf.columns)]]
+    if len(pdf.columns) != len(schema.fields):
+        raise ValueError(
+            f"{path}: sheet has {len(pdf.columns)} columns but the "
+            f"registry schema declares {len(schema.fields)} — schema "
+            "drift; update the registry or fix the workbook"
+        )
+    pdf.columns = [f.name for f in schema.fields]
     return spark.createDataFrame(pdf, schema=schema)
 
 
