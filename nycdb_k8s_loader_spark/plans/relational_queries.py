@@ -810,3 +810,110 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("qty"),
         )
     )
+
+
+# --- SURVEY §2.5 "free extensions": statistical aggregates -------------------
+
+@register(
+    "q30_stat_aggregates",
+    """
+    SELECT l_returnflag,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           COUNT(DISTINCT l_partkey)::BIGINT AS n_parts
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregate pack (SURVEY §2.5 'free extensions': "
+        "AVG, DISTINCT aggregate, percentiles). percentile() is the "
+        "exact interpolated quantile matching DuckDB quantile_cont; at "
+        "100 TB swap in approx_percentile(col, p, accuracy) — same "
+        "call shape, sketch-mergeable so it keeps partial aggregation, "
+        "while exact percentile must collect the group's values.",
+    tags=("agg",),
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+        F.round(
+            F.percentile("l_extendedprice", F.lit(0.9)), 4
+        ).alias("p90_price"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+    )
+
+
+# --- RANGE window frame (value-based, not row-based) -------------------------
+
+@register(
+    "q31_trailing_30d_revenue",
+    """
+    SELECT o_orderkey, o_custkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY datediff('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE))
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ), 2) AS trailing_total
+    FROM orders
+    """,
+    doc="RANGE-frame windowed aggregate: trailing-30-day revenue per "
+        "customer keyed on epoch-day (value-based frame — all peers of "
+        "a day enter the frame together, so ties are deterministic "
+        "where a ROWS frame would not be). One hash shuffle on "
+        "o_custkey, sort within partitions; frames never cross "
+        "partition boundaries so this scales with customers, not days.",
+    tags=("window",),
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_total"),
+    )
+
+
+# --- explicit GROUPING SETS + grouping() indicators --------------------------
+
+@register(
+    "q32_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus)::INT AS g_status,
+           GROUPING(o_orderpriority)::INT AS g_prio,
+           COUNT(*)::BIGINT AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS (beyond q17 ROLLUP / q18 CUBE) with "
+        "grouping() indicators to disambiguate aggregated-away NULLs "
+        "from data NULLs. Spark expands to a single Expand + hash "
+        "aggregate — one pass over the fact for all three set shapes.",
+    tags=("agg",),
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
