@@ -82,7 +82,9 @@ def two_phase_distinct(
         df.select(*keys, value_col)
         .distinct()  # shuffle 1: on (keys..., value) — parallel dedup
         .groupBy(*keys)
-        .agg(F.count("*").alias(out_col))  # shuffle 2: thin pairs only
+        # count(value), not count(*): COUNT(DISTINCT v) excludes NULLs,
+        # and a key whose values are all NULL must still appear with 0
+        .agg(F.count(value_col).alias(out_col))  # shuffle 2: thin pairs
     )
 
 

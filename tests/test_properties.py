@@ -1,0 +1,217 @@
+"""Property-based tests: hypothesis generates small random inputs, a
+driver-side pure-Python model computes the expected answer, and the
+distributed operator must agree exactly.
+
+This upgrades the reference's test pyramid (SURVEY.md §5 — the
+reference has no property testing): the operators most prone to
+silent semantic drift are exactly the hand-built ones (skew-safe
+rewrites, the union-merge as-of join, label propagation), where a
+subtle null/tie rule can pass every example-based test and still be
+wrong on an adversarial input.
+
+Spark jobs per example are expensive, so each property runs a
+moderate number of examples over *adversarial-by-construction*
+domains: tiny key/value ranges force heavy ties, duplicates, nulls,
+and hot keys.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nycdb_k8s_loader_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+)
+from nycdb_k8s_loader_spark.operators.skew import (
+    salted_collect,
+    two_phase_distinct,
+)
+from nycdb_k8s_loader_spark.operators.temporal import asof_join
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    derandomize=True,  # CI-stable: failures reproduce deterministically
+)
+
+# tiny domains ⇒ dense collisions: hot keys, tied values, nulls
+_kv_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),                                  # key (hot)
+        st.one_of(st.none(), st.integers(0, 4)),            # value | NULL
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=_kv_rows)
+@SETTINGS
+def test_two_phase_distinct_matches_count_distinct(spark, rows):
+    """two_phase_distinct == SQL COUNT(DISTINCT v) GROUP BY k:
+    NULL values never count, all-NULL keys still appear with 0."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("v", T.IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema=schema)
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in two_phase_distinct(df, ["k"], "v").collect()
+    }
+    expected = {
+        k: len({v for kk, v in rows if kk == k and v is not None})
+        for k in {k for k, _ in rows}
+    }
+    assert got == expected
+
+
+@given(rows=_kv_rows)
+@SETTINGS
+def test_salted_collect_matches_single_hop(spark, rows):
+    """Two salted hops == single-hop sort_array(collect_list(v)),
+    including collect_list's drop-NULLs rule and all-NULL keys."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("v", T.IntegerType()),
+        ]
+    )
+    # unique row id = salt input (mirrors q29's use of the row key)
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)],
+        schema=schema.add("uid", T.IntegerType()),
+    )
+    got = {
+        r["k"]: r["values"]
+        for r in salted_collect(df, ["k"], "v", "uid", n_salts=3).collect()
+    }
+    single_hop = {
+        r["k"]: r["values"]
+        for r in df.groupBy("k")
+        .agg(F.sort_array(F.collect_list("v")).alias("values"))
+        .collect()
+    }
+    assert got == single_hop
+    expected = {
+        k: sorted(v for kk, v in rows if kk == k and v is not None)
+        for k in {k for k, _ in rows}
+    }
+    assert got == expected
+
+
+_asof_left = st.lists(
+    st.tuples(st.integers(0, 2), st.one_of(st.none(), st.integers(0, 9))),
+    min_size=0,
+    max_size=15,
+)
+_asof_right = st.lists(
+    st.tuples(
+        st.integers(0, 2),
+        st.one_of(st.none(), st.integers(0, 9)),
+        st.integers(0, 99),
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(left_rows=_asof_left, right_rows=_asof_right)
+@SETTINGS
+def test_asof_join_matches_naive_model(spark, left_rows, right_rows):
+    """union-merge as-of join == 'latest right with rt <= lt per key':
+    inclusive at equal time, max payload breaks right-side time ties,
+    NULL timestamps never match on either side."""
+    lschema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("lt", T.IntegerType()),
+        ]
+    )
+    rschema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("rt", T.IntegerType()),
+            T.StructField("payload", T.IntegerType()),
+        ]
+    )
+    # uid distinguishes duplicate left rows in the multiset compare
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)],
+        schema=lschema.add("uid", T.IntegerType()),
+    )
+    right = spark.createDataFrame(right_rows, schema=rschema)
+
+    got = {
+        (r["k"], r["lt"], r["uid"], r["payload"])
+        for r in asof_join(
+            left, right, key="k", left_ts="lt", right_ts="rt",
+            payload_cols=["payload"], how="left",
+        ).collect()
+    }
+
+    expected = set()
+    for i, (k, lt) in enumerate(left_rows):
+        cands = [
+            (rt, p)
+            for kk, rt, p in right_rows
+            if kk == k and rt is not None and lt is not None and rt <= lt
+        ]
+        best = max(cands) if cands else (None, None)
+        expected.add((k, lt, i, best[1]))
+    assert got == expected
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots = {}
+    for n in parent:
+        roots.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in roots.values() for n in members}
+
+
+@given(edges=_edges)
+@settings(
+    # iterative: each example runs diameter/log² rounds of Spark jobs
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    derandomize=True,
+)
+def test_connected_components_both_variants_match_union_find(spark, edges):
+    """min-label propagation AND large-star/small-star both produce
+    component = min node id, for any undirected edge multiset
+    (self-loops, duplicates, reversed duplicates included)."""
+    df = spark.createDataFrame(edges, schema="src int, dst int")
+    expected = _union_find_components(edges)
+    for impl in (connected_components, connected_components_star):
+        got = {
+            r["node"]: r["component"] for r in impl(df).collect()
+        }
+        assert got == expected, impl.__name__
