@@ -274,3 +274,45 @@ def m03(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nycdb_k8s_loader_spark.operators.multimodal import sample_frames
 
     return sample_frames(synthetic_media(spark))
+
+
+@register(
+    "st03_streaming_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="Watermarked streaming dedup (dropDuplicates on a stream): "
+        "exactly-once-per-(user, event_type) with state bounded by the "
+        "watermark horizon — keys older than 24h of event time are "
+        "evicted instead of accumulating forever, which is what makes "
+        "exact dedup viable on an unbounded stream (d01 is the batch "
+        "twin). Output projects only the dedup keys, so which physical "
+        "row won is irrelevant and the result is deterministic; the "
+        "oracle is plain SELECT DISTINCT.",
+    tags=("streaming", "dedup"),
+)
+def st03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.streaming.pipeline import streaming_dedup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    events = raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
+    )
+    deduped = streaming_dedup(
+        events, ["user_id", "event_type"], ts_col="ts", watermark="24 hours"
+    ).select("user_id", "event_type")
+    name = f"st03_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

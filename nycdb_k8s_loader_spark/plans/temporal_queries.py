@@ -188,3 +188,45 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "o_custkey", F.array_join("values", ",").alias("priorities")
     )
+
+
+@register(
+    "q33_salted_dim_join",
+    """
+    SELECT p_brand,
+           COUNT(*)::BIGINT AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    doc="Skew-safe fact⋈dim equi-join via operators/skew.salted_join: "
+        "the fact side carries a deterministic salt (hash of "
+        "l_orderkey, never rand() — reruns stay idempotent), the dim "
+        "is replicated n_salts ways, and the join key becomes "
+        "(key, salt) so a hot part's rows land on N tasks instead of "
+        "one. For dims too big to broadcast but too small to justify "
+        "AQE's sort-merge skew split. Result proven row-identical to "
+        "the unsalted join by the oracle.",
+    tags=("join", "skew"),
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.skew import salted_join
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_partkey").alias("p_partkey"),
+        "l_orderkey",
+        "l_extendedprice",
+        "l_discount",
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    joined = salted_join(
+        lineitem, part, key="p_partkey", unique_col="l_orderkey", n_salts=8
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
