@@ -917,3 +917,33 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+# --- sketch aggregates: the 100 TB path for q30's exact forms ----------------
+
+@register(
+    "q34_sketch_aggregates",
+    None,  # sketches are estimators — no cross-engine value-hash;
+           # tests/test_properties.py bounds them against exact values
+    doc="Sketch twins of q30's exact aggregates: approx_count_distinct "
+        "(HyperLogLog++, fixed ~KB state per group regardless of "
+        "cardinality) and approx_percentile (KLL-style quantile "
+        "sketch). Both partial-merge map-side, so the shuffle carries "
+        "one sketch per (partition, group) instead of every distinct "
+        "value — at 100 TB this is the difference between a bounded "
+        "shuffle and one that scales with data. rsd/accuracy knobs "
+        "trade state for error; tolerance-tested against the exact "
+        "forms.",
+    tags=("agg", "sketch"),
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias(
+            "approx_n_parts"
+        ),
+        F.percentile_approx("l_extendedprice", F.lit(0.9), F.lit(5000)).alias(
+            "approx_p90_price"
+        ),
+        F.count("*").alias("n_rows"),
+    )

@@ -215,3 +215,34 @@ def test_connected_components_both_variants_match_union_find(spark, edges):
             r["node"]: r["component"] for r in impl(df).collect()
         }
         assert got == expected, impl.__name__
+
+
+def test_sketch_aggregates_bounded_error(spark):
+    """q34's sketches stay within their configured error of the exact
+    q30 answers at sf0.01 (rsd=2% HLL → assert 6%; accuracy=5000
+    quantile sketch → assert 1 percentile-rank point)."""
+    from nycdb_k8s_loader_spark.plans.catalog import queries
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["l_returnflag"]: r
+        for r in queries()["q34_sketch_aggregates"](spark, sf).collect()
+    }
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("n_parts"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.88, 0.9, 0.92))"
+            ).alias("p_band"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert abs(a["approx_n_parts"] - e["n_parts"]) <= 0.06 * e["n_parts"]
+        lo, _, hi = e["p_band"]
+        assert lo <= a["approx_p90_price"] <= hi
