@@ -1,0 +1,88 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus is never trained on whole: pipelines carve out
+reproducible subsets — a fixed fraction for a data ablation, exactly-k
+per stratum for a balanced eval set.  ``df.sample()`` is the wrong
+tool for both: its output depends on partitioning and re-executes
+nondeterministically under retries (Spark documents sample() as not
+guaranteed stable across reruns).  These operators derive the sampling
+decision from the *data* (a hash of a unique key), so the same row is
+always in or out — across reruns, engines, partition layouts, and
+incremental refreshes.  That content-addressed property is also what
+makes the DuckDB oracle twin possible: both engines evaluate the same
+integer arithmetic.
+
+The hash is a multiplicative congruential mix (Knuth 2654435761-style
+but sized so key*PRIME stays far inside int64 — Spark 4 runs ANSI
+mode, where bigint overflow raises rather than wraps, and DuckDB
+wraps; staying in range keeps both engines identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# key * _MIX_PRIME must stay < 2^63 for the largest key in the data:
+# safe for keys < ~9.3e14 — far beyond any synthetic or housing id.
+_MIX_PRIME = 9973
+_MIX_OFFSET = 7919
+
+
+def sample_bucket(key: Column, n_buckets: int = 1_000_000) -> Column:
+    """Deterministic bucket in [0, n_buckets) from an integer key.
+
+    pmod((key * P + O), n_buckets) — pure int64 arithmetic, identical
+    in Spark and DuckDB (``(key * P + O) % n`` on non-negative keys).
+    """
+    return F.pmod(
+        key.cast("bigint") * F.lit(_MIX_PRIME) + F.lit(_MIX_OFFSET),
+        F.lit(n_buckets),
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction_ppm: int,
+) -> DataFrame:
+    """Keep rows whose hash bucket falls below ``fraction_ppm`` parts
+    per million: a deterministic ~fraction Bernoulli sample.
+
+    Purely map-side — a filter on a computed column, no shuffle, fully
+    pushable ahead of any downstream join/agg.  Growing the sample
+    (e.g. 10% -> 20%) is a superset by construction, so ablation
+    curves nest — the property random sampling can't give you.
+    """
+    return df.filter(
+        sample_bucket(F.col(key_col)) < F.lit(fraction_ppm)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    key_col: str,
+) -> DataFrame:
+    """Exactly min(n, stratum size) rows per stratum, chosen by hash
+    order — deterministic across reruns and partitionings.
+
+    One shuffle on the strata key; within each stratum a sort by
+    (hash-bucket, key) — a total order, so the selected set is unique
+    and oracle-stable.  At scale the stratum count is the parallelism
+    bound; for very few, very large strata pre-aggregate or salt
+    (operators/skew.py) — for typical (language, source) strata the
+    window never sees more than one stratum per task after the
+    exchange.
+    """
+    rn = F.row_number().over(
+        Window.partitionBy(*strata_cols).orderBy(
+            sample_bucket(F.col(key_col)).asc(), F.col(key_col).asc()
+        )
+    )
+    return (
+        df.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= F.lit(n_per_stratum))
+        .drop("_rn")
+    )

@@ -53,6 +53,7 @@ def _load_all() -> None:
         flagship,
         pipeline_queries,
         relational_queries,
+        scale_queries,
         temporal_queries,
     )
 

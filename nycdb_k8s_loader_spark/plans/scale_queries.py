@@ -1,0 +1,198 @@
+"""Geo-lite + deterministic-sampling query pack.
+
+geo01/geo02 cover the reference's point-coordinate surface (float
+lat/lng on wow_bldgs, /root/reference/tests/sql/
+wow_2021_create_bldgs_table.sql:76-77) with the grid-bin pattern that
+replaces PostGIS proximity queries at scale (SURVEY.md §2.1 S6 was
+de-scoped for *geometry*; points need no geometry type).  p01/p02 are
+the reproducible-subset operators a training-data pipeline needs.
+
+The testdata has no coordinate columns, so geo queries derive a
+deterministic point lattice from ``c_custkey`` with pure int64
+arithmetic — identical in Spark and DuckDB, which is what makes an
+exact value-hash oracle possible for a spatial join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nycdb_k8s_loader_spark.operators.geo import (
+    cell_edge_deg,
+    radius_self_join,
+    with_grid_cell,
+)
+from nycdb_k8s_loader_spark.operators.sampling import (
+    hash_sample,
+    sample_bucket,
+    stratified_sample,
+)
+from nycdb_k8s_loader_spark.plans.catalog import register
+from nycdb_k8s_loader_spark.session import read_table as _t
+
+# Synthetic NYC-ish 1-degree box: lattice pitch 0.001 deg (~111 m),
+# chosen so the sf0.01 pair margins around the 2 km radius and every
+# 3-dp rounding boundary are >= 1e-6 km — far beyond cross-engine
+# libm ulp noise (verified empirically; see PERFORMANCE.md).
+_PTS_SQL = """
+    SELECT c_custkey AS id,
+           40.0 + ((c_custkey * 7919) % 1000) / 1000.0 AS lat,
+           -74.0 + ((c_custkey * 104729) % 1000) / 1000.0 AS lng
+    FROM customer
+"""
+
+_RADIUS_KM = 2.0
+_MAX_ABS_LAT = 41.0
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        (
+            F.lit(40.0)
+            + F.pmod(F.col("c_custkey") * 7919, F.lit(1000)) / 1000.0
+        ).alias("lat"),
+        (
+            F.lit(-74.0)
+            + F.pmod(F.col("c_custkey") * 104729, F.lit(1000)) / 1000.0
+        ).alias("lng"),
+    )
+
+
+@register(
+    "geo01_nearby_pairs",
+    f"""
+    WITH pts AS ({_PTS_SQL})
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND(2 * 6371.0088 * asin(sqrt(
+               sin(radians(b.lat - a.lat)/2) * sin(radians(b.lat - a.lat)/2)
+             + cos(radians(a.lat)) * cos(radians(b.lat))
+               * sin(radians(b.lng - a.lng)/2) * sin(radians(b.lng - a.lng)/2)
+           )), 3) AS dist_km
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE 2 * 6371.0088 * asin(sqrt(
+               sin(radians(b.lat - a.lat)/2) * sin(radians(b.lat - a.lat)/2)
+             + cos(radians(a.lat)) * cos(radians(b.lat))
+               * sin(radians(b.lng - a.lng)/2) * sin(radians(b.lng - a.lng)/2)
+          )) <= {_RADIUS_KM}
+    """,
+    doc="Spatial radius self-join via grid-cell binning: snap points "
+        "to cells sized >= radius, equi-join on (cell_x, cell_y) with "
+        "3x3 neighbor expansion, exact haversine residual. One shuffle "
+        "on the cell key; candidates bounded by local density — the "
+        "oracle's all-pairs form is O(n^2) and exists only to prove "
+        "the bin join loses no pair. At 100 TB cells follow real-world "
+        "density; salt hot cells (operators/skew.py). "
+        "Ref surface: float lat/lng wow_2021_create_bldgs_table.sql:76-77.",
+    tags=("geo", "join"),
+)
+def geo01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = radius_self_join(
+        _points(spark, sf_dir),
+        id_col="id",
+        lat="lat",
+        lng="lng",
+        radius_km=_RADIUS_KM,
+        max_abs_lat_deg=_MAX_ABS_LAT,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("dist_km", 3).alias("dist_km")
+    )
+
+
+_EDGE = cell_edge_deg(_RADIUS_KM, _MAX_ABS_LAT)
+
+
+@register(
+    "geo02_grid_density",
+    f"""
+    WITH pts AS ({_PTS_SQL})
+    SELECT CAST(floor(lng / {_EDGE!r}) AS INT) AS cell_x,
+           CAST(floor(lat / {_EDGE!r}) AS INT) AS cell_y,
+           COUNT(*)::BIGINT AS n_points,
+           ROUND(MIN(lat), 6) AS min_lat,
+           ROUND(MAX(lng), 6) AS max_lng
+    FROM pts
+    GROUP BY 1, 2
+    """,
+    doc="Points-per-grid-cell density: the aggregation twin of geo01's "
+        "bin join — one shuffle on the cell key, counts combine "
+        "map-side. Cell extremes use MIN/MAX (order-insensitive) so "
+        "the value-hash is float-stable; the operator also offers "
+        "centroids for real use. This is the layout query behind "
+        "choosing partition keys for geographically-partitioned "
+        "published tables (publish/protocol.py TableLayout).",
+    tags=("geo", "agg"),
+)
+def geo02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        with_grid_cell(_points(spark, sf_dir), "lat", "lng", _EDGE)
+        .groupBy("cell_x", "cell_y")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.min("lat"), 6).alias("min_lat"),
+            F.round(F.max("lng"), 6).alias("max_lng"),
+        )
+    )
+
+
+# --- deterministic sampling --------------------------------------------------
+
+_PPM = 100_000  # 10% sample
+
+
+@register(
+    "p01_hash_sample_docs",
+    f"""
+    SELECT doc_id, lang, source, n_chars,
+           ((doc_id * 9973 + 7919) % 1000000)::BIGINT AS sample_bucket
+    FROM documents
+    WHERE (doc_id * 9973 + 7919) % 1000000 < {_PPM}
+    """,
+    doc="Deterministic ~10% Bernoulli sample: keep rows whose "
+        "key-derived bucket < fraction. Map-side filter, zero "
+        "shuffle, pushes below any downstream op; same row is in/out "
+        "across reruns, engines, and partitionings (df.sample() "
+        "guarantees none of these). Buckets nest: a 20% sample is a "
+        "superset of the 10% — ablation curves stay comparable.",
+    tags=("sampling", "pipeline"),
+)
+def p01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_sample(docs, "doc_id", _PPM).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        sample_bucket(F.col("doc_id")).alias("sample_bucket"),
+    )
+
+
+_N_PER_STRATUM = 50
+
+
+@register(
+    "p02_stratified_sample_docs",
+    f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY lang, source
+        ORDER BY (doc_id * 9973 + 7919) % 1000000, doc_id
+    ) <= {_N_PER_STRATUM}
+    """,
+    doc="Exactly min(50, stratum size) docs per (lang, source) "
+        "stratum, selected by hash order: one shuffle on the strata "
+        "key, total-order tiebreak (bucket, doc_id) makes the chosen "
+        "set unique — deterministic balanced eval-set carving. Same "
+        "window top-k shape as q11/D1, keyed by content hash instead "
+        "of a quality column.",
+    tags=("sampling", "pipeline"),
+)
+def p02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(
+        docs, ["lang", "source"], _N_PER_STRATUM, "doc_id"
+    ).select("doc_id", "lang", "source")

@@ -296,3 +296,121 @@ class TestStarComponents:
         )
         rows = asof_join(left, right, "k", "t", "rt", ["payload"]).collect()
         assert [r["payload"] for r in rows] == ["ok"]
+
+
+class TestGeo:
+    def _random_points(self, spark, n=300, seed=7):
+        import random
+
+        rng = random.Random(seed)
+        rows = [
+            (i, 40.0 + rng.random(), -74.0 + rng.random())
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, ["id", "lat", "lng"])
+
+    def test_radius_join_equals_brute_force(self, spark):
+        """The grid-bin join must find exactly the pairs the O(n^2)
+        haversine scan finds — the binning must lose nothing."""
+        from nycdb_k8s_loader_spark.operators.geo import (
+            haversine_km,
+            radius_self_join,
+        )
+
+        pts = self._random_points(spark)
+        radius = 3.0
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in radius_self_join(
+                pts, "id", "lat", "lng", radius, max_abs_lat_deg=41.0
+            ).collect()
+        }
+        a, b = pts.alias("a"), pts.alias("b")
+        brute = {
+            (r["id_a"], r["id_b"])
+            for r in a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                haversine_km(
+                    F.col("a.lat"),
+                    F.col("a.lng"),
+                    F.col("b.lat"),
+                    F.col("b.lng"),
+                ).alias("d"),
+            )
+            .filter(F.col("d") <= radius)
+            .collect()
+        }
+        assert got == brute and len(brute) > 50
+
+    def test_cell_edge_covers_radius(self):
+        import math
+
+        from nycdb_k8s_loader_spark.operators.geo import (
+            KM_PER_LAT_DEG,
+            KM_PER_LNG_DEG_EQUATOR,
+            cell_edge_deg,
+        )
+
+        edge = cell_edge_deg(2.0, 60.0)
+        assert edge * KM_PER_LAT_DEG >= 2.0
+        assert (
+            edge * KM_PER_LNG_DEG_EQUATOR * math.cos(math.radians(60.0))
+            >= 2.0 - 1e-9
+        )
+        import pytest
+
+        with pytest.raises(ValueError):
+            cell_edge_deg(1.0, 89.5)
+
+
+class TestSampling:
+    def test_hash_sample_nests_and_is_partition_invariant(self, spark):
+        from nycdb_k8s_loader_spark.operators.sampling import hash_sample
+
+        df = spark.range(0, 5000).withColumnRenamed("id", "k")
+        s10 = {r["k"] for r in hash_sample(df, "k", 100_000).collect()}
+        s20 = {r["k"] for r in hash_sample(df, "k", 200_000).collect()}
+        assert s10 < s20  # nesting: growing the fraction only adds rows
+        assert abs(len(s10) / 5000 - 0.10) < 0.02
+        assert abs(len(s20) / 5000 - 0.20) < 0.02
+        # repartitioning must not change membership
+        s10b = {
+            r["k"]
+            for r in hash_sample(df.repartition(13), "k", 100_000).collect()
+        }
+        assert s10 == s10b
+
+    def test_stratified_sample_exact_counts_deterministic(self, spark):
+        from nycdb_k8s_loader_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("g"),
+        )
+        out1 = stratified_sample(df, ["g"], 20, "k")
+        counts = {
+            r["g"]: r["n"]
+            for r in out1.groupBy("g").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts == {"0": 20, "1": 20, "2": 20}
+        # stratum smaller than n: keep all of it
+        small = df.filter((F.col("g") != "2") | (F.col("k") < 15))
+        c2 = {
+            r["g"]: r["n"]
+            for r in stratified_sample(small, ["g"], 20, "k")
+            .groupBy("g")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert c2["2"] == 5  # only ids 0..14 ≡ 2 mod 3 → 5 rows survive
+        # identical selection under a different partitioning
+        ids1 = sorted(r["k"] for r in out1.collect())
+        ids2 = sorted(
+            r["k"]
+            for r in stratified_sample(df.repartition(17), ["g"], 20, "k").collect()
+        )
+        assert ids1 == ids2
