@@ -196,3 +196,65 @@ def p02(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         docs, ["lang", "source"], _N_PER_STRATUM, "doc_id"
     ).select("doc_id", "lang", "source")
+
+
+# --- incremental rollup ------------------------------------------------------
+
+_CUTOFF = "1997-07-01"
+
+
+@register(
+    "q35_incremental_rollup",
+    f"""
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           o_orderstatus,
+           COUNT(*)::BIGINT AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS price_sum,
+           MIN(o_totalprice) AS price_min,
+           MAX(o_totalprice) AS price_max,
+           ROUND(SUM(o_totalprice) / COUNT(o_totalprice), 4) AS price_avg
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc="Incremental refresh via mergeable partial rollups: the fact "
+        "is split at a cutoff into base and delta, each aggregated to "
+        "decomposed monoid state (count/sum/min/max), merged, then "
+        "finalized (avg = sum/cnt). merge(rollup(base), rollup(delta)) "
+        "== rollup(base ∪ delta) — the oracle computes the right side "
+        "directly. At 100 TB the base state is persisted and only the "
+        "delta partition is ever re-aggregated: O(delta + groups) per "
+        "refresh, vs the reference's full recompute on any change "
+        "(load_dataset.py:352-367). operators/incremental.py.",
+    tags=("agg", "incremental"),
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.incremental import (
+        finalize_rollup,
+        merge_rollups,
+        partial_rollup,
+    )
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "order_month", F.date_trunc("month", F.col("o_orderdate"))
+    )
+    keys = ["order_month", "o_orderstatus"]
+    base = orders.filter(F.col("o_orderdate") < F.lit(_CUTOFF))
+    delta = orders.filter(F.col("o_orderdate") >= F.lit(_CUTOFF))
+    merged = merge_rollups(
+        [
+            partial_rollup(base, keys, ["o_totalprice"]),
+            partial_rollup(delta, keys, ["o_totalprice"]),
+        ],
+        keys,
+        ["o_totalprice"],
+    )
+    out = finalize_rollup(merged, keys, ["o_totalprice"])
+    return out.select(
+        "order_month",
+        "o_orderstatus",
+        "n_rows",
+        F.round("o_totalprice_sum", 2).alias("price_sum"),
+        F.col("o_totalprice_min").alias("price_min"),
+        F.col("o_totalprice_max").alias("price_max"),
+        F.round("o_totalprice_avg", 4).alias("price_avg"),
+    )

@@ -414,3 +414,89 @@ class TestSampling:
             for r in stratified_sample(df.repartition(17), ["g"], 20, "k").collect()
         )
         assert ids1 == ids2
+
+
+class TestIncrementalRollup:
+    def test_merge_of_splits_equals_direct(self, spark):
+        """merge(rollup(base), rollup(delta)) == rollup(all), including
+        null measures, an all-null group, and an empty delta."""
+        from nycdb_k8s_loader_spark.operators.incremental import (
+            finalize_rollup,
+            merge_rollups,
+            partial_rollup,
+        )
+
+        rows = [
+            ("a", 1.0), ("a", None), ("a", 3.0),
+            ("b", None), ("b", None),          # all-null group → avg null
+            ("c", 5.0),
+        ]
+        df = spark.createDataFrame(rows, ["g", "v"])
+
+        def as_map(out):
+            return {
+                r["g"]: (
+                    r["n_rows"], r["v_sum"], r["v_min"], r["v_max"], r["v_avg"]
+                )
+                for r in out.collect()
+            }
+
+        direct = as_map(
+            finalize_rollup(partial_rollup(df, ["g"], ["v"]), ["g"], ["v"])
+        )
+        base = df.filter(F.col("v").isNotNull() | (F.col("g") == "b"))
+        delta = df.subtract(base)
+        empty = df.filter(F.lit(False))
+        merged = as_map(
+            finalize_rollup(
+                merge_rollups(
+                    [
+                        partial_rollup(base, ["g"], ["v"]),
+                        partial_rollup(delta, ["g"], ["v"]),
+                        partial_rollup(empty, ["g"], ["v"]),
+                    ],
+                    ["g"],
+                    ["v"],
+                ),
+                ["g"],
+                ["v"],
+            )
+        )
+        assert direct == merged
+        assert merged["b"][4] is None  # all-null avg stays null
+
+
+class TestScalePhysicalPlans:
+    """Assert the plan *shapes* that make the new operators scale —
+    the properties that survive a 1000-executor cluster, not timings."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_geo01_bin_join_is_equi_not_cartesian(self, spark):
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        plan = self._plan(
+            queries()["geo01_nearby_pairs"](spark, "/root/testdata/sf0.001")
+        )
+        assert "Cartesian" not in plan and "NestedLoop" not in plan
+        assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+    def test_p01_hash_sample_has_no_shuffle(self, spark):
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        plan = self._plan(
+            queries()["p01_hash_sample_docs"](spark, "/root/testdata/sf0.001")
+        )
+        assert "Exchange" not in plan  # pure map-side filter
+
+    def test_q35_merge_is_single_aggregation_pass(self, spark):
+        """Partial rollups + merge must plan as partial/final hash
+        aggregates — no join, no extra exchange beyond the group keys."""
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        plan = self._plan(
+            queries()["q35_incremental_rollup"](spark, "/root/testdata/sf0.001")
+        )
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") <= 2
