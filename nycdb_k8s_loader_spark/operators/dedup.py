@@ -56,19 +56,54 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def shingle_postings(
+    df: DataFrame,
+    shingles: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct (doc, k-word-shingle) posting list — the shingled twin
+    of :func:`tokenize_distinct`, via staged selects so each array is
+    materialized once per row (see :func:`shingle_array`)."""
+    if shingles == 1:
+        return tokenize_distinct(df, id_col, text_col)
+    words = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(normalized_text(text_col), " "), lambda w: w != ""
+        ).alias("words"),
+    )
+    return (
+        words.select(
+            F.col(id_col),
+            F.explode(shingle_array(F.col("words"), shingles)).alias("w"),
+        )
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.6,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: int = 1,
 ) -> DataFrame:
-    """Near-dup pairs by word-set Jaccard ≥ threshold.
+    """Near-dup pairs by token-set Jaccard ≥ threshold.
 
     Inverted-index self-join: postings joined on token, common-count
     per pair, then |A∩B| / (|A| + |B| - |A∩B|). The division is exact
     integer-over-integer in doubles, so the oracle compare is stable.
+
+    ``shingles`` picks the token unit and is what bounds the join: the
+    candidate blowup is Σ_t df(t)², so tokens must be discriminative.
+    On a small-vocabulary corpus unigram postings are quadratic by
+    construction (every doc shares most words — measured 4.5e8
+    candidate pairs at sf0.1); 3-word shingles collapse that to ~1.4e6
+    while *raising* signal quality. Same reasoning as d03's shingled
+    MinHash — this exact form is what the bands approximate.
     """
-    words = tokenize_distinct(df, id_col, text_col)
+    words = shingle_postings(df, shingles, id_col, text_col)
     sizes = words.groupBy(id_col).agg(F.count("*").alias("n_words"))
 
     a = words.select(F.col(id_col).alias("doc_a"), "w")

@@ -66,10 +66,20 @@ def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d02_jaccard_pairs",
     """
-    WITH words AS (
-        SELECT DISTINCT doc_id, w
-        FROM documents, unnest(string_split(lower(trim(text)), ' ')) AS t(w)
-        WHERE w <> ''
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS l
+        FROM documents
+    ),
+    words AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(l) >= 3
+                    THEN l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                    ELSE array_to_string(l, ' ') END AS w
+        FROM toks,
+             unnest(CASE WHEN len(l) >= 3 THEN range(1, len(l) - 1)
+                         ELSE [CAST(1 AS BIGINT)] END) AS t(i)
     ),
     sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n_words FROM words GROUP BY doc_id),
     common AS (
@@ -85,14 +95,21 @@ def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE n_common * 1.0 / (sa.n_words + sb.n_words - n_common) >= 0.6
     """,
-    doc="Word-set Jaccard near-dup pairs ≥ 0.6 via token inverted "
-        "index self-join (SURVEY north-star dedup). Scale path: the "
-        "posting-list join explodes on stopword-frequency tokens — "
-        "d03's MinHash bands replace it at 100TB.",
+    doc="Shingle-set Jaccard near-dup pairs ≥ 0.6 via inverted-index "
+        "self-join (SURVEY north-star dedup) — the exact measure "
+        "d03's MinHash bands approximate, over the same 3-word "
+        "shingles. Shingling is load-bearing for the exact form too: "
+        "the join materializes Σ df(t)² candidate pairs, and on a "
+        "small-vocabulary corpus unigram postings make that quadratic "
+        "(4.5e8 pairs at sf0.1 vs 1.4e6 shingled). At 100 TB d03 "
+        "still replaces this (signatures bound work per doc, not per "
+        "matching pair), but the exact form now scales with true "
+        "near-dup density, not corpus vocabulary.",
     tags=("dedup", "join"),
 )
 def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.6)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.6,
+                               shingles=3)
 
 
 # --- MinHash signatures ------------------------------------------------------
