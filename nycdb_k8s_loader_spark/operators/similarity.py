@@ -75,7 +75,17 @@ def cosine_topk(
     Rank is (rounded cosine DESC, neighbor id ASC) — a total order, so
     results are deterministic and oracle-stable. Self-matches excluded.
     """
+    # Staged selects: materialize v once, then the norm once per
+    # vector — cosine per candidate is then ONE dot product, not three
+    # (norms recomputed per pair measured ~3x slower on the half-
+    # matrix forms). Same expression tree per value, so results are
+    # bit-identical to the fold-per-pair form.
     vecs = emb.select(F.col(id_col), as_double_vec(vec_col).alias("v"))
+    vecs = vecs.select(
+        F.col(id_col),
+        "v",
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
+    )
     if bucketed:
         vecs = vecs.withColumn("bucket", sign_bucket(F.col("v"), n_bits))
 
@@ -85,11 +95,13 @@ def cosine_topk(
     q = q.select(
         F.col(id_col).alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
         *([F.col("bucket").alias("qbucket")] if bucketed else []),
     )
     c = vecs.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("v").alias("nv"),
+        F.col("nrm").alias("nn"),
         *([F.col("bucket")] if bucketed else []),
     )
 
@@ -99,7 +111,9 @@ def cosine_topk(
         joined = c.crossJoin(F.broadcast(q))
 
     joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
-    cos_r = F.round(cosine(F.col("qv"), F.col("nv")), 6)
+    cos_r = F.round(
+        dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+    )
     scored = joined.select("query_id", "neighbor_id", cos_r.alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -125,12 +139,26 @@ def embedding_neardup_pairs(
     MinHash bands for text).
     """
     vecs = emb.select(F.col(id_col), as_double_vec(vec_col).alias("v"))
-    a = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    b = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    vecs = vecs.select(
+        F.col(id_col),
+        "v",
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
+    )
+    a = vecs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = vecs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .filter(cos >= threshold)
         .select("id_a", "id_b")
     )
 

@@ -33,10 +33,20 @@ from nycdb_k8s_loader_spark.plans.catalog import register
 from nycdb_k8s_loader_spark.streaming.pipeline import windowed_event_counts
 
 _JACCARD_EDGES_08 = """
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS l
+        FROM documents
+    ),
     words AS (
-        SELECT DISTINCT doc_id, w
-        FROM documents, unnest(string_split(lower(trim(text)), ' ')) AS t(w)
-        WHERE w <> ''
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(l) >= 3
+                    THEN l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                    ELSE array_to_string(l, ' ') END AS w
+        FROM toks,
+             unnest(CASE WHEN len(l) >= 3 THEN range(1, len(l) - 1)
+                         ELSE [CAST(1 AS BIGINT)] END) AS t(i)
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY doc_id),
     common AS (
@@ -77,7 +87,9 @@ _JACCARD_EDGES_08 = """
 )
 def g01(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    edges = ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    edges = ngram_jaccard_pairs(docs, threshold=0.8, shingles=3).select(
+        "doc_a", "doc_b"
+    )
     return cluster_assignments(edges)
 
 

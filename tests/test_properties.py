@@ -246,3 +246,62 @@ def test_sketch_aggregates_bounded_error(spark):
         assert abs(a["approx_n_parts"] - e["n_parts"]) <= 0.06 * e["n_parts"]
         lo, _, hi = e["p_band"]
         assert lo <= a["approx_p90_price"] <= hi
+
+
+_rollup_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),                        # group key (hot)
+        st.one_of(st.none(), st.integers(-5, 5)), # measure | NULL
+        st.booleans(),                            # base/delta assignment
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=_rollup_rows)
+@SETTINGS
+def test_incremental_rollup_merge_equals_direct(spark, rows):
+    """merge(rollup(base), rollup(delta)) == rollup(all) for ANY split,
+    including empty sides, all-NULL groups, and groups entirely in one
+    side — the monoid-merge law q35 relies on."""
+    from nycdb_k8s_loader_spark.operators.incremental import (
+        finalize_rollup,
+        merge_rollups,
+        partial_rollup,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("g", T.IntegerType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("in_base", T.BooleanType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(g, v, b) for g, v, b in rows], schema
+    ).cache()
+
+    def as_map(state):
+        return {
+            r["g"]: (r["n_rows"], r["v_cnt"], r["v_sum"], r["v_min"], r["v_max"])
+            for r in state.collect()
+        }
+
+    direct = as_map(partial_rollup(df.drop("in_base"), ["g"], ["v"]))
+    merged = as_map(
+        merge_rollups(
+            [
+                partial_rollup(
+                    df.filter("in_base").drop("in_base"), ["g"], ["v"]
+                ),
+                partial_rollup(
+                    df.filter("NOT in_base").drop("in_base"), ["g"], ["v"]
+                ),
+            ],
+            ["g"],
+            ["v"],
+        )
+    )
+    assert direct == merged
+    df.unpersist()
