@@ -154,3 +154,46 @@ def stateful_running_totals(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    max_gap: str,
+    watermark: str,
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right rows with the same
+    ``key`` whose timestamp falls in [left_ts, left_ts + max_gap].
+
+    This is the streaming shape Spark requires for unbounded joins:
+    BOTH sides carry a watermark and the join condition bounds the
+    time range, so each side's state store only retains rows inside
+    the (watermark + max_gap) horizon — without the range bound the
+    state would grow with the stream. The reference has no streaming
+    at all (SURVEY §2.9); this is the idiomatic upgrade for its
+    "correlate events across feeds" class of batch SQL.
+
+    The equality key rides in the join condition, so the physical plan
+    shuffles both sides on ``key`` once and joins state symmetrically —
+    the streaming twin of the batch interval join (q27 / operators/
+    temporal.py range_join).
+
+    Column names must be disjoint across sides (rename before calling
+    — both streams often derive from one source, and unique names are
+    what keeps a streaming self-join unambiguous).
+    """
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"rename overlapping columns first: {overlap}")
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.expr(f"{left_ts} + INTERVAL {max_gap}"))
+    )
+    return lw.join(rw, cond, "inner")

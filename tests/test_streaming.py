@@ -121,3 +121,70 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert final == {1: (3, 7.0), 2: (2, 10.5), 3: (1, 7.0)}
     # and state really crossed batches: user 1 emitted twice
     assert out.filter(F.col("user_id") == 1).count() == 2
+
+
+def test_stream_interval_join_incremental_and_overlap_guard(spark, tmp_path):
+    """Two-batch stream-stream interval join: matches within the gap
+    emit, matches outside don't, and a second availableNow pass only
+    adds the new batch's joins. Overlapping column names are rejected."""
+    import pytest
+
+    from nycdb_k8s_loader_spark.streaming.pipeline import (
+        stream_interval_join,
+    )
+
+    left_dir = tmp_path / "left"
+    right_dir = tmp_path / "right"
+    left_dir.mkdir()
+    right_dir.mkdir()
+    (left_dir / "b1.csv").write_text(
+        "lid,lk,lts\n1,7,2024-01-01T00:00:00\n2,8,2024-01-01T05:00:00\n"
+    )
+    (right_dir / "b1.csv").write_text(
+        # 10 min after left#1 (match); 2h after left#1 (outside gap);
+        # wrong key (no match)
+        "rid,rk,rts\n10,7,2024-01-01T00:10:00\n11,7,2024-01-01T02:00:00\n"
+        "12,9,2024-01-01T00:05:00\n"
+    )
+    lschema = T.StructType(
+        [
+            T.StructField("lid", T.LongType()),
+            T.StructField("lk", T.LongType()),
+            T.StructField("lts", T.TimestampType()),
+        ]
+    )
+    rschema = T.StructType(
+        [
+            T.StructField("rid", T.LongType()),
+            T.StructField("rk", T.LongType()),
+            T.StructField("rts", T.TimestampType()),
+        ]
+    )
+
+    def run_once():
+        left = incremental_csv_source(spark, str(left_dir), lschema)
+        right = incremental_csv_source(spark, str(right_dir), rschema)
+        joined = stream_interval_join(
+            left, right, "lk", "rk", "lts", "rts",
+            max_gap="30 MINUTES", watermark="10 hours",
+        ).select("lid", "rid")
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+        run_available_now(joined, sink, ckpt)
+        out_schema = T.StructType(
+            [T.StructField("lid", T.LongType()), T.StructField("rid", T.LongType())]
+        )
+        return {
+            (r["lid"], r["rid"])
+            for r in spark.read.schema(out_schema).parquet(sink).collect()
+        }
+
+    assert run_once() == {(1, 10)}
+
+    # batch 2: a right row matching left#2 within the gap
+    (right_dir / "b2.csv").write_text("rid,rk,rts\n13,8,2024-01-01T05:20:00\n")
+    assert run_once() == {(1, 10), (2, 13)}
+
+    with pytest.raises(ValueError, match="rename overlapping"):
+        df = spark.createDataFrame([(1,)], ["x"])
+        stream_interval_join(df, df, "x", "x", "x", "x", "1 MINUTE", "1 MINUTE")
