@@ -947,3 +947,46 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_rows"),
     )
+
+
+# --- correlated scalar subquery: Catalyst decorrelation ----------------------
+
+@register(
+    "q36_correlated_subquery",
+    """
+    SELECT c_custkey, c_name,
+           (SELECT COUNT(*) FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+               AND o.o_orderstatus = 'O')::BIGINT AS n_open,
+           COALESCE((SELECT ROUND(MAX(o_totalprice), 2) FROM orders o
+             WHERE o.o_custkey = c.c_custkey), 0.0) AS max_price
+    FROM customer c
+    WHERE c_acctbal > 9000
+    """,
+    doc="Correlated scalar subqueries (COUNT + MAX per outer row), "
+        "written as SQL exactly as a Postgres user would (SURVEY §4.2: "
+        "subquery decorrelation is a Catalyst freebie). Catalyst "
+        "rewrites both subqueries into ONE pre-aggregated LEFT join "
+        "each — no per-row re-execution, no nested-loop; the physical "
+        "plan is the same join+agg a hand-decorrelated DataFrame "
+        "version would produce (plan-asserted in tests). COUNT(*) "
+        "over zero rows must surface as 0, not NULL — the classic "
+        "decorrelation null trap the oracle cross-checks.",
+    tags=("subquery", "join"),
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__q36_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q36_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               CAST((SELECT COUNT(*) FROM __q36_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                   AND o.o_orderstatus = 'O') AS BIGINT) AS n_open,
+               COALESCE((SELECT ROUND(MAX(o_totalprice), 2)
+                           FROM __q36_orders o
+                          WHERE o.o_custkey = c.c_custkey), 0.0) AS max_price
+        FROM __q36_customer c
+        WHERE c_acctbal > 9000
+        """
+    )

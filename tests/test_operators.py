@@ -500,3 +500,16 @@ class TestScalePhysicalPlans:
         )
         assert "Join" not in plan
         assert plan.count("Exchange hashpartitioning") <= 2
+
+    def test_q36_subqueries_decorrelate_to_joins(self, spark):
+        """Both correlated scalar subqueries must plan as joins against
+        pre-aggregated subtrees — no nested-loop per-row re-execution."""
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        plan = self._plan(
+            queries()["q36_correlated_subquery"](
+                spark, "/root/testdata/sf0.001"
+            )
+        )
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+        assert plan.count("Join") == 2
