@@ -81,5 +81,45 @@ def main() -> None:
     )
 
 
+def profile_all() -> None:
+    """``python bench.py --all``: time EVERY catalog query once at the
+    bench scale factor and print one JSON line (slowest first). Not
+    part of the driver contract — this is the per-round regression
+    sweep that catches operators the headline set can't see (it found
+    d06 at 148 s and f01 at 361 s while the headline bench sat at
+    ~4.5 s). Streaming queries run their availableNow pass like any
+    other; plan compilation is included (cold timings)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="nycdb-spark-bench-all")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    qs = queries()
+    timings: dict[str, float] = {}
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings[name] = round(time.perf_counter() - t0, 2)
+    ordered = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "full_catalog_cold_runtime",
+                "value": round(sum(timings.values()), 2),
+                "unit": "sec",
+                "queries": ordered,
+                "sf": sf,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if "--all" in sys.argv[1:]:
+        profile_all()
+    else:
+        main()

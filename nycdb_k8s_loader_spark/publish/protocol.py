@@ -153,13 +153,25 @@ class Publisher:
         self,
         dataset: str,
         builders: dict[str, "callable"],
+        checks: dict[str, "TableChecksLike"] | None = None,
     ) -> list[str]:
-        """Run each ``{table: fn() -> DataFrame}`` into staging, then
-        publish all-or-nothing (errors roll back by dropping staging).
+        """Run each ``{table: fn() -> DataFrame}`` into staging,
+        validate the STAGING copies (``checks``: per-table
+        publish/validate.TableChecks), then publish all-or-nothing.
+        A failed check raises before any table swaps — readers keep
+        the last good version (errors roll back by dropping staging).
         """
+        from nycdb_k8s_loader_spark.publish.validate import (
+            validate_or_raise,
+        )
+
         with self.staging(dataset) as db:
             names = []
             for table, build in builders.items():
                 self.write_staging_table(db, table, build())
                 names.append(table)
+            for table, tc in (checks or {}).items():
+                validate_or_raise(
+                    table, self.spark.table(f"`{db}`.`{table}`"), tc
+                )
             return self.publish_tables(db, names)

@@ -473,3 +473,90 @@ class TestKVBatch:
         assert flushes == 1
         kv2 = ParquetKVStore(str(tmp_path / "kv.parquet"))
         assert len(kv2) == 10
+
+
+class TestValidationGate:
+    def test_single_pass_checks_and_failures(self, spark):
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.publish.validate import (
+            TableChecks,
+            ValidationError,
+            run_checks,
+            validate_or_raise,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "a", 10.0),
+                (1, "a", -5.0),   # dup key, negative amount
+                (2, None, 3.0),   # null name
+                (3, "zz", 4.0),   # out-of-domain name
+            ],
+            ["id", "name", "amount"],
+        )
+        checks = TableChecks(
+            unique_key=["id", "name"],
+            not_null=["name"],
+            accepted_values={"name": ["a", "b"]},
+            min_rows=10,
+            predicates={"amount_positive": F.col("amount") > 0},
+        )
+        got = {r.check: r.violations for r in run_checks(df, checks)}
+        assert got == {
+            "min_rows": 6,
+            "unique_key(id,name)": 2,  # 1 true dup + 1 NULL-key row
+            "not_null(name)": 1,
+            "accepted_values(name)": 1,
+            "predicate(amount_positive)": 1,
+        }
+        try:
+            validate_or_raise("t", df, checks)
+            assert False, "should raise"
+        except ValidationError as ex:
+            assert ex.table == "t" and len(ex.failures) == 5
+
+    def test_foreign_key_orphans(self, spark):
+        from nycdb_k8s_loader_spark.publish.validate import (
+            check_foreign_key,
+        )
+
+        child = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 99), (4, None)], ["id", "ref"]
+        )
+        parent = spark.createDataFrame([(10,), (20,)], ["pk"])
+        r = check_foreign_key(child, ["ref"], parent, ["pk"])
+        assert r.violations == 1  # only ref=99; NULL ref passes
+
+    def test_publish_gated_on_validation(self, spark):
+        """A failing staging check must abort the swap: the previously
+        published table stays visible, staging is rolled back."""
+        from nycdb_k8s_loader_spark.publish.protocol import Publisher
+        from nycdb_k8s_loader_spark.publish.validate import (
+            TableChecks,
+            ValidationError,
+        )
+
+        pub = Publisher(spark, target_db="vgate_public")
+        good = lambda: spark.createDataFrame([(1, "x"), (2, "y")], ["k", "v"])
+        pub.load_and_publish(
+            "vgate_ds",
+            {"tbl": good},
+            checks={"tbl": TableChecks(unique_key=["k"], min_rows=1)},
+        )
+        assert spark.table("vgate_public.tbl").count() == 2
+
+        bad = lambda: spark.createDataFrame([(1, "x"), (1, "y")], ["k", "v"])
+        try:
+            pub.load_and_publish(
+                "vgate_ds",
+                {"tbl": bad},
+                checks={"tbl": TableChecks(unique_key=["k"])},
+            )
+            assert False, "should raise"
+        except ValidationError:
+            pass
+        # last good version still published; staging cleaned up
+        assert spark.table("vgate_public.tbl").count() == 2
+        assert pub.list_staging_dbs("vgate_ds") == []
+        spark.sql("DROP DATABASE IF EXISTS vgate_public CASCADE")
