@@ -62,6 +62,8 @@ def merge_rollups(
     and maxes fold — the monoid merge.  Cost is O(total state rows),
     independent of the raw-data size the states summarize.
     """
+    if not states:
+        raise ValueError("merge_rollups needs at least one state")
     unioned = reduce(lambda a, b: a.unionByName(b), states)
     aggs = [F.sum("n_rows").alias("n_rows")]
     for m in measures:

@@ -258,3 +258,95 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice_max").alias("price_max"),
         F.round("o_totalprice_avg", 4).alias("price_avg"),
     )
+
+
+# --- nearest-site assignment -------------------------------------------------
+
+_SITES_SQL = """
+    SELECT s AS site_id,
+           40.0 + ((s * 331) % 1000) / 1000.0 AS slat,
+           -74.0 + ((s * 577) % 1000) / 1000.0 AS slng
+    FROM unnest(range(1, 9)) AS t(s)
+"""
+
+
+@register(
+    "geo03_nearest_site",
+    f"""
+    WITH pts AS ({_PTS_SQL}),
+    sites AS ({_SITES_SQL}),
+    d AS (
+        SELECT id, site_id,
+               2 * 6371.0088 * asin(sqrt(
+                  sin(radians(slat - lat)/2) * sin(radians(slat - lat)/2)
+                + cos(radians(lat)) * cos(radians(slat))
+                  * sin(radians(slng - lng)/2) * sin(radians(slng - lng)/2)
+               )) AS dist
+        FROM pts CROSS JOIN sites
+    )
+    SELECT id, site_id, ROUND(dist, 3) AS dist_km
+    FROM d
+    QUALIFY row_number() OVER (
+        PARTITION BY id ORDER BY dist, site_id
+    ) = 1
+    """,
+    doc="Nearest-site assignment (point → closest of K fixed sites): "
+        "the K-site table ships as a literal struct array and the "
+        "argmin is a per-row fold — ZERO shuffle, zero join, the scan "
+        "output is the answer (plan-asserted: no Exchange). The "
+        "tie-break (dist, site_id) is a total order via strict-<; the "
+        "closest top-2 gap at sf0.01 is 8.7 m, far above cross-engine "
+        "libm noise. Geo twin of s03/s04 centroid assignment — the "
+        "'attach each building to its nearest facility' workload; for "
+        "large K, swap the literal for a broadcast join + "
+        "min(struct).",
+    tags=("geo", "agg"),
+)
+def geo03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.geo import haversine_km
+
+    # K is tiny and fixed, so the site table ships as a LITERAL array
+    # of structs and the argmin is a per-row fold — ZERO shuffle, zero
+    # join; the scan's output is already the answer (plan-asserted).
+    # Python computes each coordinate in the same IEEE-754 double ops
+    # as the oracle's SQL, so the literals are bit-identical.
+    site_structs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("site_id"),
+                F.lit(40.0 + (s * 331 % 1000) / 1000.0).alias("slat"),
+                F.lit(-74.0 + (s * 577 % 1000) / 1000.0).alias("slng"),
+            )
+            for s in range(1, 9)
+        ]
+    )
+    pts = _points(spark, sf_dir)
+    best = F.aggregate(
+        site_structs,
+        F.struct(
+            F.lit(float("inf")).alias("dist"),
+            F.lit(-1).alias("site_id"),
+        ),
+        # strict < keeps the earlier (lower-id) site on a tie — same
+        # total order as the oracle's ORDER BY dist, site_id
+        lambda acc, s: F.when(
+            haversine_km(
+                F.col("lat"), F.col("lng"), s["slat"], s["slng"]
+            )
+            < acc["dist"],
+            F.struct(
+                haversine_km(
+                    F.col("lat"), F.col("lng"), s["slat"], s["slng"]
+                ).alias("dist"),
+                s["site_id"].alias("site_id"),
+            ),
+        ).otherwise(acc),
+    )
+    return (
+        pts.select("id", best.alias("best"))
+        .select(
+            "id",
+            F.col("best.site_id").alias("site_id"),
+            F.round("best.dist", 3).alias("dist_km"),
+        )
+    )

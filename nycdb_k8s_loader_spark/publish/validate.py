@@ -80,26 +80,34 @@ def run_checks(df: DataFrame, checks: TableChecks) -> list[CheckResult]:
             cond = F.col(c).isNull()
             null_key = cond if null_key is None else (null_key | cond)
         aggs.append(
-            F.sum(F.when(null_key, 1).otherwise(0)).alias("__null_key")
+            F.coalesce(
+                F.sum(F.when(null_key, 1).otherwise(0)), F.lit(0)
+            ).alias("__null_key")
         )
     for c in checks.not_null:
         aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
-                f"__null_{c}"
-            )
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+            ).alias(f"__null_{c}")
         )
     for c, dom in checks.accepted_values.items():
         aggs.append(
-            F.sum(
-                F.when(
-                    F.col(c).isNotNull() & ~F.col(c).isin(dom), 1
-                ).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col(c).isNotNull() & ~F.col(c).isin(dom), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             ).alias(f"__dom_{c}")
         )
     for name, pred in checks.predicates.items():
         aggs.append(
-            F.sum(
-                F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)
+            F.coalesce(
+                F.sum(
+                    F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)
+                ),
+                F.lit(0),
             ).alias(f"__pred_{name}")
         )
 

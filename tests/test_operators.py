@@ -513,3 +513,11 @@ class TestScalePhysicalPlans:
         )
         assert "NestedLoop" not in plan and "Cartesian" not in plan
         assert plan.count("Join") == 2
+
+    def test_geo03_literal_argmin_has_no_shuffle(self, spark):
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        plan = self._plan(
+            queries()["geo03_nearest_site"](spark, "/root/testdata/sf0.001")
+        )
+        assert "Exchange" not in plan and "Join" not in plan

@@ -560,3 +560,35 @@ class TestValidationGate:
         assert spark.table("vgate_public.tbl").count() == 2
         assert pub.list_staging_dbs("vgate_ds") == []
         spark.sql("DROP DATABASE IF EXISTS vgate_public CASCADE")
+
+    def test_empty_table_checks_do_not_crash(self, spark):
+        """Zero-row staging table: sums over no rows must surface as 0
+        violations (plus the min_rows failure), never NULL/TypeError."""
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.publish.validate import (
+            TableChecks,
+            run_checks,
+        )
+
+        df = spark.createDataFrame([], "id INT, name STRING")
+        got = {
+            r.check: r.violations
+            for r in run_checks(
+                df,
+                TableChecks(
+                    unique_key=["id"],
+                    not_null=["name"],
+                    accepted_values={"name": ["a"]},
+                    min_rows=1,
+                    predicates={"pos": F.col("id") > 0},
+                ),
+            )
+        }
+        assert got == {
+            "min_rows": 1,
+            "unique_key(id)": 0,
+            "not_null(name)": 0,
+            "accepted_values(name)": 0,
+            "predicate(pos)": 0,
+        }
