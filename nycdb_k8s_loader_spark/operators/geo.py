@@ -26,8 +26,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
-KM_PER_LAT_DEG = 110.574
-KM_PER_LNG_DEG_EQUATOR = 111.320
+# Degree length used for SIZING grid cells. The haversine sphere's
+# true degree length is (pi/180)*R = 111.195 km; the constant here
+# must be <= that or the cell edge comes out smaller than the radius
+# and boundary pairs silently fall outside the 3x3 neighborhood
+# (using the WGS84 equatorial 111.320 did exactly that: edge ~0.11%
+# short, a 1.99898 km pair at lat 41 landed 2 cells apart). 111.0
+# under-states the degree by ~0.18% — cells slightly larger than
+# needed, which only adds candidates, never loses pairs, and dwarfs
+# the ~1e-8 curvature slack between arc and great-circle distance.
+KM_PER_DEG_SIZING = 111.0
+# Backward-compat names (both intentionally the same conservative
+# constant — see above; lat and lng degrees are equal on a sphere):
+KM_PER_LAT_DEG = KM_PER_DEG_SIZING
+KM_PER_LNG_DEG_EQUATOR = KM_PER_DEG_SIZING
 
 
 def haversine_km(
@@ -65,9 +77,9 @@ def cell_edge_deg(radius_km: float, max_abs_lat_deg: float) -> float:
     """
     if not 0 <= max_abs_lat_deg < 89.0:
         raise ValueError("max_abs_lat_deg must be in [0, 89)")
-    lat_edge = radius_km / KM_PER_LAT_DEG
+    lat_edge = radius_km / KM_PER_DEG_SIZING
     lng_edge = radius_km / (
-        KM_PER_LNG_DEG_EQUATOR * math.cos(math.radians(max_abs_lat_deg))
+        KM_PER_DEG_SIZING * math.cos(math.radians(max_abs_lat_deg))
     )
     return max(lat_edge, lng_edge)
 
@@ -120,7 +132,7 @@ def radius_self_join(
     # Probe side: each point claims its neighborhood so any true pair
     # shares at least one (cell_x, cell_y) with the build side.
     right = (
-        with_grid_cell(points, lat, lng, edge)
+        base
         .select(
             F.col(id_col).alias("id_b"),
             F.col(lat).alias("lat_b"),

@@ -25,6 +25,11 @@ import re
 import time
 from contextlib import contextmanager
 from dataclasses import dataclass, field
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # import cycle: validate imports nothing from here,
+    # but keep the runtime import lazy inside load_and_publish anyway
+    from nycdb_k8s_loader_spark.publish.validate import TableChecks
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -153,7 +158,7 @@ class Publisher:
         self,
         dataset: str,
         builders: dict[str, "callable"],
-        checks: dict[str, "TableChecksLike"] | None = None,
+        checks: dict[str, "TableChecks"] | None = None,
     ) -> list[str]:
         """Run each ``{table: fn() -> DataFrame}`` into staging,
         validate the STAGING copies (``checks``: per-table

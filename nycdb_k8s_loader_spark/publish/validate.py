@@ -79,10 +79,13 @@ def run_checks(df: DataFrame, checks: TableChecks) -> list[CheckResult]:
         for c in checks.unique_key:
             cond = F.col(c).isNull()
             null_key = cond if null_key is None else (null_key | cond)
+        # '__uk_null', not '__null_<c>' — a data column literally
+        # named 'key' would otherwise collide with the not_null
+        # probe's alias and silently cross-wire both checks.
         aggs.append(
             F.coalesce(
                 F.sum(F.when(null_key, 1).otherwise(0)), F.lit(0)
-            ).alias("__null_key")
+            ).alias("__uk_null")
         )
     for c in checks.not_null:
         aggs.append(
@@ -126,7 +129,7 @@ def run_checks(df: DataFrame, checks: TableChecks) -> list[CheckResult]:
         # duplicates (count_distinct treats equal NULL-bearing structs
         # as one value, so NULL groups dedupe like values) PLUS every
         # NULL-bearing key row — a key with NULLs is not a key.
-        dups = (n - row["__n_key"]) + row["__null_key"]
+        dups = (n - row["__n_key"]) + row["__uk_null"]
         out.append(
             CheckResult(
                 f"unique_key({','.join(checks.unique_key)})", dups

@@ -521,3 +521,26 @@ class TestScalePhysicalPlans:
             queries()["geo03_nearest_site"](spark, "/root/testdata/sf0.001")
         )
         assert "Exchange" not in plan and "Join" not in plan
+
+    def test_radius_join_keeps_boundary_pairs(self, spark):
+        """Pairs just inside the radius at the worst latitude must not
+        fall outside the 3x3 cell neighborhood (regression: sizing the
+        edge with the WGS84 111.320 km/deg while haversine uses the
+        111.195 km/deg sphere made the edge ~0.11% too small and this
+        exact pair vanished)."""
+        from nycdb_k8s_loader_spark.operators.geo import (
+            cell_edge_deg,
+            radius_self_join,
+        )
+
+        edge = cell_edge_deg(2.0, 41.0)
+        pts = spark.createDataFrame(
+            [
+                (1, 40.9999, 1000 * edge - 1e-7),
+                (2, 40.9999, 1000 * edge - 1e-7 + 0.023820),
+            ],
+            ["id", "lat", "lng"],
+        )
+        got = radius_self_join(pts, "id", "lat", "lng", 2.0, 41.0).collect()
+        assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+        assert abs(got[0]["dist_km"] - 1.99898) < 1e-3

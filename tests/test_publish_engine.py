@@ -592,3 +592,38 @@ class TestValidationGate:
             "accepted_values(name)": 0,
             "predicate(pos)": 0,
         }
+
+    def test_column_named_key_does_not_collide(self, spark):
+        """Regression: the unique-key NULL probe was aliased
+        '__null_key', shadowing the not_null probe for a column
+        literally named 'key' — not_null(key) read the wrong count
+        in both directions (spurious abort / corrupt publish)."""
+        from nycdb_k8s_loader_spark.publish.validate import (
+            TableChecks,
+            run_checks,
+        )
+
+        # direction 1: 'key' has no NULLs, unique_key cols do
+        df1 = spark.createDataFrame(
+            [(None, 1, "k1"), (2, 2, "k2")], "a INT, b INT, key STRING"
+        )
+        got1 = {
+            r.check: r.violations
+            for r in run_checks(
+                df1, TableChecks(unique_key=["a", "b"], not_null=["key"])
+            )
+        }
+        assert got1["not_null(key)"] == 0
+        assert got1["unique_key(a,b)"] == 1  # the NULL-bearing key row
+        # direction 2: 'key' HAS NULLs, unique-key cols don't
+        df2 = spark.createDataFrame(
+            [(1, 1, None), (2, 2, "k2")], "a INT, b INT, key STRING"
+        )
+        got2 = {
+            r.check: r.violations
+            for r in run_checks(
+                df2, TableChecks(unique_key=["a", "b"], not_null=["key"])
+            )
+        }
+        assert got2["not_null(key)"] == 1
+        assert got2["unique_key(a,b)"] == 0
