@@ -74,20 +74,30 @@ def testdata_dir(sf: str = "0.01") -> str:
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one synthetic table, normalizing physical-type quirks.
 
-    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects outright. We read nanos as long
-    (legacy conf, settable at runtime) and rebuild a microsecond
-    timestamp with integer division — float division would lose
-    precision above 2^53 ns.
+    ``events.parquet`` has shipped with ``ts`` as either parquet
+    TIMESTAMP(NANOS) (which Spark's vectorized reader rejects outright)
+    or TIMESTAMP(MICROS)/NTZ depending on generator version. Normalize
+    to a plain session-tz ``timestamp`` either way so downstream
+    operators and the DuckDB oracle see identical semantics:
+
+    - nanos: read as long (legacy conf) and rebuild a microsecond
+      timestamp with integer division — float division would lose
+      precision above 2^53 ns.
+    - timestamp_ntz: cast to ``timestamp`` (session tz is UTC, so the
+      wall-clock values are preserved bit-for-bit).
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
