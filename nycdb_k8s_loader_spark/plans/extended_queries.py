@@ -19,7 +19,6 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from nycdb_k8s_loader_spark.functions.text_similarity import trigrams
 from nycdb_k8s_loader_spark.operators.dedup import ngram_jaccard_pairs
@@ -30,6 +29,7 @@ from nycdb_k8s_loader_spark.operators.multimodal import (
     synthetic_media,
 )
 from nycdb_k8s_loader_spark.plans.catalog import register
+from nycdb_k8s_loader_spark.session import events_stream
 from nycdb_k8s_loader_spark.streaming.pipeline import windowed_event_counts
 
 _JACCARD_EDGES_08 = """
@@ -157,16 +157,6 @@ def f01(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
 
 
 @register(
@@ -186,16 +176,7 @@ _EVENTS_RAW_SCHEMA = T.StructType(
     tags=("streaming", "agg"),
 )
 def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        # file-stream sources take a directory; filter to the events file
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    events = raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
-    )
+    events = events_stream(spark, sf_dir)
     windowed = windowed_event_counts(
         events, window_duration="1 hour", watermark="2 hours"
     )
@@ -239,11 +220,7 @@ def st02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    raw = events_stream(spark, sf_dir)
     totals = stateful_running_totals(raw.select("user_id", "value"))
     # One stable sink/checkpoint per input dir (NOT a fresh mkdtemp per
     # call, which leaks a directory every invocation): reruns reuse the
@@ -324,15 +301,7 @@ def m03(spark: SparkSession, sf_dir: str) -> DataFrame:
 def st03(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nycdb_k8s_loader_spark.streaming.pipeline import streaming_dedup
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    events = raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
-    )
+    events = events_stream(spark, sf_dir)
     deduped = streaming_dedup(
         events, ["user_id", "event_type"], ts_col="ts", watermark="24 hours"
     ).select("user_id", "event_type")
@@ -372,15 +341,7 @@ def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_interval_join,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    events = raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
-    )
+    events = events_stream(spark, sf_dir)
     errors = events.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("err_id"),
         F.col("user_id").alias("err_user"),

@@ -71,34 +71,79 @@ def testdata_dir(sf: str = "0.01") -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", f"/root/testdata/sf{sf}")
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one synthetic table, normalizing physical-type quirks.
+def _normalize_events_ts(df):
+    """Normalize the ``ts`` column of an events DataFrame (batch OR
+    streaming) to a plain session-tz ``timestamp``.
 
     ``events.parquet`` has shipped with ``ts`` as either parquet
-    TIMESTAMP(NANOS) (which Spark's vectorized reader rejects outright)
-    or TIMESTAMP(MICROS)/NTZ depending on generator version. Normalize
-    to a plain session-tz ``timestamp`` either way so downstream
-    operators and the DuckDB oracle see identical semantics:
+    TIMESTAMP(NANOS) (readable only as raw long via the legacy conf)
+    or TIMESTAMP(MICROS)/NTZ depending on generator version:
 
-    - nanos: read as long (legacy conf) and rebuild a microsecond
-      timestamp with integer division — float division would lose
-      precision above 2^53 ns.
-    - timestamp_ntz: cast to ``timestamp`` (session tz is UTC, so the
-      wall-clock values are preserved bit-for-bit).
+    - long (nanos file read under the legacy conf): rebuild a
+      microsecond timestamp with integer division — float division
+      would lose precision above 2^53 ns.
+    - timestamp_ntz: interpret the wall-clock value as UTC via
+      ``to_utc_timestamp(ts, 'UTC')`` — unlike a plain cast (which
+      goes through the session timezone and silently shifts instants
+      in any non-UTC session), this is value-preserving regardless of
+      ``spark.sql.session.timeZone``.
+    - timestamp: already what we want.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    if name == "events":
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
+        )
+    if isinstance(ts_type, T.TimestampNTZType):
+        return df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+    return df
+
+
+def _read_events_batch(spark: SparkSession, sf_dir: str):
+    """Batch-read events.parquet, handling the nanos-vs-micros split.
+
+    Try a plain read first — micros/NTZ files need no special conf.
+    Only if the footer is TIMESTAMP(NANOS) (plain read raises at schema
+    conversion) set ``spark.sql.legacy.parquet.nanosAsLong``; the conf
+    must then stay set for the lifetime of the returned (lazy)
+    DataFrame, which is why it is not set-and-restored here.
+    """
+    path = f"{sf_dir}/events.parquet"
+    try:
+        return spark.read.parquet(path)
+    except Exception:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, T.LongType):
-            return df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
-            )
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return spark.read.parquet(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one synthetic table, normalizing physical-type quirks."""
+    if name == "events":
+        return _normalize_events_ts(_read_events_batch(spark, sf_dir))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_stream(spark: SparkSession, sf_dir: str):
+    """Streaming reader for events.parquet with the SAME ts semantics
+    as :func:`read_table` — the streaming/batch parity contract.
+
+    File-stream sources need an explicit schema; instead of hard-coding
+    one (which silently mis-reads when the generator switches between
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS) physical types), probe the
+    file's actual schema with a batch read and feed that to readStream,
+    then apply the shared ts normalization.
+    """
+    raw_schema = _read_events_batch(spark, sf_dir).schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        # file-stream sources take a directory; filter to the events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return _normalize_events_ts(raw)
 
 
 TPCH_TABLES = (
