@@ -37,15 +37,21 @@ def connected_components(
     """(node, component) where component = min node id in the
     component. Nodes are every id present in the edge list; edges are
     treated as undirected."""
+    # The edge list is re-joined every round; without an eager
+    # checkpoint the ENTIRE upstream pipeline that produced it (e.g.
+    # the shingled-Jaccard pair build feeding g01) re-executes once
+    # per iteration — measured 3× the total g01 runtime at sf0.1.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iterations):

@@ -372,3 +372,60 @@ def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "st05_streaming_session_windows",
+    """
+    WITH seq AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM seq
+    )
+    SELECT user_id, COUNT(*)::BIGINT AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="Streaming session windows (F.session_window, 30-min gap): "
+        "Spark's native dynamic-gap session operator merges adjacent "
+        "events into sessions inside the state store — state is "
+        "O(open sessions), merged incrementally per micro-batch, vs "
+        "q22's batch lag+cumsum twin which needs the full history "
+        "sorted. availableNow + complete-mode memory sink; oracle is "
+        "the batch gap-sessionization over the same parquet — the "
+        "streaming/batch parity contract for sessionization.",
+    tags=("streaming", "sessionize"),
+)
+def st05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = events_stream(spark, sf_dir)
+    sessions = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "n_events", "session_start", "session_end")
+    )
+    name = f"st05_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

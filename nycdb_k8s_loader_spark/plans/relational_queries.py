@@ -990,3 +990,83 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_acctbal > 9000
         """
     )
+
+
+@register(
+    "q37_order_gaps_lead_lag",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           COALESCE(date_diff('day', lag(o_orderdate) OVER w, o_orderdate),
+                    -1)::BIGINT AS gap_prev_days,
+           COALESCE(date_diff('day', o_orderdate, lead(o_orderdate) OVER w),
+                    -1)::BIGINT AS gap_next_days
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Window navigation (lag/lead): per-customer day gaps between "
+        "consecutive orders — the reorder-interval feature a training "
+        "pipeline derives per entity. One hash shuffle on o_custkey, "
+        "sort within partitions; (o_orderdate, o_orderkey) is a total "
+        "order so boundary rows are deterministic, and NULL edges are "
+        "pinned to -1 so both engines agree on dtype (a nullable int "
+        "column decays to float64 in pandas, which would hash-format "
+        "differently).",
+    tags=("window", "navigation"),
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.coalesce(
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)),
+            F.lit(-1),
+        ).cast("long").alias("gap_prev_days"),
+        F.coalesce(
+            F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate")),
+            F.lit(-1),
+        ).cast("long").alias("gap_next_days"),
+    )
+
+
+@register(
+    "q38_customer_spend_deciles",
+    """
+    WITH spend AS (
+        SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, spend,
+           ntile(10) OVER w AS decile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank
+    FROM spend
+    WINDOW w AS (ORDER BY spend, o_custkey)
+    """,
+    doc="Distribution ranking (ntile + percent_rank): lifetime-spend "
+        "deciles per customer — the quantile-bucket feature for "
+        "stratification/quality-tiering. The ranking window is global "
+        "(ORDER BY with no PARTITION BY): fine after the groupBy has "
+        "already collapsed to one row per customer, but at 100 TB the "
+        "scale path is range-partitioned sort (df.repartitionByRange) "
+        "+ per-partition rank + offset merge, or the q34 KLL-sketch "
+        "quantiles when approximate buckets suffice. (spend, "
+        "o_custkey) makes tie order total, so ntile assignment is "
+        "deterministic. ROUND(sum, 2) is exact cross-engine: the true "
+        "sum of 2-dp values IS a 2-dp decimal, so the double sits "
+        "~1e-10 from it, never at a .xx5 boundary.",
+    tags=("window", "ranking"),
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    w = Window.orderBy("spend", "o_custkey")
+    return spend.select(
+        "o_custkey",
+        "spend",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
