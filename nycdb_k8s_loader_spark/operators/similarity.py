@@ -263,3 +263,101 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cell", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def embedding_neardup_pairs_blocked(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via blocked matrix products.
+
+    Same pair set as :func:`embedding_neardup_pairs`, different
+    physical plan: vectors are unit-normalized map-side, packed into
+    ``n_blocks`` groups, and the B(B+1)/2 block *pairs* — not the
+    O(n²) vector pairs — are what crosses the shuffle. Each task then
+    computes one numpy GEMM (Arrow-batched ``mapInPandas``) over its
+    two blocks and emits only the ids above threshold.
+
+    This is the standard exact-dedup shape at scale: candidate work is
+    still quadratic (it must be — the result is exact), but the
+    shuffle volume is O(n·d) (each block shipped B times), per-task
+    memory is two blocks, and the inner loop is BLAS instead of a
+    per-pair expression fold (measured 17.5 s → ~1 s at sf0.1).
+    Choose n_blocks so a block is ~64–256 MB at deploy scale; the
+    half-matrix expression form remains as the oracle-shaped baseline,
+    and s02/s04 are the sub-quadratic approximate paths.
+
+    Float safety: GEMM accumulation order differs from the oracle's
+    sequential fold by ~1e-15 relative; callers must pick thresholds
+    with cross-engine margin (d04's 0.45 sits ≥1e-4 from every pair).
+    """
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    spark = emb.sparkSession
+    vecs = emb.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
+    unit = vecs.select(
+        "id",
+        F.transform(
+            "v", lambda x: x / F.sqrt(dot(F.col("v"), F.col("v")))
+        ).alias("u"),
+        F.pmod(F.col("id"), F.lit(n_blocks)).alias("blk"),
+    )
+    packed = unit.groupBy("blk").agg(
+        F.collect_list("id").alias("ids"), F.collect_list("u").alias("us")
+    )
+    a = packed.select(
+        F.col("blk").alias("blk_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("us").alias("us_a"),
+    )
+    b = packed.select(
+        F.col("blk").alias("blk_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("us").alias("us_b"),
+    )
+    block_pairs = a.crossJoin(b).filter(F.col("blk_a") <= F.col("blk_b"))
+    # Spread the B(B+1)/2 GEMM tasks across the cluster instead of
+    # wherever the tiny crossJoin landed them.
+    block_pairs = block_pairs.repartition(
+        min(int(spark.conf.get("spark.sql.shuffle.partitions")),
+            n_blocks * (n_blocks + 1) // 2)
+    )
+
+    def gemm(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_a, out_b = [], []
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                A = np.asarray([np.asarray(x) for x in row.us_a])
+                B = np.asarray([np.asarray(x) for x in row.us_b])
+                sims = A @ B.T
+                ii, jj = np.nonzero(sims >= threshold)
+                ia, ib = ids_a[ii], ids_b[jj]
+                if row.blk_a == row.blk_b:
+                    # diagonal block: each pair appears twice (and as
+                    # self-pairs); the strict upper triangle is the set
+                    keep = ia < ib
+                    ia, ib = ia[keep], ib[keep]
+                else:
+                    # off-diagonal: each cross pair appears exactly once
+                    # but ids are not ordered by block — orient min/max
+                    ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
+                out_a.append(ia)
+                out_b.append(ib)
+            if out_a:
+                import pandas as pd
+
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                    }
+                )
+
+    return block_pairs.mapInPandas(gemm, "id_a long, id_b long")

@@ -429,3 +429,103 @@ def st05(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "st06_incremental_publish_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*)::BIGINT AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    doc="Streaming aggregation published through a foreachBatch "
+        "merge-upsert sink: update-mode hourly rollup, each "
+        "micro-batch anti-join-merged into a versioned parquet "
+        "snapshot behind an atomically-repointed _CURRENT pointer "
+        "(streaming/pipeline.py foreach_batch_upsert — the plain-"
+        "parquet contract a Delta MERGE replaces). Version dirs keyed "
+        "by batch_id make checkpoint replays idempotent: exactly-once "
+        "publish from an at-least-once stream. Oracle: the batch "
+        "rollup — the published snapshot must equal it after the "
+        "availableNow pass (and after any rerun: zero new batches, "
+        "pointer untouched).",
+    tags=("streaming", "publish"),
+)
+def st06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    from nycdb_k8s_loader_spark.streaming.pipeline import (
+        foreach_batch_upsert,
+        read_upsert_sink,
+        windowed_event_counts,
+    )
+
+    events = events_stream(spark, sf_dir)
+    windowed = windowed_event_counts(
+        events, window_duration="1 hour", watermark="2 hours"
+    )
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = f"{tempfile.gettempdir()}/spark_graft_st06_{digest}"
+    q = (
+        windowed.writeStream.foreachBatch(
+            foreach_batch_upsert(f"{tmp}/sink", ["window_start", "event_type"])
+        )
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_upsert_sink(spark, f"{tmp}/sink").select(
+        "window_start", "event_type", "n", "total_value"
+    )
+
+
+@register(
+    "d07_dedup_retention",
+    f"""
+    WITH RECURSIVE {_JACCARD_EDGES_08},
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION SELECT doc_b, doc_a FROM edges
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT reach.a, sym.b FROM reach JOIN sym ON reach.b = sym.a
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b)::BIGINT AS cluster_id
+             FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id)::BIGINT AS cluster_id,
+           (CASE WHEN COALESCE(c.cluster_id, d.doc_id) = d.doc_id
+                 THEN 1 ELSE 0 END)::INT AS kept
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    """,
+    doc="End-to-end dedup retention decision — the actual corpus-"
+        "curation output: near-dup edges (0.8 shingle-Jaccard) -> "
+        "connected components -> keep the minimum doc_id per cluster, "
+        "singletons kept by construction. Composes d02's edge build "
+        "with g01's clustering and emits one row per document with its "
+        "cluster id and a kept flag (int, not bool — pandas bools "
+        "hash-format differently across engines). The keep-min rule is "
+        "deterministic, so retention is reproducible run-to-run — the "
+        "property a training-data pipeline must have for dataset "
+        "versioning.",
+    tags=("dedup", "pipeline"),
+)
+def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = ngram_jaccard_pairs(docs, threshold=0.8, shingles=3).select(
+        "doc_a", "doc_b"
+    )
+    clusters = cluster_assignments(edges)
+    return docs.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        (F.coalesce("cluster_id", F.col("doc_id")) == F.col("doc_id"))
+        .cast("int")
+        .alias("kept"),
+    )

@@ -21,6 +21,7 @@ from nycdb_k8s_loader_spark.operators.dedup import (
 from nycdb_k8s_loader_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup_pairs,
+    embedding_neardup_pairs_blocked,
     ivf_topk,
     label_centroids,
 )
@@ -413,11 +414,18 @@ def s03(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inside this corpus's cosine range (max pair ~0.51 at sf0.01) "
         "so the check exercises real pairs — 0.9 would match every "
         "0-row implementation — with >=1e-4 margin to the nearest "
-        "pair, far beyond cross-engine summation noise.",
+        "pair, far beyond cross-engine summation noise. Physical "
+        "plan: blocked GEMM (operators/similarity.py "
+        "embedding_neardup_pairs_blocked) — B(B+1)/2 block pairs "
+        "shuffle instead of O(n^2) vector pairs, numpy matmul per "
+        "task; the expression-fold half-matrix form is the "
+        "oracle-shaped baseline it was verified against.",
     tags=("dedup", "similarity"),
 )
 def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.45)
+    return embedding_neardup_pairs_blocked(
+        _emb(spark, sf_dir), threshold=0.45
+    )
 
 
 # --- simhash -----------------------------------------------------------------

@@ -197,3 +197,57 @@ def stream_interval_join(
         & (F.col(right_ts) <= F.expr(f"{left_ts} + INTERVAL {max_gap}"))
     )
     return lw.join(rw, cond, "inner")
+
+
+def foreach_batch_upsert(sink_root: str, keys: list[str]):
+    """Build a ``foreachBatch`` function that merge-upserts each
+    micro-batch into a versioned parquet table by ``keys``.
+
+    The production shape for publishing a streaming aggregation
+    without a transactional table format: per batch, anti-join the
+    current published snapshot against the batch's keys, union the
+    fresh rows in, write a NEW version directory, then atomically
+    repoint ``_CURRENT`` (os.replace) — readers always see a complete
+    snapshot, never a half-written merge. Version dirs are named by
+    batch_id, so a retried batch overwrites its own directory instead
+    of duplicating rows: idempotent under the checkpoint's
+    at-least-once replay, which upgrades the sink to exactly-once.
+
+    This is the streaming twin of publish/protocol.py's staging-swap
+    (same shadow-write + atomic-pointer idea the reference implements
+    with temp Postgres schemas, load_dataset.py:209-252). On Delta/
+    Iceberg the whole function collapses to ``MERGE INTO``; the
+    mechanism here shows the contract a lake-format sink must honor.
+    """
+    import os
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        pointer = os.path.join(sink_root, "_CURRENT")
+        version_dir = os.path.join(sink_root, f"v{batch_id}")
+        merged = batch_df
+        if os.path.exists(pointer):
+            with open(pointer) as f:
+                cur = os.path.join(sink_root, f.read().strip())
+            base = spark.read.parquet(cur)
+            keep = base.join(
+                batch_df.select(*keys).distinct(), keys, "left_anti"
+            )
+            merged = keep.unionByName(batch_df)
+        merged.write.mode("overwrite").parquet(version_dir)
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"v{batch_id}")
+        os.replace(tmp, pointer)
+
+    return upsert
+
+
+def read_upsert_sink(spark: SparkSession, sink_root: str) -> DataFrame:
+    """Read the current snapshot of a :func:`foreach_batch_upsert`
+    sink (follows the ``_CURRENT`` pointer)."""
+    import os
+
+    pointer = os.path.join(sink_root, "_CURRENT")
+    with open(pointer) as f:
+        return spark.read.parquet(os.path.join(sink_root, f.read().strip()))

@@ -544,3 +544,36 @@ class TestScalePhysicalPlans:
         got = radius_self_join(pts, "id", "lat", "lng", 2.0, 41.0).collect()
         assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
         assert abs(got[0]["dist_km"] - 1.99898) < 1e-3
+
+
+class TestBlockedNearDup:
+    def test_blocked_equals_expression_fold(self, spark):
+        """The blocked-GEMM exact near-dup must emit the IDENTICAL
+        pair set as the oracle-shaped half-matrix expression form —
+        on a corpus spanning diagonal and off-diagonal block pairs
+        (ids interleave across blocks, so orientation min/max on
+        off-diagonal blocks is exercised)."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.operators.similarity import (
+            embedding_neardup_pairs,
+            embedding_neardup_pairs_blocked,
+        )
+
+        rng = np.random.RandomState(7)
+        base = rng.randn(12, 8)
+        rows = []
+        vid = 0
+        for i in range(12):
+            rows.append((vid, [float(x) for x in base[i]])); vid += 1
+            # a near-duplicate of each: tiny perturbation -> cos ~ 1
+            rows.append((vid, [float(x) for x in base[i] + 0.01 * rng.randn(8)]))
+            vid += 1
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        for thr in (0.5, 0.9):
+            a = {tuple(r) for r in embedding_neardup_pairs(
+                emb, threshold=thr).collect()}
+            b = {tuple(r) for r in embedding_neardup_pairs_blocked(
+                emb, threshold=thr, n_blocks=5).collect()}
+            assert a == b and len(a) > 0

@@ -188,3 +188,54 @@ def test_stream_interval_join_incremental_and_overlap_guard(spark, tmp_path):
     with pytest.raises(ValueError, match="rename overlapping"):
         df = spark.createDataFrame([(1,)], ["x"])
         stream_interval_join(df, df, "x", "x", "x", "x", "1 MINUTE", "1 MINUTE")
+
+
+def test_foreach_batch_upsert_merges_across_batches(spark, tmp_path):
+    """The foreachBatch merge-upsert sink must (a) upsert changed keys
+    across two availableNow invocations, (b) keep untouched keys, and
+    (c) leave the snapshot unchanged on a no-new-data rerun."""
+    from nycdb_k8s_loader_spark.streaming.pipeline import (
+        foreach_batch_upsert,
+        incremental_csv_source,
+        read_upsert_sink,
+    )
+
+    landing = tmp_path / "landing3"
+    sink = str(tmp_path / "sink3")
+    ckpt = str(tmp_path / "ckpt3")
+    landing.mkdir()
+
+    def run_once():
+        src = incremental_csv_source(spark, str(landing), SCHEMA)
+        agg = src.groupBy("id").agg(
+            F.count("*").alias("n"), F.round(F.sum("v"), 2).alias("total")
+        )
+        q = (
+            agg.writeStream.foreachBatch(foreach_batch_upsert(sink, ["id"]))
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    (landing / "b1.csv").write_text(
+        "id,ts,v\n1,2024-01-01T00:00:00,1.0\n2,2024-01-01T01:00:00,2.0\n"
+    )
+    run_once()
+    snap1 = {(r["id"], r["n"], r["total"])
+             for r in read_upsert_sink(spark, sink).collect()}
+    assert snap1 == {(1, 1, 1.0), (2, 1, 2.0)}
+
+    # id=1 gets more data (key updated); id=2 untouched (must survive)
+    (landing / "b2.csv").write_text("id,ts,v\n1,2024-01-01T02:00:00,4.0\n")
+    run_once()
+    snap2 = {(r["id"], r["n"], r["total"])
+             for r in read_upsert_sink(spark, sink).collect()}
+    assert snap2 == {(1, 2, 5.0), (2, 1, 2.0)}
+
+    # rerun with nothing new: snapshot identical (idempotent publish)
+    run_once()
+    snap3 = {(r["id"], r["n"], r["total"])
+             for r in read_upsert_sink(spark, sink).collect()}
+    assert snap3 == snap2
