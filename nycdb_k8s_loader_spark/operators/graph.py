@@ -219,3 +219,50 @@ def cluster_assignments(
     return connected_components(pairs, src=id_a, dst=id_b).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+def bfs_reachable(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 20,
+) -> DataFrame:
+    """(node, hops) for every node reachable from ``seeds`` over the
+    undirected edge list, hops = BFS distance (0 for the seeds).
+
+    The seeded-traversal capability of the reference's
+    ``wow.get_assoc_addrs_from_bbl('bbl')`` recursive SQL function
+    (/root/reference/tests/test_wowutil.py:42-44: expand a portfolio
+    outward from one building) — re-expressed as distributed frontier
+    expansion: each hop is one join (frontier × edges) + one anti-join
+    (drop already-visited), both hash shuffles on the node key.
+    Rounds = eccentricity of the seed set, NOT graph size; every round
+    localCheckpoints so lineage stays flat. At 100 TB the frontier
+    frame is a fraction of the graph — this is the shape GraphFrames'
+    BFS uses underneath.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = seeds.select(F.col(seed_col).alias("node")).distinct()
+    visited = frontier.withColumn("hops", F.lit(0)).localCheckpoint(eager=True)
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier, sym.a == F.col("node"))
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.withColumn("hops", F.lit(hop))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -134,4 +134,9 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
         kind = ["image", "audio", "video"][i % 3]
         payload = bytes((i * 7 + j) % 256 for j in range(128 + (i % 5) * 64))
         rows.append((i, kind, payload, f"application/x-{kind}", f"s3://fake/{i}"))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # Right-size partitions to the data: local[32] would otherwise cut
+    # 64 rows into 32 two-row partitions, each paying a Python-worker
+    # spin-up in the mapInPandas decode (~8 s of pure overhead at
+    # bench time). Real media tables size partitions via
+    # spark.sql.files.maxPartitionBytes instead.
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)

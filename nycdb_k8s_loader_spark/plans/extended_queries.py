@@ -126,8 +126,14 @@ def f01(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join evaluated trigram_similarity per pair, rebuilding BOTH
     # trigram arrays each time (~8M pairs x 2 array constructions —
     # measured 361 s at sf0.1); the posting join flows ~20M tiny rows
-    # through one partial-agg shuffle instead (~4 s). Same shape as
-    # d02's Jaccard — pg_trgm's own GIN index is this inverted list.
+    # through one partial-agg shuffle instead (~8 s). pg_trgm's GIN
+    # index is this same inverted list. NOTE: d03's bucket-groupBy +
+    # in-bucket pair expansion was tried here and measured SLOWER
+    # (10 s): trigram document frequency is Zipfian, so hot (brand,
+    # trigram) buckets materialize O(df²) pair structs inside single
+    # rows — the join form streams those pairs instead. Bucket
+    # expansion wins only when buckets are bounded (minhash bands);
+    # postings lists need the streaming join.
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     base = part.select(
         F.col("p_partkey").alias("key"),
@@ -135,9 +141,7 @@ def f01(spark: SparkSession, sf_dir: str) -> DataFrame:
         trigrams("p_name").alias("tg"),
     )
     sizes = base.select("key", F.size("tg").alias("n"))
-    post = base.select(
-        "key", "brand", F.explode("tg").alias("w")
-    )
+    post = base.select("key", "brand", F.explode("tg").alias("w"))
     a = post.select(F.col("key").alias("key_a"), "brand", "w")
     b = post.select(F.col("key").alias("key_b"), "brand", "w")
     common = (
@@ -528,4 +532,48 @@ def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce("cluster_id", F.col("doc_id")) == F.col("doc_id"))
         .cast("int")
         .alias("kept"),
+    )
+
+
+@register(
+    "g02_seeded_reachability",
+    f"""
+    WITH RECURSIVE {_JACCARD_EDGES_08},
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION SELECT doc_b, doc_a FROM edges
+    ),
+    seed AS (SELECT MIN(doc_a) AS s FROM edges),
+    walk(node, d) AS (
+        SELECT s, 0 FROM seed
+        UNION
+        SELECT sym.b, walk.d + 1 FROM walk JOIN sym ON walk.node = sym.a
+        WHERE walk.d < 20
+    )
+    SELECT node AS doc_id, MIN(d)::BIGINT AS hops FROM walk GROUP BY node
+    """,
+    doc="Seeded multi-hop traversal (BFS frontier expansion): every "
+        "document reachable from the lowest-id near-dup seed, with "
+        "its hop distance — the reference's recursive "
+        "wow.get_assoc_addrs_from_bbl portfolio walk "
+        "(tests/test_wowutil.py:42-44) re-expressed as distributed "
+        "frontier joins (operators/graph.py bfs_reachable). Rounds = "
+        "seed eccentricity; oracle is the recursive-CTE BFS with "
+        "min-hop aggregation.",
+    tags=("graph", "traversal"),
+)
+def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.graph import bfs_reachable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = (
+        ngram_jaccard_pairs(docs, threshold=0.8, shingles=3)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # reused by seed agg AND every hop
+    )
+    seed_val = edges.agg(F.min("doc_a")).collect()[0][0]
+    seeds = spark.createDataFrame([(int(seed_val),)], "node long")
+    out = bfs_reachable(edges, seeds, src="doc_a", dst="doc_b")
+    return out.select(
+        F.col("node").alias("doc_id"), F.col("hops").cast("long").alias("hops")
     )

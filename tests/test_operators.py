@@ -577,3 +577,29 @@ class TestBlockedNearDup:
             b = {tuple(r) for r in embedding_neardup_pairs_blocked(
                 emb, threshold=thr, n_blocks=5).collect()}
             assert a == b and len(a) > 0
+
+
+class TestBfsReachable:
+    def test_path_graph_hops_and_unreachable(self, spark):
+        """Multi-hop distances on a path graph; disconnected component
+        must NOT appear; seed itself is hops=0."""
+        from nycdb_k8s_loader_spark.operators.graph import bfs_reachable
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+        )
+        seeds = spark.createDataFrame([(2,)], "node long")
+        got = {(r["node"], r["hops"]) for r in
+               bfs_reachable(edges, seeds).collect()}
+        assert got == {(2, 0), (1, 1), (3, 1), (4, 2)}
+
+    def test_cycle_terminates_with_min_hops(self, spark):
+        from nycdb_k8s_loader_spark.operators.graph import bfs_reachable
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+        )
+        seeds = spark.createDataFrame([(1,)], "node long")
+        got = {(r["node"], r["hops"]) for r in
+               bfs_reachable(edges, seeds).collect()}
+        assert got == {(1, 0), (2, 1), (3, 1)}
