@@ -131,3 +131,49 @@ def regex_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(n_words > 0, F.round(n_stop * F.lit(1.0) / n_words, 4))
         .alias("stopword_ratio"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap —
+    the tokenize-and-chunk step of an LLM training/RAG pipeline
+    (window of ``chunk_tokens`` whitespace tokens every ``stride``,
+    i.e. ``chunk_tokens - stride`` tokens of overlap).
+
+    Entirely JVM-side higher-order array expressions: tokenize once,
+    generate start offsets with ``sequence``, window with ``slice``,
+    one ``posexplode`` — no Python in the path, and the explode happens
+    after the scan so a 100 TB corpus chunks map-side with zero
+    shuffle. Row growth is ~n_tokens/stride per doc — size
+    ``maxPartitionBytes`` for the post-explode width, not the input.
+    Empty documents yield no chunks.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), " "),
+        lambda w: w != "",
+    )
+    base = df.select(F.col(id_col), toks.alias("l"))
+    starts = F.when(
+        F.size("l") > 0,
+        F.sequence(F.lit(0), F.size("l") - 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = base.select(
+        id_col,
+        F.col("l"),
+        F.posexplode(starts).alias("chunk_id", "start"),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.slice(F.col("l"), F.col("start") + 1, chunk_tokens).alias("ch"),
+    )
+    return chunks.filter(F.size("ch") > 0).select(
+        id_col,
+        "chunk_id",
+        F.size("ch").cast("long").alias("n_tokens"),
+        F.array_join("ch", " ").alias("chunk_text"),
+    )

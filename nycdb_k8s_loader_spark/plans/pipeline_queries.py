@@ -507,3 +507,37 @@ def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d06(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+@register(
+    "c01_chunk_documents",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS l
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               (s.start // 40)::BIGINT AS chunk_id,
+               list_slice(l, s.start + 1, s.start + 50) AS ch
+        FROM toks,
+             unnest(range(0, greatest(len(l), 1), 40)) AS s(start)
+    )
+    SELECT doc_id, chunk_id, len(ch)::BIGINT AS n_tokens,
+           array_to_string(ch, ' ') AS chunk_text
+    FROM chunks WHERE len(ch) > 0
+    """,
+    doc="Document chunking (50-token windows, stride 40 = 10-token "
+        "overlap) — the tokenize-and-chunk stage of an LLM training/"
+        "RAG pipeline, as pure JVM-side higher-order array ops "
+        "(operators/textops.py chunk_documents): tokenize once, "
+        "sequence of starts, slice, posexplode. Chunks materialize "
+        "map-side after the scan — zero shuffle at any corpus size.",
+    tags=("text", "pipeline"),
+)
+def c01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.textops import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir))

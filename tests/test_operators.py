@@ -603,3 +603,33 @@ class TestBfsReachable:
         got = {(r["node"], r["hops"]) for r in
                bfs_reachable(edges, seeds).collect()}
         assert got == {(1, 0), (2, 1), (3, 1)}
+
+
+class TestChunkDocuments:
+    def test_overlap_boundaries_and_empty(self, spark):
+        from nycdb_k8s_loader_spark.operators.textops import chunk_documents
+
+        words = " ".join(f"w{i}" for i in range(95))
+        df = spark.createDataFrame(
+            [(1, words), (2, "only three words"), (3, "   "), (4, "")],
+            "doc_id long, text string",
+        )
+        out = chunk_documents(df, chunk_tokens=50, stride=40)
+        rows = {(r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+                for r in out.collect()}
+        # doc 1: 95 tokens -> starts 0, 40, 80
+        assert rows[(1, 0)][0] == 50 and rows[(1, 0)][1].startswith("w0 ")
+        assert rows[(1, 1)][0] == 50 and rows[(1, 1)][1].startswith("w40 ")
+        assert rows[(1, 2)][0] == 15 and rows[(1, 2)][1].endswith("w94")
+        # 10-token overlap: chunk 0 ends at w49, chunk 1 starts at w40
+        assert rows[(1, 0)][1].endswith("w49")
+        # short doc: single partial chunk; empty/whitespace docs: none
+        assert rows[(2, 0)] == (3, "only three words")
+        assert {k[0] for k in rows} == {1, 2}
+
+    def test_chunking_is_shuffle_free(self, spark):
+        from nycdb_k8s_loader_spark.operators.textops import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
