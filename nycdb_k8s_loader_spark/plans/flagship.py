@@ -51,7 +51,7 @@ latest_order AS (
     ) WHERE rn = 1
 ),
 revenue AS (
-    SELECT o_custkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT o_custkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_custkey
 ),
@@ -161,7 +161,7 @@ def flagship_bldgs(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .groupBy("o_custkey")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
             .alias("revenue")
         )
     )

@@ -32,7 +32,7 @@ from nycdb_k8s_loader_spark.session import read_table as _t
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
            ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
            ROUND(AVG(l_discount), 4) AS avg_disc,
            COUNT(*)::BIGINT AS count_order
@@ -53,7 +53,7 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -129,7 +129,7 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q04_revenue_by_nation",
     """
-    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
            COUNT(DISTINCT o_orderkey)::BIGINT AS n_orders
     FROM region
     JOIN nation ON n_regionkey = r_regionkey
@@ -167,7 +167,7 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
@@ -1069,4 +1069,38 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spend",
         F.ntile(10).over(w).alias("decile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@register(
+    "q39_props_map_explode",
+    """
+    SELECT event_type, k AS prop_key,
+           COUNT(*)::BIGINT AS n,
+           SUM(CAST(json_extract_string(props, '$.' || k) AS INTEGER))::BIGINT
+               AS total
+    FROM (SELECT event_type, props, unnest(json_keys(props)) AS k
+          FROM events)
+    GROUP BY event_type, k
+    """,
+    doc="MapType consumption: parse the JSON props column into a "
+        "map<string,int> (from_json), explode the entries "
+        "(explode(map) -> one row per key), aggregate per (event_type, "
+        "key). Completes the complex-type surface next to arrays "
+        "(c01/t05) and structs (q12/q16): schema-on-read JSON -> typed "
+        "map stays entirely in codegen — no get_json_object string "
+        "re-parse per field once the map is built. Oracle: DuckDB "
+        "json_each lateral join.",
+    tags=("json", "map", "events"),
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,int>")
+    return (
+        events.select("event_type", F.explode(m).alias("prop_key", "v"))
+        .groupBy("event_type", "prop_key")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").cast("long").alias("total"),
+        )
     )

@@ -195,7 +195,7 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT p_brand,
            COUNT(*)::BIGINT AS n_lines,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
     """,
@@ -227,6 +227,6 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("p_brand").agg(
         F.count("*").alias("n_lines"),
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("revenue"),
     )
