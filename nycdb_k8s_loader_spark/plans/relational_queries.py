@@ -1104,3 +1104,102 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v").cast("long").alias("total"),
         )
     )
+
+
+@register(
+    "q40_null_safe_join",
+    """
+    WITH a AS (
+        SELECT NULLIF(o_orderpriority, '1-URGENT') AS pk,
+               COUNT(*)::BIGINT AS n_all
+        FROM orders GROUP BY 1
+    ),
+    b AS (
+        SELECT NULLIF(o_orderpriority, '1-URGENT') AS pk,
+               COUNT(*)::BIGINT AS n_open
+        FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+    )
+    SELECT a.pk, n_all, n_open
+    FROM a JOIN b ON a.pk IS NOT DISTINCT FROM b.pk
+    """,
+    doc="Null-safe equi-join (eqNullSafe / <=>): NULL keys match each "
+        "other instead of silently dropping — the nullable-join-key "
+        "trap in any pipeline that joins on optional attributes. A "
+        "plain equi-join would lose the NULLIF'd group; the oracle's "
+        "IS NOT DISTINCT FROM keeps it on both engines. Catalyst "
+        "plans <=> as a hash join (null-safe keys hash like values), "
+        "so the scale profile is identical to a plain equi-join.",
+    tags=("join", "nulls"),
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    pk = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pk")
+    a = orders.groupBy(pk).agg(F.count("*").alias("n_all"))
+    b = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy(pk)
+        .agg(F.count("*").alias("n_open"))
+    )
+    return a.join(b, a["pk"].eqNullSafe(b["pk"])).select(
+        a["pk"], "n_all", "n_open"
+    )
+
+
+@register(
+    "q41_unpivot_metrics",
+    """
+    WITH u AS (
+        SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', l_discount FROM lineitem
+    )
+    SELECT metric, ROUND(SUM(val), 2) AS total, COUNT(*)::BIGINT AS n
+    FROM u GROUP BY metric
+    """,
+    doc="Unpivot/melt (wide -> long, the inverse of q19's pivot): "
+        "DataFrame.unpivot emits one (metric, value) row per measure "
+        "column via a single Expand — one scan of the fact regardless "
+        "of how many measures melt, vs the oracle's N-way UNION ALL "
+        "re-scan. The long shape is what per-metric monitoring / "
+        "histogramming pipelines consume. SUMs are over raw 2-dp "
+        "inputs, so ROUND(.,2) is exact cross-engine.",
+    tags=("reshape", "agg"),
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return long.groupBy("metric").agg(
+        F.round(F.sum("val"), 2).alias("total"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q42_nyc_local_hours",
+    """
+    SELECT hour(timezone('America/New_York', timezone('UTC', ts)))::INT
+               AS ny_hour,
+           COUNT(*)::BIGINT AS n
+    FROM events GROUP BY 1
+    """,
+    doc="IANA timezone conversion (F11 — the reference runs on "
+        "America/New_York clocks, scheduling.py tz + dataset_tracker "
+        "timestamps): UTC event instants to NY wall-clock hour, DST "
+        "handled by tzdata on both engines (events span the 2024 "
+        "transitions). Oracle composes timezone() twice so it is "
+        "independent of the DuckDB session timezone, matching "
+        "from_utc_timestamp's explicit-zone semantics.",
+    tags=("time", "agg", "events"),
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy(
+        F.hour(F.from_utc_timestamp("ts", "America/New_York")).alias("ny_hour")
+    ).agg(F.count("*").alias("n"))
