@@ -1203,3 +1203,87 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy(
         F.hour(F.from_utc_timestamp("ts", "America/New_York")).alias("ny_hour")
     ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "q43_recursive_chain_walk",
+    """
+    WITH RECURSIVE nxt AS (
+        SELECT o_custkey, o_orderkey,
+               lead(o_orderkey) OVER w AS next_key,
+               row_number() OVER w AS rn
+        FROM orders
+        WHERE o_custkey <= 1000 AND o_orderdate < TIMESTAMP '1996-07-01'
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    walk(o_custkey, o_orderkey, next_key, pos) AS (
+        SELECT o_custkey, o_orderkey, next_key, 1 FROM nxt WHERE rn = 1
+        UNION ALL
+        SELECT n.o_custkey, n.o_orderkey, n.next_key, w.pos + 1
+        FROM walk w JOIN nxt n ON n.o_orderkey = w.next_key
+    )
+    SELECT o_custkey, o_orderkey, pos::BIGINT AS pos FROM walk
+    """,
+    doc="Recursive CTE in Spark SQL (Spark 4 WITH RECURSIVE): walk "
+        "each customer's order chain via the lead()-built successor "
+        "link, emitting 1-based chain positions — the linked-list/"
+        "hierarchy traversal shape (BOM explosion, org charts, "
+        "predecessor chains). Spark recursion supports UNION ALL only "
+        "(no UNION-distinct), so it fits acyclic walks whose depth "
+        "stays under spark.sql.cteRecursionLevelLimit; cyclic graphs "
+        "(near-dup clusters) need the fixpoint operators in "
+        "operators/graph.py — which is why both exist. Identical "
+        "query text runs on DuckDB as the oracle.",
+    tags=("recursive", "sql"),
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q43_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE nxt AS (
+            SELECT o_custkey, o_orderkey,
+                   lead(o_orderkey) OVER w AS next_key,
+                   row_number() OVER w AS rn
+            FROM __q43_orders
+            WHERE o_custkey <= 1000 AND o_orderdate < TIMESTAMP '1996-07-01'
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        ),
+        walk(o_custkey, o_orderkey, next_key, pos) AS (
+            SELECT o_custkey, o_orderkey, next_key, 1 FROM nxt WHERE rn = 1
+            UNION ALL
+            SELECT n.o_custkey, n.o_orderkey, n.next_key, w.pos + 1
+            FROM walk w JOIN nxt n ON n.o_orderkey = w.next_key
+        )
+        SELECT o_custkey, o_orderkey, CAST(pos AS BIGINT) AS pos FROM walk
+        """
+    )
+
+
+@register(
+    "q44_variant_props",
+    """
+    SELECT event_type,
+           MIN(CAST(json_extract_string(props, '$.k') AS INT))::INT AS min_k,
+           SUM(CAST(json_extract_string(props, '$.k') AS INT))::BIGINT
+               AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="VARIANT semi-structured type (Spark 4): parse_json once into "
+        "a variant column, then typed variant_get extraction — the "
+        "open-schema ingestion path that replaces per-field "
+        "get_json_object string re-parsing (q24 is the legacy-shape "
+        "twin). Variant stores a parsed binary form, so N field "
+        "extractions cost one parse, not N.",
+    tags=("json", "variant", "events"),
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return events.select("event_type", k.alias("k")).groupBy(
+        "event_type"
+    ).agg(
+        F.min("k").cast("int").alias("min_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+    )
