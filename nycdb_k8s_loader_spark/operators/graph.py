@@ -251,7 +251,8 @@ def bfs_reachable(
     )
     frontier = seeds.select(F.col(seed_col).alias("node")).distinct()
     visited = frontier.withColumn("hops", F.lit(0)).localCheckpoint(eager=True)
-    for hop in range(1, max_hops + 1):
+    hop = 1
+    while True:
         nxt = (
             sym.join(frontier, sym.a == F.col("node"))
             .select(F.col("b").alias("node"))
@@ -260,9 +261,19 @@ def bfs_reachable(
             .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
-            break
+            return visited
+        if hop > max_hops:
+            # Still discovering nodes past the cap: raise rather than
+            # silently return a truncated reachable set (same
+            # convention as connected_components — partial graph
+            # answers are wrong answers).
+            raise RuntimeError(
+                f"bfs_reachable frontier still non-empty after "
+                f"{max_hops} hops — raise max_hops (depth needed = "
+                "eccentricity of the seed set)."
+            )
         visited = visited.unionByName(
             nxt.withColumn("hops", F.lit(hop))
         ).localCheckpoint(eager=True)
         frontier = nxt
-    return visited
+        hop += 1

@@ -251,3 +251,4 @@ def read_upsert_sink(spark: SparkSession, sink_root: str) -> DataFrame:
     pointer = os.path.join(sink_root, "_CURRENT")
     with open(pointer) as f:
         return spark.read.parquet(os.path.join(sink_root, f.read().strip()))
+

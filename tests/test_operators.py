@@ -604,6 +604,21 @@ class TestBfsReachable:
                bfs_reachable(edges, seeds).collect()}
         assert got == {(1, 0), (2, 1), (3, 1)}
 
+    def test_raises_past_hop_cap(self, spark):
+        import pytest
+
+        from nycdb_k8s_loader_spark.operators.graph import bfs_reachable
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)], "src long, dst long"
+        )
+        seeds = spark.createDataFrame([(0,)], "node long")
+        with pytest.raises(RuntimeError, match="hops"):
+            bfs_reachable(edges, seeds, max_hops=3)
+        # exactly enough hops: full chain reached
+        out = bfs_reachable(edges, seeds, max_hops=6)
+        assert out.count() == 7
+
 
 class TestChunkDocuments:
     def test_overlap_boundaries_and_empty(self, spark):
