@@ -133,3 +133,56 @@ def top_k_per_group(
     """Top-k rows per key with an explicit total order (LIMIT-per-group)."""
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
     return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global row_number over a total order WITHOUT a single-partition
+    window — the scale path q38's doc promises for ranking/ntile at
+    data scale (a bare ``Window.orderBy`` drains the whole input
+    through ONE task).
+
+    Terasort shape: range-repartition on the order columns (disjoint,
+    ordered key ranges per partition), rank locally inside each
+    partition, then add per-partition row-count offsets. The offsets
+    frame is one row per partition — the only global window runs over
+    that metadata-scale frame, and it broadcasts back. ``order_cols``
+    must be a total order (include a unique tiebreak) or ranks are
+    nondeterministic.
+
+    The range-partitioned frame is eagerly localCheckpointed because
+    BOTH branches (offset counts, local ranks) consume it:
+    repartitionByRange boundaries come from sampling, and recomputing
+    the sample per branch could disagree on partition assignment —
+    offsets from one layout applied to ranks from another. Pinning the
+    layout makes the composition correct by construction.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parted = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = parted.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    w_off = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        parted.withColumn("__lrank", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__lrank") + F.col("__off")).cast("long"))
+        .drop("__pid", "__lrank", "__off")
+    )

@@ -1287,3 +1287,36 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("int").alias("min_k"),
         F.sum("k").cast("long").alias("sum_k"),
     )
+
+
+@register(
+    "q45_distributed_spend_rank",
+    """
+    WITH spend AS (
+        SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, spend,
+           row_number() OVER (ORDER BY spend, o_custkey)::BIGINT AS rank
+    FROM spend
+    """,
+    doc="Global ranking at scale: q38's single-partition Window."
+        "orderBy replaced by operators/relational.py distributed_rank "
+        "— range-repartition on the total order, per-partition "
+        "row_number, metadata-scale offset merge broadcast back. No "
+        "task ever sees more than its key range; the oracle (and q38) "
+        "is the one-task global window this replaces. Same rank "
+        "values, provably, because (spend, o_custkey) is a total "
+        "order over disjoint ordered ranges.",
+    tags=("window", "ranking", "scale"),
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.relational import distributed_rank
+
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    return distributed_rank(spend, ["spend", "o_custkey"]).select(
+        "o_custkey", "spend", "rank"
+    )

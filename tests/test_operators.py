@@ -648,3 +648,35 @@ class TestChunkDocuments:
         df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
         plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestDistributedRank:
+    def test_matches_global_window(self, spark):
+        """Range-partition + offset-merge ranking must equal the
+        single-partition global window, including ties in the leading
+        order column (broken by the unique tiebreak)."""
+        import random
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.operators.relational import (
+            distributed_rank,
+        )
+
+        rng = random.Random(11)
+        rows = [(i, rng.choice([1.0, 2.0, 3.0])) for i in range(500)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        got = {
+            (r["id"], r["rank"])
+            for r in distributed_rank(df, ["v", "id"], num_partitions=7)
+            .collect()
+        }
+        w = Window.orderBy("v", "id")
+        want = {
+            (r["id"], r["rank"])
+            for r in df.withColumn(
+                "rank", F.row_number().over(w).cast("long")
+            ).collect()
+        }
+        assert got == want
