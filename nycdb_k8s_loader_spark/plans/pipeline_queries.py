@@ -541,3 +541,70 @@ def c01(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nycdb_k8s_loader_spark.operators.textops import chunk_documents
 
     return chunk_documents(_docs(spark, sf_dir))
+
+
+@register(
+    "t06_ngram_dup_stats",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS l
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(l) >= 10
+                    THEN array_to_string(l[i:i+9], ' ')
+                    ELSE array_to_string(l, ' ') END AS g
+        FROM toks,
+             unnest(CASE WHEN len(l) >= 10 THEN range(1, len(l) - 8)
+                         ELSE [CAST(1 AS BIGINT)] END) AS t(i)
+        WHERE len(l) > 0
+    ),
+    df AS (SELECT g, COUNT(*)::BIGINT AS n_docs FROM grams GROUP BY g)
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_grams,
+           COUNT(CASE WHEN n_docs > 1 THEN 1 END)::BIGINT AS n_dup_grams
+    FROM grams JOIN df USING (g)
+    GROUP BY doc_id
+    """,
+    doc="Cross-document duplicated n-gram stats (the Lee et al. "
+        "'Deduplicating Training Data' quality signal): per document, "
+        "how many of its distinct 10-grams appear in at least one "
+        "OTHER document. Two shuffles — gram document-frequency "
+        "groupBy, then the gram->doc join back — and the shuffle "
+        "carries grams + ids, never full texts. Short docs (<10 "
+        "tokens) contribute their whole text as one gram. Outputs are "
+        "integer-only by design: a dup-fraction ratio like k/32 "
+        "rounds differently across engines at .xxxx5 boundaries, so "
+        "the ratio is left to the consumer.",
+    tags=("text", "dedup"),
+)
+def t06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), " "), lambda w: w != ""
+    )
+    base = docs.select("doc_id", toks.alias("l")).filter(F.size("l") > 0)
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("l") >= 10,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("l") - 9),
+                    lambda i: F.array_join(F.slice("l", i, 10), " "),
+                ),
+            ).otherwise(F.array(F.array_join("l", " ")))
+        ).alias("g"),
+    ).distinct()
+    dfreq = grams.groupBy("g").agg(F.count("*").alias("n_docs"))
+    return (
+        grams.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(F.col("n_docs") > 1, 1)).alias("n_dup_grams"),
+        )
+    )
