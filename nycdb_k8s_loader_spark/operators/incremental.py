@@ -94,3 +94,95 @@ def finalize_rollup(
             ).alias(f"{m}_avg"),
         ]
     return state.select(*cols)
+
+
+def scd2_apply(
+    snapshot: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    effective_col: str = "effective_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge: fold one batch of
+    updates into a versioned snapshot, keeping full history.
+
+    The reference publishes destructively — the old table is dropped
+    and replaced wholesale (load_dataset.py:365-370), so history is
+    gone after every refresh. SCD2 is the versioned-publish upgrade:
+    each key carries interval rows [valid_from, valid_to) with exactly
+    one open (``is_current``) row; an update whose tracked values
+    differ closes the open row at the update's effective timestamp and
+    appends a new open row. Unchanged updates are no-ops (idempotent
+    re-application), brand-new keys insert directly.
+
+    Pure DataFrame composition — one join of current rows against the
+    batch on the key, a null-safe change predicate (eqNullSafe per
+    tracked column, so NULL transitions version correctly), and a
+    union of [history, unchanged-current, closed, new-versions,
+    inserts]. One shuffle on the key; history rows never join. On
+    Delta this is MERGE WHEN MATCHED; this form states the exact
+    row-level contract and runs on plain parquet via the publish
+    protocol.
+
+    ``updates`` must hold one row per key (pre-deduplicate a multi-
+    event batch to the latest per key with latest_per_group) — raises
+    otherwise, because applying two versions of one key in a single
+    merge would create overlapping intervals.
+    """
+    dup = (
+        updates.groupBy(*key_cols).count().filter(F.col("count") > 1)
+    )
+    if not dup.isEmpty():
+        raise ValueError(
+            "scd2_apply: updates carry multiple rows for at least one "
+            "key — reduce to one row per key first (latest_per_group)."
+        )
+
+    cur = snapshot.filter(F.col(is_current))
+    hist = snapshot.filter(~F.col(is_current))
+    u = updates.select(
+        *[F.col(c).alias(f"__u_{c}") for c in (*key_cols, *tracked_cols)],
+        F.col(effective_col).alias("__u_eff"),
+    )
+    key_cond = reduce(
+        lambda a, b: a & b,
+        [cur[k] == F.col(f"__u_{k}") for k in key_cols],
+    )
+    joined = cur.join(u, key_cond, "full_outer")
+
+    changed = reduce(
+        lambda a, b: a | b,
+        [~cur[c].eqNullSafe(F.col(f"__u_{c}")) for c in tracked_cols],
+    )
+    matched = cur[key_cols[0]].isNotNull() & F.col(f"__u_{key_cols[0]}").isNotNull()
+    snap_cols = snapshot.columns
+
+    unchanged_cur = joined.filter(
+        cur[key_cols[0]].isNotNull()
+        & (F.col(f"__u_{key_cols[0]}").isNull() | ~changed)
+    ).select(*[cur[c] for c in snap_cols])
+
+    closed = joined.filter(matched & changed).select(
+        *[cur[c] for c in snap_cols if c not in (valid_to, is_current)],
+        F.col("__u_eff").alias(valid_to),
+        F.lit(False).alias(is_current),
+    ).select(*snap_cols)
+
+    def _fresh_rows(rows):
+        return rows.select(
+            *[F.col(f"__u_{k}").alias(k) for k in key_cols],
+            *[F.col(f"__u_{c}").alias(c) for c in tracked_cols],
+            F.col("__u_eff").alias(valid_from),
+            F.lit(None).cast(snapshot.schema[valid_to].dataType).alias(valid_to),
+            F.lit(True).alias(is_current),
+        ).select(*snap_cols)
+
+    new_versions = _fresh_rows(joined.filter(matched & changed))
+    inserts = _fresh_rows(joined.filter(cur[key_cols[0]].isNull()))
+
+    return hist.unionByName(unchanged_cur).unionByName(closed).unionByName(
+        new_versions
+    ).unionByName(inserts)

@@ -680,3 +680,78 @@ class TestDistributedRank:
             ).collect()
         }
         assert got == want
+
+
+class TestScd2:
+    def _snap(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "id long, city string, valid_from timestamp, "
+            "valid_to timestamp, is_current boolean",
+        )
+
+    def test_change_close_insert_and_idempotency(self, spark):
+        import datetime as dt
+
+        from nycdb_k8s_loader_spark.operators.incremental import scd2_apply
+
+        t0 = dt.datetime(2024, 1, 1)
+        t1 = dt.datetime(2024, 2, 1)
+        snap = self._snap(
+            spark,
+            [(1, "nyc", t0, None, True), (2, "sf", t0, None, True)],
+        )
+        updates = spark.createDataFrame(
+            [(1, "boston", t1), (3, "chicago", t1)],
+            "id long, city string, effective_ts timestamp",
+        )
+        out = scd2_apply(snap, updates, ["id"], ["city"])
+        rows = {
+            (r["id"], r["city"], r["valid_to"], r["is_current"])
+            for r in out.collect()
+        }
+        assert rows == {
+            (1, "nyc", t1, False),      # closed at the change
+            (1, "boston", None, True),  # new open version
+            (2, "sf", None, True),      # untouched key
+            (3, "chicago", None, True), # brand-new key
+        }
+
+        # re-applying the same batch is a no-op (values now match)
+        again = scd2_apply(out, updates, ["id"], ["city"])
+        assert {
+            (r["id"], r["city"], r["valid_to"], r["is_current"])
+            for r in again.collect()
+        } == rows
+
+    def test_null_transitions_version(self, spark):
+        import datetime as dt
+
+        from nycdb_k8s_loader_spark.operators.incremental import scd2_apply
+
+        t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 3, 1)
+        snap = self._snap(spark, [(1, None, t0, None, True)])
+        updates = spark.createDataFrame(
+            [(1, "nyc", t1)], "id long, city string, effective_ts timestamp"
+        )
+        out = scd2_apply(snap, updates, ["id"], ["city"]).collect()
+        assert {(r["city"], r["is_current"]) for r in out} == {
+            (None, False),
+            ("nyc", True),
+        }
+
+    def test_rejects_multi_row_batch(self, spark):
+        import datetime as dt
+
+        import pytest
+
+        from nycdb_k8s_loader_spark.operators.incremental import scd2_apply
+
+        t0 = dt.datetime(2024, 1, 1)
+        snap = self._snap(spark, [(1, "nyc", t0, None, True)])
+        updates = spark.createDataFrame(
+            [(1, "a", t0), (1, "b", t0)],
+            "id long, city string, effective_ts timestamp",
+        )
+        with pytest.raises(ValueError, match="one row per key"):
+            scd2_apply(snap, updates, ["id"], ["city"])
