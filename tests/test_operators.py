@@ -501,6 +501,18 @@ class TestScalePhysicalPlans:
         assert "Join" not in plan
         assert plan.count("Exchange hashpartitioning") <= 2
 
+    def test_q41_unpivot_is_single_scan_expand(self, spark):
+        """Unpivot must plan as ONE scan of the fact feeding an Expand
+        (row multiplication map-side) — not one scan per melted
+        measure like the oracle's UNION ALL form."""
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        plan = self._plan(
+            queries()["q41_unpivot_metrics"](spark, "/root/testdata/sf0.001")
+        )
+        assert "Expand" in plan
+        assert plan.count("FileScan parquet") == 1
+
     def test_q36_subqueries_decorrelate_to_joins(self, spark):
         """Both correlated scalar subqueries must plan as joins against
         pre-aggregated subtrees — no nested-loop per-row re-execution."""
