@@ -141,15 +141,23 @@ def scd2_apply(
             "key — reduce to one row per key first (latest_per_group)."
         )
 
-    cur = snapshot.filter(F.col(is_current))
+    # Presence markers rather than key-IsNotNull probes: the key join is
+    # null-safe (eqNullSafe below, matching the null-safe change
+    # predicate), so a NULL key value is a legal, matchable key — which
+    # means "did this side participate in the join?" can no longer be
+    # read off the key columns themselves.
+    cur = snapshot.filter(F.col(is_current)).withColumn(
+        "__cur_present", F.lit(True)
+    )
     hist = snapshot.filter(~F.col(is_current))
     u = updates.select(
         *[F.col(c).alias(f"__u_{c}") for c in (*key_cols, *tracked_cols)],
         F.col(effective_col).alias("__u_eff"),
+        F.lit(True).alias("__u_present"),
     )
     key_cond = reduce(
         lambda a, b: a & b,
-        [cur[k] == F.col(f"__u_{k}") for k in key_cols],
+        [cur[k].eqNullSafe(F.col(f"__u_{k}")) for k in key_cols],
     )
     joined = cur.join(u, key_cond, "full_outer")
 
@@ -157,12 +165,28 @@ def scd2_apply(
         lambda a, b: a | b,
         [~cur[c].eqNullSafe(F.col(f"__u_{c}")) for c in tracked_cols],
     )
-    matched = cur[key_cols[0]].isNotNull() & F.col(f"__u_{key_cols[0]}").isNotNull()
+    matched = (
+        cur["__cur_present"].isNotNull() & F.col("__u_present").isNotNull()
+    )
     snap_cols = snapshot.columns
 
+    # Reject updates that would produce an inverted [valid_from,
+    # valid_to) interval: an effective_ts earlier than the open row's
+    # valid_from means the batch is out of order relative to history
+    # (feed batches through latest_per_group in event order instead).
+    inverted = joined.filter(
+        matched & changed & (F.col("__u_eff") < cur[valid_from])
+    )
+    if not inverted.isEmpty():
+        raise ValueError(
+            "scd2_apply: at least one update's effective_ts precedes the "
+            "current row's valid_from — applying it would create an "
+            "inverted validity interval. Apply batches in event order."
+        )
+
     unchanged_cur = joined.filter(
-        cur[key_cols[0]].isNotNull()
-        & (F.col(f"__u_{key_cols[0]}").isNull() | ~changed)
+        cur["__cur_present"].isNotNull()
+        & (F.col("__u_present").isNull() | ~changed)
     ).select(*[cur[c] for c in snap_cols])
 
     closed = joined.filter(matched & changed).select(
@@ -181,7 +205,7 @@ def scd2_apply(
         ).select(*snap_cols)
 
     new_versions = _fresh_rows(joined.filter(matched & changed))
-    inserts = _fresh_rows(joined.filter(cur[key_cols[0]].isNull()))
+    inserts = _fresh_rows(joined.filter(cur["__cur_present"].isNull()))
 
     return hist.unionByName(unchanged_cur).unionByName(closed).unionByName(
         new_versions

@@ -140,11 +140,27 @@ def distributed_rank(
     order_cols: list[str],
     rank_col: str = "rank",
     num_partitions: int | None = None,
+    ntile: int | None = None,
+    ntile_col: str = "ntile",
+    percent_rank_col: str | None = None,
 ) -> DataFrame:
     """Global row_number over a total order WITHOUT a single-partition
     window — the scale path q38's doc promises for ranking/ntile at
     data scale (a bare ``Window.orderBy`` drains the whole input
     through ONE task).
+
+    ``ntile``/``percent_rank_col`` derive the distribution statistics
+    from the rank plus the global row count — which the offsets frame
+    already holds (sum of per-partition counts), so they cost ZERO
+    additional shuffles over plain ranking:
+
+    - ``percent_rank = (rank - 1) / (n - 1)`` (0.0 for a single row),
+      exact because ``order_cols`` is a total order (no ties, so
+      row_number == rank == SQL rank()).
+    - ``ntile(k)`` follows the SQL standard's uneven-bucket rule: with
+      ``n = q*k + r``, the first ``r`` buckets hold ``q+1`` rows, the
+      rest ``q`` — NOT the tempting ``ceil(rank*k/n)``, which puts the
+      large buckets last and disagrees with every SQL engine.
 
     Terasort shape: range-repartition on the order columns (disjoint,
     ordered key ranges per partition), rank locally inside each
@@ -164,7 +180,15 @@ def distributed_rank(
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if num_partitions is not None:
+        n = num_partitions
+    else:
+        try:
+            # 'auto' on AQE-managed platforms (e.g. coalesced shuffle
+            # partitions) — not an int; fall back below.
+            n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (ValueError, TypeError):
+            n = max(df.rdd.getNumPartitions(), 1)
     parted = (
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .withColumn("__pid", F.spark_partition_id())
@@ -175,14 +199,36 @@ def distributed_rank(
         Window.orderBy("__pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    w_all = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     offsets = counts.select(
         "__pid",
         F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(w_all).alias("__n"),
     )
     w_local = Window.partitionBy("__pid").orderBy(*order_cols)
-    return (
+    out = (
         parted.withColumn("__lrank", F.row_number().over(w_local))
         .join(F.broadcast(offsets), "__pid")
         .withColumn(rank_col, (F.col("__lrank") + F.col("__off")).cast("long"))
-        .drop("__pid", "__lrank", "__off")
     )
+    rank, n = F.col(rank_col), F.col("__n")
+    if percent_rank_col is not None:
+        out = out.withColumn(
+            percent_rank_col,
+            F.when(n > 1, (rank - 1) / (n - 1)).otherwise(F.lit(0.0)),
+        )
+    if ntile is not None:
+        q, r = F.floor(n / ntile), n % ntile
+        # greatest(q,1) only shields the never-taken branch from ANSI
+        # division-by-zero when n < k (there r covers every rank).
+        out = out.withColumn(
+            ntile_col,
+            F.when(
+                rank <= r * (q + 1), F.ceil(rank / (q + 1))
+            ).otherwise(
+                r + F.ceil((rank - r * (q + 1)) / F.greatest(q, F.lit(1)))
+            ).cast("int"),
+        )
+    return out.drop("__pid", "__lrank", "__off", "__n")

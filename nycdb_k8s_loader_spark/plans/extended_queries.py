@@ -382,10 +382,10 @@ def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
     "st05_streaming_session_windows",
     """
     WITH seq AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
                                             ORDER BY ts, event_id)
-                         > INTERVAL 30 MINUTE
+                         >= INTERVAL 30 MINUTE
                     OR lag(ts) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS is_new
@@ -393,7 +393,8 @@ def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
         SELECT user_id, ts,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_id
         FROM seq
     )
@@ -572,6 +573,11 @@ def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # reused by seed agg AND every hop
     )
     seed_val = edges.agg(F.min("doc_a")).collect()[0][0]
+    if seed_val is None:
+        # No near-dup pairs at this threshold/scale: the oracle's
+        # recursive CTE also walks zero rows, so return the empty
+        # (doc_id, hops) frame rather than crashing on int(None).
+        return spark.createDataFrame([], "doc_id long, hops long")
     seeds = spark.createDataFrame([(int(seed_val),)], "node long")
     out = bfs_reachable(edges, seeds, src="doc_a", dst="doc_b")
     return out.select(

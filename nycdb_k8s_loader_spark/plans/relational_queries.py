@@ -1046,29 +1046,39 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Distribution ranking (ntile + percent_rank): lifetime-spend "
         "deciles per customer — the quantile-bucket feature for "
-        "stratification/quality-tiering. The ranking window is global "
-        "(ORDER BY with no PARTITION BY): fine after the groupBy has "
-        "already collapsed to one row per customer, but at 100 TB the "
-        "scale path is range-partitioned sort (df.repartitionByRange) "
-        "+ per-partition rank + offset merge, or the q34 KLL-sketch "
-        "quantiles when approximate buckets suffice. (spend, "
-        "o_custkey) makes tie order total, so ntile assignment is "
-        "deterministic. ROUND(sum, 2) is exact cross-engine: the true "
-        "sum of 2-dp values IS a 2-dp decimal, so the double sits "
-        "~1e-10 from it, never at a .xx5 boundary.",
+        "stratification/quality-tiering. Runs on distributed_rank "
+        "(operators/relational.py): range-repartition on (spend, "
+        "o_custkey), per-partition row_number, broadcast offset merge — "
+        "ntile and percent_rank derive from rank + the global count "
+        "already in the offsets frame, so NO single-partition window "
+        "exists anywhere in the plan (the only Window.orderBy runs over "
+        "the metadata-scale per-partition-counts frame). (spend, "
+        "o_custkey) makes the order total, so row_number == rank and "
+        "percent_rank=(rank-1)/(n-1) is exact. ROUND(sum, 2) is exact "
+        "cross-engine: the true sum of 2-dp values IS a 2-dp decimal, "
+        "so the double sits ~1e-10 from it, never at a .xx5 boundary.",
     tags=("window", "ranking"),
 )
 def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.relational import distributed_rank
+
     orders = _t(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("spend")
     )
-    w = Window.orderBy("spend", "o_custkey")
-    return spend.select(
+    ranked = distributed_rank(
+        spend,
+        ["spend", "o_custkey"],
+        rank_col="__rank",
+        ntile=10,
+        ntile_col="decile",
+        percent_rank_col="__pr",
+    )
+    return ranked.select(
         "o_custkey",
         "spend",
-        F.ntile(10).over(w).alias("decile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        "decile",
+        F.round(F.col("__pr"), 6).alias("pct_rank"),
     )
 
 

@@ -228,8 +228,18 @@ def foreach_batch_upsert(sink_root: str, keys: list[str]):
         merged = batch_df
         if os.path.exists(pointer):
             with open(pointer) as f:
-                cur = os.path.join(sink_root, f.read().strip())
-            base = spark.read.parquet(cur)
+                cur_name = f.read().strip()
+            if cur_name == f"v{batch_id}":
+                # Replay after a crash that landed between the pointer
+                # repoint and the checkpoint commit: _CURRENT already
+                # points at THIS batch's snapshot. Re-merging would read
+                # v{batch_id} lazily and overwrite the same directory —
+                # Spark either refuses ("cannot overwrite a path that is
+                # also being read from") or corrupts the snapshot
+                # mid-read. The snapshot already contains this batch;
+                # the replay is a no-op.
+                return
+            base = spark.read.parquet(os.path.join(sink_root, cur_name))
             keep = base.join(
                 batch_df.select(*keys).distinct(), keys, "left_anti"
             )

@@ -513,6 +513,31 @@ class TestScalePhysicalPlans:
         assert "Expand" in plan
         assert plan.count("FileScan parquet") == 1
 
+    def test_q38_deciles_have_no_data_scale_global_window(self, spark):
+        """q38's ntile/percent_rank must derive from distributed_rank —
+        no native ntile()/percent_rank() window function anywhere, and
+        the ONLY single-partition exchange in the plan feeds the
+        metadata-scale per-partition-counts frame (__pid, __cnt), never
+        the customer-spend data."""
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        plan = self._plan(
+            queries()["q38_customer_spend_deciles"](
+                spark, "/root/testdata/sf0.001"
+            )
+        )
+        assert "ntile" not in plan
+        assert "percent_rank" not in plan
+        assert plan.count("SinglePartition") == 1
+        # Every window touching the data (spend) is partitioned by
+        # __pid; only the counts window (sums __cnt) runs unpartitioned.
+        window_lines = [
+            ln for ln in plan.split("\n") if "windowspecdefinition" in ln
+        ]
+        assert window_lines
+        for ln in window_lines:
+            assert "__pid" in ln if "spend" in ln else "__cnt" in ln
+
     def test_q36_subqueries_decorrelate_to_joins(self, spark):
         """Both correlated scalar subqueries must plan as joins against
         pre-aggregated subtrees — no nested-loop per-row re-execution."""
@@ -692,6 +717,45 @@ class TestDistributedRank:
             ).collect()
         }
         assert got == want
+
+    def test_ntile_percent_rank_match_native_window(self, spark):
+        """The derived ntile/percent_rank must match Spark's native
+        global-window functions exactly — including the SQL uneven-
+        bucket rule (503 rows / 7 buckets: first 6 get 72, last gets
+        71) and the n<k degenerate case."""
+        import random
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.operators.relational import (
+            distributed_rank,
+        )
+
+        rng = random.Random(7)
+        for n_rows, k in [(503, 7), (12, 5), (3, 10), (1, 4)]:
+            rows = [(i, rng.random()) for i in range(n_rows)]
+            df = spark.createDataFrame(rows, "id long, v double")
+            got = {
+                (r["id"], r["ntile"], round(r["pr"], 9))
+                for r in distributed_rank(
+                    df,
+                    ["v", "id"],
+                    num_partitions=5,
+                    ntile=k,
+                    percent_rank_col="pr",
+                ).collect()
+            }
+            w = Window.orderBy("v", "id")
+            want = {
+                (r["id"], r["ntile"], round(r["pr"], 9))
+                for r in df.select(
+                    "id",
+                    F.ntile(k).over(w).alias("ntile"),
+                    F.percent_rank().over(w).alias("pr"),
+                ).collect()
+            }
+            assert got == want, f"n={n_rows} k={k}"
 
 
 class TestScd2:
