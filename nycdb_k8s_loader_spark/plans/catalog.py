@@ -55,6 +55,7 @@ def _load_all() -> None:
         relational_queries,
         scale_queries,
         temporal_queries,
+        wow_pipeline,
     )
 
 

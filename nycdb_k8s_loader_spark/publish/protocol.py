@@ -111,6 +111,26 @@ class Publisher:
 
     # -- writes ----------------------------------------------------------------
 
+    def _reclaim_orphan_location(self, db: str, table: str) -> None:
+        """In-memory catalogs (the Spark default, and what a fresh
+        driver session runs) forget managed tables across sessions
+        while the warehouse DIRECTORY persists — the next session's
+        saveAsTable sees a 'new' table whose location already exists
+        and dies with LOCATION_ALREADY_EXISTS. When the catalog has no
+        record of the table but its managed location survives, the
+        directory is orphaned by definition: delete it (Hadoop FS API,
+        so object-store warehouses behave the same as file:)."""
+        if self.spark.catalog.tableExists(f"`{db}`.`{table}`"):
+            return  # live table — overwrite semantics handle it
+        try:
+            loc = self.spark.catalog.getDatabase(db).locationUri
+        except Exception:  # noqa: BLE001 - db missing: nothing to do
+            return
+        jvm = self.spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(f"{loc}/{table}")
+        fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        fs.delete(path, True)
+
     def write_staging_table(
         self,
         db: str,
@@ -118,6 +138,7 @@ class Publisher:
         df: DataFrame,
         layout: TableLayout | None = None,
     ) -> None:
+        self._reclaim_orphan_location(db, table)
         w = df.write.mode("overwrite")
         if layout:
             w = layout.apply(w)
@@ -136,6 +157,7 @@ class Publisher:
         self._sql(f"CREATE DATABASE IF NOT EXISTS `{self.target_db}`")
         published = []
         for t in tables:
+            self._reclaim_orphan_location(self.target_db, t)
             src = self.spark.table(f"`{staging_db}`.`{t}`")
             w = src.write.mode("overwrite")
             if layouts and t in layouts:

@@ -73,8 +73,60 @@ _DISTINCT_ON = re.compile(
 )
 
 
+_PAREN_CAST = re.compile(r"\)\s*::\s*([A-Za-z_][\w]*)")
+
+
+def _rewrite_paren_casts(sql: str) -> str:
+    """``(expr)::type`` → ``CAST((expr) AS TYPE)`` — the parenthesized
+    form _SIMPLE_CAST can't reach (it has no backward paren matching).
+    String literals are masked first so quoted parens can't derail the
+    balance scan. A preceding function identifier is absorbed into the
+    cast operand so ``fn(nested(x))::int`` casts the whole call."""
+    literals: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+
+    sql = re.sub(r"'(?:[^']|'')*'", _mask, sql)
+    while True:
+        m = _PAREN_CAST.search(sql)
+        if not m:
+            break
+        depth, i = 0, m.start()
+        while i >= 0:
+            if sql[i] == ")":
+                depth += 1
+            elif sql[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        if i < 0:  # unbalanced — leave untouched rather than corrupt
+            break
+        fn = re.search(r"(?:[A-Za-z_][\w$]*\s*\.\s*)?[A-Za-z_][\w$]*\s*$", sql[:i])
+        # absorb a preceding identifier only if it is a function name,
+        # not a SQL keyword ("SELECT (x)::int" casts (x), not SELECT(x))
+        keywords = {
+            "select", "where", "from", "and", "or", "on", "when", "then",
+            "else", "end", "by", "as", "in", "not", "filter", "having",
+            "join", "using", "case", "between", "like", "distinct",
+            "union", "all", "values", "over", "partition", "order",
+            "group", "limit", "exists", "is", "null", "true", "false",
+        }
+        start = i
+        if fn and fn.group(0).strip().lower() not in keywords:
+            start = fn.start()
+        pg_type = m.group(1).lower()
+        spark_type = _TYPE_MAP.get(pg_type, pg_type.upper())
+        operand = sql[start : m.start() + 1]
+        sql = f"{sql[:start]}CAST({operand} AS {spark_type}){sql[m.end():]}"
+    return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], sql)
+
+
 def _rewrite_casts(sql: str) -> str:
     sql = _INTERVAL_CAST.sub(lambda m: f"INTERVAL {m.group(1)}", sql)
+    sql = _rewrite_paren_casts(sql)
 
     def cast_sub(m: re.Match) -> str:
         expr, pg_type = m.group(1), m.group(2).lower()
@@ -186,6 +238,79 @@ def _rewrite_string_agg(sql: str) -> str:
         sql = sql[: m.start()] + repl + sql[end:]
 
 
+_JSON_AGG_OPEN = re.compile(r"\bjsonb?_agg\s*\(", re.IGNORECASE)
+
+_FILTER_OPEN = re.compile(r"\s*FILTER\s*\(", re.IGNORECASE)
+
+
+def _rewrite_json_agg(sql: str) -> str:
+    """``json_agg(expr [ORDER BY k [DESC], ...]) [FILTER (WHERE p)]`` →
+    Spark's ordered-collect idiom: collect structs carrying the order
+    keys, array_sort with a comparator lambda, project the value back
+    out, to_json the array (the same shape operators/relational.py's
+    ordered_json_agg builds with the DataFrame API). The FILTER clause
+    moves onto collect_list — it must attach to the aggregate, not the
+    to_json wrapper. An expr already wrapped in to_json(...) (from the
+    json_build_object rewrite running first) is unwrapped so elements
+    aggregate as structs, not pre-serialized strings."""
+    while True:
+        m = _JSON_AGG_OPEN.search(sql)
+        if not m:
+            return sql
+        end = _scan_to_close(sql, m.end())
+        args = sql[m.end() : end - 1]
+        om = re.search(r"\s+ORDER\s+BY\s+(.+)$", args, re.IGNORECASE | re.DOTALL)
+        if om:
+            expr, order = args[: om.start()].strip(), om.group(1).strip()
+        else:
+            expr, order = args.strip(), None
+        if expr.lower().startswith("to_json(") and expr.endswith(")"):
+            inner_expr = expr[len("to_json(") : -1]
+            if _balanced(inner_expr):
+                expr = inner_expr
+        filt, tail_start = "", end
+        fm = _FILTER_OPEN.match(sql[end:])
+        if fm:
+            fend = _scan_to_close(sql, end + fm.end())
+            filt = " " + sql[end:fend].strip()
+            tail_start = fend
+        if order:
+            fields, cmps = [], []
+            for i, key in enumerate(_split_top_commas(order)):
+                key = key.strip()
+                desc = bool(re.search(r"\s+DESC\s*$", key, re.IGNORECASE))
+                key = re.sub(
+                    r"\s+(ASC|DESC)\s*$", "", key, flags=re.IGNORECASE
+                )
+                fields.append(f"'__o{i}', {key}")
+                lo, hi = ("1", "-1") if desc else ("-1", "1")
+                cmps.append(
+                    f"WHEN l.__o{i} < r.__o{i} THEN {lo} "
+                    f"WHEN l.__o{i} > r.__o{i} THEN {hi}"
+                )
+            struct = f"named_struct({', '.join(fields)}, '__v', {expr})"
+            comparator = f"(l, r) -> CASE {' '.join(cmps)} ELSE 0 END"
+            inner = (
+                f"transform(array_sort(collect_list({struct}){filt}, "
+                f"{comparator}), s -> s.__v)"
+            )
+        else:
+            inner = f"collect_list({expr}){filt}"
+        sql = f"{sql[:m.start()]}to_json({inner}){sql[tail_start:]}"
+
+
+def _balanced(s: str) -> bool:
+    depth = 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
+
+
 def _rewrite_distinct_on(sql: str) -> str:
     """``SELECT DISTINCT ON (keys) <list> FROM <rest> [ORDER BY o]`` →
     ranked-window subquery. Postgres picks the first row per key in
@@ -196,6 +321,7 @@ def _rewrite_distinct_on(sql: str) -> str:
     if not m:
         return sql
     keys = m.group(1).strip()
+    prefix = sql[: m.start()]  # e.g. "CREATE TABLE t AS " — keep it
     rest = sql[m.end():].rstrip().rstrip(";")
     # split off a trailing top-level ORDER BY if present
     om = re.search(r"\bORDER\s+BY\s+(.+?)$", rest, re.IGNORECASE | re.DOTALL)
@@ -211,7 +337,7 @@ def _rewrite_distinct_on(sql: str) -> str:
     select_list = rest[: fm.start()].rstrip().rstrip(",")
     from_part = rest[fm.start():]
     return (
-        f"SELECT * EXCEPT (__rn) FROM (SELECT {select_list}, "
+        f"{prefix}SELECT * EXCEPT (__rn) FROM (SELECT {select_list}, "
         f"row_number() OVER (PARTITION BY {keys} ORDER BY {order}) AS __rn "
         f"{from_part}) WHERE __rn = 1"
     )
@@ -238,6 +364,20 @@ def _rewrite_json_build(sql: str) -> str:
     return "".join(out)
 
 
+_VESTIGIAL_USING = re.compile(
+    r"(\bFROM\s+[A-Za-z_][\w$.]*\s+)USING\s*\([^)]*\)", re.IGNORECASE
+)
+
+
+def _rewrite_vestigial_using(sql: str) -> str:
+    """Drop a ``USING (col)`` that directly follows a single FROM table
+    with no JOIN — a vestigial clause the reference's wow_2021 script
+    carries (tests/sql/wow_2021_create_bldgs_table.sql:60: the table is
+    already the joined view, the USING is dead text). JOIN ... USING is
+    untouched (the pattern requires FROM immediately before)."""
+    return _VESTIGIAL_USING.sub(lambda m: m.group(1), sql)
+
+
 def _rewrite_drop_cascade(sql: str) -> str:
     """``DROP TABLE ... CASCADE`` → plain DROP TABLE. Spark has no
     CASCADE at table granularity (SURVEY §2 K2; dependent views are
@@ -254,10 +394,12 @@ def transpile_pg(sql: str) -> str:
     """Apply all rewrites. Order matters: interval-casts before simple
     casts, DISTINCT ON last (it restructures the statement)."""
     sql = _rewrite_drop_cascade(sql)
+    sql = _rewrite_vestigial_using(sql)
     sql = _rewrite_casts(sql)
     sql = _rewrite_any(sql)
     sql = _rewrite_regex_ops(sql)
     sql = _rewrite_string_agg(sql)
     sql = _rewrite_json_build(sql)
+    sql = _rewrite_json_agg(sql)
     sql = _rewrite_distinct_on(sql)
     return sql

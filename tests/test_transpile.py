@@ -62,6 +62,56 @@ class TestTextRewrites:
         assert "row_number() OVER (PARTITION BY bbl ORDER BY bbl)" in out
         assert "__rn = 1" in out
 
+    def test_distinct_on_preserves_ctas_prefix(self):
+        """Regression: the rewrite used to DROP everything before the
+        SELECT — 'CREATE TABLE t AS SELECT DISTINCT ON ...' lost its
+        CTAS and silently became a bare query."""
+        out = transpile_pg(
+            "CREATE TABLE t AS SELECT DISTINCT ON (k) k, v FROM s"
+        )
+        assert out.startswith("CREATE TABLE t AS SELECT")
+        assert "row_number() OVER (PARTITION BY k" in out
+
+    def test_paren_cast(self):
+        out = transpile_pg("SELECT (a || ' ' || b)::text FROM t")
+        assert out == "SELECT CAST((a || ' ' || b) AS STRING) FROM t"
+
+    def test_paren_cast_absorbs_function(self):
+        out = transpile_pg("SELECT nullif(trim(x), '')::int FROM t")
+        assert out == "SELECT CAST(nullif(trim(x), '') AS INT) FROM t"
+
+    def test_paren_cast_chained(self):
+        out = transpile_pg("SELECT (x + 1)::int::text FROM t")
+        assert out == "SELECT CAST(CAST((x + 1) AS INT) AS STRING) FROM t"
+
+    def test_json_agg_plain(self):
+        out = transpile_pg("SELECT json_agg(x) FROM t GROUP BY k")
+        assert out == "SELECT to_json(collect_list(x)) FROM t GROUP BY k"
+
+    def test_json_agg_ordered_with_filter(self):
+        # wow_2021 sql:43-46 shape: ordered json_agg of built objects
+        # with a FILTER clause — the FILTER must land on collect_list
+        out = transpile_pg(
+            "json_agg(json_build_object('t', ct, 'c', n) ORDER BY n DESC) "
+            "FILTER (WHERE n > 0)"
+        )
+        assert "collect_list(named_struct('__o0', n, '__v', "
+        assert "FILTER (WHERE n > 0)," in out.replace("  ", " ") or \
+            "FILTER (WHERE n > 0)" in out
+        assert "array_sort(" in out and "transform(" in out
+        # DESC key: comparator returns 1 when l < r
+        assert "WHEN l.__o0 < r.__o0 THEN 1" in out
+        # the inner to_json was unwrapped: elements are structs
+        assert out.count("to_json(") == 1
+
+    def test_vestigial_from_using_dropped(self):
+        # wow_2021 sql:60: FROM <table> USING(col) with no JOIN
+        out = transpile_pg("SELECT a FROM joined_view USING(complaintid)")
+        assert out == "SELECT a FROM joined_view "
+        # JOIN ... USING untouched
+        out2 = transpile_pg("SELECT a FROM x JOIN y USING(k)")
+        assert "USING(k)" in out2
+
 
 class TestExecutesOnSpark:
     @pytest.fixture()

@@ -1,0 +1,188 @@
+"""End-to-end WOW pipeline test — the Spark twin of the reference's
+tests/test_wowutil.py:47-71 (build, probe derived tables, rebuild,
+identical) over the concrete dataset registry in datasets.py.
+
+Fixture data is hand-crafted to exercise the interesting paths:
+multi-hop portfolio merging (name X shares addr A1 with Y; Y appears
+again at A2 with Z — all three must land in ONE portfolio), name
+normalization collapsing punctuation variants, no-owner registrations
+(excluded contact type / NULL name), latest-deed tiebreaks, and
+rentstab NULL coalesces.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nycdb_k8s_loader_spark.datasets import WOW_SCHEMA, wow_registry
+from nycdb_k8s_loader_spark.engine import Engine, Notifier
+from nycdb_k8s_loader_spark.publish.protocol import Publisher
+from nycdb_k8s_loader_spark.state.kvstore import DictKVStore
+from nycdb_k8s_loader_spark.state.lastmod import FetchResult
+
+CSV = {
+    "hpd_registrations.csv": (
+        "registrationid,bbl,boro\n"
+        "1,BBL1,MN\n2,BBL2,MN\n3,BBL3,BK\n4,BBL4,BK\n5,BBL5,QN\n6,BBL6,QN\n"
+    ),
+    # reg1: X @ A1 | reg2: Y @ A1 | reg3: Y @ A2 | reg4: Z @ A2
+    #   → X-Y edge via A1, Y-Z edge via A2: one portfolio, multi-hop.
+    # reg5: excluded type; reg6: NULL name → no owner rows.
+    # X is spelled two ways that normalize identically.
+    "hpd_contacts.csv": (
+        "registrationcontactid,registrationid,type,corporationname,"
+        "businesshousenumber,businessstreetname\n"
+        "101,1,CorporateOwner,Xavier Holdings LLC.,12,Main St\n"
+        "102,2,HeadOfficer,Yonder Props,12,Main St\n"
+        "103,3,CorporateOwner,Yonder. Props,99,Side Ave\n"
+        "104,4,IndividualOwner,Zeta Mgmt,99,Side Ave\n"
+        "105,5,SiteManager,Should Be Excluded,1,Nope St\n"
+        "106,6,CorporateOwner,,1,Nope St\n"
+    ),
+    "hpd_violations.csv": (
+        "violationid,bbl,class,inspectiondate,currentstatus\n"
+        "1,BBL1,C,1997-07-01T00:00:00,Open\n"
+        "2,BBL1,A,1995-01-01T00:00:00,Close\n"
+        "3,BBL2,B,1998-01-01T00:00:00,Open\n"
+    ),
+    "hpd_complaints.csv": (
+        "complaintid,bbl,majorcategory,receiveddate\n"
+        "10,BBL1,HEAT,1997-08-01T00:00:00\n"
+        "11,BBL1,PESTS,1996-01-01T00:00:00\n"
+    ),
+    # two deeds for BBL1: D2 is later → lastsale; D3 is not a deed;
+    # D4 has docamount <= 1 → filtered.
+    "real_property_master.csv": (
+        "documentid,doctype,docdate,recordedfiled,docamount\n"
+        "D1,DEED,1996-05-01T00:00:00,1996-05-02T00:00:00,1000.5\n"
+        "D2,DEEDO,,1997-03-01T00:00:00,2000.25\n"
+        "D3,MTGE,1999-01-01T00:00:00,1999-01-01T00:00:00,5000.0\n"
+        "D4,DEED,1999-06-01T00:00:00,1999-06-01T00:00:00,1.0\n"
+    ),
+    "real_property_legals.csv": (
+        "documentid,bbl\nD1,BBL1\nD2,BBL1\nD3,BBL1\nD4,BBL1\n"
+    ),
+    "rentstab.csv": "ucbbl,unitsstab2007,uc2021\nBBL2,10,\nBBL3,,7\n",
+}
+# the acris dataset maps dests per table; rentstab's single table dest
+# is rentstab_summary.csv per the registry manifest
+CSV["rentstab_summary.csv"] = CSV.pop("rentstab.csv")
+
+
+class RecordingNotifier(Notifier):
+    def __init__(self):
+        self.outbox: list[str] = []
+
+    def notify(self, message: str) -> None:
+        self.outbox.append(message)
+
+
+def fake_downloader(url: str, dest: str) -> None:
+    name = url.rsplit("/", 1)[-1]
+    with open(dest, "w") as f:
+        f.write(CSV[name])
+
+
+@pytest.fixture()
+def wow_engine(spark, tmp_path):
+    notifier = RecordingNotifier()
+    eng = Engine(
+        spark,
+        wow_registry(),
+        DictKVStore(),
+        target_db="wow_src_test",
+        landing_root=str(tmp_path / "landing"),
+        transport=lambda url, headers: FetchResult(200, etag='"v1"'),
+        downloader=fake_downloader,
+        notifier=notifier,
+    )
+    yield eng, notifier
+    spark.sql("DROP DATABASE IF EXISTS wow_src_test CASCADE")
+    spark.sql(f"DROP DATABASE IF EXISTS {WOW_SCHEMA} CASCADE")
+
+
+def test_wow_end_to_end(spark, wow_engine):
+    eng, notifier = wow_engine
+    results = eng.load_all(["wow"])
+
+    # dependencies loaded first, wow last (reference O4 ordering)
+    assert [r.dataset for r in results][-1] == "wow"
+    assert all(not r.skipped for r in results)
+
+    bldgs = spark.table(f"{WOW_SCHEMA}.wow_bldgs")
+    rows = {r["bbl"]: r for r in bldgs.collect()}
+    assert set(rows) == {"BBL1", "BBL2", "BBL3", "BBL4", "BBL5", "BBL6"}
+
+    # multi-hop portfolio: X, Y, Z all share one portfolio id = the
+    # minimum normalized member name
+    portfolios = {
+        r["name"]: r["portfolio_id"]
+        for r in spark.table(f"{WOW_SCHEMA}.wow_portfolios").collect()
+    }
+    assert portfolios == {
+        "XAVIER HOLDINGS LLC": "XAVIER HOLDINGS LLC",
+        "YONDER PROPS": "XAVIER HOLDINGS LLC",
+        "ZETA MGMT": "XAVIER HOLDINGS LLC",
+    }
+    # the two Yonder spellings normalized into ONE landlord name
+    assert rows["BBL2"]["ownername"] == "YONDER PROPS"
+    assert rows["BBL3"]["ownername"] == "YONDER PROPS"
+    assert rows["BBL4"]["portfolio_id"] == "XAVIER HOLDINGS LLC"
+
+    # excluded / NULL-name contacts → no owner, no portfolio
+    assert rows["BBL5"]["ownername"] is None
+    assert rows["BBL5"]["portfolio_id"] is None
+    assert rows["BBL6"]["ownername"] is None
+
+    # filtered violation counts
+    assert rows["BBL1"]["total_violations"] == 2
+    assert rows["BBL1"]["classc_violations"] == 1
+    assert rows["BBL1"]["open_violations"] == 1
+    assert rows["BBL1"]["recent_violations"] == 1
+    assert rows["BBL2"]["total_violations"] == 1
+    assert rows["BBL3"]["total_violations"] == 0
+
+    # complaints
+    assert rows["BBL1"]["total_complaints"] == 2
+    assert rows["BBL1"]["recent_complaints"] == 1
+
+    # latest deed: D2 (docdate coalesced from recordedfiled 1997-03-01)
+    # beats D1; D3 (MTGE) and D4 (amount <= 1) filtered out
+    assert rows["BBL1"]["lastsale_docid"] == "D2"
+    assert float(rows["BBL1"]["lastsale_amount"]) == 2000.25
+    assert rows["BBL2"]["lastsale_docid"] is None
+
+    # rentstab coalesces
+    assert rows["BBL2"]["rsunits2007"] == 10
+    assert rows["BBL2"]["rsunitslatest"] == 0
+    assert rows["BBL3"]["rsunits2007"] == 0
+    assert rows["BBL3"]["rsunitslatest"] == 7
+
+    # notifier parity with the reference test
+    # (tests/test_wowutil.py:60-62)
+    assert "Rebuilding Who Owns What tables..." in notifier.outbox
+    assert notifier.outbox[-1] == "Finished loading wow."
+
+    # function DDL replayed post-publish
+    assert (
+        spark.sql("SELECT wow_normalize_name('a-b.c') AS v").first()["v"]
+        == "A B C"
+    )
+
+    # no staging namespaces left behind
+    assert Publisher(spark).list_staging_dbs("wow") == []
+
+
+def test_wow_rebuild_is_idempotent(spark, wow_engine):
+    eng, _ = wow_engine
+    eng.load_all(["wow"])
+    first = sorted(
+        map(tuple, spark.table(f"{WOW_SCHEMA}.wow_bldgs").collect())
+    )
+    # reload dependencies AND rebuild wow (reference test rebuilds
+    # both, tests/test_wowutil.py:65-71)
+    eng.load_all(["wow"])
+    second = sorted(
+        map(tuple, spark.table(f"{WOW_SCHEMA}.wow_bldgs").collect())
+    )
+    assert first == second and len(first) == 6
