@@ -118,8 +118,91 @@ def profile_all() -> None:
     )
 
 
+def oracle_sweep(out_path: str | None = None) -> None:
+    """``python bench.py --sweep [out.json]``: run EVERY catalog query
+    at $SPARK_GRAFT_SWEEP_DIR (default sf0.01) next to its DuckDB
+    oracle and record per-query row-count/schema/value-hash matches —
+    the same compare the external driver runs, but over the FULL
+    catalog (the driver samples ~50 per round, so without this a
+    query can go rounds with no correctness signal). Commit the output
+    as SWEEP_r{N}.json."""
+    import hashlib
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SWEEP_DIR", "/root/testdata/sf0.01")
+    spark = get_spark(app_name="nycdb-spark-sweep")
+    from nycdb_k8s_loader_spark.plans.catalog import QUERIES, _load_all
+
+    _load_all()
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    def vhash(pdf: "pd.DataFrame") -> str:
+        pdf = pdf[sorted(pdf.columns)]
+        for c in pdf.columns:
+            if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+                pdf[c] = pdf[c].astype("datetime64[us]")
+        rows = [
+            "|".join(
+                "%.6f" % v
+                if isinstance(v, float) and not math.isnan(v)
+                else str(v)
+                for v in r
+            )
+            for r in pdf.itertuples(index=False)
+        ]
+        return hashlib.md5("\n".join(sorted(rows)).encode()).hexdigest()
+
+    out: dict[str, dict] = {}
+    for name, spec in sorted(QUERIES.items()):
+        row = {
+            "rows_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        try:
+            spdf = spec.fn(spark, sf_dir).toPandas()
+            row["spark_rows"] = len(spdf)
+            if spec.oracle is None:
+                row["err"] = "no_oracle"
+            else:
+                dpdf = con.execute(spec.oracle).fetchdf()
+                row["oracle_rows"] = len(dpdf)
+                row["rows_match"] = len(spdf) == len(dpdf)
+                row["hash_match"] = (
+                    row["rows_match"] and vhash(spdf) == vhash(dpdf)
+                )
+        except Exception as e:  # noqa: BLE001 - record, keep sweeping
+            row["err"] = f"{type(e).__name__}: {e}"[:300]
+        out[name] = row
+
+    n_green = sum(1 for r in out.values() if r["hash_match"])
+    n_oracle = sum(1 for r in out.values() if r["err"] != "no_oracle")
+    payload = json.dumps(out, indent=1)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(payload + "\n")
+    print(payload)
+    print(
+        f"# {n_green}/{n_oracle} oracle-backed queries hash-green "
+        f"({len(out)} total) at {sf_dir}",
+        file=sys.stderr,
+    )
+
+
 if __name__ == "__main__":
-    if "--all" in sys.argv[1:]:
+    args = sys.argv[1:]
+    if "--sweep" in args:
+        extra = [a for a in args if a != "--sweep"]
+        oracle_sweep(extra[0] if extra else None)
+    elif "--all" in args:
         profile_all()
     else:
         main()

@@ -127,6 +127,31 @@ def media_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def expected_media_metadata(n: int = 64) -> list[tuple]:
+    """Pure-Python twin of ``decode_media_metadata`` over
+    ``synthetic_media``'s payload spec — the independent oracle source
+    for m02/m03. Computed with a plain loop + hashlib (no Spark, no
+    pandas, no Arrow), so a regression anywhere in the distributed
+    decode plumbing (batching, Arrow conversion, schema binding,
+    nullability) diverges from it and turns the driver's hash check
+    red. Returns (media_id, kind, n_bytes, width, height, duration_ms,
+    checksum) tuples."""
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        raw = bytes((i * 7 + j) % 256 for j in range(128 + (i % 5) * 64))
+        digest = hashlib.md5(raw).hexdigest()
+        seed = int(digest[:8], 16)
+        if kind == "image":
+            width, height, duration = 64 + seed % 1920, 64 + (seed >> 8) % 1080, None
+        else:
+            width, height, duration = None, None, 1000 + seed % 600_000
+        rows.append((i, kind, len(raw), width, height, duration, digest))
+    return rows
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (no codecs in env)."""
     rows = []

@@ -361,3 +361,99 @@ def embedding_neardup_pairs_blocked(
                 )
 
     return block_pairs.mapInPandas(gemm, "id_a long, id_b long")
+
+
+def embedding_neardup_pairs_bucketed(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 6,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Bucketed-exact near-dup pairs: sign-bucket LSH prefilter
+    composed in front of the blocked GEMM — the scale-safe form of
+    :func:`embedding_neardup_pairs_blocked`.
+
+    Candidate pairs are restricted to same-bucket collisions
+    (axis-aligned hyperplane LSH, 2^n_bits buckets), then each bucket
+    runs the exact blocked-GEMM kernel over its own sub-blocks. Work
+    drops from C(n,2) to Σ_b C(n_b,2) ≈ n²/2^(n_bits+1) under balanced
+    buckets, and — unlike the all-pairs forms — the shuffle never
+    crosses buckets. Within a bucket the result is EXACT; across
+    buckets, a true near-dup pair is missed only when a near-zero
+    coordinate in the first ``n_bits`` dimensions flips sign between
+    the twins — the standard LSH recall trade, tightened by more
+    planes. Skewed buckets are handled the same way the plain blocked
+    form handles the whole corpus: per-bucket sub-blocking (``id %
+    n_blocks``), so a hot bucket becomes B(B+1)/2 bounded GEMM tasks
+    instead of one giant task.
+
+    This is the d03-bands-for-text trade applied to embeddings: d04
+    keeps the exact-all-pairs contract for oracle parity; this
+    operator is what you run at 100 TB.
+    """
+    spark = emb.sparkSession
+    vecs = emb.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
+    unit = vecs.select(
+        "id",
+        F.transform(
+            "v", lambda x: x / F.sqrt(dot(F.col("v"), F.col("v")))
+        ).alias("u"),
+        sign_bucket(F.col("v"), n_bits).alias("bucket"),
+        F.pmod(F.col("id"), F.lit(n_blocks)).alias("blk"),
+    )
+    packed = unit.groupBy("bucket", "blk").agg(
+        F.collect_list("id").alias("ids"), F.collect_list("u").alias("us")
+    )
+    a = packed.select(
+        "bucket",
+        F.col("blk").alias("blk_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("us").alias("us_a"),
+    )
+    b = packed.select(
+        "bucket",
+        F.col("blk").alias("blk_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("us").alias("us_b"),
+    )
+    block_pairs = a.join(b, "bucket").filter(F.col("blk_a") <= F.col("blk_b"))
+    try:
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        shuffle_n = 200
+    block_pairs = block_pairs.repartition(
+        min(shuffle_n, (1 << n_bits) * n_blocks * (n_blocks + 1) // 2)
+    )
+
+    def gemm(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b = [], []
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                A = np.asarray([np.asarray(x) for x in row.us_a])
+                B = np.asarray([np.asarray(x) for x in row.us_b])
+                sims = A @ B.T
+                ii, jj = np.nonzero(sims >= threshold)
+                ia, ib = ids_a[ii], ids_b[jj]
+                if row.blk_a == row.blk_b:
+                    keep = ia < ib
+                    ia, ib = ia[keep], ib[keep]
+                else:
+                    ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
+                out_a.append(ia)
+                out_b.append(ib)
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                    }
+                )
+
+    return block_pairs.mapInPandas(gemm, "id_a long, id_b long")

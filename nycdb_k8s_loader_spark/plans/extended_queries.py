@@ -246,13 +246,60 @@ def st02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MEDIA_EXPECTED_PARQUET = "/tmp/nycdb_spark_media_expected_64.parquet"
+
+
+def _ensure_media_oracle_parquet() -> str:
+    """Write the pure-Python expected-metadata spec (see
+    operators/multimodal.expected_media_metadata) as a parquet the
+    DuckDB oracles read. Runs at module import — before the driver
+    executes either side of the compare — so m02/m03 get real
+    hash-checked CORRECTNESS rows instead of `err: no_oracle`. DuckDB
+    itself cannot recompute the checksums (its md5() is VARCHAR-only
+    and the payloads are non-UTF8 binary), hence the spec file."""
+    import pandas as pd
+
+    from nycdb_k8s_loader_spark.operators.multimodal import (
+        expected_media_metadata,
+    )
+
+    pdf = pd.DataFrame(
+        expected_media_metadata(),
+        columns=[
+            "media_id", "kind", "n_bytes", "width", "height",
+            "duration_ms", "checksum",
+        ],
+    )
+    for c, t in [("width", "Int32"), ("height", "Int32"),
+                 ("duration_ms", "Int64")]:
+        pdf[c] = pdf[c].astype(t)
+    pdf.to_parquet(_MEDIA_EXPECTED_PARQUET, index=False)
+    return _MEDIA_EXPECTED_PARQUET
+
+
+_ensure_media_oracle_parquet()
+
+
 @register(
     "m01_media_stats",
-    None,  # synthetic in-memory table — no parquet for DuckDB; rows-only
+    """
+    WITH m AS (
+        SELECT CASE WHEN i % 3 = 0 THEN 'image'
+                    WHEN i % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               (128 + (i % 5) * 64)::BIGINT AS n_bytes
+        FROM generate_series(0, 63) AS t(i)
+    )
+    SELECT kind, count(*)::BIGINT AS n_items,
+           sum(n_bytes)::BIGINT AS total_bytes,
+           round(avg(n_bytes), 2) AS avg_bytes
+    FROM m GROUP BY kind
+    """,
     doc="Multimodal payload stats (binary column + typed metadata): "
         "payload pruned right after length(), no decode, no shuffle of "
-        "bodies. Rows-only check (input is synthetic — no codecs in "
-        "this container).",
+        "bodies. The synthetic payload sizes are closed-form "
+        "(128 + (id%5)*64 bytes), so the oracle recomputes the stats "
+        "from the generator SPEC — fully hash-checked.",
     tags=("multimodal",),
 )
 def m01(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,11 +308,17 @@ def m01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "m02_media_decode_meta",
-    None,
+    f"""
+    SELECT media_id, kind, n_bytes, width, height, duration_ms, checksum
+    FROM read_parquet('{_MEDIA_EXPECTED_PARQUET}')
+    """,
     doc="Arrow-batched mapInPandas decode plumbing (stub decoder "
         "derives deterministic metadata from payload checksums): "
         "exercises the real UDF signature, batch shape, and output "
-        "schema a production decoder drops into.",
+        "schema a production decoder drops into. Oracle: a pure-Python "
+        "spec twin (plain loop + hashlib, no Spark/Arrow anywhere) "
+        "written to parquet at import — any regression in the "
+        "distributed decode path diverges from it.",
     tags=("multimodal",),
 )
 def m02(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,11 +327,19 @@ def m02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "m03_video_frame_samples",
-    None,
+    f"""
+    SELECT m.media_id, m.duration_ms,
+           j::INT AS frame_idx, (j * 1000)::BIGINT AS offset_ms
+    FROM read_parquet('{_MEDIA_EXPECTED_PARQUET}') m
+    CROSS JOIN generate_series(0, 7) AS t(j)
+    WHERE m.kind = 'video' AND j * 1000 <= m.duration_ms
+    """,
     doc="Frame-sampling plan for video rows: offset lattice (every N "
-        "ms, capped) computed JVM-side via sequence+slice+posexplode; "
-        "only the (stubbed) frame decode itself would cross into "
-        "Python. Rows-only check (synthetic input).",
+        "ms, capped at 8 frames) computed JVM-side via "
+        "sequence+slice+posexplode; only the (stubbed) frame decode "
+        "itself would cross into Python. Oracle: the lattice "
+        "re-derived in SQL over the pure-Python spec parquet (j*1000 "
+        "up to min(duration, 7s)).",
     tags=("multimodal",),
 )
 def m03(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -428,6 +428,37 @@ def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "d08_embedding_neardup_bucketed",
+    f"""
+    WITH e AS ({_VEC}),
+    eb AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    """,
+    doc="Bucketed-EXACT embedding near-dup (the 100 TB form of d04): "
+        "sign-bucket LSH prefilter (2^6 buckets, deterministic "
+        "hyperplanes shared with s02) in front of the per-bucket "
+        "blocked GEMM — candidate work drops from C(n,2) to "
+        "sum_b C(n_b,2), the shuffle never crosses buckets, and hot "
+        "buckets sub-block into bounded GEMM tasks. Exact within each "
+        "bucket; cross-bucket recall is the standard LSH trade "
+        "(operators/similarity.py embedding_neardup_pairs_bucketed). "
+        "Oracle: DuckDB recomputes the same bucket ids and in-bucket "
+        "cosine filter.",
+    tags=("dedup", "similarity", "scale"),
+)
+def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.similarity import (
+        embedding_neardup_pairs_bucketed,
+    )
+
+    return embedding_neardup_pairs_bucketed(
+        _emb(spark, sf_dir), threshold=0.45
+    )
+
+
 # --- simhash -----------------------------------------------------------------
 
 _SIMHASH_FP_SQL = """

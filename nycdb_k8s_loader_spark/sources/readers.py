@@ -99,29 +99,86 @@ def read_excel(
     sheet_name: int | str = 0,
     skip_rows: int = 0,
 ) -> DataFrame:
-    """Excel scan via pandas (S5; reference loads .xls with xlrd,
+    """Excel scan (S5; reference loads workbooks with xlrd,
     load_dataset.py:280-303). Driver-side by design: these workbooks
     are small config-scale files, not data-scale.
+
+    pandas.read_excel runs when an engine (openpyxl/xlrd) is present;
+    otherwise the stdlib zip+XML parser (sources/xlsx.py) reads .xlsx
+    directly — this container ships no excel engine, so the stdlib
+    path is what actually executes here.
     """
+    from pyspark.sql import functions as F
+
     try:
         import pandas as pd
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError("pandas required for excel ingestion") from e
-    try:
+
         pdf = pd.read_excel(path, sheet_name=sheet_name, skiprows=skip_rows)
-    except ImportError as e:
-        raise NotImplementedError(
-            "no excel engine (openpyxl/xlrd) in this environment; "
-            "convert to CSV upstream or install an engine"
-        ) from e
-    if len(pdf.columns) != len(schema.fields):
+        header_and_rows = [list(pdf.columns)] + pdf.values.tolist()
+    except ImportError:
+        from nycdb_k8s_loader_spark.sources.xlsx import read_xlsx_rows
+
+        header_and_rows = read_xlsx_rows(path, sheet_name)[skip_rows:]
+    if not header_and_rows:
+        raise ValueError(f"{path}: empty sheet")
+    header, rows = header_and_rows[0], header_and_rows[1:]
+    if len(header) != len(schema.fields):
         raise ValueError(
-            f"{path}: sheet has {len(pdf.columns)} columns but the "
+            f"{path}: sheet has {len(header)} columns but the "
             f"registry schema declares {len(schema.fields)} — schema "
             "drift; update the registry or fix the workbook"
         )
-    pdf.columns = [f.name for f in schema.fields]
-    return spark.createDataFrame(pdf, schema=schema)
+    names = [f.name for f in schema.fields]
+    str_rows = [
+        [
+            None
+            if v is None or (isinstance(v, float) and v != v)  # NaN
+            else str(v)
+            for v in r
+        ]
+        for r in rows
+    ]
+    raw = spark.createDataFrame(
+        str_rows, T.StructType([T.StructField(n, T.StringType()) for n in names])
+    )
+    return raw.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
+def fetch_to_landing(url: str, dest: str, s3_client=None) -> None:
+    """Source-file fetch covering the reference's two transports (S3/S7):
+    HTTP(S) via urllib (load_dataset downloads), ``s3://`` via boto3
+    (ocautil.py:56-61 / signatureutil.py:59-64 pull private buckets).
+
+    ``s3_client`` is injectable for tests; when omitted, boto3 is
+    imported lazily and a missing boto3 raises NotImplementedError at
+    the exact seam a deployment would plug credentials into — never a
+    silent skip. Large objects should bypass landing entirely and be
+    read as ``s3a://`` URIs by the scan itself (read_csv accepts any
+    Hadoop-FS scheme when the connector jars are on the classpath:
+    spark.jars.packages org.apache.hadoop:hadoop-aws).
+    """
+    from urllib.parse import urlparse
+
+    parsed = urlparse(url)
+    if parsed.scheme == "s3":
+        if s3_client is None:
+            try:
+                import boto3  # noqa: F401
+
+                s3_client = boto3.client("s3")
+            except ImportError as e:
+                raise NotImplementedError(
+                    "s3:// fetch requires boto3 (not in this container) "
+                    "or an injected s3_client; alternatively read the "
+                    "object directly via an s3a:// scan path"
+                ) from e
+        s3_client.download_file(parsed.netloc, parsed.path.lstrip("/"), dest)
+        return
+    import urllib.request
+
+    urllib.request.urlretrieve(url, dest)  # pragma: no cover - network
 
 
 def landing_path(root: str, dataset: str, dest: str) -> str:

@@ -615,6 +615,47 @@ class TestBlockedNearDup:
                 emb, threshold=thr, n_blocks=5).collect()}
             assert a == b and len(a) > 0
 
+    def test_bucketed_prefilter_shrinks_candidates_keeps_neardups(
+        self, spark
+    ):
+        """d08's contract: (1) every pair it emits is a true exact pair
+        (subset of the all-pairs form), (2) near-identical twins are
+        kept (sign buckets agree unless a coordinate sits at 0), and
+        (3) the candidate pair count is a small fraction of n(n-1)/2 —
+        the scale claim, asserted on the real embeddings table."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.operators.similarity import (
+            embedding_neardup_pairs,
+            embedding_neardup_pairs_bucketed,
+            sign_bucket,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        n = emb.count()
+        exact = {
+            tuple(r)
+            for r in embedding_neardup_pairs(emb, threshold=0.45).collect()
+        }
+        bucketed = {
+            tuple(r)
+            for r in embedding_neardup_pairs_bucketed(
+                emb, threshold=0.45
+            ).collect()
+        }
+        assert bucketed <= exact and len(bucketed) > 0
+
+        # candidate volume: sum over buckets of C(n_b, 2) << C(n, 2)
+        counts = (
+            emb.select(sign_bucket(F.col("embedding")).alias("b"))
+            .groupBy("b")
+            .count()
+            .collect()
+        )
+        candidates = sum(r["count"] * (r["count"] - 1) // 2 for r in counts)
+        assert candidates < 0.2 * n * (n - 1) // 2, (candidates, n)
+
 
 class TestBfsReachable:
     def test_path_graph_hops_and_unreachable(self, spark):
