@@ -52,14 +52,40 @@ SQL_DIR = os.path.join(os.path.dirname(__file__), "sql")
 #: Target namespace for the published WOW tables (reference
 #: wowutil.py:44 ``WOW_SCHEMA = "wow"``).
 WOW_SCHEMA = "wow"
+#: ocautil.py:40 / signatureutil.py:41 publish into their own schemas.
+OCA_SCHEMA = "oca"
+SIGNATURE_SCHEMA = "signature"
 
 WOW_PRE_SCRIPTS = [os.path.join(SQL_DIR, "wow_pre_landlords.sql")]
 WOW_POST_SCRIPTS = [os.path.join(SQL_DIR, "wow_post_bldgs.sql")]
+OCA_POST_SCRIPTS = [os.path.join(SQL_DIR, "oca_post_evictions.sql")]
+SIGNATURE_POST_SCRIPTS = [os.path.join(SQL_DIR, "signature_post.sql")]
+GCE_SCRIPTS = [os.path.join(SQL_DIR, "gce_screener.sql")]
 
 #: Tables produced by the Python populate steps rather than SQL —
 #: preserved across publishes like the reference's
 #: EXTRA_TABLES_TO_PRESERVE (wowutil.py:56).
 WOW_PYTHON_TABLES = ["wow_landlords", "wow_portfolios"]
+
+#: Published-table contracts, mirroring the reference's explicit lists
+#: (wowutil parse_created_tables_in_dir + EXTRA, ocautil.py:42-46
+#: OCA_TABLES, signatureutil.py:43-50 SIGNATURE_TABLES,
+#: goodcauseutil.py:38 GOOD_CAUSE_TABLES). Staging scaffolds
+#: (wow_landlords_base, signature_loan_status_latest,
+#: gce_portfolio_sizes) die with the staging namespace.
+WOW_TABLES = WOW_PYTHON_TABLES + [
+    "wow_deeds", "wow_lastsale", "wow_viol", "wow_comp",
+    "wow_regowners", "wow_bldgs",
+]
+OCA_TABLES = [
+    "oca_addresses_with_bbl", "oca_evictions_monthly", "oca_evictions_bldgs",
+]
+SIGNATURE_TABLES = [
+    "signature_unhp_buildings", "signature_unhp_loan_status",
+    "signature_buildings", "signature_collections",
+    "signature_building_charts", "signature_collection_charts",
+]
+GOOD_CAUSE_TABLES = ["gce_screener"]
 
 
 def _s(*fields: tuple[str, T.DataType]) -> T.StructType:
@@ -115,6 +141,44 @@ RENTSTAB_SCHEMA = _s(
     ("uc2021", T.IntegerType()),
 )
 
+# OCA court-filing surface (reference fixture header at
+# tests/data/oca_addresses_with_bbl.csv; trimmed to the analytic
+# columns — the full 20-column header adds only pass-through geo tags).
+OCA_INDEX_SCHEMA = _s(
+    ("indexnumberid", T.StringType()),
+    ("court", T.StringType()),
+    ("fileddate", T.TimestampType()),
+    ("classification", T.StringType()),
+)
+
+OCA_ADDRESSES_SCHEMA = _s(
+    ("indexnumberid", T.StringType()),
+    ("boro", T.StringType()),
+    ("cd", T.IntegerType()),
+    ("unitsres", T.IntegerType()),
+    ("bbl", T.StringType()),
+)
+
+# Signature dashboard sources (reference fixture headers at
+# tests/data/signature_unhp_buildings.csv / _loan_status.csv).
+SIGNATURE_BUILDINGS_SCHEMA = _s(
+    ("bbl", T.StringType()),
+    ("loan_pool", T.StringType()),
+    ("landlord", T.StringType()),
+    ("bip", T.IntegerType()),
+    ("water_charges", T.DoubleType()),
+    ("origination_date", T.TimestampType()),
+    ("debt_total", T.DoubleType()),
+)
+
+SIGNATURE_LOAN_STATUS_SCHEMA = _s(
+    ("bbl", T.StringType()),
+    ("status", T.StringType()),
+    ("date", T.TimestampType()),
+    ("url", T.StringType()),
+    ("label", T.StringType()),
+)
+
 #: The WOW dependency closure's schemas by (dataset, table).
 DATASET_TABLES: dict[str, list[TableDef]] = {
     "hpd_registrations": [TableDef("hpd_registrations", HPD_REGISTRATIONS_SCHEMA)],
@@ -161,8 +225,10 @@ def _standard_defs() -> list[DatasetDef]:
 
 
 def wow_registry() -> Registry:
-    """Registry shipping the WOW closure + the wow custom dataset, so
-    ``Engine(...).load_all(["wow"])`` executes end-to-end."""
+    """Registry shipping the WOW closure + all four custom pipelines
+    (wow / oca_address / signature / good_cause_eviction — the
+    reference's builder surface, load_dataset.py:319-338), so
+    ``Engine(...).load_all([...])`` executes each end-to-end."""
     reg = Registry()
     for ds in _standard_defs():
         reg.add(ds)
@@ -173,18 +239,86 @@ def wow_registry() -> Registry:
             # dependency tables, so the URL-change gate never skips it
             # (the reference rebuilds wow on schedule, wowutil.py:144).
             files=[],
-            tables=[
-                TableDef(t)
-                for t in WOW_PYTHON_TABLES
-                + ["wow_deeds", "wow_lastsale", "wow_viol", "wow_comp",
-                   "wow_regowners", "wow_bldgs"]
-            ],
+            tables=[TableDef(t) for t in WOW_TABLES],
             depends_on=list(WOW_DEPENDENCIES),
             schedule="wow",
             builder=build_wow,
         )
     )
+    reg.add(
+        DatasetDef(
+            name="oca",
+            files=[
+                SourceFile(
+                    url="s3://oca-data/public/oca_index.csv",
+                    dest="oca_index.csv",
+                )
+            ],
+            tables=[TableDef("oca_index", OCA_INDEX_SCHEMA)],
+        )
+    )
+    reg.add(
+        DatasetDef(
+            name="oca_address",
+            files=[
+                SourceFile(
+                    url="s3://oca-data/public/oca_addresses_with_bbl.csv",
+                    dest="oca_addresses_with_bbl.csv",
+                )
+            ],
+            tables=[
+                TableDef("oca_addresses_with_bbl", OCA_ADDRESSES_SCHEMA),
+                *[TableDef(t) for t in OCA_TABLES[1:]],
+            ],
+            depends_on=["oca"],
+            schedule="oca_address",
+            builder=build_oca_address,
+        )
+    )
+    reg.add(
+        DatasetDef(
+            name="signature",
+            files=[
+                SourceFile(
+                    url="s3://signature-data/signature_unhp_buildings.csv",
+                    dest="signature_unhp_buildings.csv",
+                ),
+                SourceFile(
+                    url="s3://signature-data/signature_unhp_loan_status.csv",
+                    dest="signature_unhp_loan_status.csv",
+                ),
+            ],
+            tables=[
+                TableDef(
+                    "signature_unhp_buildings", SIGNATURE_BUILDINGS_SCHEMA,
+                    files=["signature_unhp_buildings.csv"],
+                ),
+                TableDef(
+                    "signature_unhp_loan_status", SIGNATURE_LOAN_STATUS_SCHEMA,
+                    files=["signature_unhp_loan_status.csv"],
+                ),
+                *[TableDef(t) for t in SIGNATURE_TABLES[2:]],
+            ],
+            depends_on=["hpd_violations"],
+            schedule="signature",
+            builder=build_signature,
+        )
+    )
+    reg.add(
+        DatasetDef(
+            name="good_cause_eviction",
+            files=[],
+            tables=[TableDef(t) for t in GOOD_CAUSE_TABLES],
+            depends_on=["wow"],
+            schedule="good_cause_eviction",
+            builder=build_good_cause,
+        )
+    )
     return reg
+
+
+#: Alias: this IS the engine's shipped registry, not just wow's.
+builtin_registry = wow_registry
 
 
 # -- the wow builder ----------------------------------------------------------
@@ -280,38 +414,71 @@ def populate_portfolios(spark: SparkSession, staging_db: str) -> None:
     )
 
 
-def build_wow(spark: SparkSession, engine) -> list[str]:
-    """Custom-dataset builder for ``wow`` (reference build(),
-    wowutil.py:144-186): staging namespace → pre-SQL → Python populate
-    steps → post-SQL → atomic publish into WOW_SCHEMA → function
-    replay. Idempotent: rerunning overwrites deterministically."""
+def _custom_pipeline(
+    spark: SparkSession,
+    engine,
+    *,
+    name: str,
+    label: str,
+    target_schema: str,
+    tables: list[str],
+    pre_scripts: tuple | list = (),
+    populate=None,
+    post_scripts: tuple | list = (),
+    extra_namespaces: tuple | list = (),
+) -> list[str]:
+    """The skeleton all four reference custom pipelines share
+    (wowutil.py:144-186, ocautil.py:70-98, signatureutil.py:73-101,
+    goodcauseutil.py:53-81): staging namespace → source-CSV ingest
+    (typed, per the DatasetDef) → transpiled pre-SQL → Python populate
+    hook → post-SQL → grant-snapshot publish of the declared table
+    list into the pipeline's own schema → function-DDL replay. The
+    staging namespace always drops (success or error), so scaffolding
+    tables never leak and a failed build leaves the published tables
+    untouched."""
+    import os as _os
+
     from nycdb_k8s_loader_spark.publish.protocol import Publisher
     from nycdb_k8s_loader_spark.publish.resolver import SearchPathResolver
 
-    engine.notifier.safe_notify("Rebuilding Who Owns What tables...")
-    pub = Publisher(spark, WOW_SCHEMA)
+    engine.notifier.safe_notify(f"Rebuilding {label}...")
+    ds = engine.registry.get(name)
+    pub = Publisher(spark, target_schema)
     function_stmts: list[str] = []
-    with pub.staging("wow") as staging_db:
+    with pub.staging(name) as staging_db:
+        # source ingest — same contract as the standard load's step 0-1
+        # (the reference's builders pull S3 objects themselves,
+        # ocautil.py:56-61; here the engine's downloader/transport
+        # abstraction covers s3:// via sources.readers.fetch_to_landing)
+        dest_paths: dict[str, str] = {}
+        for f in ds.files:
+            dest = _os.path.join(engine.landing_root, ds.name, f.dest)
+            _os.makedirs(_os.path.dirname(dest), exist_ok=True)
+            engine.downloader(f.url, dest)
+            dest_paths[f.dest] = dest
+        from nycdb_k8s_loader_spark.sources.readers import read_csv
+
+        for t in ds.tables:
+            if t.schema is None or not dest_paths:
+                continue
+            dests = t.files if t.files is not None else list(dest_paths)
+            df = read_csv(spark, [dest_paths[d] for d in dests], t.schema)
+            pub.write_staging_table(staging_db, t.name, df)
+
         resolver = SearchPathResolver(
-            spark, [staging_db, *engine.search_path]
+            spark, [staging_db, *extra_namespaces, *engine.search_path]
         )
         prev_db = spark.catalog.currentDatabase()
         spark.catalog.setCurrentDatabase(staging_db)
         try:
-            created = _run_scripts(
-                spark, resolver, WOW_PRE_SCRIPTS, function_stmts
-            )
-            populate_landlords(spark, staging_db)
-            populate_portfolios(spark, staging_db)
-            created += WOW_PYTHON_TABLES
-            created += _run_scripts(
-                spark, resolver, WOW_POST_SCRIPTS, function_stmts
-            )
+            _run_scripts(spark, resolver, pre_scripts, function_stmts)
+            if populate is not None:
+                populate(spark, staging_db)
+            _run_scripts(spark, resolver, post_scripts, function_stmts)
         finally:
             spark.catalog.setCurrentDatabase(prev_db)
-        # the pre-SQL base table is scaffolding, not a published surface
-        publish_list = [t for t in created if t != "wow_landlords_base"]
-        published = pub.publish_tables(staging_db, publish_list)
+        with engine.grants.save_and_reapply(target_schema, tables):
+            published = pub.publish_tables(staging_db, tables)
 
     # Function DDL replay after the swap (wowutil.py:170-181: the temp
     # schema's functions died with it; re-create against the published
@@ -319,5 +486,72 @@ def build_wow(spark: SparkSession, engine) -> list[str]:
     engine.functions.apply(spark)
     for stmt in function_stmts:
         spark.sql(stmt)
-    engine.notifier.safe_notify("Finished rebuilding Who Owns What tables.")
+    engine.notifier.safe_notify(f"Finished rebuilding {label}.")
     return published
+
+
+def build_wow(spark: SparkSession, engine) -> list[str]:
+    """Custom-dataset builder for ``wow`` (reference build(),
+    wowutil.py:144-186): pre-SQL → landlord normalization → portfolio
+    connected components → post-SQL rollup → publish into WOW_SCHEMA.
+    Idempotent: rerunning overwrites deterministically."""
+
+    def populate(spark, staging_db):
+        populate_landlords(spark, staging_db)
+        populate_portfolios(spark, staging_db)
+
+    return _custom_pipeline(
+        spark, engine,
+        name="wow",
+        label="Who Owns What tables",
+        target_schema=WOW_SCHEMA,
+        tables=WOW_TABLES,
+        pre_scripts=WOW_PRE_SCRIPTS,
+        populate=populate,
+        post_scripts=WOW_POST_SCRIPTS,
+    )
+
+
+def build_oca_address(spark: SparkSession, engine) -> list[str]:
+    """OCA evictions pipeline (reference ocautil.py:70-98): S3 address
+    table → monthly/per-building rollups → the ``oca`` schema. The
+    oca_index dependency table resolves from the published namespace
+    (depends_on=["oca"])."""
+    return _custom_pipeline(
+        spark, engine,
+        name="oca_address",
+        label="OCA evictions tables",
+        target_schema=OCA_SCHEMA,
+        tables=OCA_TABLES,
+        post_scripts=OCA_POST_SCRIPTS,
+    )
+
+
+def build_signature(spark: SparkSession, engine) -> list[str]:
+    """Signature dashboard pipeline (reference signatureutil.py:73-101):
+    S3 UNHP building/loan tables + the hpd_violations dependency →
+    building/collection rollups + chart series → the ``signature``
+    schema."""
+    return _custom_pipeline(
+        spark, engine,
+        name="signature",
+        label="Signature tables",
+        target_schema=SIGNATURE_SCHEMA,
+        tables=SIGNATURE_TABLES,
+        post_scripts=SIGNATURE_POST_SCRIPTS,
+    )
+
+
+def build_good_cause(spark: SparkSession, engine) -> list[str]:
+    """Good Cause Eviction screener (reference goodcauseutil.py:53-81):
+    derived from the published wow tables, published INTO the wow
+    schema exactly like the reference (goodcauseutil.py:36,69)."""
+    return _custom_pipeline(
+        spark, engine,
+        name="good_cause_eviction",
+        label="Good Cause Eviction tables",
+        target_schema=WOW_SCHEMA,
+        tables=GOOD_CAUSE_TABLES,
+        post_scripts=GCE_SCRIPTS,
+        extra_namespaces=(WOW_SCHEMA,),
+    )

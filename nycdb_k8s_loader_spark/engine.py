@@ -92,6 +92,12 @@ class Engine:
         self.downloader = downloader or self._download
         self.notifier = notifier or Notifier()
         self.tracker = DatasetTracker(kv)
+        # Grant metadata survives publishes in the KV store (K10;
+        # reference save_and_reapply_permissions wraps every swap,
+        # load_dataset.py:172-200, wowutil.py:166).
+        from nycdb_k8s_loader_spark.publish.grants import GrantRegistry
+
+        self.grants = GrantRegistry(kv)
         self.search_path = search_path or [target_db]
         self.functions = functions or default_registry()
         # session-start registration (reference re-creates functions at
@@ -184,8 +190,13 @@ class Engine:
             finally:
                 self.spark.catalog.setCurrentDatabase(prev_db)
 
-            # 3. atomic publish
-            published = self.publisher.publish_tables(staging_db, created)
+            # 3. atomic publish, grants snapshotted across the swap
+            with self.grants.save_and_reapply(
+                self.publisher.target_db, created
+            ):
+                published = self.publisher.publish_tables(
+                    staging_db, created
+                )
 
         # 4. post-publish function re-registration (reference:
         # load_dataset.py:372-376). Registry functions always re-apply;

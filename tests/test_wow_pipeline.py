@@ -63,6 +63,30 @@ CSV = {
         "documentid,bbl\nD1,BBL1\nD2,BBL1\nD3,BBL1\nD4,BBL1\n"
     ),
     "rentstab.csv": "ucbbl,unitsstab2007,uc2021\nBBL2,10,\nBBL3,,7\n",
+    # OCA: two Jan-2020 filings on BBL1 (one building), one Feb on BBL3
+    "oca_index.csv": (
+        "indexnumberid,court,fileddate,classification\n"
+        "K1,Kings,2020-01-15T00:00:00,Holdover\n"
+        "K2,Kings,2020-01-20T00:00:00,Non-Payment\n"
+        "K3,Kings,2020-02-10T00:00:00,Holdover\n"
+    ),
+    "oca_addresses_with_bbl.csv": (
+        "indexnumberid,boro,cd,unitsres,bbl\n"
+        "K1,MN,101,10,BBL1\nK2,MN,101,10,BBL1\nK3,BK,301,5,BBL3\n"
+    ),
+    # Signature: BBL1 has two loan-status rows (sold is latest)
+    "signature_unhp_buildings.csv": (
+        "bbl,loan_pool,landlord,bip,water_charges,origination_date,debt_total\n"
+        "BBL1,CPC,Aaron J,224,49822.5,2020-10-10T00:00:00,12445162.0\n"
+        "BBL2,CPC,Beth K,10,100.0,2019-01-01T00:00:00,500000.0\n"
+        "BBL3,Santander,Caro L,5,50.25,2018-05-05T00:00:00,250000.0\n"
+    ),
+    "signature_unhp_loan_status.csv": (
+        "bbl,status,date,url,label\n"
+        "BBL1,foreclosure,2025-01-01T00:00:00,http://x,Doc 1\n"
+        "BBL1,sold,2025-03-01T00:00:00,http://y,Doc 2\n"
+        "BBL3,active,2024-06-01T00:00:00,http://z,Doc 3\n"
+    ),
 }
 # the acris dataset maps dests per table; rentstab's single table dest
 # is rentstab_summary.csv per the registry manifest
@@ -97,8 +121,8 @@ def wow_engine(spark, tmp_path):
         notifier=notifier,
     )
     yield eng, notifier
-    spark.sql("DROP DATABASE IF EXISTS wow_src_test CASCADE")
-    spark.sql(f"DROP DATABASE IF EXISTS {WOW_SCHEMA} CASCADE")
+    for db in ("wow_src_test", WOW_SCHEMA, "oca", "signature"):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 
 def test_wow_end_to_end(spark, wow_engine):
@@ -171,6 +195,100 @@ def test_wow_end_to_end(spark, wow_engine):
 
     # no staging namespaces left behind
     assert Publisher(spark).list_staging_dbs("wow") == []
+
+
+def test_oca_signature_gce_pipelines(spark, wow_engine):
+    """The other three custom pipelines (reference ocautil /
+    signatureutil / goodcauseutil): S3-sourced ingestion, derived
+    rollups, per-pipeline schemas, gce published INTO wow."""
+    eng, notifier = wow_engine
+    results = eng.load_all(
+        ["oca_address", "signature", "good_cause_eviction"]
+    )
+    loaded = [r.dataset for r in results]
+    # topo: oca before oca_address; wow closure before good_cause
+    assert loaded.index("oca") < loaded.index("oca_address")
+    assert loaded.index("wow") < loaded.index("good_cause_eviction")
+
+    # --- oca ---------------------------------------------------------
+    bldgs = {
+        r["bbl"]: r
+        for r in spark.table("oca.oca_evictions_bldgs").collect()
+    }
+    assert bldgs["BBL1"]["n_filings"] == 2
+    assert bldgs["BBL1"]["unitsres"] == 10
+    assert bldgs["BBL3"]["n_filings"] == 1
+    monthly = {
+        (str(r["filed_month"])[:7], r["boro"]): (r["n_filings"], r["n_bldgs"])
+        for r in spark.table("oca.oca_evictions_monthly").collect()
+    }
+    assert monthly == {("2020-01", "MN"): (2, 1), ("2020-02", "BK"): (1, 1)}
+
+    # --- signature ---------------------------------------------------
+    sb = {
+        r["bbl"]: r
+        for r in spark.table("signature.signature_buildings").collect()
+    }
+    assert sb["BBL1"]["latest_status"] == "sold"  # 2025-03 beats 2025-01
+    assert sb["BBL1"]["total_violations"] == 2
+    assert sb["BBL1"]["open_violations"] == 1
+    assert sb["BBL3"]["latest_status"] == "active"
+    assert sb["BBL3"]["total_violations"] == 0
+    assert sb["BBL2"]["latest_status"] is None
+    colls = {
+        r["loan_pool"]: (r["n_bldgs"], r["debt_total"])
+        for r in spark.table("signature.signature_collections").collect()
+    }
+    assert colls["CPC"] == (2, 12945162.0)
+    assert colls["Santander"] == (1, 250000.0)
+    charts = {
+        (r["loan_pool"], r["class"]): r["n_violations"]
+        for r in spark.table(
+            "signature.signature_collection_charts"
+        ).collect()
+    }
+    assert charts == {("CPC", "C"): 1, ("CPC", "A"): 1, ("CPC", "B"): 1}
+    # scaffold table was NOT published
+    assert not spark.catalog.tableExists(
+        "signature.signature_loan_status_latest"
+    )
+
+    # --- good cause (lands in the wow schema, like the reference) ----
+    gce = {
+        r["bbl"]: r
+        for r in spark.table(f"{WOW_SCHEMA}.gce_screener").collect()
+    }
+    assert len(gce) == 6
+    assert gce["BBL1"]["portfolio_bldgs"] == 4  # X,Y(x2),Z portfolio
+    assert gce["BBL3"]["is_rent_stabilized"] is True
+    assert gce["BBL2"]["is_rent_stabilized"] is False
+    assert gce["BBL5"]["portfolio_bldgs"] == 0
+    assert all(not r["gce_presumed_covered"] for r in gce.values())
+
+    # reference notifier text parity (ocautil.py:72,98 etc.)
+    for msg in (
+        "Rebuilding OCA evictions tables...",
+        "Finished rebuilding OCA evictions tables.",
+        "Rebuilding Signature tables...",
+        "Finished rebuilding Signature tables.",
+        "Rebuilding Good Cause Eviction tables...",
+        "Finished rebuilding Good Cause Eviction tables.",
+    ):
+        assert msg in notifier.outbox
+
+    # rerun (transport still reports changes → full rebuild): all
+    # three pipelines must rebuild idempotently. The 304-skip path is
+    # covered by test_publish_engine.test_304_skips_everything.
+    before = sorted(
+        map(tuple, spark.table("signature.signature_buildings").collect())
+    )
+    results2 = eng.load_all(["oca_address", "signature", "good_cause_eviction"])
+    assert all(not r.skipped for r in results2)
+    after = sorted(
+        map(tuple, spark.table("signature.signature_buildings").collect())
+    )
+    assert before == after
+    assert spark.table(f"{WOW_SCHEMA}.gce_screener").count() == 6
 
 
 def test_wow_rebuild_is_idempotent(spark, wow_engine):
