@@ -177,3 +177,56 @@ def chunk_documents(
         F.size("ch").cast("long").alias("n_tokens"),
         F.array_join("ch", " ").alias("chunk_text"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    context_tokens: int = 2048,
+    shard_docs: int = 256,
+) -> DataFrame:
+    """Greedy concat-and-split sequence packing: documents are
+    concatenated in id order and cut into fixed ``context_tokens``
+    windows — the standard pretraining batch-packing step (a document
+    belongs to the window where its FIRST token lands). Output is one
+    row per (shard, window) with document span and fill stats.
+
+    Scale shape: packing is inherently sequential, so it runs per
+    SHARD (``id_col div shard_docs`` — contiguous id ranges), exactly
+    how a distributed pipeline packs per input split. The cumulative
+    window partitions by shard: parallelism = shard count, and no
+    single-partition global window exists at any corpus size. Window
+    boundaries are deterministic functions of (id order, token
+    counts), so reruns and engines agree.
+    """
+    from pyspark.sql import Window
+
+    text = F.trim(F.col(text_col))
+    n_tokens = (
+        F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1
+    ).cast("long")
+    base = df.select(
+        F.col(id_col),
+        F.floor(F.col(id_col) / shard_docs).alias("shard"),
+        n_tokens.alias("n"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_window = base.select(
+        "shard",
+        id_col,
+        "n",
+        F.floor(
+            F.coalesce(F.sum("n").over(w), F.lit(0)) / context_tokens
+        ).alias("window_id"),
+    )
+    return with_window.groupBy("shard", "window_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("n_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )

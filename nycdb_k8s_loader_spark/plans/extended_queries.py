@@ -644,3 +644,51 @@ def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("node").alias("doc_id"), F.col("hops").cast("long").alias("hops")
     )
+
+
+@register(
+    "st07_stream_static_enrich",
+    """
+    SELECT c.c_mktsegment, e.event_type,
+           count(*)::BIGINT AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+    doc="Stream-static enrichment (the dimension-join pattern every "
+        "streaming pipeline needs): the events STREAM joins the "
+        "static customer dimension — Spark re-reads the batch side "
+        "per micro-batch and, being broadcast-sized, it hash-joins "
+        "with NO stream-side state (unlike stream-stream st04, no "
+        "watermark bookkeeping exists for the static side) — then "
+        "aggregates per (segment, event_type) in complete mode. "
+        "Completes the streaming-join matrix: st04 stream-stream, "
+        "st07 stream-static. Oracle: the equivalent batch join+agg.",
+    tags=("streaming", "join"),
+)
+def st07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = events_stream(spark, sf_dir)
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = events.join(
+        customer, events.user_id == customer.c_custkey
+    )
+    # no distinct aggregates on streams (state would be O(distinct
+    # values) anyway — approx_count_distinct is the streaming answer
+    # when uniques matter); count + sum keep state O(groups)
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    name = f"st07_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -639,3 +639,182 @@ def t06(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("n_docs") > 1, 1)).alias("n_dup_grams"),
         )
     )
+
+
+# --- round 3: packing, contamination, domain mixing --------------------------
+
+@register(
+    "c02_sequence_packing",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               doc_id // 128 AS shard,
+               (length(trim(text)) - length(replace(trim(text), ' ', ''))
+                + 1)::BIGINT AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT shard, doc_id, n,
+               coalesce(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0)::BIGINT
+                   AS cum_before
+        FROM toks
+    )
+    SELECT shard,
+           cum_before // 512 AS window_id,
+           count(*)::BIGINT AS n_docs,
+           sum(n)::BIGINT AS n_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM c GROUP BY shard, cum_before // 512
+    """,
+    doc="Greedy concat-and-split sequence packing (pretraining batch "
+        "prep): documents concatenate in id order and cut into fixed "
+        "512-token context windows; a document belongs to the window "
+        "its first token lands in. Packs per SHARD (contiguous id "
+        "ranges) — the cumulative window partitions by shard, so "
+        "parallelism = shard count and NO single-partition global "
+        "window exists at any corpus size (operators/textops.py "
+        "pack_sequences). Oracle: identical cumulative arithmetic in "
+        "DuckDB.",
+    tags=("text", "packing", "scale"),
+)
+def c02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.textops import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), context_tokens=512, shard_docs=128
+    )
+
+
+@register(
+    "t07_benchmark_contamination",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               (doc_id * 9973 + 7919) % 1000000 < 100000 AS is_eval,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS l
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, is_eval,
+               CASE WHEN len(l) >= 10
+                    THEN array_to_string(l[i:i+9], ' ')
+                    ELSE array_to_string(l, ' ') END AS g
+        FROM toks,
+             unnest(CASE WHEN len(l) >= 10 THEN range(1, len(l) - 8)
+                         ELSE [CAST(1 AS BIGINT)] END) AS t(i)
+        WHERE len(l) > 0
+    ),
+    hits AS (
+        SELECT tr.doc_id, tr.g, ev.doc_id AS eval_doc
+        FROM (SELECT doc_id, g FROM grams WHERE NOT is_eval) tr
+        JOIN (SELECT doc_id, g FROM grams WHERE is_eval) ev USING (g)
+    ),
+    per_train AS (
+        SELECT doc_id,
+               count(DISTINCT g)::BIGINT AS n_contaminated_grams,
+               count(DISTINCT eval_doc)::BIGINT AS n_eval_docs_hit
+        FROM hits GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(p.n_contaminated_grams, 0)::BIGINT
+               AS n_contaminated_grams,
+           coalesce(p.n_eval_docs_hit, 0)::BIGINT AS n_eval_docs_hit
+    FROM (SELECT DISTINCT doc_id FROM grams WHERE NOT is_eval) t
+    LEFT JOIN per_train p ON t.doc_id = p.doc_id
+    """,
+    doc="Train/benchmark contamination check (the 10-gram-overlap "
+        "decontamination step of an LLM data pipeline, same gram unit "
+        "as t06): a deterministic content-addressed 10% of documents "
+        "plays the benchmark (sample_bucket < 100000 ppm — the p01 "
+        "hash, so the split is stable across engines/reruns); every "
+        "training document reports how many of its distinct 10-grams "
+        "and how many benchmark documents it collides with. Shuffles "
+        "carry grams + ids only, never texts; zero-hit train docs are "
+        "kept via left join (the common case a sampler must not drop).",
+    tags=("text", "dedup", "contamination"),
+)
+def t07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.sampling import sample_bucket
+
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), " "), lambda w: w != ""
+    )
+    base = docs.select(
+        "doc_id",
+        (sample_bucket(F.col("doc_id")) < 100000).alias("is_eval"),
+        toks.alias("l"),
+    ).filter(F.size("l") > 0)
+    grams = base.select(
+        "doc_id",
+        "is_eval",
+        F.explode(
+            F.when(
+                F.size("l") >= 10,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("l") - 9),
+                    lambda i: F.array_join(F.slice("l", i, 10), " "),
+                ),
+            ).otherwise(F.array(F.array_join("l", " ")))
+        ).alias("g"),
+    ).distinct()
+    train = grams.filter(~F.col("is_eval")).select("doc_id", "g")
+    ev = grams.filter(F.col("is_eval")).select(
+        F.col("doc_id").alias("eval_doc"), "g"
+    )
+    hits = train.join(ev, "g")
+    per_train = hits.groupBy("doc_id").agg(
+        F.countDistinct("g").alias("n_contaminated_grams"),
+        F.countDistinct("eval_doc").alias("n_eval_docs_hit"),
+    )
+    all_train = train.select("doc_id").distinct()
+    return all_train.join(per_train, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_contaminated_grams", F.lit(0)).alias(
+            "n_contaminated_grams"
+        ),
+        F.coalesce("n_eval_docs_hit", F.lit(0)).alias("n_eval_docs_hit"),
+    )
+
+
+#: Per-language keep fractions (ppm) for the rebalance: downsample the
+#: dominant language, keep most of the rest — the domain-mixing step
+#: of corpus curation. Literal map so the DuckDB oracle mirrors it.
+_P03_PPM = {"en": 400000, "de": 900000, "fr": 900000, "es": 900000,
+            "zh": 650000}
+
+
+@register(
+    "p03_domain_rebalance",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (doc_id * 9973 + 7919) % 1000000 <
+          CASE lang WHEN 'en' THEN 400000 WHEN 'de' THEN 900000
+                    WHEN 'fr' THEN 900000 WHEN 'es' THEN 900000
+                    WHEN 'zh' THEN 650000 ELSE 0 END
+    """,
+    doc="Domain/language rebalancing (corpus mixture weighting): keep "
+        "a per-language deterministic fraction — downsample the "
+        "dominant language, keep the tail — via the same "
+        "content-addressed hash as p01, so the mixture is stable "
+        "across reruns/engines, nests as weights grow, and composes "
+        "with incremental refreshes. Pure map-side filter: zero "
+        "shuffle at any corpus size; the per-stratum-EXACT-k twin is "
+        "p02 (one shuffle).",
+    tags=("sampling", "mixing"),
+)
+def p03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.sampling import sample_bucket
+
+    docs = _docs(spark, sf_dir)
+    ppm = F.lit(0)
+    for lang, frac in _P03_PPM.items():
+        ppm = F.when(F.col("lang") == lang, F.lit(frac)).otherwise(ppm)
+    return docs.filter(sample_bucket(F.col("doc_id")) < ppm).select(
+        "doc_id", "lang"
+    )
