@@ -161,6 +161,26 @@ def _write_source_csvs(spark: SparkSession, sf_dir: str) -> str:
     floats ('10.0') that a typed IntegerType scan rejects."""
     out_dir = "/tmp/wow_synth_" + re.sub(r"\W+", "_", sf_dir).strip("_")
     os.makedirs(out_dir, exist_ok=True)
+    # The derivation is a pure function of the source parquet, so the
+    # CSVs are cache-valid as long as those files are unchanged —
+    # skip the (driver-side) regeneration on repeat runs.
+    sig = str(
+        [
+            (t, os.path.getmtime(f"{sf_dir}/{t}.parquet"),
+             os.path.getsize(f"{sf_dir}/{t}.parquet"))
+            for t in ("customer", "orders", "lineitem")
+        ]
+    )
+    marker = os.path.join(out_dir, "_SOURCES")
+    if (
+        os.path.exists(marker)
+        and open(marker).read() == sig
+        and all(
+            os.path.exists(os.path.join(out_dir, f"{n}.csv"))
+            for n in _GEN_COLS
+        )
+    ):
+        return out_dir
     for name, df in _synth_sources(spark, sf_dir).items():
         cols = []
         for f in df.schema.fields:
@@ -173,6 +193,8 @@ def _write_source_csvs(spark: SparkSession, sf_dir: str) -> str:
                 cols.append(c.cast("string").alias(f.name))
         pdf = df.select(*cols).toPandas()
         pdf.to_csv(os.path.join(out_dir, f"{name}.csv"), index=False)
+    with open(marker, "w") as f:
+        f.write(sig)
     return out_dir
 
 
