@@ -64,6 +64,30 @@ _JACCARD_EDGES_08 = """
 """
 
 
+
+
+def _run_memory_stream(spark, stream_df, prefix: str, mode: str):
+    """Start an availableNow memory-sink query with state-store
+    partitioning sized to the machine (state_sized_shuffle: one store
+    instance per shuffle partition — the batch default of 200 pays
+    hundreds of store commits per micro-batch for zero benefit)."""
+    from nycdb_k8s_loader_spark.streaming.pipeline import (
+        state_sized_shuffle,
+    )
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    with state_sized_shuffle(spark):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
 @register(
     "g01_dedup_clusters",
     f"""
@@ -184,16 +208,7 @@ def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed = windowed_event_counts(
         events, window_duration="1 hour", watermark="2 hours"
     )
-    name = f"st01_{uuid.uuid4().hex[:8]}"
-    q = (
-        windowed.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return _run_memory_stream(spark, windowed, "st01", "complete").select(
         "window_start", "event_type", "n", "total_value"
     )
 
@@ -370,16 +385,7 @@ def st03(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = streaming_dedup(
         events, ["user_id", "event_type"], ts_col="ts", watermark="24 hours"
     ).select("user_id", "event_type")
-    name = f"st03_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_memory_stream(spark, deduped, "st03", "append")
 
 
 @register(
@@ -427,16 +433,7 @@ def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_gap="30 MINUTES",
         watermark="1 hour",
     ).select("err_id", "follow_id", F.col("err_user").alias("user_id"))
-    name = f"st04_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_memory_stream(spark, joined, "st04", "append")
 
 
 @register(
@@ -485,16 +482,7 @@ def st05(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "n_events", "session_start", "session_end")
     )
-    name = f"st05_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_memory_stream(spark, sessions, "st05", "complete")
 
 
 @register(
@@ -534,16 +522,23 @@ def st06(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     tmp = f"{tempfile.gettempdir()}/spark_graft_st06_{digest}"
-    q = (
-        windowed.writeStream.foreachBatch(
-            foreach_batch_upsert(f"{tmp}/sink", ["window_start", "event_type"])
-        )
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    from nycdb_k8s_loader_spark.streaming.pipeline import (
+        state_sized_shuffle,
     )
-    q.awaitTermination()
+
+    with state_sized_shuffle(spark):
+        q = (
+            windowed.writeStream.foreachBatch(
+                foreach_batch_upsert(
+                    f"{tmp}/sink", ["window_start", "event_type"]
+                )
+            )
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return read_upsert_sink(spark, f"{tmp}/sink").select(
         "window_start", "event_type", "n", "total_value"
     )
@@ -682,13 +677,4 @@ def st07(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
-    name = f"st07_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_memory_stream(spark, agg, "st07", "complete")

