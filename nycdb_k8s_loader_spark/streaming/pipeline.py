@@ -44,16 +44,26 @@ def state_sized_shuffle(spark: SparkSession, partitions: int | None = None):
     shuffle partition, and every micro-batch pays an open/commit per
     instance — with the batch-oriented default (200) a stream-stream
     join runs 400 store commits per batch regardless of data volume
-    (measured: st04 27 s → 3.7 s at sf0.1 just by sizing partitions to
-    the machine). On a cluster, size to ~2× total cores; the partition
-    count is then BAKED INTO the checkpoint — changing it requires a
-    new checkpoint, so pick for the target deployment, not the laptop.
-    Batch queries are unaffected: AQE coalesces their small shuffles,
-    but streaming state partitioning is fixed at query start and AQE
-    never touches it.
+    (measured at sf0.1: st04 27 s → 3.7 s on 8 cores; 12.6/5.5/3.3/
+    2.3 s at 64/32/16/8 partitions on 32 cores — per-partition store
+    overhead dominates until per-partition state stops fitting in
+    memory). Heuristic: clamp DOWN to max(8, cores/2), never above the
+    session's setting — at deploy scale pass ``partitions`` explicitly
+    and size for state volume; the count is BAKED INTO the checkpoint,
+    so pick for the target deployment, not the laptop. Batch queries
+    are unaffected: AQE coalesces their small shuffles, but streaming
+    state partitioning is fixed at query start and AQE never touches
+    it.
     """
-    n = partitions or max(spark.sparkContext.defaultParallelism * 2, 8)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if partitions is not None:
+        n = partitions
+    else:
+        n = max(8, spark.sparkContext.defaultParallelism // 2)
+        try:
+            n = min(n, int(prev))
+        except (TypeError, ValueError):
+            pass  # 'auto' etc. — keep the heuristic
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
         yield

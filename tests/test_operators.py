@@ -538,6 +538,34 @@ class TestScalePhysicalPlans:
         for ln in window_lines:
             assert "__pid" in ln if "spend" in ln else "__cnt" in ln
 
+    def test_c02_packing_windows_partition_by_shard(self, spark):
+        """Sequence packing must never plan a global window: every
+        windowspecdefinition partitions by shard, and no
+        SinglePartition exchange exists anywhere."""
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        plan = self._plan(
+            queries()["c02_sequence_packing"](spark, "/root/testdata/sf0.001")
+        )
+        assert "SinglePartition" not in plan
+        window_lines = [
+            ln for ln in plan.split("\n") if "windowspecdefinition" in ln
+        ]
+        assert window_lines
+        assert all("shard" in ln for ln in window_lines)
+
+    def test_d08_bucketed_gemm_joins_on_bucket(self, spark):
+        """The bucketed-exact near-dup must join block pairs on the
+        bucket key — no cartesian/broadcast-nested-loop pair blowup."""
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        plan = self._plan(
+            queries()["d08_embedding_neardup_bucketed"](
+                spark, "/root/testdata/sf0.001"
+            )
+        )
+        assert "Cartesian" not in plan
+
     def test_q36_subqueries_decorrelate_to_joins(self, spark):
         """Both correlated scalar subqueries must plan as joins against
         pre-aggregated subtrees — no nested-loop per-row re-execution."""
