@@ -6,6 +6,13 @@ Commands:
     lastmod:reset [url...]      clear validators → next load refetches (dbtool.py:111-120)
     tracker:list                per-dataset last-refresh timestamps
     staging:list                stale staging namespaces (load_dataset.py:82-89)
+    sql "<stmt>"                run one SQL statement, print rows (the
+                                ``dbtool shell`` analog, dbtool.py:90-92 —
+                                non-interactive: pipelines over pagers)
+    grant-schema-read <db> <user>  record SELECT grants on every table in
+                                <db> for <user> (dbtool.py:123-137; grants
+                                are registry metadata here — printed as the
+                                statements a Ranger/Unity deployment runs)
 
 User management (dbtool.py:123-162) is catalog-ACL territory with no
 OSS-Spark equivalent — `users:*` prints the statements a Ranger/Unity
@@ -79,6 +86,31 @@ def cmd_staging_list(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    from nycdb_k8s_loader_spark.session import get_spark
+
+    spark = get_spark(app_name="nycdb-cli")
+    df = spark.sql(args.statement)
+    if df.columns:
+        print("\t".join(df.columns))
+        for row in df.collect():
+            print("\t".join("" if v is None else str(v) for v in row))
+    return 0
+
+
+def cmd_grant_schema_read(args) -> int:
+    from nycdb_k8s_loader_spark.publish.grants import Grant, GrantRegistry
+    from nycdb_k8s_loader_spark.session import get_spark
+
+    spark = get_spark(app_name="nycdb-cli")
+    reg = GrantRegistry(_default_kv())
+    for t in sorted(t.name for t in spark.catalog.listTables(args.database)):
+        g = Grant(args.database, t, args.user, ("SELECT",))
+        reg.add(g)
+        print(g.sql)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="nycdb-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -96,6 +128,15 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("tracker:list").set_defaults(fn=cmd_tracker_list)
     sub.add_parser("staging:list").set_defaults(fn=cmd_staging_list)
+
+    sq = sub.add_parser("sql")
+    sq.add_argument("statement")
+    sq.set_defaults(fn=cmd_sql)
+
+    gr = sub.add_parser("grant-schema-read")
+    gr.add_argument("database")
+    gr.add_argument("user")
+    gr.set_defaults(fn=cmd_grant_schema_read)
 
     args = p.parse_args(argv)
     return args.fn(args)

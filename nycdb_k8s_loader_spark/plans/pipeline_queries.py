@@ -818,3 +818,66 @@ def p03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(sample_bucket(F.col("doc_id")) < ppm).select(
         "doc_id", "lang"
     )
+
+
+@register(
+    "c03_corpus_curation",
+    """
+    WITH stats AS (
+        SELECT doc_id, lang, text,
+               length(text) AS n_chars,
+               length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+                   AS n_tokens
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM stats
+        WHERE n_tokens >= 40 AND n_chars * 1.0 / n_tokens <= 12
+    ),
+    deduped AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM kept GROUP BY md5(lower(trim(text)))
+    )
+    SELECT k.doc_id, k.lang, k.n_tokens::BIGINT AS n_tokens
+    FROM kept k JOIN deduped d ON k.doc_id = d.doc_id
+    WHERE (k.doc_id * 9973 + 7919) % 1000000 < 500000
+    """,
+    doc="End-to-end corpus curation — the canonical training-data "
+        "funnel COMPOSED from the pack's stages: quality gate (t02's "
+        "keep rule) -> exact dedup keeping the lowest id per content "
+        "hash (d01) -> deterministic 50% content-addressed sample "
+        "(p01). One pipeline, one plan: the filter and hash are "
+        "map-side, the dedup is the only shuffle, and the sample "
+        "filter composes AFTER dedup so the kept-representative "
+        "choice is sample-independent. Demonstrates that the "
+        "operators compose without materialization barriers between "
+        "stages.",
+    tags=("text", "dedup", "sampling", "pipeline"),
+)
+def c03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.sampling import sample_bucket
+
+    docs = _docs(spark, sf_dir)
+    text = F.col("text")
+    n_chars = F.length(text)
+    n_tokens = (
+        F.length(F.trim(text))
+        - F.length(F.replace(F.trim(text), F.lit(" "), F.lit("")))
+        + 1
+    )
+    kept = docs.select(
+        "doc_id", "lang", "text", n_tokens.alias("n_tokens")
+    ).filter(
+        (F.col("n_tokens") >= 40)
+        & (n_chars * F.lit(1.0) / F.col("n_tokens") <= 12)
+    )
+    winners = (
+        kept.groupBy(F.md5(F.lower(F.trim("text"))).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        kept.join(winners, "doc_id")
+        .filter(sample_bucket(F.col("doc_id")) < 500000)
+        .select("doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens"))
+    )
