@@ -628,13 +628,14 @@ def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)  # reused by seed agg AND every hop
     )
-    seed_val = edges.agg(F.min("doc_a")).collect()[0][0]
-    if seed_val is None:
-        # No near-dup pairs at this threshold/scale: the oracle's
-        # recursive CTE also walks zero rows, so return the empty
-        # (doc_id, hops) frame rather than crashing on int(None).
-        return spark.createDataFrame([], "doc_id long, hops long")
-    seeds = spark.createDataFrame([(int(seed_val),)], "node long")
+    # Seed = lowest doc id in any edge, as a one-row DataFrame — no
+    # driver collect; zero edges (possible at other thresholds/scales)
+    # yields an empty seed frame, and the BFS then returns the empty
+    # (node, hops) frame the oracle's recursive CTE also produces.
+    seeds = (
+        edges.agg(F.min("doc_a").alias("node"))
+        .filter(F.col("node").isNotNull())
+    )
     out = bfs_reachable(edges, seeds, src="doc_a", dst="doc_b")
     return out.select(
         F.col("node").alias("doc_id"), F.col("hops").cast("long").alias("hops")
