@@ -1330,3 +1330,85 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distributed_rank(spend, ["spend", "o_custkey"]).select(
         "o_custkey", "spend", "rank"
     )
+
+
+@register(
+    "q46_scd2_status_history",
+    """
+    WITH snap AS (
+        SELECT o_custkey, o_orderstatus AS status, o_orderdate AS valid_from
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC
+            ) AS rn
+            FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        ) WHERE rn = 1
+    ),
+    upd AS (
+        SELECT o_custkey, o_orderstatus AS ustatus, o_orderdate AS eff
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC
+            ) AS rn
+            FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        ) WHERE rn = 1
+    ),
+    j AS (SELECT * FROM snap FULL OUTER JOIN upd USING (o_custkey))
+    SELECT o_custkey, status, valid_from,
+           NULL::TIMESTAMP AS valid_to, TRUE AS is_current
+    FROM j WHERE status IS NOT NULL AND (ustatus IS NULL OR ustatus = status)
+    UNION ALL
+    SELECT o_custkey, status, valid_from, eff, FALSE
+    FROM j WHERE status IS NOT NULL AND ustatus IS NOT NULL
+                 AND ustatus <> status
+    UNION ALL
+    SELECT o_custkey, ustatus, eff, NULL, TRUE
+    FROM j WHERE ustatus IS NOT NULL
+                 AND (status IS NULL OR ustatus <> status)
+    """,
+    doc="SCD2 history merge as a driver-verified query: the pre-1996 "
+        "latest order status per customer is the open snapshot; the "
+        "1996+ latest order is the update batch; scd2_apply "
+        "(operators/incremental.py) closes changed rows at the "
+        "update's effective date, appends new versions, inserts new "
+        "keys, and leaves unchanged keys untouched — the versioned-"
+        "publish upgrade of the reference's destructive swap "
+        "(load_dataset.py:365-370). One null-safe key join; history "
+        "rows never re-join. Oracle: the same row-level contract as "
+        "explicit full-outer-join branch unions.",
+    tags=("scd2", "incremental", "engine"),
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.incremental import scd2_apply
+    from nycdb_k8s_loader_spark.operators.relational import latest_per_group
+
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1996-01-01").cast("timestamp")
+    snap = latest_per_group(
+        orders.filter(F.col("o_orderdate") < cutoff),
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+    ).select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = latest_per_group(
+        orders.filter(F.col("o_orderdate") >= cutoff),
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+    ).select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("effective_ts"),
+    )
+    return scd2_apply(
+        snap,
+        upd,
+        key_cols=["o_custkey"],
+        tracked_cols=["status"],
+    )
