@@ -881,3 +881,171 @@ def c03(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(sample_bucket(F.col("doc_id")) < 500000)
         .select("doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens"))
     )
+
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@register(
+    "t08_pii_redaction",
+    f"""
+    WITH enriched AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@mail.example.com or +1-555-' ||
+               lpad((doc_id % 10000)::VARCHAR, 4, '0') AS body
+        FROM documents
+    )
+    SELECT doc_id,
+           length(regexp_extract_all(body, '{_EMAIL_RE}'))::BIGINT AS n_emails,
+           length(regexp_extract_all(body, '{_PHONE_RE}'))::BIGINT AS n_phones,
+           md5(regexp_replace(regexp_replace(body, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM enriched
+    """,
+    doc="PII scrubbing (the redaction stage of a training-data "
+        "pipeline): count and redact email/phone matches per document "
+        "— pure regexp expressions, map-side, zero shuffle at any "
+        "corpus size. The synthetic corpus carries no organic PII, so "
+        "the query deterministically injects a contact line per doc "
+        "first (derived from doc_id) — the redaction kernel is then "
+        "verified against real matches, not vacuous zero-match rows; "
+        "output pins the redacted text via md5 so any drift in match "
+        "boundaries flips the hash. DuckDB regexp_replace needs the "
+        "'g' flag to equal Spark's replace-all default.",
+    tags=("text", "pii"),
+)
+def t08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    body = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(body, _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(body, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(body, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+@register(
+    "t09_intra_doc_repetition",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS l
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               CASE WHEN len(l) >= 3
+                    THEN list_transform(range(1, len(l) - 1),
+                                        i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+                    ELSE [array_to_string(l, ' ')] END AS g
+        FROM toks WHERE len(l) > 0
+    )
+    SELECT doc_id,
+           len(g)::BIGINT AS n_grams,
+           len(list_distinct(g))::BIGINT AS n_distinct,
+           list_max(list_transform(list_distinct(g),
+                    d -> len(list_filter(g, x -> x = d))))::BIGINT
+               AS top_gram_n,
+           (len(g) - len(list_distinct(g))) * 10 > 3 * len(g) AS gopher_flag
+    FROM grams
+    """,
+    doc="Intra-document repetition (the Gopher-rules duplicate-n-gram "
+        "quality filter): per document, total vs distinct 3-gram "
+        "counts, the hottest gram's frequency, and a >30% duplicate-"
+        "share flag — computed with integer arithmetic only (no "
+        "cross-engine float ratios). Entirely per-row array "
+        "expressions: zero shuffle, the whole filter runs map-side in "
+        "the scan stage (t06 is the CROSS-document twin, which "
+        "genuinely needs its two shuffles).",
+    tags=("text", "quality"),
+)
+def t09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), " "), lambda w: w != ""
+    )
+    base = docs.select("doc_id", toks.alias("l")).filter(F.size("l") > 0)
+    grams = F.when(
+        F.size("l") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("l") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("l", i),
+                F.element_at("l", i + 1),
+                F.element_at("l", i + 2),
+            ),
+        ),
+    ).otherwise(F.array(F.array_join("l", " ")))
+    g = base.select("doc_id", grams.alias("g"))
+    n, nd = F.size("g").cast("long"), F.size(F.array_distinct("g")).cast("long")
+    top = F.array_max(
+        F.transform(
+            F.array_distinct("g"),
+            lambda d: F.size(F.filter(F.col("g"), lambda x: x == d)),
+        )
+    ).cast("long")
+    return g.select(
+        "doc_id",
+        n.alias("n_grams"),
+        nd.alias("n_distinct"),
+        top.alias("top_gram_n"),
+        ((n - nd) * 10 > 3 * n).alias("gopher_flag"),
+    )
+
+
+@register(
+    "s05_embedding_quantization",
+    f"""
+    WITH e AS ({_VEC})
+    SELECT vec_id,
+           list_sum(list_transform(v,
+               x -> floor(greatest(-1.0, least(1.0, x)) * 127 + 0.5)))::BIGINT
+               AS sum_q,
+           round(list_max(list_transform(v,
+               x -> abs(x - floor(greatest(-1.0, least(1.0, x)) * 127 + 0.5)
+                        / 127.0))), 6) AS max_abs_err
+    FROM e
+    """,
+    doc="Scalar int8 quantization (the 4x storage/bandwidth compression "
+        "step before ANN indexing at scale): clip to [-1,1], "
+        "floor(x*127+0.5) — floor-plus-half instead of round() because "
+        "the two engines' round() disagree on .5 ties while floor of "
+        "identical doubles cannot — plus per-vector reconstruction-"
+        "error stats. Pure array expressions, zero shuffle; the "
+        "quantized vectors would feed s02/s04's bucket/cell joins with "
+        "8x narrower shuffle payloads.",
+    tags=("similarity", "quantization"),
+)
+def s05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.similarity import as_double_vec
+
+    emb = _emb(spark, sf_dir)
+    v = as_double_vec("embedding")
+    clip = lambda x: F.greatest(F.lit(-1.0), F.least(F.lit(1.0), x))  # noqa: E731
+    q = lambda x: F.floor(clip(x) * 127 + F.lit(0.5))  # noqa: E731
+    return emb.select(
+        F.col("vec_id"),
+        F.aggregate(
+            F.transform(v, q), F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long"),
+        ).alias("sum_q"),
+        F.round(
+            F.array_max(F.transform(v, lambda x: F.abs(x - q(x) / 127.0))), 6
+        ).alias("max_abs_err"),
+    )
