@@ -191,6 +191,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: coarse quantizer → probe one cell → exact top-k
     inside it.
@@ -210,6 +211,12 @@ def ivf_topk(
     scalar-partial shuffle (label_centroids) and broadcast; the
     cell search is an equi-join on the cell id — shuffle carries
     (cell, query) pairs only, never the corpus twice.
+
+    ``nprobe`` is the IVF recall dial: probe the top-n centroids
+    instead of one, scanning n·N/C candidates per query — the
+    standard recall/latency trade (a near-boundary query's true
+    neighbors sit in the SECOND-closest cell; multi-probe recovers
+    them at linear extra cost, still ≪ brute force).
     """
     vecs = emb.select(
         F.col(id_col), F.col(label_col), as_double_vec(vec_col).alias("v")
@@ -236,7 +243,7 @@ def ivf_topk(
     assigned = (
         q.crossJoin(F.broadcast(cents))
         .withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") == 1)
+        .filter(F.col("__rn") <= nprobe)
         .select("query_id", "qv", F.col(label_col).alias("cell"))
     )
 
