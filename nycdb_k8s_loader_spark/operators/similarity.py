@@ -464,3 +464,87 @@ def embedding_neardup_pairs_bucketed(
                 )
 
     return block_pairs.mapInPandas(gemm, "id_a long, id_b long")
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """Sequential-fold squared Euclidean distance (deterministic
+    summation order — matches the oracle's list_sum over an in-order
+    list_transform)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
+def kmeans_lloyd_step(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One distributed Lloyd iteration of k-means over an embedding
+    column: assign every vector to its nearest centroid, then emit the
+    recomputed per-dimension centroid means (the IVF coarse-quantizer
+    training step behind s04/s06's cell index).
+
+    Init is deterministic — centroids are the vectors with the k
+    smallest ids — so reruns and the DuckDB oracle agree; production
+    swaps in k-means|| seeds shipped as a literal table. Ties in the
+    assignment break on centroid id (min over struct(dist, cid)).
+
+    Scale shape: the k×dim centroid table is broadcast (metadata-
+    scale), assignment is a map-side fold per vector — no shuffle, no
+    candidate blowup — and the recompute is ONE groupBy on
+    (cluster, dim) whose partial aggregation reduces each partition to
+    at most k×dim running sums before the exchange. Iterating = loop
+    this function with the returned means as the next literal centroid
+    table; rounds are driver-bounded like operators/graph.py.
+
+    Output: (cluster_id, dim_idx, centroid_val, n_members) — dim_idx
+    is 1-based to match SQL array subscripting.
+    """
+    vecs = df.select(F.col(id_col).alias("vid"), as_double_vec(vec_col).alias("v"))
+    cent_arr = (
+        vecs.filter(F.col("vid") < k)
+        .select(F.col("vid").alias("cid"), F.col("v").alias("c"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("cid", "c"))
+            ).alias("cents")
+        )
+    )
+    # Map-side assignment: per vector, fold the broadcast centroid
+    # array into array<struct<d2,cid>> and take the struct-min —
+    # lexicographic (d2, cid) gives the deterministic tie-break. The
+    # full-data crossJoin→groupBy argmin alternative would shuffle
+    # every vector once per iteration; this shape shuffles nothing.
+    assigned = vecs.crossJoin(F.broadcast(cent_arr)).select(
+        F.array_min(
+            F.transform(
+                "cents",
+                lambda ct: F.struct(
+                    sq_dist(F.col("v"), ct["c"]).alias("d2"),
+                    ct["cid"].alias("cid"),
+                ),
+            )
+        )["cid"].alias("cid"),
+        "v",
+    )
+    per_dim = assigned.select(
+        "cid", F.posexplode("v").alias("pos", "x")
+    ).select("cid", (F.col("pos") + 1).cast("long").alias("dim_idx"), "x")
+    sizes = assigned.groupBy("cid").agg(F.count("*").alias("n_members"))
+    return (
+        per_dim.groupBy("cid", "dim_idx")
+        # + 0.0 folds IEEE -0.0 to +0.0 (DuckDB's ROUND keeps the
+        # sign; a "-0.0000" vs "0.0000" text hash would diverge).
+        .agg((F.round(F.avg("x"), 4) + F.lit(0.0)).alias("centroid_val"))
+        .join(F.broadcast(sizes), "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "dim_idx",
+            "centroid_val",
+            "n_members",
+        )
+    )

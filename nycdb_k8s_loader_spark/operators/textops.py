@@ -230,3 +230,61 @@ def pack_sequences(
         F.min(id_col).alias("first_doc"),
         F.max(id_col).alias("last_doc"),
     )
+
+
+def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus bigram-LM quality signal (the CCNet/Wenzek et al. idea of
+    scoring documents by a language model, expressed with the corpus
+    itself as the LM): build add-one-smoothed bigram probabilities from
+    corpus-wide counts and score each document by its mean token
+    log-probability ``ln((c(w1,w2)+1) / (c(w1)+|V|))``.
+
+    Low (very negative) scores mark documents whose word transitions
+    are rare in the corpus — boilerplate, shuffled text, wrong-language
+    contamination; high scores mark formulaic/duplicated text.
+
+    Scale shape: two count shuffles (unigram, bigram) plus one join of
+    bigram instances against bigram counts, all keyed on short tokens —
+    the shuffle carries (w1, w2, counts), never document bodies. The
+    vocabulary size is a 1-row aggregate broadcast into the scoring
+    plan; the unigram table is Zipf-small and AQE broadcasts it. At
+    100 TB the bigram-count join is the big shuffle, and it is exactly
+    the word-count shape Spark's partial aggregation is built for.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), " "), lambda w: w != ""
+    )
+    base = df.select("doc_id", toks.alias("l")).filter(F.size("l") >= 2)
+    uni = (
+        base.select(F.explode("l").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c_uni"))
+    )
+    vocab = uni.agg(F.count("*").alias("v_size"))
+    big_inst = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("l", F.lit(1), F.size("l") - 1),
+                F.slice("l", F.lit(2), F.size("l") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    bigc = big_inst.groupBy("w1", "w2").agg(F.count("*").alias("c_big"))
+    scored = (
+        big_inst.join(bigc, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c_big") + 1).cast("double")
+                / (F.col("c_uni") + F.col("v_size")).cast("double")
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("logp"), 4).alias("avg_logprob"),
+    )

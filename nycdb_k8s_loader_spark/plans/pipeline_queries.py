@@ -1105,3 +1105,102 @@ def s06(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         _emb(spark, sf_dir), query_ids=list(range(10)), k=5, nprobe=2
     )
+
+
+# --- round 3 (cont.): LM scoring + clustering ---------------------------------
+
+@register(
+    "t10_bigram_lm_score",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS l
+        FROM documents
+    ),
+    base AS (SELECT doc_id, l FROM toks WHERE len(l) >= 2),
+    unic AS (
+        SELECT w1, COUNT(*)::BIGINT AS c_uni
+        FROM (SELECT unnest(l) AS w1 FROM base)
+        GROUP BY w1
+    ),
+    v AS (SELECT COUNT(*)::BIGINT AS v_size FROM unic),
+    big AS (
+        SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+        FROM base, unnest(range(1, len(l))) AS t(i)
+    ),
+    bigc AS (
+        SELECT w1, w2, COUNT(*)::BIGINT AS c_big
+        FROM big GROUP BY w1, w2
+    )
+    SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+           ROUND(AVG(ln((c_big + 1)::DOUBLE
+                        / (c_uni + v_size)::DOUBLE)), 4) AS avg_logprob
+    FROM big
+    JOIN bigc USING (w1, w2)
+    JOIN unic USING (w1)
+    CROSS JOIN v
+    GROUP BY doc_id
+    """,
+    doc="Corpus bigram-LM document scoring (the CCNet 'score docs with "
+        "an LM' quality signal, with the corpus itself as the LM): "
+        "add-one-smoothed mean ln P(w2|w1) per document. Counts are "
+        "word-count-shaped shuffles (partial-agg friendly); the "
+        "scoring join carries tokens + counts, never bodies; |V| is a "
+        "broadcast scalar. operators/textops.py bigram_lm_scores.",
+    tags=("text", "pipeline", "quality"),
+)
+def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.textops import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf_dir))
+
+
+@register(
+    "s07_kmeans_lloyd_step",
+    """
+    WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, v AS c FROM emb WHERE vec_id < 8),
+    dists AS (
+        SELECT e.vec_id, c.cid,
+               list_sum(list_transform(range(1, len(e.v) + 1),
+                        i -> (e.v[i] - c.c[i]) ^ 2)) AS d2
+        FROM emb e CROSS JOIN cent c
+    ),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cid) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    j AS (SELECT a.cid, e.v FROM assign a JOIN emb e USING (vec_id)),
+    sizes AS (SELECT cid, COUNT(*)::BIGINT AS n_members FROM j GROUP BY cid),
+    per_dim AS (
+        SELECT cid, generate_subscripts(v, 1)::BIGINT AS dim_idx,
+               unnest(v) AS x
+        FROM j
+    )
+    SELECT cid AS cluster_id, dim_idx,
+           ROUND(AVG(x), 4) + 0.0 AS centroid_val, n_members
+    FROM per_dim JOIN sizes USING (cid)
+    GROUP BY cid, dim_idx, n_members
+    """,
+    doc="One distributed Lloyd iteration of k-means (the coarse-"
+        "quantizer training step behind the s04/s06 IVF index): "
+        "deterministic first-k init, MAP-SIDE nearest-centroid "
+        "assignment (broadcast centroid array + in-row struct-min "
+        "fold — no shuffle, unlike a crossJoin/groupBy argmin), then "
+        "one (cluster, dim) groupBy whose partial aggregation caps "
+        "per-partition state at k x dim running sums. "
+        "operators/similarity.py kmeans_lloyd_step.",
+    tags=("similarity", "clustering"),
+)
+def s07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.similarity import kmeans_lloyd_step
+
+    return kmeans_lloyd_step(_emb(spark, sf_dir), k=8)
