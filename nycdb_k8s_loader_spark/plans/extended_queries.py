@@ -679,3 +679,69 @@ def st07(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     return _run_memory_stream(spark, agg, "st07", "complete")
+
+
+@register(
+    "f02_levenshtein_name_pairs",
+    """
+    WITH names AS (
+        SELECT p_brand AS brand, lower(trim(p_name)) AS nm,
+               string_split(lower(trim(p_name)), ' ')[1] AS head,
+               COUNT(*)::BIGINT AS n_parts
+        FROM part GROUP BY 1, 2, 3
+    )
+    SELECT a.brand, a.nm AS name_a, b.nm AS name_b,
+           levenshtein(a.nm, b.nm)::BIGINT AS edit_dist,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM names a JOIN names b
+      ON a.brand = b.brand AND a.head = b.head AND a.nm < b.nm
+    WHERE levenshtein(a.nm, b.nm) <= 4
+    """,
+    doc="Blocked fuzzy name matching by edit distance — the "
+        "levenshtein companion to f01's trigram similarity (pg_trgm "
+        "capability, reference wowutil.py:68-71; landlord-name "
+        "canonicalization is exactly this shape). Two-level scale "
+        "design: (1) collapse rows to DISTINCT names first — the "
+        "name table is vocabulary-scale (Zipf), so the pair space "
+        "shrinks quadratically vs row-pairing (measured 470k row "
+        "pairs vs ~2k name pairs at sf0.1); (2) levenshtein has no "
+        "inverted-index decomposition (unlike f01's postings), so "
+        "candidate pairs come from a (brand, leading-token) prefix "
+        "block — the standard name-matching block key. Both engines "
+        "implement classic unit-cost edit distance, so the integers "
+        "match exactly.",
+    tags=("string", "similarity"),
+)
+def f02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    names = (
+        part.select(
+            F.col("p_brand").alias("brand"),
+            F.lower(F.trim(F.col("p_name"))).alias("nm"),
+            F.split(F.lower(F.trim(F.col("p_name"))), " ")[0].alias("head"),
+        )
+        .groupBy("brand", "nm", "head")
+        .agg(F.count("*").alias("n_parts"))
+    )
+    a = names.select(
+        "brand", "head",
+        F.col("nm").alias("name_a"), F.col("n_parts").alias("n_parts_a"),
+    )
+    b = names.select(
+        F.col("brand").alias("brand_b"), F.col("head").alias("head_b"),
+        F.col("nm").alias("name_b"), F.col("n_parts").alias("n_parts_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a["brand"] == b["brand_b"])
+            & (a["head"] == b["head_b"])
+            & (a["name_a"] < b["name_b"]),
+        )
+        .select(
+            "brand", "name_a", "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+            "n_parts_a", "n_parts_b",
+        )
+        .filter(F.col("edit_dist") <= 4)
+    )

@@ -1412,3 +1412,41 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["o_custkey"],
         tracked_cols=["status"],
     )
+
+
+@register(
+    "q47_percentile_summary",
+    """
+    SELECT o_orderpriority,
+           COUNT(*)::BIGINT AS n_orders,
+           ROUND(quantile_cont(o_totalprice::DOUBLE, 0.25), 4) AS price_p25,
+           ROUND(median(o_totalprice::DOUBLE), 4) AS price_median,
+           ROUND(quantile_cont(o_totalprice::DOUBLE, 0.75), 4) AS price_p75,
+           ROUND(quantile_cont(o_totalprice::DOUBLE, 0.75)
+                 - quantile_cont(o_totalprice::DOUBLE, 0.25), 4) AS price_iqr
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Exact interpolated percentiles (median/p25/p75/IQR) per "
+        "group — the distribution-summary aggregate family (A-series "
+        "extension; SURVEY §2.5 'free extensions'). Spark's percentile "
+        "and DuckDB's quantile_cont share the (n-1)*p linear-"
+        "interpolation definition, so the doubles agree. Exact "
+        "percentile sorts within each group's partial state; at "
+        "100 TB swap in percentile_approx (fixed-size t-digest "
+        "sketch, mergeable map-side) — same query shape, bounded "
+        "state, documented error.",
+    tags=("agg", "stats"),
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("double")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.percentile(price, 0.25), 4).alias("price_p25"),
+        F.round(F.median(price), 4).alias("price_median"),
+        F.round(F.percentile(price, 0.75), 4).alias("price_p75"),
+        F.round(
+            F.percentile(price, 0.75) - F.percentile(price, 0.25), 4
+        ).alias("price_iqr"),
+    )
