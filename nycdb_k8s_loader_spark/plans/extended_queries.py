@@ -745,3 +745,57 @@ def f02(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 4)
     )
+
+
+@register(
+    "st08_chained_window_rollup",
+    """
+    WITH m AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '15 minutes', ts) AS w15,
+               COUNT(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT date_trunc('hour', w15) AS hour_start, event_type,
+           MAX(n)::BIGINT AS max_15min, SUM(n)::BIGINT AS n_events
+    FROM m GROUP BY 1, 2
+    HAVING date_trunc('hour', w15) + INTERVAL '1 hour'
+           <= (SELECT max(ts) - INTERVAL '10 minutes' FROM events)
+    """,
+    doc="CHAINED stateful operators in one streaming query (Spark "
+        "4.x): 15-minute tumbling counts cascade into an hourly "
+        "max/sum rollup — two watermarked window aggregations back to "
+        "back, no intermediate sink. window_time() re-derives the "
+        "event-time column from the first window so the second agg "
+        "stays watermark-aware; finalized 15-min windows flow "
+        "downstream within the same micro-batch. Append-mode "
+        "semantics: an hourly window emits once the watermark "
+        "(max ts - 10 min, advanced by the final no-data batch) "
+        "passes its end — the oracle's HAVING clause replays exactly "
+        "that closure rule. State is two bounded stores (15-min and "
+        "1-h windows inside the watermark horizon); at 100 TB this "
+        "halves sink I/O vs materializing the minute-level rollup "
+        "and re-reading it for the hourly pass.",
+    tags=("streaming", "agg"),
+)
+def st08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = events_stream(spark, sf_dir)
+    m = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w15"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    h = (
+        m.groupBy(
+            F.window(F.window_time("w15"), "1 hour").alias("wh"),
+            "event_type",
+        )
+        .agg(F.max("n").alias("max_15min"), F.sum("n").alias("n_events"))
+    )
+    out = h.select(
+        F.col("wh.start").alias("hour_start"),
+        "event_type",
+        "max_15min",
+        "n_events",
+    )
+    return _run_memory_stream(spark, out, "st08", "append")
