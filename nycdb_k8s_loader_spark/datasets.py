@@ -468,15 +468,19 @@ def _custom_pipeline(
         resolver = SearchPathResolver(
             spark, [staging_db, *extra_namespaces, *engine.search_path]
         )
-        prev_db = spark.catalog.currentDatabase()
-        spark.catalog.setCurrentDatabase(staging_db)
-        try:
-            _run_scripts(spark, resolver, pre_scripts, function_stmts)
-            if populate is not None:
-                populate(spark, staging_db)
-            _run_scripts(spark, resolver, post_scripts, function_stmts)
-        finally:
-            spark.catalog.setCurrentDatabase(prev_db)
+        # script_lock: setCurrentDatabase is session-global — two
+        # custom pipelines in the same dependency level must not
+        # resolve their CTAS scripts against each other's staging db.
+        with engine.script_lock:
+            prev_db = spark.catalog.currentDatabase()
+            spark.catalog.setCurrentDatabase(staging_db)
+            try:
+                _run_scripts(spark, resolver, pre_scripts, function_stmts)
+                if populate is not None:
+                    populate(spark, staging_db)
+                _run_scripts(spark, resolver, post_scripts, function_stmts)
+            finally:
+                spark.catalog.setCurrentDatabase(prev_db)
         with engine.grants.save_and_reapply(target_schema, tables):
             published = pub.publish_tables(staging_db, tables)
 

@@ -23,7 +23,9 @@ dispatch to registered builders (load_dataset.py:319-338).
 from __future__ import annotations
 
 import logging
+import threading
 from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -100,6 +102,14 @@ class Engine:
         self.grants = GrantRegistry(kv)
         self.search_path = search_path or [target_db]
         self.functions = functions or default_registry()
+        # Concurrency guards for the parallel load_all: KV state is
+        # read-modify-write (a lost update would silently re-download
+        # forever), and SQL-script execution pins the session-global
+        # current database — both serialize; the Spark jobs themselves
+        # (ingest scans, staging writes, publishes) run concurrently,
+        # which is where the wall-clock lives.
+        self._state_lock = threading.Lock()
+        self.script_lock = threading.Lock()
         # session-start registration (reference re-creates functions at
         # connect time via search-path scripts; O2/U2)
         self.functions.apply(spark)
@@ -128,8 +138,9 @@ class Engine:
         else:
             published = self._standard_load(ds)
 
-        modtracker.update_lastmods()
-        self.tracker.update_tracker(name)
+        with self._state_lock:
+            modtracker.update_lastmods()
+            self.tracker.update_tracker(name)
         self.notifier.safe_notify(f"Finished loading {name}.")
         return LoadResult(dataset=name, skipped=False, published=published)
 
@@ -173,22 +184,28 @@ class Engine:
             created: list[str] = [
                 t.name for t in ds.tables if t.schema is not None
             ]
-            prev_db = self.spark.catalog.currentDatabase()
-            self.spark.catalog.setCurrentDatabase(staging_db)
-            try:
-                for script in ds.sql:
-                    with open(script, encoding="utf-8") as fh:
-                        sql_text = fh.read()
-                    for stmt in split_statements(sql_text):
-                        if is_function_sql(stmt):
-                            function_stmts.append(stmt)
-                        else:
-                            resolver.sql(stmt)
-                    for t in parse_created_tables(sql_text):
-                        if t not in created:
-                            created.append(t)
-            finally:
-                self.spark.catalog.setCurrentDatabase(prev_db)
+            if ds.sql:
+                # setCurrentDatabase is session-global state; the
+                # script_lock keeps concurrent loads (parallel
+                # load_all levels) from resolving CTAS statements
+                # against each other's staging namespace.
+                with self.script_lock:
+                    prev_db = self.spark.catalog.currentDatabase()
+                    self.spark.catalog.setCurrentDatabase(staging_db)
+                    try:
+                        for script in ds.sql:
+                            with open(script, encoding="utf-8") as fh:
+                                sql_text = fh.read()
+                            for stmt in split_statements(sql_text):
+                                if is_function_sql(stmt):
+                                    function_stmts.append(stmt)
+                                else:
+                                    resolver.sql(stmt)
+                            for t in parse_created_tables(sql_text):
+                                if t not in created:
+                                    created.append(t)
+                    finally:
+                        self.spark.catalog.setCurrentDatabase(prev_db)
 
             # 3. atomic publish, grants snapshotted across the swap
             with self.grants.save_and_reapply(
@@ -214,6 +231,37 @@ class Engine:
                 )
         return published
 
-    def load_all(self, targets: list[str] | None = None) -> list[LoadResult]:
-        """Dependency-ordered multi-dataset load (reference O4)."""
-        return [self.load(n) for n in self.registry.topo_order(targets)]
+    def load_all(
+        self,
+        targets: list[str] | None = None,
+        max_parallel: int = 4,
+    ) -> list[LoadResult]:
+        """Dependency-ordered multi-dataset load (reference O4), with
+        independent datasets of each dependency level loaded
+        CONCURRENTLY from driver threads (Spark's scheduler interleaves
+        their jobs across the executor pool — the standard driver-side
+        concurrency pattern for many small independent jobs; one
+        dataset's ingest rarely saturates a cluster). Results are
+        returned in topo_order regardless of completion order; the
+        first failure propagates after its level drains, so no
+        dependent level ever starts on a broken prerequisite.
+        ``max_parallel=1`` restores strictly sequential loads."""
+        results: dict[str, LoadResult] = {}
+        for level in self.registry.topo_levels(targets):
+            if max_parallel <= 1 or len(level) == 1:
+                for n in level:
+                    results[n] = self.load(n)
+                continue
+            with ThreadPoolExecutor(
+                max_workers=min(max_parallel, len(level))
+            ) as pool:
+                futs = {n: pool.submit(self.load, n) for n in level}
+                errs = []
+                for n, fut in futs.items():
+                    try:
+                        results[n] = fut.result()
+                    except Exception as exc:  # noqa: BLE001 - re-raised
+                        errs.append((n, exc))
+                if errs:
+                    raise errs[0][1]
+        return [results[n] for n in self.registry.topo_order(targets)]
