@@ -24,8 +24,40 @@ bottleneck.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _iteration_sized_shuffle(df: DataFrame, partitions: int | None):
+    """Clamp ``spark.sql.shuffle.partitions`` for an iterative
+    operator's lifetime (mirrors streaming's state_sized_shuffle).
+
+    Iterative graph ops run MANY tiny shuffles (2-3 jobs per round ×
+    diameter rounds); at the batch default every round schedules
+    hundreds of near-empty tasks and task latency, not data, becomes
+    the bottleneck (measured: wow portfolio CC 2.8 s → 1.6 s at sf0.1
+    just by 32 → 8). AQE coalesces within a stage but cannot remove
+    per-round scheduling floors. Heuristic: max(8, defaultParallelism
+    // 2), never above the session's setting — on a 1000-executor
+    cluster defaultParallelism scales with the cluster, so big-graph
+    callers keep their width (or pass ``partitions`` explicitly)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    n = partitions
+    if n is None:
+        n = max(8, spark.sparkContext.defaultParallelism // 2)
+        try:
+            n = min(n, int(prev))
+        except (TypeError, ValueError):
+            pass  # 'auto' etc. — keep the heuristic
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def connected_components(
@@ -33,6 +65,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 20,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """(node, component) where component = min node id in the
     component. Nodes are every id present in the edge list; edges are
@@ -41,46 +74,53 @@ def connected_components(
     # checkpoint the ENTIRE upstream pipeline that produced it (e.g.
     # the shingled-Jaccard pair build feeding g01) re-executes once
     # per iteration — measured 3× the total g01 runtime at sf0.1.
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-
-    for _ in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
+    with _iteration_sized_shuffle(edges, shuffle_partitions):
+        sym = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .unionByName(
+                edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
             )
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+        labels = (
+            sym.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
+            .localCheckpoint(eager=True)
         )
-        labels = new_labels
-        if changed == 0:
-            return labels
+
+        for _ in range(max_iterations):
+            neighbor_min = (
+                sym.join(labels, sym.b == labels.node)
+                .groupBy("a")
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            new_labels = (
+                labels.join(
+                    neighbor_min, labels.node == neighbor_min.a, "left"
+                )
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(
+                            F.col("nbr_component"), F.col("component")
+                        ),
+                    ).alias("component"),
+                )
+            )
+            new_labels = new_labels.localCheckpoint(eager=True)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} "
         "rounds — the graph is deeper than min-label propagation "
@@ -123,6 +163,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 30,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star
     contractions (Kiveris et al., "Connected Components in MapReduce
@@ -135,6 +176,13 @@ def connected_components_star(
     component minima), and every round localCheckpoints to keep
     lineage flat. Convergence = edge list unchanged by a full round.
     """
+    with _iteration_sized_shuffle(edges, shuffle_partitions):
+        return _star_rounds(edges, src, dst, max_rounds)
+
+
+def _star_rounds(
+    edges: DataFrame, src: str, dst: str, max_rounds: int
+) -> DataFrame:
     cur = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -228,6 +276,7 @@ def bfs_reachable(
     dst: str = "dst",
     seed_col: str = "node",
     max_hops: int = 20,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """(node, hops) for every node reachable from ``seeds`` over the
     undirected edge list, hops = BFS distance (0 for the seeds).
@@ -243,6 +292,18 @@ def bfs_reachable(
     frame is a fraction of the graph — this is the shape GraphFrames'
     BFS uses underneath.
     """
+    with _iteration_sized_shuffle(edges, shuffle_partitions):
+        return _bfs_rounds(edges, seeds, src, dst, seed_col, max_hops)
+
+
+def _bfs_rounds(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str,
+    dst: str,
+    seed_col: str,
+    max_hops: int,
+) -> DataFrame:
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
