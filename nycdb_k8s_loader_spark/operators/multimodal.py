@@ -165,3 +165,61 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     # bench time). Real media tables size partitions via
     # spark.sql.files.maxPartitionBytes instead.
     return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
+
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("rms_energy", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_frame_energy(df: DataFrame, frame_len: int = 64) -> DataFrame:
+    """Per-frame RMS energy over audio payloads — a REAL DSP kernel
+    (unlike the stubbed codecs): payload bytes are treated as 8-bit
+    unsigned PCM, centered to [-128, 127], windowed into
+    ``frame_len``-sample frames, and reduced to sqrt(mean(x²)) with
+    vectorized numpy inside Arrow-batched mapInPandas.
+
+    Numerics are exactly cross-engine-reproducible by construction:
+    samples are integers, so Σx² is an integer-valued float64 (exact
+    under any summation order) and /64 is a power-of-two division —
+    the sqrt sees bit-identical input in Spark and the SQL oracle.
+
+    Scale shape: shuffle-free — frames materialize map-side over the
+    scan and the payload column dies inside the Python worker; output
+    is (ids, floats) only. Partial trailing frames are dropped (the
+    standard STFT convention)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {k: [] for k in
+                   ("media_id", "frame_idx", "n_samples", "rms_energy")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                n_frames = len(raw) // frame_len
+                if n_frames == 0:
+                    continue
+                x = (
+                    np.frombuffer(raw, dtype=np.uint8)[: n_frames * frame_len]
+                    .astype(np.float64)
+                    - 128.0
+                )
+                rms = np.sqrt((x * x).reshape(-1, frame_len).mean(axis=1))
+                out["media_id"].extend([mid] * n_frames)
+                out["frame_idx"].extend(range(n_frames))
+                out["n_samples"].extend([frame_len] * n_frames)
+                out["rms_energy"].extend(np.round(rms, 4))
+            yield pd.DataFrame(out)
+
+    return (
+        df.filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(batches, AUDIO_FRAME_SCHEMA)
+    )

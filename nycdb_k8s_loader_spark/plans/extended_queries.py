@@ -799,3 +799,39 @@ def st08(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
     )
     return _run_memory_stream(spark, out, "st08", "append")
+
+
+@register(
+    "m04_audio_frame_energy",
+    """
+    WITH audio AS (
+        SELECT i AS media_id, 128 + (i % 5) * 64 AS n
+        FROM range(0, 64) t(i) WHERE i % 3 = 1
+    ),
+    samples AS (
+        SELECT media_id, (j // 64)::BIGINT AS frame_idx,
+               ((media_id * 7 + j) % 256 - 128)::DOUBLE AS x
+        FROM audio, unnest(range(0, n)) s(j)
+    )
+    SELECT media_id, frame_idx, COUNT(*)::BIGINT AS n_samples,
+           ROUND(sqrt(SUM(x * x) / COUNT(*)), 4) AS rms_energy
+    FROM samples GROUP BY 1, 2
+    """,
+    doc="Audio feature extraction with REAL signal math (the m-pack's "
+        "only stubbed-decoder-free kernel): payload bytes as 8-bit "
+        "PCM, 64-sample frames, vectorized numpy RMS inside Arrow-"
+        "batched mapInPandas — zero shuffle, payloads die in the "
+        "Python worker. The oracle recomputes the synthetic payload "
+        "formula arithmetically (samples are integers, so sum-of-"
+        "squares is exact float64 under any summation order and /64 "
+        "is a power-of-two division — bit-identical sqrt inputs), "
+        "making this a hash-checked multimodal row, not a rows-only "
+        "one. operators/multimodal.py audio_frame_energy.",
+    tags=("multimodal", "pipeline"),
+)
+def m04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.multimodal import (
+        audio_frame_energy,
+    )
+
+    return audio_frame_energy(synthetic_media(spark))
