@@ -438,3 +438,77 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def fuzzy_dedup(
+    df: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingles: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end fuzzy dedup — the full scale pipeline as ONE
+    operator: MinHash/LSH candidate generation → exact-Jaccard
+    verification restricted to the candidates → connected components →
+    canonical keep per cluster. Returns every input doc as
+    ``(doc_id, cluster_id, is_kept)`` where ``cluster_id`` is the min
+    doc_id of the verified near-dup component (the doc itself when it
+    has no near-dups) and ``is_kept`` marks the one retained copy.
+
+    This is the composition d02's docstring promises: the quadratic
+    exact operator (candidate blowup Σ df(t)²) replaced by the linear
+    band pass, with the exact Jaccard evaluated ONLY on the candidate
+    pairs LSH surfaces. At 100 TB the stages are:
+
+    - candidates: :func:`minhash_signatures` — one md5 pass + banding,
+      one shuffle of (band_key, doc_id), output linear in corpus;
+    - verify: candidates ⋈ postings on doc_a, then ⋈ postings on
+      (doc_b, shingle) — cost O(candidates × doc shingles), never
+      corpus²; false positives from banding die here, so the result is
+      exact w.r.t. the threshold (modulo LSH false *negatives*, the
+      documented recall trade of any banding scheme);
+    - cluster: :func:`~..graph.cluster_assignments` min-label
+      propagation, rounds = component diameter (near-dup components
+      are shallow);
+    - keep: one broadcast-joinable (doc, cluster) frame back onto the
+      corpus ids.
+    """
+    from nycdb_k8s_loader_spark.operators.graph import cluster_assignments
+
+    cands = minhash_signatures(
+        df, num_hashes=num_hashes, bands=bands,
+        id_col=id_col, text_col=text_col, shingles=shingles,
+    )
+    posts = shingle_postings(df, shingles, id_col, text_col)
+    sizes = posts.groupBy(id_col).agg(F.count("*").alias("n"))
+
+    pa = posts.select(F.col(id_col).alias("doc_a"), "w")
+    pb = posts.select(F.col(id_col).alias("doc_b"), "w")
+    common = (
+        cands.join(pa, "doc_a")
+        .join(pb, ["doc_b", "w"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    edges = (
+        common.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+    clusters = cluster_assignments(edges)
+    out = df.select(F.col(id_col).alias("doc_id")).join(
+        clusters, "doc_id", "left"
+    )
+    cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return out.select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        (cluster == F.col("doc_id")).alias("is_kept"),
+    )

@@ -1204,3 +1204,102 @@ def s07(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nycdb_k8s_loader_spark.operators.similarity import kmeans_lloyd_step
 
     return kmeans_lloyd_step(_emb(spark, sf_dir), k=8)
+
+
+# --- end-to-end fuzzy dedup --------------------------------------------------
+
+@register(
+    "d09_fuzzy_dedup_e2e",
+    """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS l
+        FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(l) >= 3
+                    THEN l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                    ELSE array_to_string(l, ' ') END AS w
+        FROM toks,
+             unnest(CASE WHEN len(l) >= 3 THEN range(1, len(l) - 1)
+                         ELSE [CAST(1 AS BIGINT)] END) AS t(i)
+    ),
+    base AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)
+                   % 2147483647 AS x
+        FROM shingles
+    ),
+    sigs AS (
+        SELECT doc_id,
+               MIN((x * 1000000007 + 337)   % 2147483647) AS h0,
+               MIN((x * 998244353  + 7331)  % 2147483647) AS h1,
+               MIN((x * 774856531  + 12345) % 2147483647) AS h2,
+               MIN((x * 602398169  + 54321) % 2147483647) AS h3,
+               MIN((x * 516688307  + 2468)  % 2147483647) AS h4,
+               MIN((x * 402653189  + 13579) % 2147483647) AS h5,
+               MIN((x * 268435459  + 97531) % 2147483647) AS h6,
+               MIN((x * 160481183  + 86420) % 2147483647) AS h7
+        FROM base GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, md5(h0 || '' || h1) AS band_key FROM sigs
+        UNION ALL SELECT doc_id, 1, md5(h2 || '' || h3) FROM sigs
+        UNION ALL SELECT doc_id, 2, md5(h4 || '' || h5) FROM sigs
+        UNION ALL SELECT doc_id, 3, md5(h6 || '' || h7) FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN shingles sa ON sa.doc_id = c.doc_a
+        JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.w = sa.w
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes za ON za.doc_id = doc_a
+        JOIN sizes zb ON zb.doc_id = doc_b
+        WHERE n_common * 1.0 / (za.n + zb.n - n_common) >= 0.7
+    ),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION SELECT doc_b, doc_a FROM edges
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT reach.a, sym.b FROM reach JOIN sym ON reach.b = sym.a
+    ),
+    clus AS (SELECT a AS doc_id, MIN(b) AS cl FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           COALESCE(c.cl, d.doc_id)::BIGINT AS cluster_id,
+           COALESCE(c.cl, d.doc_id) = d.doc_id AS is_kept
+    FROM documents d LEFT JOIN clus c ON c.doc_id = d.doc_id
+    """,
+    doc="END-TO-END fuzzy dedup, the full scale pipeline as one "
+        "operator: shingle → MinHash/LSH band candidates (d03) → "
+        "exact-Jaccard verification restricted to candidates (kills "
+        "banding false positives; cost O(candidates x doc shingles), "
+        "never corpus²) → connected components (g01 machinery) → "
+        "canonical min-id keep per cluster. Replaces d02's Σ df(t)² "
+        "all-pairs blowup with the linear band pass — the composition "
+        "the VERDICT asked for. Oracle: d03's CTE chain + per-pair "
+        "Jaccard + recursive-CTE transitive closure. "
+        "operators/dedup.py fuzzy_dedup.",
+    tags=("dedup", "lsh", "graph"),
+)
+def d09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.dedup import fuzzy_dedup
+
+    return fuzzy_dedup(_docs(spark, sf_dir), threshold=0.7,
+                       num_hashes=8, bands=4, shingles=3)

@@ -900,3 +900,48 @@ class TestScd2:
         )
         with pytest.raises(ValueError, match="one row per key"):
             scd2_apply(snap, updates, ["id"], ["city"])
+
+
+class TestFuzzyDedup:
+    """d09: minhash candidates → verified Jaccard → clusters → keep."""
+
+    def _docs(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "the quick brown fox jumps over the lazy dog tonight"),
+            (4, "pack my box with five dozen liquor jugs right now"),
+            (5, "completely unrelated text about distributed query engines"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_clusters_and_keep_flags(self, spark):
+        from nycdb_k8s_loader_spark.operators.dedup import fuzzy_dedup
+
+        out = fuzzy_dedup(self._docs(spark), threshold=0.5).collect()
+        by_id = {r["doc_id"]: r for r in out}
+        assert len(by_id) == 5
+        # 1 and 2 are exact dups → same cluster, min id kept.
+        assert by_id[1]["cluster_id"] == by_id[2]["cluster_id"] == 1
+        assert by_id[1]["is_kept"] and not by_id[2]["is_kept"]
+        # 4 and 5 are singletons: own cluster, kept.
+        for d in (4, 5):
+            assert by_id[d]["cluster_id"] == d and by_id[d]["is_kept"]
+        # exactly one kept doc per cluster id
+        kept = [r for r in out if r["is_kept"]]
+        assert {r["doc_id"] for r in kept} == {r["cluster_id"] for r in out}
+
+    def test_verification_prunes_banding_false_positives(self, spark):
+        from nycdb_k8s_loader_spark.operators.dedup import (
+            fuzzy_dedup,
+            minhash_signatures,
+        )
+
+        docs = self._docs(spark)
+        # With a threshold of 1.0 only the exact pair (1,2) survives
+        # verification, whatever the band pass surfaced.
+        n_cand = minhash_signatures(docs, shingles=3).count()
+        out = fuzzy_dedup(docs, threshold=1.0).collect()
+        merged = [r for r in out if not r["is_kept"]]
+        assert [r["doc_id"] for r in merged] == [2]
+        assert n_cand >= 1  # the band pass did surface candidates
