@@ -288,3 +288,99 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("logp"), 4).alias("avg_logprob"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF, with a
+    LOG-FREE inverse-document-frequency (``score = tf / df``): the
+    ranking a keyword extractor wants, expressed so every score is an
+    exact small-integer ratio — bit-identical across engines (ln()'s
+    last-ulp differences would make a hash-compared oracle flaky; the
+    log only compresses the range, it doesn't change per-term order
+    because tf/df and tf*ln(N/df) are both monotone in 1/df at fixed
+    tf... rank ties are broken by the term itself either way).
+
+    Physical shape at 100 TB: term frequencies are ONE map-side-
+    combined shuffle on (doc, term); document frequencies aggregate
+    the tf frame again on term (vocabulary-sized output — Zipf-skewed,
+    but partial aggregation caps per-partition state at distinct-terms-
+    per-partition); the tf⋈df join is vocabulary × corpus-terms on the
+    term key (AQE broadcast when vocabulary fits); final top-k is a
+    row_number window partitioned by doc — per-doc cardinality is
+    bounded by doc length, never corpus-wide.
+    """
+    from pyspark.sql import Window
+
+    from nycdb_k8s_loader_spark.operators.dedup import normalized_text
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(normalized_text(text_col), " "),
+                     lambda w: w != "")
+        ).alias("w"),
+    )
+    tf = toks.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "w").select(
+        F.col(id_col),
+        F.col("w").alias("term"),
+        (F.col("tf") / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "rnk", F.round("score", 6).alias("score"))
+    )
+
+
+def token_balanced_shards(
+    df: DataFrame,
+    num_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to ``num_shards`` output shards with balanced
+    token totals — the shard-writing step of a training-data pipeline
+    (each shard becomes one output file group / data-loader stream, so
+    a token-skewed split starves some trainer ranks).
+
+    Boustrophedon (snake) assignment over the global token-count
+    ranking: docs sorted by tokens desc, dealt 0,1,…,S-1,S-1,…,1,0 —
+    each full snake of 2S docs gives every shard one large and one
+    small doc, bounding the shard-total spread by one doc's tokens per
+    snake. Deterministic (rank ties broken by doc id), unlike greedy
+    least-loaded bin packing which needs a sequential pass.
+
+    The global ranking uses :func:`~..relational.distributed_rank`
+    (range-repartition + per-partition row_number + broadcast offsets)
+    — NO single-partition window, so the sort scales to any corpus.
+    Returns one row per shard: (shard_id, n_docs, total_tokens).
+    """
+    from nycdb_k8s_loader_spark.operators.relational import distributed_rank
+
+    toks = df.select(
+        F.col(id_col),
+        _ws_tokens(F.col(text_col)).cast("long").alias("n_tokens"),
+    ).withColumn("neg_tokens", -F.col("n_tokens"))
+    ranked = distributed_rank(toks, ["neg_tokens", id_col], rank_col="rn")
+    snake = (F.col("rn") - 1) % (2 * num_shards)
+    shard = F.when(snake < num_shards, snake).otherwise(
+        2 * num_shards - 1 - snake
+    )
+    return (
+        ranked.select(shard.cast("long").alias("shard_id"), "n_tokens")
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

@@ -1303,3 +1303,84 @@ def d09(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return fuzzy_dedup(_docs(spark, sf_dir), threshold=0.7,
                        num_hashes=8, bands=4, shingles=3)
+
+
+# --- TF-IDF keyword extraction -----------------------------------------------
+
+@register(
+    "t11_tfidf_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(trim(text)), ' '),
+                                  w -> w <> '')) AS w
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    scored AS (
+        SELECT doc_id, w AS term, tf * 1.0 / df AS score
+        FROM tf JOIN dfreq USING (w)
+    )
+    SELECT doc_id, term, rnk, ROUND(score, 6) AS score
+    FROM (SELECT doc_id, term, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term)::BIGINT AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+    doc="Per-doc top-3 characteristic terms by TF-IDF with a log-free "
+        "rational idf (score = tf/df — exact integer ratio, so the "
+        "cross-engine hash compare is stable where ln() would diverge "
+        "in the last ulp). Two map-side-combined shuffles (doc-term "
+        "tf, vocabulary df) + vocabulary join + per-doc top-k window. "
+        "operators/textops.py tfidf_top_terms.",
+    tags=("text", "pipeline"),
+)
+def t11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.textops import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+# --- token-balanced corpus sharding ------------------------------------------
+
+@register(
+    "c04_token_balanced_shards",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               (length(trim(text))
+                - length(replace(trim(text), ' ', '')) + 1) AS n_tokens
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+        FROM t
+    ),
+    s AS (
+        SELECT CASE WHEN (rn - 1) % 16 < 8
+                    THEN (rn - 1) % 16
+                    ELSE 15 - ((rn - 1) % 16) END AS shard_id,
+               n_tokens
+        FROM r
+    )
+    SELECT shard_id::BIGINT AS shard_id, COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tokens)::BIGINT AS total_tokens
+    FROM s GROUP BY 1
+    """,
+    doc="Token-balanced corpus sharding: global token-count ranking "
+        "via distributed_rank (range-repartition + offsets — no "
+        "single-partition window), boustrophedon deal onto 8 shards "
+        "(each 16-doc snake hands every shard one large + one small "
+        "doc), per-shard totals. The shard writer of a training-data "
+        "pipeline. operators/textops.py token_balanced_shards.",
+    tags=("pipeline", "sharding"),
+)
+def c04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.textops import (
+        token_balanced_shards,
+    )
+
+    return token_balanced_shards(_docs(spark, sf_dir), num_shards=8)

@@ -945,3 +945,38 @@ class TestFuzzyDedup:
         merged = [r for r in out if not r["is_kept"]]
         assert [r["doc_id"] for r in merged] == [2]
         assert n_cand >= 1  # the band pass did surface candidates
+
+
+class TestCorpusSharding:
+    def test_snake_balances_token_totals(self, spark):
+        from nycdb_k8s_loader_spark.operators.textops import (
+            token_balanced_shards,
+        )
+
+        # 32 docs with strongly skewed lengths: 1..32 words.
+        rows = [(i, " ".join(f"w{j}" for j in range(i))) for i in range(1, 33)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = token_balanced_shards(docs, num_shards=4).collect()
+        totals = {r["shard_id"]: r["total_tokens"] for r in out}
+        counts = {r["shard_id"]: r["n_docs"] for r in out}
+        assert set(totals) == {0, 1, 2, 3}
+        assert all(c == 8 for c in counts.values())
+        assert sum(totals.values()) == sum(range(1, 33))
+        # snake-deal spread stays within one snake's largest doc
+        assert max(totals.values()) - min(totals.values()) <= 32
+
+    def test_tfidf_ranks_rare_terms_first(self, spark):
+        from nycdb_k8s_loader_spark.operators.textops import tfidf_top_terms
+
+        docs = spark.createDataFrame(
+            [
+                (1, "common common rare_a"),
+                (2, "common common rare_b"),
+                (3, "common zzz_unique"),
+            ],
+            "doc_id long, text string",
+        )
+        out = tfidf_top_terms(docs, k=1).collect()
+        top = {r["doc_id"]: r["term"] for r in out}
+        # the doc-unique term beats 'common' (df=3) despite lower tf
+        assert top == {1: "rare_a", 2: "rare_b", 3: "zzz_unique"}
