@@ -548,3 +548,60 @@ def kmeans_lloyd_step(
             "n_members",
         )
     )
+
+
+def knn_label_vote(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN classification by majority vote over cosine neighbors —
+    the label-propagation / weak-supervision step of a data pipeline
+    (tag unlabeled examples from their nearest labeled neighbors).
+
+    Composition: :func:`cosine_topk` neighbor lists ⋈ corpus labels →
+    per-(query, label) vote counts → deterministic argmax (votes DESC,
+    label ASC). Returns (query_id, true_label, pred_label, votes).
+
+    Scale shape: the neighbor frame is Q×k rows (tiny next to the
+    corpus), so both the label join and the final true-label join
+    broadcast the small side; the only corpus-scale work is the
+    neighbor search itself, which inherits cosine_topk's
+    broadcast-queries × corpus-scan plan (or its LSH-bucketed twin).
+    """
+    from pyspark.sql import Window
+
+    nbrs = cosine_topk(emb, query_ids=query_ids, k=k,
+                       id_col=id_col, vec_col=vec_col)
+    labels = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).cast("long").alias("nbr_label"),
+    )
+    votes = (
+        F.broadcast(nbrs)
+        .join(labels, "neighbor_id")
+        .groupBy("query_id", "nbr_label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("nbr_label").asc()
+    )
+    pred = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            F.col("nbr_label").alias("pred_label"),
+            "votes",
+        )
+    )
+    truth = emb.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).cast("long").alias("true_label"),
+    )
+    return F.broadcast(pred).join(truth, "query_id").select(
+        "query_id", "true_label", "pred_label", "votes"
+    )

@@ -1384,3 +1384,53 @@ def c04(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return token_balanced_shards(_docs(spark, sf_dir), num_shards=8)
+
+
+# --- k-NN label voting -------------------------------------------------------
+
+@register(
+    "s08_knn_label_vote",
+    f"""
+    WITH e AS ({_VEC}),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+        FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 25
+    ),
+    topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+            ) AS rank FROM scored
+        ) WHERE rank <= 5
+    ),
+    votes AS (
+        SELECT t.query_id, emb.label::BIGINT AS nbr_label,
+               COUNT(*)::BIGINT AS votes
+        FROM topk t JOIN embeddings emb ON emb.vec_id = t.neighbor_id
+        GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT query_id, nbr_label AS pred_label, votes FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY votes DESC, nbr_label ASC
+            ) AS rn FROM votes
+        ) WHERE rn = 1
+    )
+    SELECT p.query_id, q.label::BIGINT AS true_label, p.pred_label,
+           p.votes
+    FROM pred p JOIN embeddings q ON q.vec_id = p.query_id
+    """,
+    doc="k-NN classification by majority label vote (k=5, 25 query "
+        "vectors): the weak-supervision/label-propagation step of a "
+        "training-data pipeline. Neighbor lists from the brute cosine "
+        "baseline, vote argmax with a (votes DESC, label ASC) total "
+        "order; the Q*k neighbor frame broadcasts into both label "
+        "joins. operators/similarity.py knn_label_vote.",
+    tags=("similarity", "pipeline"),
+)
+def s08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.similarity import knn_label_vote
+
+    return knn_label_vote(_emb(spark, sf_dir), query_ids=list(range(25)), k=5)

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -239,3 +241,56 @@ def test_foreach_batch_upsert_merges_across_batches(spark, tmp_path):
     snap3 = {(r["id"], r["n"], r["total"])
              for r in read_upsert_sink(spark, sink).collect()}
     assert snap3 == snap2
+
+
+def test_tws_user_profiles_across_batches(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 typed-state API) must carry
+    ValueState + MapState across micro-batches. Skip-gated: the TWS
+    Python runner requires google.protobuf (see the operator's
+    ENVIRONMENT GUARD note)."""
+    pytest.importorskip("google.protobuf")
+    from nycdb_k8s_loader_spark.streaming.pipeline import (
+        run_available_now,
+        tws_user_profiles,
+    )
+
+    landing = tmp_path / "landing"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    landing.mkdir()
+    (landing / "f1.csv").write_text(
+        "user_id,event_type\n1,click\n1,click\n2,view\n"
+    )
+    (landing / "f2.csv").write_text(
+        "user_id,event_type\n1,purchase\n2,view\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", "1")
+        .csv(str(landing))
+    )
+    run_available_now(tws_user_profiles(src), sink, ckpt)
+    out = spark.read.parquet(sink)
+    from pyspark.sql.window import Window
+
+    final = {
+        r["user_id"]: (r["n_events"], r["n_event_types"])
+        for r in out.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("n_events").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert final == {1: (3, 2), 2: (2, 1)}
