@@ -831,20 +831,28 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact interpolated quantile matching DuckDB quantile_cont; at "
         "100 TB swap in approx_percentile(col, p, accuracy) — same "
         "call shape, sketch-mergeable so it keeps partial aggregation, "
-        "while exact percentile must collect the group's values.",
+        "while exact percentile must collect the group's values. "
+        "The DISTINCT aggregate runs as a SEPARATE aggregation joined "
+        "back on the (3-row) group keys: mixing it into the percentile "
+        "agg makes Catalyst plan an Expand that duplicates every input "
+        "row per aggregate family, dragging the percentile buffers "
+        "through 2x the rows — measured 2x slower at sf0.1.",
     tags=("agg",),
 )
 def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    stats = li.groupBy("l_returnflag").agg(
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
         F.round(
             F.percentile("l_extendedprice", F.lit(0.9)), 4
         ).alias("p90_price"),
-        F.count_distinct("l_partkey").alias("n_parts"),
     )
+    nparts = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts")
+    )
+    return stats.join(nparts, "l_returnflag")
 
 
 # --- RANGE window frame (value-based, not row-based) -------------------------
@@ -1449,4 +1457,160 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.percentile(price, 0.75) - F.percentile(price, 0.25), 4
         ).alias("price_iqr"),
+    )
+
+
+# --- bag (multiset) set operations -------------------------------------------
+
+@register(
+    "q48_bag_set_ops",
+    """
+    SELECT 'except_all' AS op, l_suppkey FROM (
+        SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        EXCEPT ALL
+        SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    )
+    UNION ALL
+    SELECT 'intersect_all' AS op, l_suppkey FROM (
+        SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        INTERSECT ALL
+        SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    )
+    """,
+    doc="EXCEPT ALL / INTERSECT ALL — bag (multiset) semantics, the "
+        "occurrence-counted cousins of q08/q09's set forms: per key, "
+        "keep max(m-n, 0) / min(m, n) copies. Spark plans both as one "
+        "aggregate over tagged counts (no sort, no distinct): the "
+        "shuffle carries (key, count) per side — at 100 TB this is "
+        "two map-side-combined scans, not a row-level anti join.",
+    tags=("setops",),
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    return (
+        r.exceptAll(a).select(F.lit("except_all").alias("op"), "l_suppkey")
+        .unionAll(
+            r.intersectAll(a).select(
+                F.lit("intersect_all").alias("op"), "l_suppkey"
+            )
+        )
+    )
+
+
+# --- date-spine gap filling --------------------------------------------------
+
+@register(
+    "q49_gap_fill_daily_revenue",
+    """
+    WITH days AS (
+        SELECT unnest(generate_series(MIN(o_orderdate), MAX(o_orderdate),
+                                      INTERVAL 1 DAY))::DATE AS order_date
+        FROM orders
+    ),
+    spine AS (
+        SELECT p.o_orderpriority, days.order_date
+        FROM days
+        CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+    ),
+    daily AS (
+        SELECT o_orderpriority, o_orderdate AS order_date,
+               COUNT(*)::BIGINT AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT s.o_orderpriority, s.order_date,
+           COALESCE(d.n_orders, 0)::BIGINT AS n_orders,
+           COALESCE(d.revenue, 0.0) AS revenue
+    FROM spine s LEFT JOIN daily d
+      ON d.o_orderpriority = s.o_orderpriority
+     AND d.order_date = s.order_date
+    """,
+    doc="Time-series gap filling over a generated date spine: per "
+        "priority, every calendar day in the global order-date span "
+        "appears with zero-filled counts/revenue — the densify step "
+        "before any rolling-window or forecasting pass (missing days "
+        "would silently shrink a ROWS-frame average). The spine is "
+        "sequence()+explode off a ONE-ROW bounds aggregate cross-"
+        "joined with the distinct keys — generated, never scanned, so "
+        "the only data-scale work is the daily groupBy; the spine "
+        "side of the final join broadcasts. ROUND(SUM(2dp),2) is "
+        "exact: the true total is a 2dp decimal, so the double sum "
+        "can't straddle a .xx5 boundary.",
+    tags=("window", "timeseries"),
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 day"))
+        ).alias("order_date")
+    )
+    prios = orders.select("o_orderpriority").distinct()
+    spine = days.crossJoin(prios)
+    daily = orders.groupBy(
+        "o_orderpriority", F.col("o_orderdate").alias("order_date")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("rev"),
+    )
+    # NOTE: no broadcast hint — Spark can't broadcast the PRESERVED
+    # side of an outer join; both inputs are already post-aggregation
+    # (days x priorities), so AQE picks the join locally.
+    return (
+        spine
+        .join(daily, ["o_orderpriority", "order_date"], "left")
+        .select(
+            "o_orderpriority",
+            "order_date",
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+            F.coalesce("rev", F.lit(0.0)).alias("revenue"),
+        )
+    )
+
+
+# --- deterministic per-group mode --------------------------------------------
+
+@register(
+    "q50_mode_quantity",
+    """
+    WITH counts AS (
+        SELECT l_returnflag, l_quantity, COUNT(*)::BIGINT AS n
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag, l_quantity AS mode_qty, n AS n_occurrences
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY l_returnflag ORDER BY n DESC, l_quantity ASC
+          ) AS rn FROM counts)
+    WHERE rn = 1
+    """,
+    doc="Deterministic per-group mode (most frequent value, ties to "
+        "the smallest): count-groupBy then argmax with a total order — "
+        "NOT the built-in mode()/F.mode(), whose tie behavior is "
+        "engine-defined (DuckDB returns first-encountered, which is "
+        "scan-order-dependent). The window runs over the value-"
+        "cardinality frame (groups x distinct values), not the raw "
+        "table — metadata-scale after the map-side-combined count.",
+    tags=("agg",),
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("l_quantity").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("n").alias("n_occurrences"),
+        )
     )
