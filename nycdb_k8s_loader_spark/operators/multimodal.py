@@ -223,3 +223,63 @@ def audio_frame_energy(df: DataFrame, frame_len: int = 64) -> DataFrame:
         .select("media_id", "payload")
         .mapInPandas(batches, AUDIO_FRAME_SCHEMA)
     )
+
+
+IMAGE_AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ahash", T.StringType(), False),
+        T.StructField("n_ones", T.LongType(), False),
+    ]
+)
+
+
+def image_ahash(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) over image payloads — the
+    image-dedup kernel: average-pool the pixel stream into an 8x8
+    grid of 64 cells, then bit_j = (cell_j mean > global mean). Output
+    is the 64-char LSB-first bit string plus its popcount; feed the
+    fingerprints to the simhash pairing machinery
+    (:func:`~..dedup.simhash_near_pairs`'s segment-blocked Hamming
+    pattern) for near-dup candidate pairs.
+
+    Like :func:`audio_frame_energy`, this is a REAL kernel with no
+    stubbed codec: the "decode" is average pooling, and every
+    comparison is integer-exact (cell_sum * 64 > total_sum avoids the
+    division entirely), so the DuckDB oracle reproduces it
+    arithmetically and m05 gets a hash-checked CORRECTNESS row.
+
+    Scale shape: shuffle-free mapInPandas — payloads die in the
+    Python worker; the output row is (id, 64 chars, int). Vectorized
+    numpy reshape+sum per image, Arrow-batched transfer.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {"media_id": [], "ahash": [], "n_ones": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = np.frombuffer(
+                    bytes(payload) if payload is not None else b"",
+                    dtype=np.uint8,
+                )
+                cl = len(raw) // 64
+                if cl == 0:
+                    continue
+                cells = (
+                    raw[: cl * 64].astype(np.int64).reshape(64, cl).sum(axis=1)
+                )
+                total = int(raw[: cl * 64].sum(dtype=np.int64))
+                bits = (cells * 64 > total).astype(np.int64)
+                out["media_id"].append(mid)
+                out["ahash"].append("".join("1" if b else "0" for b in bits))
+                out["n_ones"].append(int(bits.sum()))
+            yield pd.DataFrame(out)
+
+    return (
+        df.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(batches, IMAGE_AHASH_SCHEMA)
+    )

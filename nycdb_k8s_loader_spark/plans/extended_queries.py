@@ -835,3 +835,49 @@ def m04(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return audio_frame_energy(synthetic_media(spark))
+
+
+@register(
+    "m05_image_ahash",
+    """
+    WITH img AS (
+        SELECT i AS media_id, 128 + (i % 5) * 64 AS n
+        FROM range(0, 64) t(i) WHERE i % 3 = 0
+    ),
+    bytes AS (
+        SELECT media_id, (j * 64) // n AS cell,
+               (media_id * 7 + j) % 256 AS b
+        FROM img, unnest(range(0, n)) s(j)
+    ),
+    cells AS (
+        SELECT media_id, cell, SUM(b) AS cs FROM bytes GROUP BY 1, 2
+    ),
+    tot AS (SELECT media_id, SUM(b) AS tb FROM bytes GROUP BY 1),
+    bits AS (
+        SELECT c.media_id, cell,
+               CASE WHEN cs * 64 > tb THEN 1 ELSE 0 END AS bit
+        FROM cells c JOIN tot USING (media_id)
+    )
+    SELECT media_id,
+           string_agg(bit::VARCHAR, '' ORDER BY cell) AS ahash,
+           SUM(bit)::BIGINT AS n_ones
+    FROM bits GROUP BY media_id
+    """,
+    doc="Perceptual average-hash over image payloads: average-pool to "
+        "an 8x8 cell grid, bit = cell mean > global mean — evaluated "
+        "as cell_sum*64 > total_sum so every bit is an integer "
+        "comparison and the oracle recomputes the whole kernel "
+        "arithmetically (m04's stubbed-codec-free pattern, applied to "
+        "the image modality). Shuffle-free mapInPandas; payloads die "
+        "in the Python worker. Feed the fingerprints to the d06 "
+        "segment-blocked Hamming machinery for image near-dup pairs. "
+        "operators/multimodal.py image_ahash.",
+    tags=("multimodal", "pipeline", "dedup"),
+)
+def m05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.multimodal import (
+        image_ahash,
+        synthetic_media,
+    )
+
+    return image_ahash(synthetic_media(spark))
