@@ -338,3 +338,74 @@ def _bfs_rounds(
         ).localCheckpoint(eager=True)
         frontier = nxt
         hop += 1
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — the
+    iterative-propagation family beyond components (g01) and BFS
+    (g02): rank flows along edges, ``r' = (1-d)/N + d * Σ_in r/outdeg``.
+
+    Simplified like the original power-iteration formulation: dangling
+    nodes (outdeg 0) leak their mass rather than redistributing it —
+    the variant an unrolled SQL oracle can replay exactly; document
+    the choice, don't hide it. Returns (node, rank) for every node
+    that appears as src or dst, rank rounded to 6.
+
+    Physical shape per round: ONE shuffle join (ranks ⋈ edges on src —
+    the edge list is the big side and re-shuffles identically each
+    round, so Spark reuses the exchange; the rank frame is
+    node-cardinality) + one groupBy on dst. The loop-invariant
+    out-degree frame and edge list are computed once and
+    localCheckpointed — the g01 lesson: lineage must stay flat or
+    round k replans rounds 1..k-1. Rounds are FIXED (power iteration),
+    so there is no convergence-test job per round; at 100 TB the
+    per-round cost is two shuffles of (node, double).
+    """
+    spark = edges.sparkSession
+    with _iteration_sized_shuffle(edges, shuffle_partitions):
+        e = edges.select(src, dst).distinct().localCheckpoint(eager=True)
+        nodes = (
+            e.select(F.col(src).alias("node"))
+            .union(e.select(F.col(dst).alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_nodes = nodes.count()
+        outdeg = e.groupBy(src).agg(F.count("*").alias("outdeg"))
+        # edge list annotated with its source's out-degree: invariant
+        # across rounds, checkpoint once.
+        e_deg = (
+            e.join(outdeg, src)
+            .select(F.col(src).alias("u"), F.col(dst).alias("v"), "outdeg")
+            .localCheckpoint(eager=True)
+        )
+        base = (1.0 - damping) / n_nodes
+        ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+        for _ in range(iterations):
+            contrib = (
+                e_deg.join(
+                    ranks.withColumnRenamed("node", "u"), "u"
+                )
+                .groupBy("v")
+                .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("inflow"))
+            )
+            ranks = (
+                nodes.join(
+                    contrib.withColumnRenamed("v", "node"), "node", "left"
+                )
+                .select(
+                    "node",
+                    (F.lit(base)
+                     + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                     ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return ranks.select("node", F.round("rank", 6).alias("rank"))

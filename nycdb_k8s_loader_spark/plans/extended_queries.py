@@ -881,3 +881,84 @@ def m05(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return image_ahash(synthetic_media(spark))
+
+
+@register(
+    "g03_trade_pagerank",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT 'C' || o_custkey AS u, 'S' || l_suppkey AS v
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM edges
+              UNION SELECT DISTINCT v FROM edges),
+    nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+    outdeg AS (SELECT u, COUNT(*)::DOUBLE AS od FROM edges GROUP BY u),
+    r0 AS (SELECT node, (SELECT 1.0 / n FROM nn) AS rank FROM nodes),
+    r1 AS (
+        SELECT n.node,
+               (SELECT 0.15 / n FROM nn)
+               + 0.85 * COALESCE(c.inflow, 0) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT e.v AS node, SUM(r.rank / d.od) AS inflow
+            FROM edges e
+            JOIN r0 r ON r.node = e.u
+            JOIN outdeg d ON d.u = e.u
+            GROUP BY e.v
+        ) c ON c.node = n.node
+    ),
+    r2 AS (
+        SELECT n.node,
+               (SELECT 0.15 / n FROM nn)
+               + 0.85 * COALESCE(c.inflow, 0) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT e.v AS node, SUM(r.rank / d.od) AS inflow
+            FROM edges e
+            JOIN r1 r ON r.node = e.u
+            JOIN outdeg d ON d.u = e.u
+            GROUP BY e.v
+        ) c ON c.node = n.node
+    ),
+    r3 AS (
+        SELECT n.node,
+               (SELECT 0.15 / n FROM nn)
+               + 0.85 * COALESCE(c.inflow, 0) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT e.v AS node, SUM(r.rank / d.od) AS inflow
+            FROM edges e
+            JOIN r2 r ON r.node = e.u
+            JOIN outdeg d ON d.u = e.u
+            GROUP BY e.v
+        ) c ON c.node = n.node
+    )
+    SELECT node, ROUND(rank, 6) AS rank FROM r3
+""",
+    doc="Fixed-iteration PageRank (3 rounds, d=0.85) over the "
+        "customer<->supplier trade graph (symmetric union of distinct "
+        "(custkey, suppkey) pairs from orders x lineitem, namespaced "
+        "C*/S*) — the iterative rank-propagation family beyond "
+        "components (g01) and BFS (g02). Per round: one rank x edge "
+        "join + one dst groupBy, loop-invariant degree-annotated edge "
+        "list localCheckpointed once; the oracle unrolls the three "
+        "iterations as chained CTEs. Dangling mass leaks by "
+        "construction (none exist here: the union graph is "
+        "symmetric). operators/graph.py pagerank.",
+    tags=("graph", "iterative"),
+)
+def g03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.graph import pagerank
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey")).alias("u"),
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("v"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(pairs.select(F.col("v").alias("u"),
+                                     F.col("u").alias("v"))).distinct()
+    return pagerank(edges, iterations=3, damping=0.85, src="u", dst="v")
