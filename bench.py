@@ -42,11 +42,48 @@ HEADLINE = [
 ]
 
 
+def _await_idle(threshold: float = 4.0, max_wait: float = 90.0) -> dict:
+    """Measurement guard (round-3 lesson: BENCH_r03's committed 6.3 s
+    was pure machine-load artifact — the same plans measured 4.3 s on
+    an idle box). Sample the 1-min loadavg; if the machine is busy,
+    wait up to ``max_wait`` seconds for it to settle before timing
+    anything, and record the observed load in the output either way so
+    a contaminated number is self-describing instead of misleading."""
+    meta: dict = {"cpus": os.cpu_count()}
+    try:
+        load0 = os.getloadavg()[0]
+    except OSError:  # pragma: no cover - non-POSIX
+        meta["loadavg_1m"] = None
+        return meta
+    meta["loadavg_1m"] = round(load0, 2)
+    waited = 0.0
+    while load0 > threshold and waited < max_wait:
+        print(
+            f"# bench: 1-min load {load0:.1f} > {threshold} — waiting "
+            "for the machine to go idle...",
+            file=sys.stderr,
+        )
+        time.sleep(5.0)
+        waited += 5.0
+        load0 = os.getloadavg()[0]
+    meta["loadavg_at_start"] = round(load0, 2)
+    meta["waited_for_idle_sec"] = round(waited, 1)
+    if load0 > threshold:
+        meta["load_contaminated"] = True
+        print(
+            f"# bench: WARNING — still loaded ({load0:.1f}) after "
+            f"{max_wait}s; timings below are suspect",
+            file=sys.stderr,
+        )
+    return meta
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    load_meta = _await_idle()
     spark = get_spark(app_name="nycdb-spark-bench")
     qs = queries()
 
@@ -76,6 +113,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cold_total_sec": round(sum(cold.values()), 3),
+                **load_meta,
             }
         )
     )

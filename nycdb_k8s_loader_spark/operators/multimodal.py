@@ -252,6 +252,14 @@ def image_ahash(df: DataFrame) -> DataFrame:
     Scale shape: shuffle-free mapInPandas — payloads die in the
     Python worker; the output row is (id, 64 chars, int). Vectorized
     numpy reshape+sum per image, Arrow-batched transfer.
+
+    Input contract: payloads shorter than 64 bytes (< 1 byte per hash
+    cell) are DROPPED, mirroring audio_frame_energy's partial-frame
+    drop — a sub-64-byte "image" has no defined 8×8 cell mean, and
+    emitting a padded row would hash-diverge from any oracle that
+    formulates cells as equal-width slices. synthetic_media always
+    generates ≥128-byte payloads, so the m05 oracle never sees the
+    dropped branch.
     """
 
     def batches(it: Iterator) -> Iterator:

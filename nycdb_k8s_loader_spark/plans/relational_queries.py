@@ -1506,7 +1506,7 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH days AS (
         SELECT unnest(generate_series(MIN(o_orderdate), MAX(o_orderdate),
-                                      INTERVAL 1 DAY))::DATE AS order_date
+                                      INTERVAL 1 DAY)) AS order_date
         FROM orders
     ),
     spine AS (
@@ -1545,6 +1545,10 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = orders.agg(
         F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
     )
+    # TIMESTAMP-typed spine end to end, matching the oracle (which
+    # deliberately carries no ::DATE cast): o_orderdate is stored as
+    # timestamp, so a date-typed spine would value-mismatch the
+    # cross-engine compare on representation alone (r3 ADVICE item).
     days = bounds.select(
         F.explode(
             F.sequence("lo", "hi", F.expr("interval 1 day"))

@@ -108,10 +108,14 @@ def compact_parquet_dir(
     """Rewrite a (non-hive-partitioned) parquet directory into
     ``ceil(total_bytes / target_file_bytes)`` files; returns the new
     file count. Read→repartition→write-to-side-dir→swap, so a reader
-    racing the compaction sees either the old file set or the new one,
-    never a half-deleted mix (the swap is two renames on a local/HDFS
-    filesystem; on eventual-rename object stores run compaction in the
-    table-maintenance window instead).
+    never sees a half-deleted mix of old and new files. The swap is
+    two renames on a local/HDFS filesystem, which leaves one narrow
+    window: between them the live path does not exist at all (a racing
+    open gets ENOENT and should retry), and a crash there leaves the
+    data intact under ``<path>._compact_old`` — this function restores
+    it on a failed second rename, and an operator can restore it by
+    hand after a hard crash. On eventual-rename object stores run
+    compaction in the table-maintenance window instead.
 
     Sizing reads the FILE sizes, not a row count: compaction exists
     precisely when rows-per-file is unrepresentative (thousands of
@@ -128,7 +132,11 @@ def compact_parquet_dir(
     old = path.rstrip("/") + "._compact_old"
     df.repartition(n).write.mode("overwrite").parquet(tmp)
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # restore the live dir, then re-raise
+        raise
     import shutil
 
     shutil.rmtree(old)
