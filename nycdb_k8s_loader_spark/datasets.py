@@ -232,6 +232,13 @@ def wow_registry() -> Registry:
     reg = Registry()
     for ds in _standard_defs():
         reg.add(ds)
+    # the rest of the reference's scheduled registry surface
+    # (datasets_catalog.py — ~30 more loadable datasets incl. the two
+    # Excel-sourced DOF workbooks and WKT boundaries)
+    from nycdb_k8s_loader_spark.datasets_catalog import catalog_defs
+
+    for ds in catalog_defs():
+        reg.add(ds)
     reg.add(
         DatasetDef(
             name="wow",
@@ -456,13 +463,13 @@ def _custom_pipeline(
             _os.makedirs(_os.path.dirname(dest), exist_ok=True)
             engine.downloader(f.url, dest)
             dest_paths[f.dest] = dest
-        from nycdb_k8s_loader_spark.sources.readers import read_csv
+        from nycdb_k8s_loader_spark.sources.readers import read_source_table
 
+        formats = {f.dest: f.format for f in ds.files}
         for t in ds.tables:
             if t.schema is None or not dest_paths:
                 continue
-            dests = t.files if t.files is not None else list(dest_paths)
-            df = read_csv(spark, [dest_paths[d] for d in dests], t.schema)
+            df = read_source_table(spark, t, dest_paths, formats)
             pub.write_staging_table(staging_db, t.name, df)
 
         resolver = SearchPathResolver(

@@ -42,7 +42,7 @@ from nycdb_k8s_loader_spark.publish.parse_created_tables import (
 from nycdb_k8s_loader_spark.publish.protocol import Publisher
 from nycdb_k8s_loader_spark.publish.resolver import SearchPathResolver
 from nycdb_k8s_loader_spark.registry import DatasetDef, Registry
-from nycdb_k8s_loader_spark.sources.readers import read_csv
+from nycdb_k8s_loader_spark.sources.readers import read_source_table
 from nycdb_k8s_loader_spark.state.lastmod import Transport, UrlModTracker, requests_transport
 from nycdb_k8s_loader_spark.state.tracker import DatasetTracker
 
@@ -160,17 +160,16 @@ class Engine:
             dest_paths[f.dest] = dest
 
         function_stmts: list[str] = []
+        formats = {f.dest: f.format for f in ds.files}
         with self.publisher.staging(ds.name) as staging_db:
             # 1. ingest typed source tables (each table reads only the
-            # files mapped to it; None = the whole dataset)
+            # files mapped to it; None = the whole dataset), format-
+            # dispatched per source file (CSV scan / Excel workbook)
             for table in ds.tables:
                 if table.schema is None:
                     continue  # derived table, produced by SQL below
-                dests = (
-                    table.files if table.files is not None else list(dest_paths)
-                )
-                df = read_csv(
-                    self.spark, [dest_paths[d] for d in dests], table.schema
+                df = read_source_table(
+                    self.spark, table, dest_paths, formats
                 )
                 self.publisher.write_staging_table(staging_db, table.name, df)
 

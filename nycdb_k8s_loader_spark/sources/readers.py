@@ -146,6 +146,37 @@ def read_excel(
     )
 
 
+def read_source_table(
+    spark: SparkSession,
+    table,
+    dest_paths: dict[str, str],
+    formats: dict[str, str],
+) -> DataFrame:
+    """One typed DataFrame for a registry TableDef from its landed
+    source files, dispatching per-file on SourceFile.format: CSVs go
+    through one parallel multi-path scan (S4/S8), Excel workbooks
+    through read_excel (S5 — the reference's dof_annual_sales path,
+    load_dataset.py:280-303, loads one table from SEVERAL yearly
+    workbooks). Mixed-format unions are by-name over the shared
+    registry schema, so format never dictates column order."""
+    dests = table.files if table.files is not None else list(dest_paths)
+    csv_paths = [
+        dest_paths[d] for d in dests if formats.get(d, "csv") == "csv"
+    ]
+    frames: list[DataFrame] = []
+    if csv_paths:
+        frames.append(read_csv(spark, csv_paths, table.schema))
+    for d in dests:
+        if formats.get(d, "csv") == "excel":
+            frames.append(read_excel(spark, dest_paths[d], table.schema))
+    if not frames:
+        raise ValueError(f"table {table.name}: no source files resolved")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def fetch_to_landing(url: str, dest: str, s3_client=None) -> None:
     """Source-file fetch covering the reference's two transports (S3/S7):
     HTTP(S) via urllib (load_dataset downloads), ``s3://`` via boto3
