@@ -102,6 +102,15 @@ class Engine:
         self.grants = GrantRegistry(kv)
         self.search_path = search_path or [target_db]
         self.functions = functions or default_registry()
+        # Reference-named table functions, bound to this engine's
+        # namespaces and probed post-publish like the reference's
+        # function-existence tests (tests/test_load_dataset.py:37-41,
+        # tests/test_wowutil.py:42-44).
+        from nycdb_k8s_loader_spark.functions.reference_fns import (
+            register_reference_fns,
+        )
+
+        register_reference_fns(self.functions, target_db=target_db)
         # Concurrency guards for the parallel load_all: KV state is
         # read-modify-write (a lost update would silently re-download
         # forever), and SQL-script execution pins the session-global

@@ -75,16 +75,40 @@ class FunctionDef:
 class FunctionRegistry:
     """Named functions re-registered per session — the engine calls
     :meth:`apply` at session start and after every publish, exactly
-    where the reference re-runs its function SQL."""
+    where the reference re-runs its function SQL.
+
+    Besides scalar functions, the registry resolves named TABLE
+    functions — driver-side callables ``(spark, *args) → DataFrame``
+    for the reference's table-valued lookups
+    (get_corporate_owner_info_for_regid, wow.get_assoc_addrs_from_bbl
+    — functions/reference_fns.py), which no Spark UDF kind can host
+    because they query catalog tables."""
 
     def __init__(self) -> None:
         self._fns: dict[str, FunctionDef] = {}
+        self._table_fns: dict[str, Callable] = {}
 
     def add(self, fn: FunctionDef) -> None:
         self._fns[fn.name] = fn
 
+    def add_table_fn(self, name: str, fn: Callable) -> None:
+        self._table_fns[name] = fn
+
+    def table_fn(self, name: str) -> Callable:
+        """Lookup; raises KeyError with the known names on a miss (the
+        probe-for-existence contract the reference tests rely on)."""
+        if name not in self._table_fns:
+            raise KeyError(
+                f"no table function {name!r}; registered: "
+                f"{sorted(self._table_fns)}"
+            )
+        return self._table_fns[name]
+
     def names(self) -> list[str]:
         return list(self._fns)
+
+    def table_fn_names(self) -> list[str]:
+        return list(self._table_fns)
 
     def apply(self, spark: SparkSession) -> list[str]:
         applied = []

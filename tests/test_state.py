@@ -110,3 +110,94 @@ class TestDatasetTracker:
         tr.update_tracker("pluto")
         assert tr.get_last_refresh("pluto") == frozen
         assert tr.get_last_refresh("missing") is None
+
+
+class TestLastmodGatedExport:
+    """The search-index export gate (reference wowutil.py:99-141):
+    push iff the source refreshed since the last export — frozen-time
+    twins of the reference's date-compare branches."""
+
+    URL = "https://example.com/hpd_registrations.csv"
+
+    def _gate(self, kv, now):
+        from nycdb_k8s_loader_spark.state.export_gate import (
+            LastmodGatedExport,
+        )
+
+        return LastmodGatedExport(
+            kv, [self.URL], "landlord_search_index", clock=lambda: now
+        )
+
+    def test_no_source_lastmod_skips(self):
+        kv = DictKVStore()
+        now = datetime(2026, 8, 14, tzinfo=timezone.utc)
+        ran = []
+        gate = self._gate(kv, now)
+        assert not gate.run(lambda: ran.append(1))
+        assert ran == [] and gate.exported_at() is None
+
+    def test_first_export_pushes_and_stamps(self):
+        kv = DictKVStore()
+        LastmodInfo.write(
+            kv, self.URL, None, "Mon, 10 Aug 2026 00:00:00 GMT"
+        )
+        now = datetime(2026, 8, 14, tzinfo=timezone.utc)
+        ran = []
+        gate = self._gate(kv, now)
+        assert gate.run(lambda: ran.append(1))
+        assert ran == [1]
+        assert gate.exported_at() == now
+
+    def test_stale_source_skips_then_refresh_pushes(self):
+        kv = DictKVStore()
+        LastmodInfo.write(
+            kv, self.URL, None, "Mon, 10 Aug 2026 00:00:00 GMT"
+        )
+        now = datetime(2026, 8, 14, tzinfo=timezone.utc)
+        gate = self._gate(kv, now)
+        assert gate.run(lambda: None)  # first export at `now`
+
+        # source unchanged (older than exported_at) → skip
+        ran = []
+        assert not gate.run(lambda: ran.append(1))
+        assert ran == []
+        push, reason = gate.should_export()
+        assert not push and "no new source data" in reason
+
+        # source refreshes past the export stamp → push again
+        LastmodInfo.write(
+            kv, self.URL, None, "Sat, 15 Aug 2026 00:00:00 GMT"
+        )
+        assert gate.run(lambda: ran.append(2))
+        assert ran == [2]
+
+    def test_failed_export_does_not_advance_stamp(self):
+        kv = DictKVStore()
+        LastmodInfo.write(
+            kv, self.URL, None, "Mon, 10 Aug 2026 00:00:00 GMT"
+        )
+        now = datetime(2026, 8, 14, tzinfo=timezone.utc)
+        gate = self._gate(kv, now)
+
+        def boom():
+            raise RuntimeError("downstream down")
+
+        with pytest.raises(RuntimeError):
+            gate.run(boom)
+        assert gate.exported_at() is None  # retried next run
+
+    def test_multi_url_takes_newest(self):
+        from nycdb_k8s_loader_spark.state.export_gate import (
+            LastmodGatedExport,
+        )
+
+        kv = DictKVStore()
+        LastmodInfo.write(kv, "u1", None, "Mon, 10 Aug 2026 00:00:00 GMT")
+        LastmodInfo.write(kv, "u2", None, "Wed, 12 Aug 2026 00:00:00 GMT")
+        gate = LastmodGatedExport(
+            kv, ["u1", "u2"], "k",
+            clock=lambda: datetime(2026, 8, 14, tzinfo=timezone.utc),
+        )
+        assert gate.source_last_updated() == datetime(
+            2026, 8, 12, tzinfo=timezone.utc
+        )

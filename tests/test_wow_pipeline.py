@@ -193,6 +193,33 @@ def test_wow_end_to_end(spark, wow_engine):
         == "A B C"
     )
 
+    # reference-named table functions resolve and answer post-publish
+    # (reference probes: tests/test_load_dataset.py:37-41,
+    # tests/test_wowutil.py:42-44)
+    owner = eng.functions.table_fn("get_corporate_owner_info_for_regid")(
+        spark, 1
+    ).collect()
+    assert [(r["name"], r["bizaddr"]) for r in owner] == [
+        ("Xavier Holdings LLC.", "12 MAIN ST")
+    ]
+    # from BBL1 the portfolio traversal reaches every building the
+    # X-Y-Z portfolio owns (BBL1-BBL4) across both hops
+    assoc = eng.functions.table_fn("wow.get_assoc_addrs_from_bbl")(
+        spark, "BBL1"
+    ).collect()
+    assert {r["bbl"] for r in assoc} == {"BBL1", "BBL2", "BBL3", "BBL4"}
+    assert {r["portfolio_id"] for r in assoc} == {"XAVIER HOLDINGS LLC"}
+    # an unowned building traverses to an empty frame, not an error
+    assert (
+        eng.functions.table_fn("wow.get_assoc_addrs_from_bbl")(
+            spark, "BBL5"
+        ).count()
+        == 0
+    )
+    # existence probe: unknown names fail loudly with the known set
+    with pytest.raises(KeyError):
+        eng.functions.table_fn("no_such_function")
+
     # no staging namespaces left behind
     assert Publisher(spark).list_staging_dbs("wow") == []
 
