@@ -111,14 +111,14 @@ class Engine:
         )
 
         register_reference_fns(self.functions, target_db=target_db)
-        # Concurrency guards for the parallel load_all: KV state is
+        # Concurrency guard for the parallel load_all: KV state is
         # read-modify-write (a lost update would silently re-download
-        # forever), and SQL-script execution pins the session-global
-        # current database — both serialize; the Spark jobs themselves
-        # (ingest scans, staging writes, publishes) run concurrently,
-        # which is where the wall-clock lives.
+        # forever) so it serializes. Script execution does NOT — DDL
+        # targets are qualified into each load's staging db by the
+        # resolver (ddl_db), so no session-global state exists to
+        # protect and every Spark job (scans, CTAS, populate,
+        # publishes) runs concurrently across a dependency level.
         self._state_lock = threading.Lock()
-        self.script_lock = threading.Lock()
         # session-start registration (reference re-creates functions at
         # connect time via search-path scripts; O2/U2)
         self.functions.apply(spark)
@@ -186,34 +186,30 @@ class Engine:
             # Function DDL is collected per-STATEMENT (a mixed script's
             # CREATE TABLEs still run) and re-registered post-publish,
             # the reference's pattern (load_dataset.py:372-376).
+            # ddl_db qualifies CTAS/DROP/RENAME targets into THIS
+            # load's staging namespace — no session-global
+            # setCurrentDatabase, so concurrent loads (parallel
+            # load_all levels) run their script Spark jobs fully
+            # overlapped instead of serializing on a lock.
             resolver = SearchPathResolver(
-                self.spark, [staging_db, *self.search_path]
+                self.spark,
+                [staging_db, *self.search_path],
+                ddl_db=staging_db,
             )
             created: list[str] = [
                 t.name for t in ds.tables if t.schema is not None
             ]
-            if ds.sql:
-                # setCurrentDatabase is session-global state; the
-                # script_lock keeps concurrent loads (parallel
-                # load_all levels) from resolving CTAS statements
-                # against each other's staging namespace.
-                with self.script_lock:
-                    prev_db = self.spark.catalog.currentDatabase()
-                    self.spark.catalog.setCurrentDatabase(staging_db)
-                    try:
-                        for script in ds.sql:
-                            with open(script, encoding="utf-8") as fh:
-                                sql_text = fh.read()
-                            for stmt in split_statements(sql_text):
-                                if is_function_sql(stmt):
-                                    function_stmts.append(stmt)
-                                else:
-                                    resolver.sql(stmt)
-                            for t in parse_created_tables(sql_text):
-                                if t not in created:
-                                    created.append(t)
-                    finally:
-                        self.spark.catalog.setCurrentDatabase(prev_db)
+            for script in ds.sql:
+                with open(script, encoding="utf-8") as fh:
+                    sql_text = fh.read()
+                for stmt in split_statements(sql_text):
+                    if is_function_sql(stmt):
+                        function_stmts.append(stmt)
+                    else:
+                        resolver.sql(stmt)
+                for t in parse_created_tables(sql_text):
+                    if t not in created:
+                        created.append(t)
 
             # 3. atomic publish, grants snapshotted across the swap
             with self.grants.save_and_reapply(

@@ -12,6 +12,14 @@ Resolution rule: for each table identifier position (after FROM / JOIN
 qualify it with the first namespace in the search path where the table
 exists. Names already qualified, CTE names, and temp views are left
 alone.
+
+DDL targets: with ``ddl_db`` set, unqualified CREATE/ALTER/DROP TABLE
+targets (and RENAME TO destinations) are qualified into that database
+— Postgres's create-in-head-of-search-path rule made explicit. This
+removes the session-global ``setCurrentDatabase`` pinning the engine
+otherwise needs, and with it the lock that serialized concurrent
+loads' script execution (round-3 verdict: holding that lock across
+Spark jobs defeated per-level load_all concurrency).
 """
 
 from __future__ import annotations
@@ -23,17 +31,28 @@ from pyspark.sql import SparkSession
 _TABLE_POS = re.compile(
     r"\b(?:(CREATE(?:\s+OR\s+REPLACE)?(?:\s+TEMP(?:ORARY)?)?|ALTER|DROP)\s+)?"
     r"(TABLE|FROM|JOIN|INTO|UPDATE)\s+"
+    r"(?:(IF\s+(?:NOT\s+)?EXISTS)\s+)?"
     r"((?!SELECT\b|LATERAL\b|VALUES\b|IF\b)[A-Za-z_][\w$]*)",
     re.IGNORECASE,
+)
+
+_RENAME_TO = re.compile(
+    r"\b(RENAME\s+TO)\s+([A-Za-z_][\w$]*)", re.IGNORECASE
 )
 
 _CTE_NAMES = re.compile(r"\b(?:WITH|,)\s*([A-Za-z_][\w$]*)\s+AS\s*\(", re.IGNORECASE)
 
 
 class SearchPathResolver:
-    def __init__(self, spark: SparkSession, search_path: list[str]) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        search_path: list[str],
+        ddl_db: str | None = None,
+    ) -> None:
         self.spark = spark
         self.search_path = search_path
+        self.ddl_db = ddl_db
 
     def _resolve_one(self, name: str, local_names: set[str]) -> str:
         if name.lower() in local_names:
@@ -61,16 +80,29 @@ class SearchPathResolver:
         local_names = {m.group(1).lower() for m in _CTE_NAMES.finditer(masked)}
 
         def sub(m: re.Match) -> str:
-            ddl, kw, name = m.group(1), m.group(2), m.group(3)
+            ddl, kw, ifex, name = m.group(1), m.group(2), m.group(3), m.group(4)
+            # already-qualified (`db.table`): never touch either part
+            if m.string[m.end():m.end() + 1] == ".":
+                return m.group(0)
             if ddl:
-                # CREATE/ALTER/DROP targets resolve to the *first*
-                # namespace (current database = staging), matching
-                # Postgres's create-in-head-of-search-path rule — never
-                # rewrite them to an existing downstream table.
+                # CREATE/ALTER/DROP targets: qualify into ddl_db when
+                # configured (Postgres's create-in-head-of-search-path
+                # rule, explicit) — never resolve them to an existing
+                # downstream table.
+                if self.ddl_db and kw.upper() == "TABLE":
+                    head = f"{ddl} {kw} " + (f"{ifex} " if ifex else "")
+                    return head + f"`{self.ddl_db}`.`{name}`"
                 return m.group(0)
             return f"{kw} {self._resolve_one(name, local_names)}"
 
         out = _TABLE_POS.sub(sub, masked)
+        if self.ddl_db:
+            out = _RENAME_TO.sub(
+                lambda m: m.group(0)
+                if m.string[m.end():m.end() + 1] == "."
+                else f"{m.group(1)} `{self.ddl_db}`.`{m.group(2)}`",
+                out,
+            )
         return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], out)
 
     def sql(self, query: str):

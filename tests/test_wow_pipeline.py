@@ -331,3 +331,63 @@ def test_wow_rebuild_is_idempotent(spark, wow_engine):
         map(tuple, spark.table(f"{WOW_SCHEMA}.wow_bldgs").collect())
     )
     assert first == second and len(first) == 6
+
+
+def test_same_level_custom_pipelines_overlap(spark, tmp_path):
+    """Two custom pipelines in ONE dependency level must run their
+    Python populate steps CONCURRENTLY (round-3 verdict #3: the old
+    script_lock was held across populate, serializing same-level
+    builds). A 2-party barrier inside each populate proves overlap:
+    if anything serializes the pipelines again, the barrier times out
+    and the test fails instead of deadlocking."""
+    import threading
+
+    from nycdb_k8s_loader_spark.datasets import _custom_pipeline
+    from nycdb_k8s_loader_spark.registry import (
+        DatasetDef,
+        Registry,
+        TableDef,
+    )
+
+    barrier = threading.Barrier(2)
+    reg = Registry()
+
+    def make(name: str) -> None:
+        table = f"t_{name}"
+
+        def populate(spark, staging_db):
+            barrier.wait(timeout=120)  # both inside populate at once
+            spark.range(3).write.mode("overwrite").saveAsTable(
+                f"`{staging_db}`.`{table}`"
+            )
+
+        def builder(spark, engine):
+            return _custom_pipeline(
+                spark, engine,
+                name=name, label=name,
+                target_schema="cp_overlap",
+                tables=[table],
+                populate=populate,
+            )
+
+        reg.add(
+            DatasetDef(name=name, files=[], tables=[TableDef(table)],
+                       builder=builder)
+        )
+
+    make("cp_a")
+    make("cp_b")
+    eng = Engine(
+        spark, reg, DictKVStore(),
+        target_db="cp_overlap",
+        landing_root=str(tmp_path / "landing"),
+        transport=lambda url, headers: FetchResult(200, etag='"v1"'),
+        downloader=lambda url, dest: None,
+    )
+    try:
+        results = eng.load_all(["cp_a", "cp_b"], max_parallel=2)
+        assert len(results) == 2 and not any(r.skipped for r in results)
+        for t in ("t_cp_a", "t_cp_b"):
+            assert spark.table(f"cp_overlap.{t}").count() == 3
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS cp_overlap CASCADE")
