@@ -90,21 +90,33 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingles: int = 1,
+    exact_allpairs: bool = False,
+    num_hashes: int = 8,
+    bands: int = 4,
 ) -> DataFrame:
     """Near-dup pairs by token-set Jaccard ≥ threshold.
 
-    Inverted-index self-join: postings joined on token, common-count
-    per pair, then |A∩B| / (|A| + |B| - |A∩B|). The division is exact
-    integer-over-integer in doubles, so the oracle compare is stable.
+    DEFAULT (``exact_allpairs=False``) is the scale-safe path: MinHash
+    band candidates first, exact Jaccard evaluated only on them (the
+    d09 machinery) — linear in corpus, the documented LSH
+    false-negative trade. ``exact_allpairs=True`` is the all-pairs
+    inverted-index oracle baseline: postings self-joined on token,
+    common-count per pair, |A∩B| / (|A| + |B| - |A∩B|). The division
+    is exact integer-over-integer in doubles either way, so the oracle
+    compare is stable.
 
-    ``shingles`` picks the token unit and is what bounds the join: the
-    candidate blowup is Σ_t df(t)², so tokens must be discriminative.
-    On a small-vocabulary corpus unigram postings are quadratic by
-    construction (every doc shares most words — measured 4.5e8
-    candidate pairs at sf0.1); 3-word shingles collapse that to ~1.4e6
-    while *raising* signal quality. Same reasoning as d03's shingled
-    MinHash — this exact form is what the bands approximate.
+    The default flipped in round 4 (verdict item 5): a direct caller
+    of this operator used to get the Σ_t df(t)² candidate blowup —
+    quadratic by construction on a small-vocabulary corpus (every doc
+    shares most words — measured 4.5e8 candidate pairs at sf0.1 with
+    unigrams; 3-word shingles collapse that to ~1.4e6). The exact form
+    remains reachable by name because it IS the oracle for the banded
+    one.
     """
+    if not exact_allpairs:
+        return _lsh_verified_pairs(
+            df, threshold, num_hashes, bands, shingles, id_col, text_col
+        ).select("doc_a", "doc_b", "jaccard")
     words = shingle_postings(df, shingles, id_col, text_col)
     sizes = words.groupBy(id_col).agg(F.count("*").alias("n_words"))
 
@@ -122,6 +134,46 @@ def ngram_jaccard_pairs(
     return (
         common.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _lsh_verified_pairs(
+    df: DataFrame,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+    shingles: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for LSH band candidates whose EXACT
+    Jaccard clears the threshold — the shared candidates→verify core
+    of :func:`fuzzy_dedup` and default-mode
+    :func:`ngram_jaccard_pairs`. Cost: one banding pass (linear) +
+    O(candidates × doc shingles) verification, never corpus²."""
+    cands = minhash_signatures(
+        df, num_hashes=num_hashes, bands=bands,
+        id_col=id_col, text_col=text_col, shingles=shingles,
+    )
+    posts = shingle_postings(df, shingles, id_col, text_col)
+    sizes = posts.groupBy(id_col).agg(F.count("*").alias("n"))
+
+    pa = posts.select(F.col(id_col).alias("doc_a"), "w")
+    pb = posts.select(F.col(id_col).alias("doc_b"), "w")
+    common = (
+        cands.join(pa, "doc_a")
+        .join(pb, ["doc_b", "w"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(za, "doc_a")
+        .join(zb, "doc_b")
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
@@ -477,30 +529,9 @@ def fuzzy_dedup(
     """
     from nycdb_k8s_loader_spark.operators.graph import cluster_assignments
 
-    cands = minhash_signatures(
-        df, num_hashes=num_hashes, bands=bands,
-        id_col=id_col, text_col=text_col, shingles=shingles,
-    )
-    posts = shingle_postings(df, shingles, id_col, text_col)
-    sizes = posts.groupBy(id_col).agg(F.count("*").alias("n"))
-
-    pa = posts.select(F.col(id_col).alias("doc_a"), "w")
-    pb = posts.select(F.col(id_col).alias("doc_b"), "w")
-    common = (
-        cands.join(pa, "doc_a")
-        .join(pb, ["doc_b", "w"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    za = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
-    zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    edges = (
-        common.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b")
-    )
+    edges = _lsh_verified_pairs(
+        df, threshold, num_hashes, bands, shingles, id_col, text_col
+    ).select("doc_a", "doc_b")
 
     clusters = cluster_assignments(edges)
     out = df.select(F.col(id_col).alias("doc_id")).join(

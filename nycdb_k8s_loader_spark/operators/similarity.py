@@ -130,14 +130,24 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_allpairs: bool = False,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold (embedding-cosine near-dup).
+    """Pairs with cosine ≥ threshold (embedding-cosine near-dup).
 
-    Brute-force half-matrix at test scale; ids only in the output so
-    the oracle compare never touches float representations. Scale
-    path: restrict to LSH-bucket collisions first (same trade as
-    MinHash bands for text).
+    DEFAULT (``exact_allpairs=False``) routes through
+    :func:`embedding_neardup_pairs_bucketed` — sign-bucket LSH
+    prefilter + per-bucket exact GEMM, the scale path (round-4 flip,
+    verdict item 5: the brute form is quadratic and must be asked for
+    by name). ``exact_allpairs=True`` is the O(n²) brute-force
+    half-matrix — exact, kept as the oracle baseline for d04 and the
+    equivalence tests of the bucketed/blocked twins. Ids only in the
+    output either way, so the oracle compare never touches float
+    representations.
     """
+    if not exact_allpairs:
+        return embedding_neardup_pairs_bucketed(
+            emb, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
     vecs = emb.select(F.col(id_col), as_double_vec(vec_col).alias("v"))
     vecs = vecs.select(
         F.col(id_col),

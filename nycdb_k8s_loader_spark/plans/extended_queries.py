@@ -111,7 +111,7 @@ def _run_memory_stream(spark, stream_df, prefix: str, mode: str):
 )
 def g01(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    edges = ngram_jaccard_pairs(docs, threshold=0.8, shingles=3).select(
+    edges = ngram_jaccard_pairs(docs, threshold=0.8, shingles=3, exact_allpairs=True).select(
         "doc_a", "doc_b"
     )
     return cluster_assignments(edges)
@@ -579,7 +579,7 @@ def st06(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    edges = ngram_jaccard_pairs(docs, threshold=0.8, shingles=3).select(
+    edges = ngram_jaccard_pairs(docs, threshold=0.8, shingles=3, exact_allpairs=True).select(
         "doc_a", "doc_b"
     )
     clusters = cluster_assignments(edges)
@@ -624,7 +624,7 @@ def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     edges = (
-        ngram_jaccard_pairs(docs, threshold=0.8, shingles=3)
+        ngram_jaccard_pairs(docs, threshold=0.8, shingles=3, exact_allpairs=True)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)  # reused by seed agg AND every hop
     )

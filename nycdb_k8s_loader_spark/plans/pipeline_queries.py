@@ -109,7 +109,7 @@ def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "join"),
 )
 def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.6,
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.6, exact_allpairs=True,
                                shingles=3)
 
 

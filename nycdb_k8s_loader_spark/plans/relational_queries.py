@@ -957,6 +957,55 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q34d_sketch_bounds",
+    """
+    SELECT l_returnflag, COUNT(*)::BIGINT AS n_rows,
+           TRUE AS cnt_ok, TRUE AS p90_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Deterministic, hash-checkable twin of q34 (round-3 verdict "
+        "item 9: q34 was the only catalog entry that could ever show "
+        "`err` in a driver sample). Sketch ESTIMATES can't cross-"
+        "engine-hash, but sketch CORRECTNESS can: each group emits "
+        "booleans asserting approx_count_distinct lands within 10% of "
+        "the exact distinct count (5 sigma at rsd=0.02) and "
+        "approx_percentile within 2% of the exact p90 (accuracy 5000 "
+        "→ rank error n/5000, orders tighter than 2% here). The "
+        "oracle states the same facts as literal TRUEs over the exact "
+        "aggregates — so a sketch regression (estimator bias, wrong "
+        "rsd plumbing, accuracy ignored) flips a boolean and fails "
+        "the hash, while healthy estimator noise never does. Both "
+        "sketches and both exact forms fuse into ONE map-side-"
+        "combined aggregate pass (exact countDistinct adds the usual "
+        "Expand; still a single shuffle).",
+    tags=("agg", "sketch"),
+)
+def q34d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("apx_nd"),
+        F.countDistinct("l_partkey").alias("ex_nd"),
+        F.percentile_approx(
+            "l_extendedprice", F.lit(0.9), F.lit(5000)
+        ).alias("apx_p90"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("ex_p90"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        (
+            F.abs(F.col("apx_nd") - F.col("ex_nd"))
+            <= 0.1 * F.col("ex_nd")
+        ).alias("cnt_ok"),
+        (
+            F.abs(F.col("apx_p90") - F.col("ex_p90"))
+            <= 0.02 * F.col("ex_p90")
+        ).alias("p90_ok"),
+    )
+
+
 # --- correlated scalar subquery: Catalyst decorrelation ----------------------
 
 @register(

@@ -638,7 +638,7 @@ class TestBlockedNearDup:
         emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
         for thr in (0.5, 0.9):
             a = {tuple(r) for r in embedding_neardup_pairs(
-                emb, threshold=thr).collect()}
+                emb, threshold=thr, exact_allpairs=True).collect()}
             b = {tuple(r) for r in embedding_neardup_pairs_blocked(
                 emb, threshold=thr, n_blocks=5).collect()}
             assert a == b and len(a) > 0
@@ -664,7 +664,9 @@ class TestBlockedNearDup:
         n = emb.count()
         exact = {
             tuple(r)
-            for r in embedding_neardup_pairs(emb, threshold=0.45).collect()
+            for r in embedding_neardup_pairs(
+                emb, threshold=0.45, exact_allpairs=True
+            ).collect()
         }
         bucketed = {
             tuple(r)
@@ -980,3 +982,74 @@ class TestCorpusSharding:
         top = {r["doc_id"]: r["term"] for r in out}
         # the doc-unique term beats 'common' (df=3) despite lower tf
         assert top == {1: "rare_a", 2: "rare_b", 3: "zzz_unique"}
+
+
+class TestScaleSafeDefaults:
+    """Round-4 flip (verdict item 5): the dedup entry points default
+    to their bucketed/banded scale paths; the quadratic exact forms
+    must be asked for by name (exact_allpairs=True) as oracle
+    baselines."""
+
+    def test_embedding_default_is_bucketed(self, spark):
+        from nycdb_k8s_loader_spark.operators.similarity import (
+            embedding_neardup_pairs,
+            embedding_neardup_pairs_bucketed,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        default = {
+            tuple(r)
+            for r in embedding_neardup_pairs(emb, threshold=0.45).collect()
+        }
+        bucketed = {
+            tuple(r)
+            for r in embedding_neardup_pairs_bucketed(
+                emb, threshold=0.45
+            ).collect()
+        }
+        exact = {
+            tuple(r)
+            for r in embedding_neardup_pairs(
+                emb, threshold=0.45, exact_allpairs=True
+            ).collect()
+        }
+        assert default == bucketed
+        assert default <= exact and len(default) > 0
+
+    def test_ngram_default_is_lsh_verified(self, spark):
+        """Default-mode pairs: every emitted pair clears the EXACT
+        Jaccard threshold (verification step — no false positives),
+        is a subset of the all-pairs form (LSH can only lose pairs),
+        and the candidate volume stays well under n(n-1)/2."""
+        from nycdb_k8s_loader_spark.operators.dedup import (
+            minhash_signatures,
+            ngram_jaccard_pairs,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        n = docs.count()
+        default = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                docs, threshold=0.6, shingles=3
+            ).collect()
+        }
+        exact = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                docs, threshold=0.6, shingles=3, exact_allpairs=True
+            ).collect()
+        }
+        assert len(default) > 0
+        assert set(default) <= set(exact)
+        # verified values agree exactly with the all-pairs computation
+        for k, v in default.items():
+            assert exact[k] == v
+
+        # the scale claim: banding candidates << all pairs
+        n_cands = minhash_signatures(docs, shingles=3).count()
+        assert n_cands < 0.2 * (n * (n - 1) / 2)
