@@ -56,6 +56,7 @@ def _load_all() -> None:
         scale_queries,
         temporal_queries,
         wow_pipeline,
+        xlsx_pipeline,
     )
 
 
