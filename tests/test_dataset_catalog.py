@@ -98,6 +98,16 @@ def test_load_dataset_works(spark, catalog_engine, dataset):
     for t, c in counts.items():
         assert c > 0, f"{dataset}.{t} is empty"
 
+    # dataset-specific probe, like the reference's
+    # run_dataset_specific_test_logic (tests/test_load_dataset.py:
+    # 37-41: the named function answers after the load)
+    if dataset == "hpd_contacts":
+        probe = eng.functions.table_fn(
+            "get_corporate_owner_info_for_regid"
+        )(spark, 10)
+        assert probe.columns == ["registrationid", "name", "bizaddr"]
+        assert probe.count() >= 0  # executes against the published table
+
     # idempotency: reload → identical counts (reference :78-84)
     res2 = eng.load(dataset)
     assert not res2.skipped
