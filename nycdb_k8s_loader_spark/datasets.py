@@ -503,14 +503,15 @@ def _custom_pipeline(
 def build_wow(spark: SparkSession, engine) -> list[str]:
     """Custom-dataset builder for ``wow`` (reference build(),
     wowutil.py:144-186): pre-SQL → landlord normalization → portfolio
-    connected components → post-SQL rollup → publish into WOW_SCHEMA.
-    Idempotent: rerunning overwrites deterministically."""
+    connected components → post-SQL rollup → publish into WOW_SCHEMA →
+    lastmod-gated landlord-index export. Idempotent: rerunning
+    overwrites deterministically."""
 
     def populate(spark, staging_db):
         populate_landlords(spark, staging_db)
         populate_portfolios(spark, staging_db)
 
-    return _custom_pipeline(
+    published = _custom_pipeline(
         spark, engine,
         name="wow",
         label="Who Owns What tables",
@@ -520,6 +521,38 @@ def build_wow(spark: SparkSession, engine) -> list[str]:
         populate=populate,
         post_scripts=WOW_POST_SCRIPTS,
     )
+    update_landlord_search_index(engine)
+    return published
+
+
+def update_landlord_search_index(engine) -> bool:
+    """The reference's post-build search-index push
+    (wowutil.py:99-141), generalized: an exporter registered under
+    ``landlord_search_index`` runs IFF hpd_registrations' recorded
+    Last-Modified is newer than the last export (date compare at
+    wowutil.py:116-123, via state/export_gate.py). No exporter
+    configured → notified skip, exactly like the reference with no
+    Algolia credentials (wowutil.py:101-105). Returns True iff the
+    export ran."""
+    from nycdb_k8s_loader_spark.state.export_gate import LastmodGatedExport
+
+    exporter = engine.exporters.get("landlord_search_index")
+    if exporter is None:
+        engine.notifier.safe_notify(
+            "Landlord search index exporter not configured. Skipping..."
+        )
+        return False
+    gate = LastmodGatedExport(
+        engine.kv,
+        engine.registry.urls("hpd_registrations"),
+        export_key="landlord_search_index",
+    )
+    ran = gate.run(exporter, notifier=engine.notifier)
+    if ran:
+        engine.notifier.safe_notify(
+            "Finished rebuilding landlord search index."
+        )
+    return ran
 
 
 def build_oca_address(spark: SparkSession, engine) -> list[str]:

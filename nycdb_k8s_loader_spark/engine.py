@@ -84,6 +84,7 @@ class Engine:
         notifier: Notifier | None = None,
         search_path: list[str] | None = None,
         functions: FunctionRegistry | None = None,
+        exporters: dict[str, Callable[[], None]] | None = None,
     ) -> None:
         self.spark = spark
         self.registry = registry
@@ -111,6 +112,11 @@ class Engine:
         )
 
         register_reference_fns(self.functions, target_db=target_db)
+        # Named downstream exporters (reference: the Algolia landlord-
+        # index client, wowutil.py:101-110 — "not configured" is a
+        # notified skip, never an error). Builders gate these through
+        # state/export_gate.py on source lastmod.
+        self.exporters = exporters or {}
         # Concurrency guard for the parallel load_all: KV state is
         # read-modify-write (a lost update would silently re-download
         # forever) so it serializes. Script execution does NOT — DDL

@@ -391,3 +391,51 @@ def test_same_level_custom_pipelines_overlap(spark, tmp_path):
             assert spark.table(f"cp_overlap.{t}").count() == 3
     finally:
         spark.sql("DROP DATABASE IF EXISTS cp_overlap CASCADE")
+
+
+def test_landlord_index_export_gate(spark, tmp_path):
+    """The wow build ends with the lastmod-gated landlord-index push
+    (reference wowutil.py:99-141): a configured exporter runs when
+    hpd_registrations refreshed since the last export, skips when not,
+    and an unconfigured engine notifies the skip (the no-credentials
+    branch, wowutil.py:101-105)."""
+    pushes: list[int] = []
+    notifier = RecordingNotifier()
+    eng = Engine(
+        spark,
+        wow_registry(),
+        DictKVStore(),
+        target_db="wow_exp_test",
+        landing_root=str(tmp_path / "landing"),
+        transport=lambda url, headers: FetchResult(
+            200, etag='"v1"',
+            last_modified="Mon, 10 Aug 2026 00:00:00 GMT",
+        ),
+        downloader=fake_downloader,
+        notifier=notifier,
+        exporters={"landlord_search_index": lambda: pushes.append(1)},
+    )
+    try:
+        eng.load_all(["wow"])
+        assert pushes == [1]  # first build: source newer than never
+        assert "Finished rebuilding landlord search index." in notifier.outbox
+
+        # rebuild with the SAME source lastmod → gate skips the push
+        eng.load_all(["wow"])
+        assert pushes == [1]
+        assert any("no new source data" in m for m in notifier.outbox)
+
+        # unconfigured exporter → notified skip, never an error
+        from nycdb_k8s_loader_spark.datasets import (
+            update_landlord_search_index,
+        )
+
+        eng.exporters = {}
+        assert update_landlord_search_index(eng) is False
+        assert (
+            notifier.outbox[-1]
+            == "Landlord search index exporter not configured. Skipping..."
+        )
+    finally:
+        for db in ("wow_exp_test", WOW_SCHEMA, "oca", "signature"):
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
