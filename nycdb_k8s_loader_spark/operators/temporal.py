@@ -34,7 +34,7 @@ scale, bucketize time into width-sized bins and equi-join on
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 

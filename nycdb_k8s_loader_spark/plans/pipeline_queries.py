@@ -20,7 +20,6 @@ from nycdb_k8s_loader_spark.operators.dedup import (
 )
 from nycdb_k8s_loader_spark.operators.similarity import (
     cosine_topk,
-    embedding_neardup_pairs,
     embedding_neardup_pairs_blocked,
     ivf_topk,
     label_centroids,
