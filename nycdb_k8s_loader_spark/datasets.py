@@ -180,8 +180,14 @@ SIGNATURE_LOAN_STATUS_SCHEMA = _s(
 )
 
 #: The WOW dependency closure's schemas by (dataset, table).
+#: hpd_registrations also carries the reference's dataset-attached SQL
+#: (a derived grouped-by-bbl rollup, discovered by CTAS parse — the
+#: standard load's script path exercised by a real registry entry).
 DATASET_TABLES: dict[str, list[TableDef]] = {
-    "hpd_registrations": [TableDef("hpd_registrations", HPD_REGISTRATIONS_SCHEMA)],
+    "hpd_registrations": [
+        TableDef("hpd_registrations", HPD_REGISTRATIONS_SCHEMA),
+        TableDef("hpd_registrations_grouped_by_bbl"),  # derived via SQL
+    ],
     "hpd_contacts": [TableDef("hpd_contacts", HPD_CONTACTS_SCHEMA)],
     "hpd_violations": [TableDef("hpd_violations", HPD_VIOLATIONS_SCHEMA)],
     "hpd_complaints": [TableDef("hpd_complaints", HPD_COMPLAINTS_SCHEMA)],
@@ -219,8 +225,16 @@ def _standard_defs() -> list[DatasetDef]:
                 dest=f"{t.name}.csv",
             )
             for t in tables
+            if t.schema is not None  # derived (CTAS) tables have no file
         ]
-        out.append(DatasetDef(name=name, files=files, tables=tables))
+        sql = (
+            [os.path.join(SQL_DIR, "hpd_registrations_derived.sql")]
+            if name == "hpd_registrations"
+            else []
+        )
+        out.append(
+            DatasetDef(name=name, files=files, tables=tables, sql=sql)
+        )
     return out
 
 
