@@ -501,6 +501,24 @@ class TestScalePhysicalPlans:
         assert "Join" not in plan
         assert plan.count("Exchange hashpartitioning") <= 2
 
+    def test_q04_preagg_join_has_no_expand(self, spark):
+        """q04 (round-4 re-plan): COUNT(DISTINCT) was rewritten away
+        by the per-order rollup, so the plan must carry NO Expand, and
+        lineitem must reach its only shuffle as a partial aggregate
+        (map-side combine) — the shuffle payload is (orderkey, rev),
+        never raw lines."""
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        plan = self._plan(
+            queries()["q04_revenue_by_nation"](
+                spark, "/root/testdata/sf0.001"
+            )
+        )
+        assert "Expand" not in plan
+        # pre-agg shuffle on l_orderkey + final groupBy = the only
+        # hash exchanges (broadcasts are separate exchange kinds)
+        assert plan.count("Exchange hashpartitioning") <= 2
+
     def test_q41_unpivot_is_single_scan_expand(self, spark):
         """Unpivot must plan as ONE scan of the fact feeding an Expand
         (row multiplication map-side) — not one scan per melted
