@@ -1,6 +1,13 @@
 """Ops CLI — capability twin of /root/reference/dbtool.py.
 
 Commands:
+    load <dataset> [--force]    run one dataset load end-to-end — the
+                                ``python load_dataset.py <dataset>``
+                                entrypoint the k8s CronJob manifests
+                                invoke (load_dataset.py:414-430), with
+                                the reference's error-handling wrapper
+                                (notify on failure, exit non-zero,
+                                load_dataset.py:384-411)
     rowcounts <db> [table...]   row counts per published table (dbtool.py:61-87)
     lastmod:list                per-URL stored validators (dbtool.py:95-109)
     lastmod:reset [url...]      clear validators → next load refetches (dbtool.py:111-120)
@@ -32,6 +39,67 @@ def _default_kv():
     return ParquetKVStore(
         os.environ.get("NYCDB_SPARK_STATE", "/tmp/nycdb_spark_state/kv.parquet")
     )
+
+
+def _default_notifier():
+    """SlackNotifier when SLACK_WEBHOOK_URL is configured, else the
+    log-only default (reference: slack.sendmsg no-ops without the
+    webhook env, lib/slack.py)."""
+    from nycdb_k8s_loader_spark.engine import Notifier
+    from nycdb_k8s_loader_spark.notify import SlackNotifier
+
+    url = os.environ.get("SLACK_WEBHOOK_URL")
+    return SlackNotifier(url) if url else Notifier()
+
+
+def cmd_load(args, engine_factory=None) -> int:
+    """The main ingestion entrypoint (reference load_dataset.py main:
+    dispatch to load_dataset under the error_handling context that
+    notifies and exits non-zero on any failure). ``engine_factory`` is
+    injectable for tests."""
+    if engine_factory is None:  # pragma: no cover - wiring
+
+        def engine_factory():
+            from nycdb_k8s_loader_spark.datasets import builtin_registry
+            from nycdb_k8s_loader_spark.engine import Engine
+            from nycdb_k8s_loader_spark.session import get_spark
+
+            return Engine(
+                get_spark(app_name=f"nycdb-load-{args.dataset}"),
+                builtin_registry(),
+                _default_kv(),
+                landing_root=os.environ.get(
+                    "LANDING_DIR", "/tmp/nycdb_landing"
+                ),
+                notifier=_default_notifier(),
+            )
+
+    eng = engine_factory()
+    if args.dataset not in eng.registry:
+        print(
+            f"unknown dataset {args.dataset!r}; known: "
+            f"{', '.join(sorted(eng.registry.names()))}",
+            file=sys.stderr,
+        )
+        return 2
+    try:
+        results = eng.load_all([args.dataset]) if not args.force else [
+            eng.load(args.dataset, force=True)
+        ]
+    except Exception as exc:  # noqa: BLE001 - reference error_handling
+        # load_dataset.py:403-406: failures notify, then propagate as
+        # a non-zero exit so the CronJob backoff retries.
+        eng.notifier.safe_notify(
+            f"Alas, an error occurred loading the dataset "
+            f"`{args.dataset}`: {type(exc).__name__}: {exc}"
+        )
+        raise
+    for r in results:
+        state = "skipped (unchanged)" if r.skipped else (
+            f"published {len(r.published)} tables"
+        )
+        print(f"{r.dataset}\t{state}")
+    return 0
 
 
 def cmd_rowcounts(args) -> int:
@@ -114,6 +182,15 @@ def cmd_grant_schema_read(args) -> int:
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="nycdb-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    ld = sub.add_parser("load")
+    ld.add_argument("dataset")
+    ld.add_argument(
+        "--force", action="store_true",
+        help="load even if no source URL changed (skips the "
+             "conditional-GET short-circuit and dependency closure)",
+    )
+    ld.set_defaults(fn=cmd_load)
 
     rc = sub.add_parser("rowcounts")
     rc.add_argument("database")

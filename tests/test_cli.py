@@ -63,3 +63,98 @@ def test_lastmod_list_and_reset(kv, capsys):
     assert cli.main(["lastmod:reset"]) == 0
     assert "reset https://x/a.csv" in capsys.readouterr().out
     assert "etag:https://x/a.csv" not in kv
+
+
+class TestLoadCommand:
+    """`cli load <dataset>` — the reference's load_dataset.py
+    entrypoint (main :414-430 + error_handling :384-411), driven
+    through an injected engine factory."""
+
+    def _engine(self, spark, tmp_path, transport_status=200):
+        import sys as _sys
+        from pathlib import Path
+
+        _sys.path.insert(0, str(Path(__file__).parent))
+        from fixture_gen import csv_bytes, synth_rows
+
+        from nycdb_k8s_loader_spark.datasets import wow_registry
+        from nycdb_k8s_loader_spark.engine import Engine, Notifier
+        from nycdb_k8s_loader_spark.state.lastmod import FetchResult
+
+        reg = wow_registry()
+
+        def downloader(url: str, dest: str) -> None:
+            ds = reg.get("rentstab")
+            header, rows = synth_rows(ds.tables[0].schema, n=4)
+            with open(dest, "wb") as f:
+                f.write(csv_bytes(header, rows))
+
+        class Recording(Notifier):
+            def __init__(self):
+                self.outbox = []
+
+            def notify(self, m):
+                self.outbox.append(m)
+
+        eng = Engine(
+            spark, reg, DictKVStore(),
+            target_db="cli_load_test",
+            landing_root=str(tmp_path / "landing"),
+            transport=lambda url, headers: FetchResult(
+                transport_status, etag='"c"'
+            ),
+            downloader=downloader,
+            notifier=Recording(),
+        )
+        return eng
+
+    def _args(self, dataset, force=False):
+        import argparse
+
+        return argparse.Namespace(dataset=dataset, force=force)
+
+    def test_load_publishes_and_reports(self, spark, tmp_path, capsys):
+        eng = self._engine(spark, tmp_path)
+        try:
+            rc = cli.cmd_load(
+                self._args("rentstab"), engine_factory=lambda: eng
+            )
+            assert rc == 0
+            out = capsys.readouterr().out
+            assert "rentstab\tpublished 1 tables" in out
+            assert spark.table("cli_load_test.rentstab_summary").count() == 4
+        finally:
+            spark.sql("DROP DATABASE IF EXISTS cli_load_test CASCADE")
+
+    def test_load_skip_on_304(self, spark, tmp_path, capsys):
+        eng = self._engine(spark, tmp_path, transport_status=304)
+        rc = cli.cmd_load(
+            self._args("rentstab"), engine_factory=lambda: eng
+        )
+        assert rc == 0
+        assert "skipped (unchanged)" in capsys.readouterr().out
+
+    def test_unknown_dataset_is_an_error(self, spark, tmp_path, capsys):
+        eng = self._engine(spark, tmp_path)
+        rc = cli.cmd_load(
+            self._args("nope"), engine_factory=lambda: eng
+        )
+        assert rc == 2
+        assert "unknown dataset" in capsys.readouterr().err
+
+    def test_failure_notifies_then_raises(self, spark, tmp_path):
+        eng = self._engine(spark, tmp_path)
+        eng.downloader = None  # force a failure inside the load
+
+        with pytest.raises(TypeError):
+            cli.cmd_load(
+                self._args("rentstab"), engine_factory=lambda: eng
+            )
+        assert any(
+            "an error occurred loading the dataset `rentstab`" in m
+            for m in eng.notifier.outbox
+        )
+
+    def test_no_dataset_argument_fails(self):
+        with pytest.raises(SystemExit):
+            cli.main(["load"])
