@@ -464,7 +464,10 @@ def _custom_pipeline(
 
     engine.notifier.safe_notify(f"Rebuilding {label}...")
     ds = engine.registry.get(name)
-    pub = Publisher(spark, target_schema)
+    pub = Publisher(
+        spark, target_schema,
+        external_root=engine.publish_external_root,
+    )
     function_stmts: list[str] = []
     with pub.staging(name) as staging_db:
         # source ingest — same contract as the standard load's step 0-1

@@ -85,11 +85,20 @@ class Engine:
         search_path: list[str] | None = None,
         functions: FunctionRegistry | None = None,
         exporters: dict[str, Callable[[], None]] | None = None,
+        publish_external_root: str | None = None,
     ) -> None:
         self.spark = spark
         self.registry = registry
         self.kv = kv
-        self.publisher = Publisher(spark, target_db)
+        # publish_external_root opts into the metadata-only publish
+        # (versioned path + external-table pointer flip — zero data
+        # copy; see publish/protocol.py module docstring). The 100 TB
+        # default; copy mode remains for warehouses where the catalog
+        # must own the files.
+        self.publish_external_root = publish_external_root
+        self.publisher = Publisher(
+            spark, target_db, external_root=publish_external_root
+        )
         self.landing_root = landing_root
         self.transport = transport
         self.downloader = downloader or self._download

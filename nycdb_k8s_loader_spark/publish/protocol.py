@@ -8,12 +8,30 @@ namespace is dropped and readers never saw a thing.
 
 Spark mapping (SURVEY.md §2 K3/O1): Spark's catalog cannot move a
 table across databases (`ALTER TABLE ... SET SCHEMA` has no
-equivalent), so publish = per-table ``INSERT OVERWRITE``-style
-``saveAsTable`` from staging into the target. Each table swap is
-atomic (new data files written first, catalog pointer flipped last);
-cross-*table* atomicity is weaker than the reference's single-schema
-swap — documented trade-off, Delta's REPLACE TABLE restores it where
-available.
+equivalent), so publish is one of two modes:
+
+- **copy mode** (default): per-table ``saveAsTable`` overwrite from
+  staging into the target. Each table swap is atomic (new data files
+  written first, catalog pointer flipped last) but the data is
+  WRITTEN TWICE — fine for small/derived tables, wrong as the only
+  option at 100 TB.
+- **external mode** (``external_root=...``): source data is written
+  ONCE to a versioned location
+  ``<root>/<target_db>/<table>/v_<epoch>``, the staging table is an
+  external pointer at it, and publish re-points an external table in
+  the target database at the same files — two catalog statements,
+  ZERO data movement. This is the true Spark analog of the
+  reference's metadata-only ``ALTER TABLE ... SET SCHEMA``
+  (load_dataset.py:244-252): both have the same brief reader gap
+  between drop and re-create, and both leave the previous version's
+  files on disk until pruned (prune runs only AFTER the flip, so a
+  crash strands extra files, never live-table data). Derived CTAS
+  tables created inside the staging db are managed and publish via
+  copy mode automatically — mixed datasets just work.
+
+Cross-*table* atomicity is weaker than the reference's single-schema
+swap in both modes — documented trade-off, Delta's REPLACE TABLE
+restores it where available.
 
 Idempotency (reference O3, tests/test_load_dataset.py:78-84): rerunning
 a load is a deterministic overwrite — same inputs, same tables.
@@ -73,9 +91,23 @@ def parse_staging_dataset(db: str) -> str | None:
 
 
 class Publisher:
-    def __init__(self, spark: SparkSession, target_db: str = "public") -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        target_db: str = "public",
+        external_root: str | None = None,
+        keep_versions: int = 1,
+    ) -> None:
         self.spark = spark
         self.target_db = target_db
+        self.external_root = external_root.rstrip("/") if external_root else None
+        self.keep_versions = max(1, keep_versions)
+        # per-write version sequence: a reload in the same second must
+        # NEVER overwrite the dir the live table points at (lexical
+        # sort order is the prune order, so zero-pad the counter)
+        import itertools
+
+        self._version_seq = itertools.count()
 
     # -- namespace management (K5) -------------------------------------------
 
@@ -138,11 +170,102 @@ class Publisher:
         df: DataFrame,
         layout: TableLayout | None = None,
     ) -> None:
+        """Stage one source table. Copy mode: managed saveAsTable in
+        the staging db. External mode: ONE parquet write to the next
+        version dir + an external staging table pointing at it (the
+        same files the publish flip will re-point the target at —
+        the staging DROP DATABASE CASCADE removes only metadata).
+        Bucketed layouts force copy mode: Spark cannot attach a
+        bucketing spec to a path-first write."""
         self._reclaim_orphan_location(db, table)
+        if self.external_root and not (layout and layout.bucket_by):
+            path = self._version_path(table)
+            w = df.write.mode("overwrite")
+            if layout and layout.partition_by:
+                w = w.partitionBy(*layout.partition_by)
+            w.parquet(path)
+            self._sql(f"DROP TABLE IF EXISTS `{db}`.`{table}`")
+            self._create_external(db, table, path)
+            return
         w = df.write.mode("overwrite")
         if layout:
             w = layout.apply(w)
         w.saveAsTable(f"`{db}`.`{table}`")
+
+    # -- external (metadata-only) publish machinery ---------------------------
+
+    def _version_path(self, table: str) -> str:
+        return (
+            f"{self.external_root}/{self.target_db}/{table}/"
+            f"v_{int(time.time())}_{next(self._version_seq):06d}"
+        )
+
+    def _create_external(self, db: str, table: str, path: str) -> None:
+        # partition discovery: a partitioned path needs MSCK-style
+        # repair; USING PARQUET LOCATION infers both schema and
+        # partitions at create time for the unpartitioned case, and
+        # partitioned dirs are handled by recoverPartitions below.
+        self._sql(
+            f"CREATE TABLE `{db}`.`{table}` USING PARQUET "
+            f"LOCATION '{path}'"
+        )
+        try:
+            self.spark.catalog.recoverPartitions(f"`{db}`.`{table}`")
+        except Exception:  # noqa: BLE001 - unpartitioned table
+            pass
+
+    def _table_location(self, db: str, table: str) -> str | None:
+        if not self.spark.catalog.tableExists(f"`{db}`.`{table}`"):
+            return None
+        rows = self.spark.sql(
+            f"DESCRIBE TABLE EXTENDED `{db}`.`{table}`"
+        ).collect()
+        for r in rows:
+            if r["col_name"] == "Location":
+                return r["data_type"]
+        return None
+
+    @staticmethod
+    def _fs_path(uri: str) -> str:
+        """file:/x, file:///x and /x all normalize to /x (DESCRIBE and
+        input_file_name disagree on slash count)."""
+        from urllib.parse import urlparse
+
+        parsed = urlparse(uri)
+        return parsed.path if parsed.scheme else uri
+
+    def _is_external(self, db: str, table: str) -> bool:
+        loc = self._table_location(db, table)
+        return bool(
+            loc
+            and self.external_root
+            and self._fs_path(loc).startswith(self.external_root)
+        )
+
+    def _prune_versions(self, table: str) -> None:
+        """Delete version dirs beyond keep_versions, oldest first,
+        never the one the live table points at. Runs only after the
+        pointer flip: a crash strands extra files, never live data."""
+        import os
+
+        base = f"{self.external_root}/{self.target_db}/{table}"
+        live = self._fs_path(
+            self._table_location(self.target_db, table) or ""
+        )
+        if not os.path.isdir(base):
+            return
+        versions = sorted(
+            d for d in os.listdir(base) if d.startswith("v_")
+        )
+        excess = versions[: -self.keep_versions] if len(
+            versions
+        ) > self.keep_versions else []
+        import shutil
+
+        for v in excess:
+            path = os.path.join(base, v)
+            if os.path.abspath(path) != os.path.abspath(live):
+                shutil.rmtree(path, ignore_errors=True)
 
     def publish_tables(
         self,
@@ -157,6 +280,16 @@ class Publisher:
         self._sql(f"CREATE DATABASE IF NOT EXISTS `{self.target_db}`")
         published = []
         for t in tables:
+            if self._is_external(staging_db, t):
+                # metadata-only flip (the SET SCHEMA analog): target
+                # external table re-created at the staged files — no
+                # data movement; previous versions pruned AFTER.
+                path = self._table_location(staging_db, t)
+                self._sql(f"DROP TABLE IF EXISTS `{self.target_db}`.`{t}`")
+                self._create_external(self.target_db, t, path)
+                self._prune_versions(t)
+                published.append(f"{self.target_db}.{t}")
+                continue
             self._reclaim_orphan_location(self.target_db, t)
             src = self.spark.table(f"`{staging_db}`.`{t}`")
             w = src.write.mode("overwrite")

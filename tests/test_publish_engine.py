@@ -627,3 +627,123 @@ class TestValidationGate:
         }
         assert got2["not_null(key)"] == 1
         assert got2["unique_key(a,b)"] == 0
+
+
+class TestExternalPublish:
+    """Metadata-only publish (the SET SCHEMA analog): data written
+    once to a versioned path; publish flips an external-table pointer
+    — zero copy, versions pruned only after the flip."""
+
+    def _engine(self, spark, tmp_path, root):
+        import sys as _sys
+        from pathlib import Path
+
+        _sys.path.insert(0, str(Path(__file__).parent))
+        from fixture_gen import csv_bytes, synth_rows
+
+        from nycdb_k8s_loader_spark.datasets import wow_registry
+        from nycdb_k8s_loader_spark.engine import Engine
+        from nycdb_k8s_loader_spark.state.kvstore import DictKVStore
+        from nycdb_k8s_loader_spark.state.lastmod import FetchResult
+
+        reg = wow_registry()
+
+        def downloader(url: str, dest: str) -> None:
+            name = url.rsplit("/", 1)[-1].replace(".csv", "")
+            for ds_name in ("rentstab", "hpd_registrations"):
+                for t in reg.get(ds_name).tables:
+                    if t.name == name and t.schema is not None:
+                        header, rows = synth_rows(t.schema, n=4)
+                        with open(dest, "wb") as f:
+                            f.write(csv_bytes(header, rows))
+                        return
+            raise KeyError(name)
+
+        return Engine(
+            spark, reg, DictKVStore(),
+            target_db="ext_pub_test",
+            landing_root=str(tmp_path / "landing"),
+            transport=lambda url, headers: FetchResult(200, etag='"e"'),
+            downloader=downloader,
+            publish_external_root=root,
+        )
+
+    def test_publish_is_pointer_flip_not_copy(self, spark, tmp_path):
+        import os
+
+        root = str(tmp_path / "pub")
+        eng = self._engine(spark, tmp_path, root)
+        try:
+            eng.load("rentstab")
+            tbl = "ext_pub_test.rentstab_summary"
+            assert spark.table(tbl).count() == 4
+            # the published table POINTS AT the staged files under the
+            # version root — no second copy anywhere
+            loc = eng.publisher._table_location(
+                "ext_pub_test", "rentstab_summary"
+            )
+            assert root in loc
+            from nycdb_k8s_loader_spark.publish.protocol import (
+                Publisher as _P,
+            )
+
+            files = {
+                _P._fs_path(os.path.dirname(r[0]))
+                for r in spark.table(tbl)
+                .selectExpr("input_file_name()")
+                .collect()
+            }
+            assert files == {_P._fs_path(loc)}
+            assert spark.catalog.getTable(tbl).tableType == "EXTERNAL"
+
+            # reload: a NEW version dir goes live; the old one is
+            # pruned only after the flip (keep_versions=1)
+            eng.load("rentstab")
+            assert spark.table(tbl).count() == 4
+            loc2 = eng.publisher._table_location(
+                "ext_pub_test", "rentstab_summary"
+            )
+            assert loc2 != loc
+            base = os.path.join(root, "ext_pub_test", "rentstab_summary")
+            assert sorted(os.listdir(base)) == [
+                os.path.basename(_P._fs_path(loc2))
+            ]
+        finally:
+            spark.sql("DROP DATABASE IF EXISTS ext_pub_test CASCADE")
+
+    def test_mixed_dataset_derived_tables_still_publish(
+        self, spark, tmp_path
+    ):
+        """hpd_registrations carries a CTAS script: the source table
+        publishes via pointer flip, the derived (managed) table via
+        the copy path — both land correct."""
+        root = str(tmp_path / "pub")
+        eng = self._engine(spark, tmp_path, root)
+        try:
+            eng.load("hpd_registrations")
+            src = spark.table("ext_pub_test.hpd_registrations")
+            derived = spark.table(
+                "ext_pub_test.hpd_registrations_grouped_by_bbl"
+            )
+            assert src.count() == 4
+            assert derived.count() == src.select("bbl").distinct().count()
+            assert (
+                spark.catalog.getTable(
+                    "ext_pub_test.hpd_registrations"
+                ).tableType
+                == "EXTERNAL"
+            )
+            # reload is idempotent in both modes
+            before = sorted(map(tuple, derived.collect()))
+            eng.load("hpd_registrations")
+            after = sorted(
+                map(
+                    tuple,
+                    spark.table(
+                        "ext_pub_test.hpd_registrations_grouped_by_bbl"
+                    ).collect(),
+                )
+            )
+            assert before == after
+        finally:
+            spark.sql("DROP DATABASE IF EXISTS ext_pub_test CASCADE")
