@@ -543,3 +543,55 @@ def fuzzy_dedup(
         cluster.alias("cluster_id"),
         (cluster == F.col("doc_id")).alias("is_kept"),
     )
+
+
+# --- URL-level dedup ---------------------------------------------------------
+
+
+def canonical_url(col: F.Column | str) -> F.Column:
+    """Aggressive URL canonicalization — the URL-level dedup stage
+    web-corpus pipelines run BEFORE any text dedup (two fetches of the
+    same page must collapse without comparing bodies): lowercase
+    scheme and host, strip ``www.``, strip default ports (:80/:443),
+    drop the query string and fragment entirely (the aggressive-
+    canonicalization convention — tracking params make queries
+    useless as identity), strip trailing slashes.
+
+    Pure column expressions (regexp_extract/replace + lower + concat),
+    so it runs inside whole-stage codegen and — deliberately — uses no
+    regex backreferences, whose syntax differs between engines ($1 vs
+    \\1) and would break the cross-engine oracle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(
+        F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    host = F.lower(
+        F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    path = F.regexp_extract(
+        c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1
+    )
+    path = F.regexp_replace(path, r"/+$", "")
+    return F.concat(scheme, F.lit("://"), host, path)
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per canonical URL: the kept doc (min id — deterministic)
+    and the duplicate count. One map-side canonicalization pass + one
+    groupBy shuffle carrying (canonical, id) — never text."""
+    return (
+        df.select(
+            canonical_url(url_col).alias("canonical_url"),
+            F.col(id_col),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )

@@ -1433,3 +1433,84 @@ def s08(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nycdb_k8s_loader_spark.operators.similarity import knn_label_vote
 
     return knn_label_vote(_emb(spark, sf_dir), query_ids=list(range(25)), k=5)
+
+
+# --- URL-level dedup (d10) ---------------------------------------------------
+
+@register(
+    "d10_url_dedup",
+    """
+    WITH urls AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END)
+               || '://'
+               || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+               || (CASE WHEN doc_id % 11 = 0
+                        THEN 'SITE' || (doc_id % 7)
+                        ELSE 'site' || (doc_id % 7) END)
+               || '.example.com'
+               || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+               || '/docs/' || (doc_id % 31)
+               || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+               || (CASE WHEN doc_id % 13 = 0 THEN '?utm_source=feed&x=1' ELSE '' END)
+               AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id,
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               || '://'
+               || regexp_replace(regexp_replace(
+                      lower(regexp_extract(url,
+                          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                      '^www\\.', ''),
+                      ':(80|443)$', '')
+               || regexp_replace(regexp_extract(url,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+                      '/+$', '')
+               AS canonical_url
+        FROM urls
+    )
+    SELECT canonical_url,
+           MIN(doc_id)::BIGINT AS keep_doc_id,
+           COUNT(*)::BIGINT AS n_dups
+    FROM canon GROUP BY canonical_url
+    """,
+    doc="URL-level dedup — the stage web-corpus pipelines run BEFORE "
+        "any text comparison: two fetches of one page must collapse "
+        "on URL identity alone. Messy variants (scheme case, www., "
+        "default :443 port, trailing slash, utm tracking params) are "
+        "synthesized deterministically per doc, canonicalized with "
+        "pure regexp/lower expressions (operators/dedup.py::"
+        "canonical_url — codegen'd, backreference-free so both "
+        "engines agree), and grouped to (keep_doc_id, n_dups). One "
+        "map-side pass + one groupBy shuffle carrying (canonical, "
+        "id) — never bodies; at 100 TB URL dedup costs a fraction of "
+        "one text-hash pass.",
+    tags=("dedup",),
+)
+def d10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.dedup import url_dedup
+
+    d = F.col("doc_id")
+
+    def _when(mod, yes, no=""):
+        return F.when(d % mod == 0, F.lit(yes)).otherwise(F.lit(no))
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            _when(2, "https", "HTTP"),
+            F.lit("://"),
+            _when(3, "www."),
+            F.when(d % 11 == 0, F.lit("SITE")).otherwise(F.lit("site")),
+            (d % 7).cast("string"),
+            F.lit(".example.com"),
+            _when(5, ":443"),
+            F.lit("/docs/"),
+            (d % 31).cast("string"),
+            _when(7, "/"),
+            _when(13, "?utm_source=feed&x=1"),
+        ).alias("url"),
+    )
+    return url_dedup(docs)

@@ -1071,3 +1071,46 @@ class TestScaleSafeDefaults:
         # the scale claim: banding candidates << all pairs
         n_cands = minhash_signatures(docs, shingles=3).count()
         assert n_cands < 0.2 * (n * (n - 1) / 2)
+
+
+class TestCanonicalUrl:
+    def test_canonicalization_rules(self, spark):
+        from nycdb_k8s_loader_spark.operators.dedup import canonical_url
+
+        cases = [
+            ("HTTPS://WWW.Example.COM:443/A/B/", "https://example.com/A/B"),
+            ("http://example.com:80/x?utm_source=a&b=1#frag",
+             "http://example.com/x"),
+            ("https://sub.example.com/", "https://sub.example.com"),
+            ("https://example.com", "https://example.com"),
+            # path case is PRESERVED (host/scheme are the
+            # case-insensitive parts of a URL; paths are not)
+            ("https://example.com/CaseSensitive",
+             "https://example.com/CaseSensitive"),
+        ]
+        df = spark.createDataFrame(
+            [(u,) for u, _ in cases], "url string"
+        ).select("url", canonical_url("url").alias("c"))
+        got = {r["url"]: r["c"] for r in df.collect()}
+        for url, want in cases:
+            assert got[url] == want, (url, got[url], want)
+
+    def test_url_dedup_keeps_min_id(self, spark):
+        from nycdb_k8s_loader_spark.operators.dedup import url_dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://www.a.com/x/"),
+                (2, "HTTPS://a.com:443/x?utm_c=1"),
+                (3, "https://b.com/y"),
+            ],
+            "doc_id long, url string",
+        )
+        rows = {
+            r["canonical_url"]: (r["keep_doc_id"], r["n_dups"])
+            for r in url_dedup(df).collect()
+        }
+        assert rows == {
+            "https://a.com/x": (1, 2),
+            "https://b.com/y": (3, 1),
+        }
