@@ -384,3 +384,36 @@ def token_balanced_shards(
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+def filter_funnel(
+    df: DataFrame,
+    stages: list[tuple[str, F.Column]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-filter funnel: attribute every doc to the FIRST filter
+    stage that rejects it (or 'kept'), with per-stage doc and char
+    volumes — the rejection audit every corpus pipeline needs before
+    anyone trusts a "we filtered 40%" claim.
+
+    ``stages`` are (name, fail_condition) pairs evaluated in order;
+    the whole funnel is ONE coalesced CASE expression per row (pure
+    map-side, codegen'd) feeding ONE tiny groupBy — cost at 100 TB is
+    a single corpus scan regardless of stage count, vs the naive
+    one-filter-one-pass loop that rescans per stage.
+    """
+    attributed = F.coalesce(
+        *[F.when(cond, F.lit(name)) for name, cond in stages],
+        F.lit("kept"),
+    )
+    return (
+        df.select(
+            attributed.alias("stage"),
+            F.length(F.col(text_col)).alias("chars"),
+        )
+        .groupBy("stage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("chars").alias("total_chars"),
+        )
+    )

@@ -1514,3 +1514,67 @@ def d10(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
     )
     return url_dedup(docs)
+
+
+# --- quality-filter funnel (t12) ---------------------------------------------
+
+@register(
+    "t12_filter_funnel",
+    """
+    WITH words AS (
+        SELECT doc_id, text,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS ws
+        FROM documents
+    ),
+    attributed AS (
+        SELECT CASE
+                 WHEN length(trim(text)) < 60 THEN 'too_short'
+                 WHEN len(list_filter(ws, w -> w IN ('a', 'the')))::DOUBLE
+                      / len(ws) > 0.125 THEN 'stopword_heavy'
+                 WHEN len(list_distinct(ws))::DOUBLE / len(ws) < 0.5
+                   THEN 'low_diversity'
+                 ELSE 'kept'
+               END AS stage,
+               length(text) AS chars
+        FROM words
+    )
+    SELECT stage, COUNT(*)::BIGINT AS n_docs,
+           SUM(chars)::BIGINT AS total_chars
+    FROM attributed GROUP BY stage
+    """,
+    doc="Quality-filter funnel: every doc attributed to the FIRST "
+        "rejecting stage (length → stopword share → lexical diversity) "
+        "or 'kept', with per-stage doc/char volumes — the rejection "
+        "audit behind any 'we filtered N%' claim. One coalesced CASE "
+        "per row (map-side, codegen'd) + one tiny groupBy: a single "
+        "corpus scan regardless of stage count, where the naive "
+        "one-filter-per-pass loop rescans 100 TB per stage. Ratios "
+        "are exact int/int doubles, so both engines agree at the "
+        "thresholds.",
+    tags=("text", "quality"),
+)
+def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.textops import filter_funnel
+
+    docs = _docs(spark, sf_dir)
+    text = F.col("text")
+    ws = F.filter(
+        F.split(F.lower(F.trim(text)), " "), lambda w: w != ""
+    )
+    docs = docs.select("doc_id", "text", ws.alias("ws"))
+    stages = [
+        ("too_short", F.length(F.trim(text)) < 60),
+        (
+            "stopword_heavy",
+            F.size(
+                F.filter(F.col("ws"), lambda w: w.isin("a", "the"))
+            ).cast("double") / F.size(F.col("ws")) > 0.125,
+        ),
+        (
+            "low_diversity",
+            F.size(F.array_distinct(F.col("ws")))
+            .cast("double") / F.size(F.col("ws")) < 0.5,
+        ),
+    ]
+    return filter_funnel(docs, stages)
