@@ -350,3 +350,46 @@ def geo03(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("best.dist", 3).alias("dist_km"),
         )
     )
+
+
+@register(
+    "p04_source_upsampling",
+    """
+    WITH w AS (
+        SELECT doc_id, source,
+               CASE WHEN regexp_extract(source, 'src(\\d+)', 1)::INT < 5
+                    THEN 3
+                    WHEN regexp_extract(source, 'src(\\d+)', 1)::INT < 10
+                    THEN 2
+                    ELSE 1 END AS weight
+        FROM documents
+    )
+    SELECT doc_id, source,
+           unnest(generate_series(1, weight))::BIGINT AS epoch
+    FROM w
+    """,
+    doc="Deterministic data mixing by source up-sampling: each source "
+        "carries an integer repeat factor (the 'epochs over "
+        "high-quality subsets' recipe of public LLM data mixes), and "
+        "every doc emits one row per epoch via "
+        "explode(sequence(1, weight)) — pure map-side row generation, "
+        "ZERO shuffle, reruns identical (the factor is a function of "
+        "the source, never rand()). At 100 TB this is the shape that "
+        "matters: up-sampling happens at iteration-plan level (doc_id "
+        "× epoch), not by physically copying bytes — the 3× wiki copy "
+        "that a naive pipeline writes is free here.",
+    tags=("sampling", "mix"),
+)
+def p04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    suffix = F.regexp_extract("source", r"src(\d+)", 1).cast("int")
+    weight = (
+        F.when(suffix < 5, F.lit(3))
+        .when(suffix < 10, F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), weight)).alias("epoch"),
+    ).withColumn("epoch", F.col("epoch").cast("long"))
