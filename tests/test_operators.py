@@ -1114,3 +1114,39 @@ class TestCanonicalUrl:
             "https://a.com/x": (1, 2),
             "https://b.com/y": (3, 1),
         }
+
+
+class TestPipelinePlanShapes:
+    """Plan assertions for the round-4 pipeline entries."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_d10_is_single_shuffle_no_text(self, spark):
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        df = queries()["d10_url_dedup"](spark, "/root/testdata/sf0.001")
+        plan = self._plan(df)
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan
+        # column pruning: the scan must not read the text body for a
+        # URL-identity operator
+        assert "text" not in plan.split("ReadSchema")[-1]
+
+    def test_t12_funnel_is_one_scan_one_tiny_shuffle(self, spark):
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        df = queries()["t12_filter_funnel"](spark, "/root/testdata/sf0.001")
+        plan = self._plan(df)
+        assert plan.count("FileScan parquet") == 1  # never per-stage
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan
+
+    def test_p04_upsampling_has_zero_shuffle(self, spark):
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        df = queries()["p04_source_upsampling"](
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = self._plan(df)
+        assert "Exchange" not in plan  # pure map-side row generation
