@@ -180,3 +180,83 @@ def grid_density(
             F.avg(lng).alias("centroid_lng"),
         )
     )
+
+
+# --- WKT polygons: parse + point-in-polygon, pure expressions ----------------
+
+
+def parse_wkt_polygon(col: Column | str) -> Column:
+    """``POLYGON ((x1 y1, x2 y2, ...))`` → array<struct<x,y>> (outer
+    ring only), with pure string/array expressions — no UDF, no
+    geometry library. The parse handles the single-ring polygons the
+    ``boundaries`` dataset ships (holes/multipolygons are the
+    documented Sedona escalation path, SURVEY §2.1 S6)."""
+    c = F.col(col) if isinstance(col, str) else col
+    inner = F.regexp_extract(c, r"\(\(\s*([^()]*?)\s*\)\)", 1)
+    pairs = F.split(inner, r"\s*,\s*")
+    return F.transform(
+        pairs,
+        lambda p: F.struct(
+            F.split(F.trim(p), r"\s+")[0].cast("double").alias("x"),
+            F.split(F.trim(p), r"\s+")[1].cast("double").alias("y"),
+        ),
+    )
+
+
+def point_in_polygon(px: Column, py: Column, verts: Column) -> Column:
+    """Ray-casting containment test as a single Catalyst expression:
+    count edges whose span crosses the horizontal ray from the point;
+    odd crossings = inside. Built from zip_with over the vertex array
+    shifted by one (edges) + aggregate (crossing parity) — fully
+    codegen'd, O(vertices) per row, zero shuffle, no UDF.
+
+    Points exactly ON an edge are boundary-undefined (standard for
+    ray casting); callers comparing against an independent oracle must
+    keep test points off edges, as geo04 does by construction."""
+    n = F.size(verts)
+    a = F.slice(verts, 1, n - 1)
+    b = F.slice(verts, 2, n - 1)
+    crossings = F.zip_with(
+        a,
+        b,
+        lambda u, v: (
+            ((u["y"] > py) != (v["y"] > py))
+            & (
+                px
+                < (v["x"] - u["x"])
+                * (py - u["y"])
+                / (v["y"] - u["y"])
+                + u["x"]
+            )
+        ).cast("int"),
+    )
+    total = F.aggregate(
+        crossings, F.lit(0), lambda acc, x: acc + x
+    )
+    return (total % 2) == 1
+
+
+def tag_points_with_polygons(
+    points: DataFrame,
+    polygons: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    wkt_col: str = "geom_wkt",
+    tag_cols: tuple = ("ntacode",),
+) -> DataFrame:
+    """Left-tag each point with the polygon containing it (NULL tags
+    when none). Polygon sets like NTA boundaries are metadata-scale
+    (hundreds of rows) vs data-scale points, so the parsed polygon
+    frame BROADCASTS and containment evaluates inside the scan stage
+    of the points — zero shuffle of the point side. For huge polygon
+    sets, pre-bin both sides on a grid first (radius_self_join's
+    pattern) before the residual containment test."""
+    polys = polygons.select(
+        *tag_cols, parse_wkt_polygon(wkt_col).alias("__verts")
+    )
+    joined = points.join(
+        F.broadcast(polys),
+        point_in_polygon(F.col(x_col), F.col(y_col), F.col("__verts")),
+        "left",
+    )
+    return joined.drop("__verts")

@@ -393,3 +393,76 @@ def p04(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.sequence(F.lit(1), weight)).alias("epoch"),
     ).withColumn("epoch", F.col("epoch").cast("long"))
+
+
+@register(
+    "geo04_point_in_polygon",
+    """
+    WITH rect AS (
+        SELECT 'NTA' || n_nationkey AS ntacode,
+               (n_nationkey % 5) * 10 AS x0,
+               (n_nationkey % 5) * 10 + 8 AS x1,
+               (n_nationkey // 5) * 10 AS y0,
+               (n_nationkey // 5) * 10 + 8 AS y1
+        FROM nation
+    ),
+    pts AS (
+        SELECT c_custkey,
+               (c_custkey % 50) + 0.5 AS px,
+               ((c_custkey * 7) % 50) + 0.5 AS py
+        FROM customer
+    )
+    SELECT p.c_custkey, r.ntacode
+    FROM pts p
+    LEFT JOIN rect r
+      ON p.px > r.x0 AND p.px < r.x1 AND p.py > r.y0 AND p.py < r.y1
+    """,
+    doc="WKT point-in-polygon tagging (the analytic half of S6 the "
+        "boundaries dataset feeds): polygon WKT strings are parsed "
+        "with pure string/array expressions (operators/geo.py::"
+        "parse_wkt_polygon) and containment is ray-casting as ONE "
+        "codegen'd zip_with+aggregate expression — no UDF, no "
+        "geometry library. Polygons (metadata-scale, like the ~200 "
+        "real NTAs) BROADCAST; the point side never shuffles. The "
+        "oracle can't ray-cast, so the fixture polygons are axis-"
+        "aligned rectangles whose containment the oracle states as "
+        "bounds arithmetic — the Spark side still runs the fully "
+        "general parser+ray-cast; agreement proves the general "
+        "machinery on geometry where an independent decision "
+        "procedure exists. Points sit at .5 offsets so no point ever "
+        "lies on an edge (ray-casting's undefined boundary).",
+    tags=("geo", "join"),
+)
+def geo04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.geo import (
+        tag_points_with_polygons,
+    )
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nk = F.col("n_nationkey")
+    x0 = (nk % 5) * 10
+    y0 = (nk / 5).cast("int") * 10
+    sx0, sx1 = x0.cast("string"), (x0 + 8).cast("string")
+    sy0, sy1 = y0.cast("string"), (y0 + 8).cast("string")
+    polys = nation.select(
+        F.concat(F.lit("NTA"), nk.cast("string")).alias("ntacode"),
+        F.concat(
+            F.lit("POLYGON (("),
+            sx0, F.lit(" "), sy0, F.lit(", "),
+            sx1, F.lit(" "), sy0, F.lit(", "),
+            sx1, F.lit(" "), sy1, F.lit(", "),
+            sx0, F.lit(" "), sy1, F.lit(", "),
+            sx0, F.lit(" "), sy0,
+            F.lit("))"),
+        ).alias("geom_wkt"),
+    )
+    ck = F.col("c_custkey")
+    points = customer.select(
+        "c_custkey",
+        ((ck % 50) + 0.5).alias("x"),
+        (((ck * 7) % 50) + 0.5).alias("y"),
+    )
+    return tag_points_with_polygons(points, polys).select(
+        "c_custkey", "ntacode"
+    )

@@ -1150,3 +1150,54 @@ class TestPipelinePlanShapes:
         )
         plan = self._plan(df)
         assert "Exchange" not in plan  # pure map-side row generation
+
+
+class TestWktPointInPolygon:
+    def test_parse_and_nonconvex_containment(self, spark):
+        """Ray casting on a non-convex (L-shaped) ring — the case the
+        rectangle-bounds oracle of geo04 can never exercise."""
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.operators.geo import (
+            parse_wkt_polygon,
+            point_in_polygon,
+        )
+
+        l_shape = (
+            "POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))"
+        )
+        cases = [
+            (1.0, 1.0, True),    # lower arm
+            (1.0, 3.0, True),    # upper arm
+            (3.0, 3.0, False),   # the notch — inside bbox, outside ring
+            (3.0, 1.0, True),
+            (5.0, 5.0, False),   # fully outside
+            (-1.0, 1.0, False),
+        ]
+        df = spark.createDataFrame(
+            [(x, y, want) for x, y, want in cases],
+            "x double, y double, want boolean",
+        ).withColumn("wkt", F.lit(l_shape))
+        out = df.select(
+            "x", "y", "want",
+            point_in_polygon(
+                F.col("x"), F.col("y"), parse_wkt_polygon("wkt")
+            ).alias("got"),
+        ).collect()
+        for r in out:
+            assert r["got"] == r["want"], (r["x"], r["y"])
+
+    def test_parse_vertices(self, spark):
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.operators.geo import parse_wkt_polygon
+
+        df = spark.createDataFrame(
+            [("POLYGON ((0 0, 10 0, 10 5, 0 5, 0 0))",)], "wkt string"
+        )
+        verts = df.select(
+            parse_wkt_polygon("wkt").alias("v")
+        ).first()["v"]
+        assert [(p["x"], p["y"]) for p in verts] == [
+            (0.0, 0.0), (10.0, 0.0), (10.0, 5.0), (0.0, 5.0), (0.0, 0.0),
+        ]
