@@ -150,3 +150,52 @@ def test_boundaries_wkt_attributes(spark, catalog_engine):
     assert len(rows) == 3
     assert all(r["geom_wkt"].startswith("POLYGON") for r in rows)
     assert dict(df.dtypes)["shape_area"] == "double"
+
+
+EXTERNAL_SUBSET = ["dof_annual_sales", "hpd_charges", "pluto_latest"]
+
+
+@pytest.fixture(scope="module")
+def external_engine(spark, tmp_path_factory):
+    payloads: dict[str, bytes] = {}
+    for n in EXTERNAL_SUBSET:
+        payloads.update(_fixture_payloads(_REG.get(n)))
+
+    def downloader(url: str, dest: str) -> None:
+        with open(dest, "wb") as f:
+            f.write(payloads[url])
+
+    eng = Engine(
+        spark,
+        _REG,
+        DictKVStore(),
+        target_db="catalog_ext",
+        landing_root=str(tmp_path_factory.mktemp("ext_landing")),
+        transport=lambda url, headers: FetchResult(200, etag='"x"'),
+        downloader=downloader,
+        publish_external_root=str(tmp_path_factory.mktemp("ext_pub")),
+    )
+    yield eng
+    spark.sql("DROP DATABASE IF EXISTS catalog_ext CASCADE")
+
+
+@pytest.mark.parametrize("dataset", EXTERNAL_SUBSET)
+def test_external_publish_mode_matrix(spark, external_engine, dataset):
+    """The metadata-only publish path across source shapes (Excel
+    multi-workbook, multi-table CSV, wide single CSV): load → tables
+    populated AND external → reload idempotent with a fresh version."""
+    eng = external_engine
+    eng.load(dataset)
+    tables = _REG.tables_for(dataset)
+    counts = {}
+    for t in tables:
+        counts[t] = spark.table(f"catalog_ext.{t}").count()
+        assert counts[t] > 0
+        assert (
+            spark.catalog.getTable(f"catalog_ext.{t}").tableType
+            == "EXTERNAL"
+        )
+    eng.load(dataset)
+    assert {
+        t: spark.table(f"catalog_ext.{t}").count() for t in tables
+    } == counts
