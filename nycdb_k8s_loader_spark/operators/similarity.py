@@ -59,22 +59,13 @@ def sign_bucket(vec: Column, n_bits: int = 6) -> Column:
     return out
 
 
-def cosine_topk(
+def _norm_vecs(
     emb: DataFrame,
-    query_ids: list[int] | None = None,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    bucketed: bool = False,
-    n_bits: int = 6,
+    id_col: str,
+    vec_col: str,
+    bucketed: bool,
+    n_bits: int,
 ) -> DataFrame:
-    """Top-k cosine neighbors per query vector.
-
-    ``bucketed=False``: exact brute force (broadcast queries × corpus).
-    ``bucketed=True``: candidates restricted to the query's LSH bucket.
-    Rank is (rounded cosine DESC, neighbor id ASC) — a total order, so
-    results are deterministic and oracle-stable. Self-matches excluded.
-    """
     # Staged selects: materialize v once, then the norm once per
     # vector — cosine per candidate is then ONE dot product, not three
     # (norms recomputed per pair measured ~3x slower on the half-
@@ -88,6 +79,40 @@ def cosine_topk(
     )
     if bucketed:
         vecs = vecs.withColumn("bucket", sign_bucket(F.col("v"), n_bits))
+    return vecs
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucketed: bool = False,
+    n_bits: int = 6,
+    candidate_filter: Column | None = None,
+) -> DataFrame:
+    """Top-k cosine neighbors per query vector.
+
+    ``bucketed=False``: exact brute force (broadcast queries × corpus).
+    ``bucketed=True``: candidates restricted to the query's LSH bucket.
+    ``candidate_filter``: attribute predicate over the ORIGINAL emb
+    columns restricting the CANDIDATE side only (filtered vector
+    search — "nearest English docs", "same-tenant vectors"); the
+    predicate applies before vector math, so it pushes down to the
+    candidate scan and the pruned candidate set shrinks further.
+    Queries are never filtered by it.
+    Rank is (rounded cosine DESC, neighbor id ASC) — a total order, so
+    results are deterministic and oracle-stable. Self-matches excluded.
+    """
+    vecs = _norm_vecs(emb, id_col, vec_col, bucketed, n_bits)
+    cand_vecs = (
+        _norm_vecs(
+            emb.filter(candidate_filter), id_col, vec_col, bucketed, n_bits
+        )
+        if candidate_filter is not None
+        else vecs
+    )
 
     q = vecs
     if query_ids is not None:
@@ -98,7 +123,7 @@ def cosine_topk(
         F.col("nrm").alias("qn"),
         *([F.col("bucket").alias("qbucket")] if bucketed else []),
     )
-    c = vecs.select(
+    c = cand_vecs.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("v").alias("nv"),
         F.col("nrm").alias("nn"),

@@ -1578,3 +1578,45 @@ def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return filter_funnel(docs, stages)
+
+
+# --- filtered vector search (s09) --------------------------------------------
+
+@register(
+    "s09_filtered_ann",
+    f"""
+    WITH e AS (SELECT vec_id, v, label, {_BUCKET_SQL} AS bucket
+               FROM (SELECT vec_id, embedding::DOUBLE[] AS v, label
+                     FROM embeddings)),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+        FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10 AND c.label IN (0, 1, 2)
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+        ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="Attribute-filtered vector search (the 'nearest docs WHERE "
+        "lang/tenant/…' shape every production vector store needs): "
+        "a label predicate restricts the CANDIDATE side before any "
+        "vector math — it reaches the candidate scan as a pushed "
+        "filter (plan-asserted) and compounds with the LSH bucket "
+        "pruning, so candidate volume is (N/2^bits) × selectivity. "
+        "Queries are never filtered; pre-filtering (not post-"
+        "filtering the top-k) is what keeps recall under selective "
+        "predicates — post-filter ANN returns < k rows when "
+        "neighbors get rejected.",
+    tags=("similarity", "lsh", "filter"),
+)
+def s09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(
+        _emb(spark, sf_dir),
+        query_ids=list(range(10)),
+        k=5,
+        bucketed=True,
+        candidate_filter=F.col("label").isin(0, 1, 2),
+    )

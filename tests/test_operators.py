@@ -1201,3 +1201,36 @@ class TestWktPointInPolygon:
         assert [(p["x"], p["y"]) for p in verts] == [
             (0.0, 0.0), (10.0, 0.0), (10.0, 5.0), (0.0, 5.0), (0.0, 0.0),
         ]
+
+
+class TestFilteredAnn:
+    def test_candidate_filter_semantics_and_pushdown(self, spark):
+        """Filtered ANN: neighbors all satisfy the predicate, queries
+        are never filtered by it, and the predicate reaches the
+        candidate parquet scan as a pushed filter."""
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.operators.similarity import cosine_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = cosine_topk(
+            emb,
+            query_ids=[0, 1, 2],
+            k=3,
+            candidate_filter=F.col("label").isin(4, 5),
+        )
+        rows = out.collect()
+        assert len(rows) > 0
+        allowed = {
+            r["vec_id"]
+            for r in emb.filter(F.col("label").isin(4, 5))
+            .select("vec_id")
+            .collect()
+        }
+        assert {r["neighbor_id"] for r in rows} <= allowed
+        # query 0 exists in results even if ITS label is not 4/5
+        assert {r["query_id"] for r in rows} == {0, 1, 2}
+
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+        assert any("label" in l for l in pushed)
