@@ -40,6 +40,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from nycdb_k8s_loader_spark.publish.validate import TableChecks
 from nycdb_k8s_loader_spark.registry import (
     DatasetDef,
     Registry,
@@ -185,8 +186,19 @@ SIGNATURE_LOAN_STATUS_SCHEMA = _s(
 #: standard load's script path exercised by a real registry entry).
 DATASET_TABLES: dict[str, list[TableDef]] = {
     "hpd_registrations": [
-        TableDef("hpd_registrations", HPD_REGISTRATIONS_SCHEMA),
-        TableDef("hpd_registrations_grouped_by_bbl"),  # derived via SQL
+        TableDef(
+            "hpd_registrations", HPD_REGISTRATIONS_SCHEMA,
+            # publish gate: a corrupt upstream file (dup/NULL reg ids)
+            # must never replace the good published table
+            checks=TableChecks(
+                unique_key=["registrationid"],
+                not_null=["registrationid", "bbl"],
+            ),
+        ),
+        TableDef(
+            "hpd_registrations_grouped_by_bbl",  # derived via SQL
+            checks=TableChecks(unique_key=["bbl"]),
+        ),
     ],
     "hpd_contacts": [TableDef("hpd_contacts", HPD_CONTACTS_SCHEMA)],
     "hpd_violations": [TableDef("hpd_violations", HPD_VIOLATIONS_SCHEMA)],

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import types as T
 
+from nycdb_k8s_loader_spark.publish.validate import TableChecks
 from nycdb_k8s_loader_spark.registry import (
     DatasetDef,
     SourceFile,
@@ -349,7 +350,13 @@ CATALOG_TABLES: dict[str, list[TableDef]] = {
             DOF_PROPERTY_VALUATION_SCHEMA,
         )
     ],
-    "pluto_latest": [TableDef("pluto_latest", PLUTO_LATEST_SCHEMA)],
+    "pluto_latest": [
+        TableDef(
+            "pluto_latest", PLUTO_LATEST_SCHEMA,
+            # the city's parcel spine: one row per bbl, never NULL
+            checks=TableChecks(unique_key=["bbl"], not_null=["bbl"]),
+        )
+    ],
     "pad": [
         TableDef("pad_adr", PAD_ADR_SCHEMA, files=["pad_adr.csv"]),
         TableDef("pad_bbl", PAD_BBL_SCHEMA, files=["pad_bbl.csv"]),
@@ -422,7 +429,13 @@ def catalog_defs() -> list[DatasetDef]:
                     format="excel",
                 ),
             ],
-            tables=[TableDef("dof_annual_sales", DOF_ANNUAL_SALES_SCHEMA)],
+            tables=[
+                TableDef(
+                    "dof_annual_sales", DOF_ANNUAL_SALES_SCHEMA,
+                    # both yearly workbooks must contribute rows
+                    checks=TableChecks(not_null=["bbl"], min_rows=2),
+                )
+            ],
         )
     )
     out.append(

@@ -226,6 +226,25 @@ class Engine:
                     if t not in created:
                         created.append(t)
 
+            # 2.5 validation gate: staging copies must pass their
+            # declared checks or the load raises HERE — the staging
+            # ctx drops on the way out and readers keep the last good
+            # version (publish/validate.py; one aggregation pass per
+            # checked table).
+            from nycdb_k8s_loader_spark.publish.validate import (
+                validate_or_raise,
+            )
+
+            for table in ds.tables:
+                if table.checks is not None:
+                    validate_or_raise(
+                        table.name,
+                        self.spark.table(
+                            f"`{staging_db}`.`{table.name}`"
+                        ),
+                        table.checks,
+                    )
+
             # 3. atomic publish, grants snapshotted across the swap
             with self.grants.save_and_reapply(
                 self.publisher.target_db, created

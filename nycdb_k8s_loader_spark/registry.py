@@ -35,6 +35,11 @@ class TableDef:
     #: dataset file (the single-table common case). Multi-table
     #: datasets MUST map files to tables or rows would cross-load.
     files: list[str] | None = None
+    #: publish gate (publish/validate.TableChecks): the STAGING copy
+    #: must pass every check or the load raises before any swap —
+    #: readers keep the last good version (beyond-reference: the
+    #: reference publishes whatever the load produced).
+    checks: object | None = None
 
 
 @dataclass

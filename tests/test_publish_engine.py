@@ -747,3 +747,66 @@ class TestExternalPublish:
             assert before == after
         finally:
             spark.sql("DROP DATABASE IF EXISTS ext_pub_test CASCADE")
+
+
+class TestPublishValidationGate:
+    """Registry-declared checks gate the swap: a corrupt upstream file
+    must never replace the good published table (beyond-reference —
+    the reference publishes whatever loaded)."""
+
+    def _engine(self, spark, tmp_path, reg_csv: str):
+        from nycdb_k8s_loader_spark.datasets import wow_registry
+        from nycdb_k8s_loader_spark.engine import Engine
+        from nycdb_k8s_loader_spark.state.kvstore import DictKVStore
+        from nycdb_k8s_loader_spark.state.lastmod import FetchResult
+
+        def downloader(url: str, dest: str) -> None:
+            with open(dest, "w") as f:
+                f.write(reg_csv)
+
+        return Engine(
+            spark, wow_registry(), DictKVStore(),
+            target_db="valgate_test",
+            landing_root=str(tmp_path / "landing"),
+            transport=lambda url, headers: FetchResult(200, etag='"g"'),
+            downloader=downloader,
+        )
+
+    def test_corrupt_load_keeps_last_good_version(self, spark, tmp_path):
+        from nycdb_k8s_loader_spark.publish.protocol import Publisher
+        from nycdb_k8s_loader_spark.publish.validate import ValidationError
+
+        good = "registrationid,bbl,boro\n1,BBL1,MN\n2,BBL2,BK\n"
+        bad = (  # duplicate registrationid + NULL bbl
+            "registrationid,bbl,boro\n1,BBL1,MN\n1,,BK\n"
+        )
+        try:
+            eng = self._engine(spark, tmp_path, good)
+            eng.load("hpd_registrations")
+            tbl = "valgate_test.hpd_registrations"
+            assert spark.table(tbl).count() == 2
+
+            eng_bad = self._engine(spark, tmp_path, bad)
+            with pytest.raises(ValidationError) as exc:
+                eng_bad.load("hpd_registrations")
+            failed = {f.check for f in exc.value.failures}
+            assert any("unique" in c for c in failed)
+            assert any("not_null" in c for c in failed)
+
+            # readers keep the last good version; staging dropped
+            assert spark.table(tbl).count() == 2
+            assert {r["bbl"] for r in spark.table(tbl).collect()} == {
+                "BBL1", "BBL2",
+            }
+            assert Publisher(spark).list_staging_dbs(
+                "hpd_registrations"
+            ) == []
+            # derived table from the good load also survives
+            assert (
+                spark.table(
+                    "valgate_test.hpd_registrations_grouped_by_bbl"
+                ).count()
+                == 2
+            )
+        finally:
+            spark.sql("DROP DATABASE IF EXISTS valgate_test CASCADE")
