@@ -154,6 +154,22 @@ def cmd_staging_list(args) -> int:
     return 0
 
 
+def cmd_staging_cleanup(args) -> int:
+    """Drop leaked staging namespaces (a crashed driver skips the
+    context-manager cleanup; the reference has the same leak mode with
+    temp schemas — its get_temp_schemas listing is how operators found
+    them, load_dataset.py:82-89). ``dataset`` narrows the sweep."""
+    from nycdb_k8s_loader_spark.publish.protocol import Publisher
+    from nycdb_k8s_loader_spark.session import get_spark
+
+    spark = get_spark(app_name="nycdb-cli")
+    pub = Publisher(spark)
+    for db in pub.list_staging_dbs(args.dataset):
+        pub.drop_db(db)
+        print(f"dropped {db}")
+    return 0
+
+
 def cmd_sql(args) -> int:
     from nycdb_k8s_loader_spark.session import get_spark
 
@@ -205,6 +221,10 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("tracker:list").set_defaults(fn=cmd_tracker_list)
     sub.add_parser("staging:list").set_defaults(fn=cmd_staging_list)
+
+    sc = sub.add_parser("staging:cleanup")
+    sc.add_argument("dataset", nargs="?", default=None)
+    sc.set_defaults(fn=cmd_staging_cleanup)
 
     sq = sub.add_parser("sql")
     sq.add_argument("statement")

@@ -158,3 +158,25 @@ class TestLoadCommand:
     def test_no_dataset_argument_fails(self):
         with pytest.raises(SystemExit):
             cli.main(["load"])
+
+
+def test_staging_cleanup(spark, capsys):
+    from nycdb_k8s_loader_spark.publish.protocol import staging_db_name
+
+    leaked = staging_db_name("leaky_ds", epoch=1700000000)
+    other = staging_db_name("other_ds", epoch=1700000001)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {leaked}")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {other}")
+    try:
+        # narrowed sweep drops only the named dataset's staging dbs
+        assert cli.main(["staging:cleanup", "leaky_ds"]) == 0
+        out = capsys.readouterr().out
+        assert leaked in out and other not in out
+        dbs = {d.name for d in spark.catalog.listDatabases()}
+        assert leaked not in dbs and other in dbs
+        # full sweep drops the rest
+        assert cli.main(["staging:cleanup"]) == 0
+        assert other not in {d.name for d in spark.catalog.listDatabases()}
+    finally:
+        for db in (leaked, other):
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
