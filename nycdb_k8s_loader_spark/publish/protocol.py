@@ -245,7 +245,11 @@ class Publisher:
     def _prune_versions(self, table: str) -> None:
         """Delete version dirs beyond keep_versions, oldest first,
         never the one the live table points at. Runs only after the
-        pointer flip: a crash strands extra files, never live data."""
+        pointer flip: a crash strands extra files, never live data.
+        Local-FS/NFS only (os.listdir): on an object-store root this
+        is a silent no-op and version GC belongs to a lifecycle rule
+        on the bucket — stranded versions are still never wrong, just
+        unreclaimed."""
         import os
 
         base = f"{self.external_root}/{self.target_db}/{table}"

@@ -305,3 +305,115 @@ def test_incremental_rollup_merge_equals_direct(spark, rows):
     )
     assert direct == merged
     df.unpersist()
+
+
+# --- round-4 operators: property-based checks --------------------------------
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 10_000),
+    n_verts=st.integers(3, 9),
+    n_points=st.integers(5, 20),
+)
+def test_ray_cast_matches_convex_halfplane_oracle(
+    spark, seed, n_verts, n_points
+):
+    """point_in_polygon (general ray casting) vs an INDEPENDENT
+    decision procedure: for convex polygons, containment equals
+    'every edge cross-product has the same sign'. Random convex
+    polygons (sorted-angle construction) + random points, points
+    nudged off edges."""
+    import math
+    import random
+
+    from nycdb_k8s_loader_spark.operators.geo import (
+        parse_wkt_polygon,
+        point_in_polygon,
+    )
+
+    rng = random.Random(seed)
+    angles = sorted(rng.uniform(0, 2 * math.pi) for _ in range(n_verts))
+    # distinct angles → strictly convex; collapse duplicates
+    angles = sorted(set(round(a, 3) for a in angles))
+    if len(angles) < 3:
+        return
+    verts = [
+        (round(10 + 7 * math.cos(a), 3), round(10 + 7 * math.sin(a), 3))
+        for a in angles
+    ]
+    ring = verts + [verts[0]]
+    wkt = "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in ring) + "))"
+
+    def convex_contains(px, py):
+        sign = 0
+        for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+            cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+            if abs(cross) < 1e-9:
+                return None  # on-edge: undefined for both methods
+            s = 1 if cross > 0 else -1
+            if sign == 0:
+                sign = s
+            elif s != sign:
+                return False
+        return True
+
+    pts = []
+    for _ in range(n_points):
+        px = round(rng.uniform(0, 20), 3) + 1e-4  # off grid = off edges
+        py = round(rng.uniform(0, 20), 3) + 1e-4
+        want = convex_contains(px, py)
+        if want is not None:
+            pts.append((px, py, want))
+    if not pts:
+        return
+    df = spark.createDataFrame(
+        pts, "px double, py double, want boolean"
+    ).withColumn("wkt", F.lit(wkt))
+    out = df.select(
+        "px", "py", "want",
+        point_in_polygon(
+            F.col("px"), F.col("py"), parse_wkt_polygon("wkt")
+        ).alias("got"),
+    ).collect()
+    for r in out:
+        assert r["got"] == r["want"], (wkt, r["px"], r["py"])
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    host=st.from_regex(r"[a-z][a-z0-9-]{0,10}(\.[a-z]{2,5}){1,2}", fullmatch=True),
+    path=st.from_regex(r"(/[A-Za-z0-9._-]{0,8}){0,4}", fullmatch=True),
+    scheme=st.sampled_from(["http", "HTTPS", "Http"]),
+    www=st.booleans(),
+    port=st.sampled_from(["", ":80", ":443"]),
+    slash=st.booleans(),
+    query=st.sampled_from(["", "?utm_source=x", "?a=1&utm_b=2", "#frag"]),
+)
+def test_canonical_url_idempotent_and_variant_stable(
+    spark, host, path, scheme, www, port, slash, query
+):
+    """canonical(messy) == canonical(clean) for every cosmetic variant,
+    and canonicalization is idempotent (canonical(canonical(u)) ==
+    canonical(u)) — the property URL-level dedup actually relies on."""
+    from nycdb_k8s_loader_spark.operators.dedup import canonical_url
+
+    messy = (
+        f"{scheme}://{'www.' if www else ''}{host.upper()}{port}"
+        f"{path}{'/' if slash else ''}{query}"
+    )
+    clean = f"{scheme.lower()}://{host}{path}"
+    df = spark.createDataFrame([(messy, clean)], "m string, c string")
+    row = df.select(
+        canonical_url("m").alias("cm"),
+        canonical_url("c").alias("cc"),
+        canonical_url(canonical_url("m")).alias("cmm"),
+    ).first()
+    assert row["cm"] == row["cc"]
+    assert row["cmm"] == row["cm"]
