@@ -595,3 +595,97 @@ def url_dedup(
             F.count("*").alias("n_dups"),
         )
     )
+
+
+# --- exact-substring (duplicated n-gram span) scrubbing ----------------------
+
+
+def duplicated_span_starts(
+    df: DataFrame,
+    ngram: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc, start_pos) of every length-``ngram`` token window whose
+    exact text occurs ≥ min_count times ACROSS THE CORPUS (within-doc
+    repeats count) — the detection half of exact-substring dedup
+    (the Lee et al. 'Deduplicating Training Data Makes Language
+    Models Better' removal criterion, re-expressed relationally).
+
+    Scale shape: positional grams are one posexplode over the
+    codegen'd shingle array (map-side); the global frequency pass is
+    ONE groupBy on the gram string; dup starts come back via an
+    equi-join of grams against the (filtered, far smaller) duplicated-
+    gram set. Shuffles carry grams + (id, pos) ints, never documents.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(normalized_text(text_col), " "), lambda w: w != ""
+        ).alias("ws"),
+    ).filter(F.size("ws") >= ngram)
+    grams = words.select(
+        F.col(id_col),
+        F.posexplode(shingle_array(F.col("ws"), ngram)).alias("pos", "gram"),
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("gram")
+    )
+    return grams.join(dup_grams, "gram").select(id_col, "pos")
+
+
+def exact_substring_scrub(
+    df: DataFrame,
+    ngram: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove duplicated spans from every document: tokens covered by
+    any duplicated ``ngram`` window are dropped, the rest re-joined in
+    order. Returns (doc_id, n_tokens, dup_tokens, cleaned_text) for
+    every input doc — including untouched ones (dup_tokens = 0).
+
+    The cover set is computed token-wise (explode of the L-window over
+    dup starts only, distinct) — interval merging as a set union, no
+    per-doc fold; the final filter is an index lambda over the
+    document's own token array (covered positions broadcast back via
+    one groupBy+join keyed on the doc id).
+    """
+    words = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(normalized_text(text_col), " "), lambda w: w != ""
+        ).alias("ws"),
+    )
+    starts = duplicated_span_starts(df, ngram, min_count, id_col, text_col)
+    covered = (
+        starts.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (ngram - 1))
+            ).alias("t"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("t")).alias("cov"))
+    )
+    out = words.join(covered, id_col, "left").select(
+        F.col(id_col),
+        F.size("ws").alias("n_tokens"),
+        F.coalesce(F.size("cov"), F.lit(0)).alias("dup_tokens"),
+        F.concat_ws(
+            " ",
+            F.filter(
+                "ws",
+                lambda w, i: ~F.coalesce(
+                    F.array_contains("cov", i), F.lit(False)
+                ),
+            ),
+        ).alias("cleaned_text"),
+    )
+    return out

@@ -1620,3 +1620,60 @@ def s09(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketed=True,
         candidate_filter=F.col("label").isin(0, 1, 2),
     )
+
+
+# --- exact-substring scrubbing (t13) -----------------------------------------
+
+@register(
+    "t13_exact_substring_scrub",
+    """
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(list_slice(ws, i, i + 7), ' ') AS gram
+        FROM words, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+        WHERE len(ws) >= 8
+    ),
+    dupg AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+    starts AS (SELECT g.doc_id, g.pos FROM grams g JOIN dupg USING (gram)),
+    covered AS (
+        SELECT DISTINCT doc_id,
+               unnest(generate_series(pos, pos + 7)) AS t
+        FROM starts
+    ),
+    cov AS (SELECT doc_id, list_sort(list(t)) AS cov
+            FROM covered GROUP BY doc_id)
+    SELECT w.doc_id,
+           len(w.ws)::BIGINT AS n_tokens,
+           COALESCE(len(c.cov), 0)::BIGINT AS dup_tokens,
+           COALESCE(array_to_string(
+               list_filter(w.ws, (x, i) -> c.cov IS NULL
+                                 OR NOT list_contains(c.cov, i - 1)),
+               ' '), '') AS cleaned_text
+    FROM words w LEFT JOIN cov c USING (doc_id)
+    """,
+    doc="Exact-substring scrubbing (the Lee-et-al. dedup that REMOVES "
+        "duplicated spans rather than whole docs — t06 only measured "
+        "them): every token covered by an 8-gram occurring ≥2 times "
+        "corpus-wide is dropped; cleaned text re-joined in order. "
+        "Relational shape: positional grams from one posexplode over "
+        "the codegen'd shingle array → ONE global gram groupBy → "
+        "equi-join back for dup starts → token-wise cover set "
+        "(distinct explode of L-windows — interval union as a set, no "
+        "per-doc fold) → index-lambda filter over each doc's token "
+        "array. Shuffles carry grams and (id, pos) ints, never "
+        "documents; the suffix-array machinery of the paper becomes "
+        "two groupBys and a join.",
+    tags=("text", "dedup"),
+)
+def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.dedup import (
+        exact_substring_scrub,
+    )
+
+    return exact_substring_scrub(_docs(spark, sf_dir), ngram=8)

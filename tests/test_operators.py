@@ -1234,3 +1234,48 @@ class TestFilteredAnn:
         plan = out._jdf.queryExecution().executedPlan().toString()
         pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
         assert any("label" in l for l in pushed)
+
+
+class TestExactSubstringScrub:
+    def test_shared_span_removed_from_all_carriers(self, spark):
+        from nycdb_k8s_loader_spark.operators.dedup import (
+            exact_substring_scrub,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "the quick brown fox jumps high above everything else"),
+                (3, "completely unique sentence with no shared spans here"),
+                (4, "tiny doc"),  # shorter than the ngram → untouched
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in exact_substring_scrub(df, ngram=5).collect()
+        }
+        assert len(rows) == 4  # every doc present, scrubbed or not
+        # the shared 5-gram is removed from BOTH carriers
+        assert rows[1]["cleaned_text"] == "over the lazy dog today"
+        assert rows[2]["cleaned_text"] == "high above everything else"
+        assert rows[1]["dup_tokens"] == rows[2]["dup_tokens"] == 5
+        # untouched docs keep their text (normalized casing aside)
+        assert rows[3]["dup_tokens"] == 0
+        assert rows[3]["cleaned_text"].startswith("completely unique")
+        assert rows[4]["cleaned_text"] == "tiny doc"
+
+    def test_within_doc_repeat_counts(self, spark):
+        """min_count counts occurrences corpus-wide, so a span repeated
+        INSIDE one doc is scrubbed too (both occurrences covered)."""
+        from nycdb_k8s_loader_spark.operators.dedup import (
+            exact_substring_scrub,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e x y a b c d e")],
+            "doc_id long, text string",
+        )
+        r = exact_substring_scrub(df, ngram=5).first()
+        assert r["dup_tokens"] == 12 - 2  # both 5-gram spans covered
+        assert r["cleaned_text"] == "x y"
