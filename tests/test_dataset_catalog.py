@@ -199,3 +199,60 @@ def test_external_publish_mode_matrix(spark, external_engine, dataset):
     assert {
         t: spark.table(f"catalog_ext.{t}").count() for t in tables
     } == counts
+
+
+def test_load_all_full_registry_parallel(spark, tmp_path_factory):
+    """The whole registry — every standard dataset AND all four custom
+    pipelines — through ONE dependency-ordered load_all with 8-way
+    level concurrency: the closest in-container rehearsal of the
+    production 'rebuild the world' run. Exercises topo levels, the
+    lock-free script path (ddl_db), staging isolation under
+    concurrency, and per-pipeline schemas, in one pass."""
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).parent))
+    from test_wow_pipeline import CSV as WOW_CSV
+
+    payloads: dict[str, bytes] = {}
+    for n in STANDARD:
+        payloads.update(_fixture_payloads(_REG.get(n)))
+
+    def downloader(url: str, dest: str) -> None:
+        name = url.rsplit("/", 1)[-1]
+        if name in WOW_CSV:  # wow-closure fixtures (rich hand-built)
+            with open(dest, "w") as f:
+                f.write(WOW_CSV[name])
+            return
+        with open(dest, "wb") as f:
+            f.write(payloads[url])
+
+    eng = Engine(
+        spark,
+        _REG,
+        DictKVStore(),
+        target_db="full_reg",
+        landing_root=str(tmp_path_factory.mktemp("full_landing")),
+        transport=lambda url, headers: FetchResult(200, etag='"f"'),
+        downloader=downloader,
+    )
+    try:
+        results = eng.load_all(max_parallel=8)
+        assert len(results) == len(_REG.names())
+        assert not any(r.skipped for r in results)
+        # every published table of every dataset answers with rows
+        for n in STANDARD:
+            for t in _REG.tables_for(n):
+                assert spark.table(f"full_reg.{t}").count() > 0, (n, t)
+        # custom pipelines landed in their own schemas
+        assert spark.table("wow.wow_bldgs").count() > 0
+        assert spark.table("oca.oca_evictions_bldgs").count() > 0
+        assert spark.table("signature.signature_buildings").count() > 0
+        assert spark.table("wow.gce_screener").count() > 0
+        # no staging namespaces leaked anywhere
+        from nycdb_k8s_loader_spark.publish.protocol import Publisher
+
+        assert Publisher(spark).list_staging_dbs() == []
+    finally:
+        for db in ("full_reg", "wow", "oca", "signature"):
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
