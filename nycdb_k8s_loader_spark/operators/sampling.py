@@ -86,3 +86,48 @@ def stratified_sample(
         .filter(F.col("_rn") <= F.lit(n_per_stratum))
         .drop("_rn")
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled source mixture weights — the multilingual /
+    multi-source sampling rule ``w_i ∝ p_i^alpha`` (alpha=1 is
+    proportional, alpha→0 uniform): compute each source's token share,
+    raise to ``alpha``, renormalize. Output per source:
+    ``(source, n_docs, n_tokens, weight, sampling_factor)`` where
+    ``sampling_factor = w_i / p_i`` is the per-source up/down-sampling
+    rate a sampler (p03/p04) should apply to realize the mixture.
+
+    100 TB shape: one partial-agg-friendly groupBy over the corpus
+    (counts and token sums only — bodies never shuffle); everything
+    after runs on the per-source frame, which is metadata-scale
+    (crossJoins are one-row broadcast totals, not data joins).
+    """
+    n_tokens = (
+        F.length(F.trim(F.col(text_col)))
+        - F.length(F.replace(F.trim(F.col(text_col)), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("long")
+    per = df.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tokens).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("__tot"))
+    scored = per.crossJoin(F.broadcast(tot)).withColumn(
+        "__u", F.pow(F.col("n_tokens") / F.col("__tot"), F.lit(alpha))
+    )
+    z = scored.agg(F.sum("__u").alias("__z"))
+    w = F.col("__u") / F.col("__z")
+    return scored.crossJoin(F.broadcast(z)).select(
+        F.col(source_col),
+        F.col("n_docs"),
+        F.col("n_tokens"),
+        F.round(w, 6).alias("weight"),
+        F.round(w * F.col("__tot") / F.col("n_tokens"), 4).alias(
+            "sampling_factor"
+        ),
+    )

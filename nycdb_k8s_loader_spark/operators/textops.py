@@ -417,3 +417,57 @@ def filter_funnel(
             F.sum("chars").alias("total_chars"),
         )
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    batch_size: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed batch assembly: group docs into power-of-two
+    token-length buckets and deal each bucket into fixed-size batches
+    in a deterministic pseudo-random order — the sequence-length
+    bucketing trick that keeps padding waste bounded while preserving
+    shuffle-like randomization inside each bucket.
+
+    Output: ``(id_col, n_tokens, bucket, batch_idx)`` where
+    ``bucket = floor(log2(n_tokens)) + 1`` (computed as the binary
+    digit count, exact integer arithmetic — no float log2 whose ulp
+    could flip a power-of-two boundary between engines) and
+    ``batch_idx`` is 0-based within the bucket, at most ``batch_size``
+    docs per (bucket, batch_idx).
+
+    100 TB shape: the in-bucket order comes from a GLOBAL total-order
+    rank over (bucket, md5(id), id) via ``distributed_rank`` — one
+    range repartition, rank offsets from a metadata-scale window —
+    then per-bucket start offsets (a ~20-row aggregate) broadcast
+    back. A per-bucket row_number window would funnel each bucket
+    (a constant fraction of the corpus) through ONE task; this plan
+    never does.
+    """
+    from nycdb_k8s_loader_spark.operators.relational import distributed_rank
+
+    n_tokens = (
+        F.length(F.trim(F.col(text_col)))
+        - F.length(F.replace(F.trim(F.col(text_col)), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("long")
+    sel = df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.length(F.bin(n_tokens)).cast("int").alias("bucket"),
+        F.md5(F.col(id_col).cast("string")).alias("__hkey"),
+    )
+    ranked = distributed_rank(
+        sel, ["bucket", "__hkey", id_col], rank_col="__grank"
+    )
+    starts = ranked.groupBy("bucket").agg(F.min("__grank").alias("__b0"))
+    return ranked.join(F.broadcast(starts), "bucket").select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("bucket"),
+        F.floor((F.col("__grank") - F.col("__b0")) / F.lit(batch_size))
+        .cast("long")
+        .alias("batch_idx"),
+    )

@@ -1677,3 +1677,193 @@ def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return exact_substring_scrub(_docs(spark, sf_dir), ngram=8)
+
+
+# --- round-4 additions: incremental dedup, length bucketing, mixtures -------
+
+@register(
+    "d11_incremental_dedup",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS l
+        FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(l) >= 3
+                    THEN l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                    ELSE array_to_string(l, ' ') END AS w
+        FROM toks,
+             unnest(CASE WHEN len(l) >= 3 THEN range(1, len(l) - 1)
+                         ELSE [CAST(1 AS BIGINT)] END) AS t(i)
+    ),
+    base AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)
+                   % 2147483647 AS x
+        FROM shingles
+    ),
+    sigs AS (
+        SELECT doc_id,
+               MIN((x * 1000000007 + 337)   % 2147483647) AS h0,
+               MIN((x * 998244353  + 7331)  % 2147483647) AS h1,
+               MIN((x * 774856531  + 12345) % 2147483647) AS h2,
+               MIN((x * 602398169  + 54321) % 2147483647) AS h3,
+               MIN((x * 516688307  + 2468)  % 2147483647) AS h4,
+               MIN((x * 402653189  + 13579) % 2147483647) AS h5,
+               MIN((x * 268435459  + 97531) % 2147483647) AS h6,
+               MIN((x * 160481183  + 86420) % 2147483647) AS h7
+        FROM base GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, md5(h0 || '' || h1) AS band_key FROM sigs
+        UNION ALL SELECT doc_id, 1, md5(h2 || '' || h3) FROM sigs
+        UNION ALL SELECT doc_id, 2, md5(h4 || '' || h5) FROM sigs
+        UNION ALL SELECT doc_id, 3, md5(h6 || '' || h7) FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN shingles sa ON sa.doc_id = c.doc_a
+        JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.w = sa.w
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes za ON za.doc_id = doc_a
+        JOIN sizes zb ON zb.doc_id = doc_b
+        WHERE n_common * 1.0 / (za.n + zb.n - n_common) >= 0.7
+    ),
+    near AS (
+        SELECT DISTINCT CASE WHEN doc_a % 2 = 1 THEN doc_a
+                             ELSE doc_b END AS doc_id
+        FROM edges
+        WHERE doc_a % 2 <> doc_b % 2
+    ),
+    ex AS (
+        SELECT DISTINCT b.doc_id
+        FROM documents b
+        JOIN documents c ON c.doc_id % 2 = 0
+           AND md5(lower(trim(c.text))) = md5(lower(trim(b.text)))
+        WHERE b.doc_id % 2 = 1
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'keep' END AS verdict
+    FROM documents d
+    LEFT JOIN ex e ON e.doc_id = d.doc_id
+    LEFT JOIN near n ON n.doc_id = d.doc_id
+    WHERE d.doc_id % 2 = 1
+    """,
+    doc="Incremental corpus dedup — dedup the INCREMENT against the "
+        "standing corpus (even doc_ids = corpus, odd = incoming "
+        "batch): exact verdict by normalized-hash semi-join, near "
+        "verdict by the d03/d09 MinHash band machinery restricted to "
+        "cross-side candidate pairs, verified with exact Jaccard "
+        ">= 0.7 on 3-shingles. The continuous-ingestion pattern: "
+        "per-refresh cost is linear in the batch + its candidates; "
+        "the corpus is never re-clustered. "
+        "operators/dedup.py incremental_dedup.",
+    tags=("dedup", "pipeline", "incremental"),
+)
+def d11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.dedup import incremental_dedup
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_dedup(corpus, batch, threshold=0.7, shingles=3)
+
+
+@register(
+    "c05_length_bucket_batches",
+    """
+    WITH s AS (
+        SELECT doc_id,
+               (length(trim(text))
+                - length(replace(trim(text), ' ', '')) + 1)::BIGINT
+                   AS n_tokens
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, n_tokens,
+               length(bin(n_tokens))::INT AS bucket
+        FROM s
+    ),
+    r AS (
+        SELECT doc_id, n_tokens, bucket,
+               row_number() OVER (PARTITION BY bucket
+                                  ORDER BY md5(doc_id::VARCHAR), doc_id)
+                   - 1 AS rn
+        FROM b
+    )
+    SELECT doc_id, n_tokens, bucket, (rn // 32)::BIGINT AS batch_idx
+    FROM r
+    """,
+    doc="Sequence-length bucketing for training batches: power-of-two "
+        "token-length buckets (binary digit count — exact integer "
+        "arithmetic, no float log2 boundary risk), deterministic "
+        "pseudo-random in-bucket order, fixed-size batch deal-out. "
+        "Scale path: global distributed_rank over (bucket, md5(id)) "
+        "+ broadcast per-bucket offsets — never a per-bucket window "
+        "that funnels a constant corpus fraction through one task. "
+        "operators/textops.py length_bucket_batches.",
+    tags=("text", "pipeline", "batching"),
+)
+def c05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.textops import (
+        length_bucket_batches,
+    )
+
+    return length_bucket_batches(_docs(spark, sf_dir), batch_size=32)
+
+
+@register(
+    "p05_temperature_mixture",
+    """
+    WITH per AS (
+        SELECT source,
+               COUNT(*)::BIGINT AS n_docs,
+               SUM(length(trim(text))
+                   - length(replace(trim(text), ' ', '')) + 1)::BIGINT
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT SUM(n_tokens)::DOUBLE AS tot FROM per),
+    u AS (
+        SELECT source, n_docs, n_tokens,
+               pow(n_tokens / tot, 0.5) AS uu, tot
+        FROM per CROSS JOIN t
+    ),
+    z AS (SELECT SUM(uu) AS zz FROM u)
+    SELECT source, n_docs, n_tokens,
+           ROUND(uu / zz, 6) AS weight,
+           ROUND(uu / zz * tot / n_tokens, 4) AS sampling_factor
+    FROM u CROSS JOIN z
+    """,
+    doc="Temperature-scaled source mixture (w_i ∝ p_i^0.5): each "
+        "source's token share raised to alpha and renormalized, plus "
+        "the realized sampling_factor = w_i/p_i a sampler (p03/p04) "
+        "applies. One partial-agg groupBy over the corpus; all "
+        "arithmetic on the metadata-scale per-source frame via "
+        "broadcast one-row totals. "
+        "operators/sampling.py temperature_mixture.",
+    tags=("sampling", "mixing"),
+)
+def p05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    return temperature_mixture(_docs(spark, sf_dir), alpha=0.5)

@@ -1279,3 +1279,141 @@ class TestExactSubstringScrub:
         r = exact_substring_scrub(df, ngram=5).first()
         assert r["dup_tokens"] == 12 - 2  # both 5-gram spans covered
         assert r["cleaned_text"] == "x y"
+
+
+class TestIncrementalDedup:
+    """d11: batch-vs-corpus verdicts, never re-clustering the corpus."""
+
+    def _frames(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (2, "the quick brown fox jumps over the lazy dog today"),
+                (4, "pack my box with five dozen liquor jugs right now"),
+                (6, "a completely different corpus document about engines"),
+            ],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [
+                # exact dup of corpus doc 2 (normalization: case/trim)
+                (1, "  The quick brown fox jumps over the lazy dog today "),
+                # near dup of corpus doc 4 (one word changed)
+                (3, "pack my box with five dozen liquor jugs right here"),
+                # genuinely new
+                (5, "nothing like anything the corpus has ever seen before"),
+            ],
+            "doc_id long, text string",
+        )
+        return corpus, batch
+
+    def test_verdicts(self, spark):
+        from nycdb_k8s_loader_spark.operators.dedup import incremental_dedup
+
+        corpus, batch = self._frames(spark)
+        out = {
+            r["doc_id"]: r["verdict"]
+            for r in incremental_dedup(
+                corpus, batch, threshold=0.5, shingles=3
+            ).collect()
+        }
+        assert out == {1: "exact_dup", 3: "near_dup", 5: "keep"}
+
+    def test_batch_internal_dups_do_not_flag(self, spark):
+        from nycdb_k8s_loader_spark.operators.dedup import incremental_dedup
+
+        corpus, _ = self._frames(spark)
+        batch = corpus.sparkSession.createDataFrame(
+            [
+                (11, "twin text that appears twice inside this batch only"),
+                (13, "twin text that appears twice inside this batch only"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["verdict"]
+            for r in incremental_dedup(
+                corpus, batch, threshold=0.5, shingles=3
+            ).collect()
+        }
+        # intra-batch dups are out of scope: both keep
+        assert out == {11: "keep", 13: "keep"}
+
+
+class TestLengthBucketBatches:
+    def test_buckets_and_batch_sizes(self, spark):
+        from nycdb_k8s_loader_spark.operators.textops import (
+            length_bucket_batches,
+        )
+
+        # lengths 1..40 words → buckets 1..6 (binary digit count)
+        rows = [(i, " ".join(f"w{j}" for j in range(i))) for i in range(1, 41)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = length_bucket_batches(docs, batch_size=4).collect()
+        assert len(out) == 40
+        for r in out:
+            assert r["bucket"] == len(bin(r["n_tokens"])) - 2
+        # every (bucket, batch_idx) group holds at most batch_size docs,
+        # and batch indices are dense from 0 within each bucket
+        from collections import Counter, defaultdict
+
+        sizes = Counter((r["bucket"], r["batch_idx"]) for r in out)
+        assert max(sizes.values()) <= 4
+        per_bucket = defaultdict(set)
+        for b, i in sizes:
+            per_bucket[b].add(i)
+        for b, idxs in per_bucket.items():
+            assert idxs == set(range(len(idxs)))
+
+    def test_deterministic_across_partitionings(self, spark):
+        from nycdb_k8s_loader_spark.operators.textops import (
+            length_bucket_batches,
+        )
+
+        rows = [(i, " ".join(f"w{j}" for j in range(i % 17 + 1)))
+                for i in range(1, 101)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(
+            map(tuple, length_bucket_batches(docs, 8).collect())
+        )
+        b = sorted(
+            map(tuple, length_bucket_batches(docs.repartition(13), 8).collect())
+        )
+        assert a == b
+
+
+class TestTemperatureMixture:
+    def test_alpha_one_is_proportional(self, spark):
+        from nycdb_k8s_loader_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d", "web"), (2, "a b c d", "web"),
+             (3, "a b c d", "books")],
+            "doc_id long, text string, source string",
+        )
+        out = {r["source"]: r for r in temperature_mixture(docs, alpha=1.0).collect()}
+        assert abs(out["web"]["weight"] - 2 / 3) < 1e-6
+        assert abs(out["books"]["weight"] - 1 / 3) < 1e-6
+        # proportional mixture means sampling_factor == 1 everywhere
+        assert abs(out["web"]["sampling_factor"] - 1.0) < 1e-4
+        assert abs(out["books"]["sampling_factor"] - 1.0) < 1e-4
+
+    def test_alpha_flattens_toward_uniform(self, spark):
+        from nycdb_k8s_loader_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "w " * 10, "big") for i in range(9)]
+            + [(100, "w " * 10, "small")],
+            "doc_id long, text string, source string",
+        )
+        out = {r["source"]: r for r in temperature_mixture(docs, alpha=0.5).collect()}
+        assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-5
+        # sqrt scaling: small source's share rises above its 10% token
+        # share, big source's falls below 90%
+        assert out["small"]["weight"] > 0.1
+        assert out["big"]["weight"] < 0.9
+        assert out["small"]["sampling_factor"] > 1.0
+        assert out["big"]["sampling_factor"] < 1.0
