@@ -640,3 +640,89 @@ def knn_label_vote(
     return F.broadcast(pred).join(truth, "query_id").select(
         "query_id", "true_label", "pred_label", "votes"
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster the embedding space
+    coarsely (one deterministic k-means assignment — the s07
+    machinery), then prune near-duplicates WITHIN each cluster by
+    exact cosine, keeping the smallest id of every close group.
+
+    Returns one row per vector: ``(vec_id, cluster_id, is_kept)``
+    where ``is_kept`` is false iff some smaller-id vector in the same
+    cluster has cosine >= threshold (the greedy keep-first rule —
+    deterministic, no transitive closure; the closure form is d09's
+    component machinery if needed).
+
+    100 TB shape: assignment is map-side (broadcast k×dim centroid
+    array, in-row struct-min fold — no shuffle); the pairwise stage is
+    an equi-join ON cluster id, so candidate work is Σ_c C(n_c, 2)
+    instead of C(n, 2) and the shuffle never crosses clusters — k
+    scales with corpus size to keep clusters bounded. Norms are
+    computed once per vector before the join (one dot per pair after,
+    not three). A pathologically hot cluster sub-blocks into the d08
+    GEMM machinery keyed by (cluster, block) — same trade as d08's
+    sign-buckets, with learned cells instead of fixed hyperplanes.
+    """
+    vecs = emb.select(
+        F.col(id_col).alias("vid"), as_double_vec(vec_col).alias("v")
+    )
+    cent_arr = (
+        vecs.filter(F.col("vid") < k)
+        .select(F.col("vid").alias("cid"), F.col("v").alias("c"))
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cents"))
+    )
+    assigned = vecs.crossJoin(F.broadcast(cent_arr)).select(
+        "vid",
+        "v",
+        F.array_min(
+            F.transform(
+                "cents",
+                lambda ct: F.struct(
+                    sq_dist(F.col("v"), ct["c"]).alias("d2"),
+                    ct["cid"].alias("cid"),
+                ),
+            )
+        )["cid"].alias("cid"),
+    )
+    withn = assigned.select(
+        "vid", "cid", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
+    )
+    a = withn.select(
+        F.col("cid"),
+        F.col("vid").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = withn.select(
+        F.col("cid"),
+        F.col("vid").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dup = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        withn.select("vid", "cid")
+        .join(dup, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cid").alias("cluster_id"),
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("is_kept"),
+        )
+    )

@@ -1867,3 +1867,49 @@ def p05(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return temperature_mixture(_docs(spark, sf_dir), alpha=0.5)
+
+
+@register(
+    "d12_semantic_dedup",
+    f"""
+    WITH e AS ({_VEC}),
+    cent AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
+    dists AS (
+        SELECT e.vec_id, c.cid,
+               list_sum(list_transform(range(1, len(e.v) + 1),
+                        i -> (e.v[i] - c.c[i]) ^ 2)) AS d2
+        FROM e CROSS JOIN cent c
+    ),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cid) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    j AS (SELECT a.vec_id, a.cid, e.v FROM assign a JOIN e USING (vec_id)),
+    dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM j a JOIN j b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    )
+    SELECT j.vec_id, j.cid AS cluster_id,
+           d.vec_id IS NULL AS is_kept
+    FROM j LEFT JOIN dup d ON d.vec_id = j.vec_id
+    """,
+    doc="SemDeDup-style semantic dedup: one deterministic k-means "
+        "assignment (s07's broadcast-centroid map-side argmin, k=8) "
+        "partitions the embedding space; exact cosine >= 0.45 prunes "
+        "near-duplicates WITHIN clusters only, keeping each close "
+        "group's smallest id. Candidate work is sum_c C(n_c,2), the "
+        "pair join never crosses clusters, and cross-cluster recall "
+        "is the standard coarse-quantizer trade (vs d08's fixed "
+        "hyperplanes: learned cells). "
+        "operators/similarity.py semantic_dedup.",
+    tags=("dedup", "similarity", "scale"),
+)
+def d12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(_emb(spark, sf_dir), k=8, threshold=0.45)

@@ -1417,3 +1417,37 @@ class TestTemperatureMixture:
         assert out["big"]["weight"] < 0.9
         assert out["small"]["sampling_factor"] > 1.0
         assert out["big"]["sampling_factor"] < 1.0
+
+
+class TestSemanticDedup:
+    def test_within_cluster_pruning_keeps_min_id(self, spark):
+        from nycdb_k8s_loader_spark.operators.similarity import semantic_dedup
+
+        # centroids = ids 0,1 (k=2): cluster A near (1,0,...), B near
+        # (0,1,...). 5 and 7 duplicate 0's direction → pruned; 9 lands
+        # in cluster B but points 31° off its axis (cos ≈ 0.86 < 0.9)
+        # → kept.
+        def v(x, y):
+            return [float(x), float(y), 0.0, 0.0]
+
+        emb = spark.createDataFrame(
+            [
+                (0, v(1, 0), 0),
+                (1, v(0, 1), 0),
+                (5, v(0.99, 0.01), 0),
+                (7, v(1.01, -0.01), 0),
+                (9, v(0.6, 1.0), 0),
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        out = {
+            r["vec_id"]: r
+            for r in semantic_dedup(emb, k=2, threshold=0.9).collect()
+        }
+        assert out[0]["is_kept"] and not out[5]["is_kept"]
+        assert not out[7]["is_kept"]
+        assert out[1]["is_kept"] and out[9]["is_kept"]
+        # 0/5/7 share a cluster; 1/9 share the other
+        assert out[0]["cluster_id"] == out[5]["cluster_id"] == out[7]["cluster_id"]
+        assert out[1]["cluster_id"] == out[9]["cluster_id"]
+        assert out[0]["cluster_id"] != out[1]["cluster_id"]
