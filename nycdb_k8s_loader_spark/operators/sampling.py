@@ -102,9 +102,12 @@ def temperature_mixture(
     ``sampling_factor = w_i / p_i`` is the per-source up/down-sampling
     rate a sampler (p03/p04) should apply to realize the mixture.
 
-    100 TB shape: one partial-agg-friendly groupBy over the corpus
-    (counts and token sums only — bodies never shuffle); everything
-    after runs on the per-source frame, which is metadata-scale
+    100 TB shape: ONE partial-agg-friendly groupBy over the corpus
+    (counts and token sums only — bodies never shuffle); the
+    per-source frame is eagerly localCheckpointed because the total
+    and the normalizer both derive from it — without the pin, each
+    one-row aggregate re-plans the full corpus scan (plan-asserted:
+    a single FileScan). Everything downstream is metadata-scale
     (crossJoins are one-row broadcast totals, not data joins).
     """
     n_tokens = (
@@ -112,9 +115,13 @@ def temperature_mixture(
         - F.length(F.replace(F.trim(F.col(text_col)), F.lit(" "), F.lit("")))
         + 1
     ).cast("long")
-    per = df.groupBy(source_col).agg(
-        F.count("*").alias("n_docs"),
-        F.sum(n_tokens).alias("n_tokens"),
+    per = (
+        df.groupBy(source_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_tokens).alias("n_tokens"),
+        )
+        .localCheckpoint(eager=True)
     )
     tot = per.agg(F.sum("n_tokens").alias("__tot"))
     scored = per.crossJoin(F.broadcast(tot)).withColumn(

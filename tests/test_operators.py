@@ -1451,3 +1451,62 @@ class TestSemanticDedup:
         assert out[0]["cluster_id"] == out[5]["cluster_id"] == out[7]["cluster_id"]
         assert out[1]["cluster_id"] == out[9]["cluster_id"]
         assert out[0]["cluster_id"] != out[1]["cluster_id"]
+
+
+class TestRound4LatePlanShapes:
+    """Plan assertions for d11/d12/c05/p05."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_p05_single_scan_metadata_joins_only(self, spark):
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        df = queries()["p05_temperature_mixture"](
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = self._plan(df)
+        # the ONE corpus scan happened inside the eager checkpoint of
+        # the per-source aggregate; the visible plan must be pure
+        # metadata arithmetic — re-deriving the totals from the lazy
+        # aggregate used to re-plan the corpus scan 4x
+        assert plan.count("FileScan parquet") == 0
+        assert "SortMergeJoin" not in plan
+        assert plan.count("Exchange hashpartitioning") == 0
+
+    def test_c05_no_per_bucket_data_window(self, spark):
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        df = queries()["c05_length_bucket_batches"](
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = self._plan(df)
+        # per-bucket offsets broadcast back; the only Window runs over
+        # the metadata-scale per-partition counts frame inside
+        # distributed_rank — a data-scale window partitioned by bucket
+        # would show 'Window [...bucket...]' with a hashpartitioning
+        # exchange on bucket feeding it
+        assert "BroadcastHashJoin" in plan
+        for frag in plan.split("Window [")[1:]:
+            assert "row_number" not in frag.split("]")[0] or \
+                "__pid" in frag.split("]")[0]
+
+    def test_d12_pair_join_is_cluster_keyed(self, spark):
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        df = queries()["d12_semantic_dedup"](spark, "/root/testdata/sf0.001")
+        plan = self._plan(df)
+        # the pairwise stage must be an equi-join on the cluster id,
+        # never a cartesian over vectors
+        assert "CartesianProduct" not in plan
+        # centroid array + final dup-marker joins broadcast
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+    def test_d11_has_no_cartesian_and_prunes_corpus_text(self, spark):
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        df = queries()["d11_incremental_dedup"](
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = self._plan(df)
+        assert "CartesianProduct" not in plan
