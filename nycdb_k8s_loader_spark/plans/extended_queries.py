@@ -962,3 +962,49 @@ def g03(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(pairs.select(F.col("v").alias("u"),
                                      F.col("u").alias("v"))).distinct()
     return pagerank(edges, iterations=3, damping=0.85, src="u", dst="v")
+
+
+@register(
+    "m06_video_scene_cuts",
+    """
+    WITH vid AS (
+        SELECT i AS media_id, 128 + (i % 5) * 64 AS n
+        FROM range(0, 64) t(i) WHERE i % 3 = 2
+    ),
+    by AS (
+        SELECT media_id, j, (j // 32)::BIGINT AS f,
+               (media_id * 7 + j) % 256 AS b
+        FROM vid, unnest(range(0, (n // 32) * 32)) s(j)
+    ),
+    d AS (
+        SELECT a.media_id, a.f AS frame_idx,
+               SUM(abs(a.b - c.b))::BIGINT AS sad
+        FROM by a JOIN by c
+          ON c.media_id = a.media_id AND c.j = a.j + 32
+        GROUP BY 1, 2
+    )
+    SELECT media_id, frame_idx,
+           ROUND(sad / 32.0, 4) AS mad,
+           sad > 60 * 32 AS is_cut
+    FROM d
+    """,
+    doc="Shot-boundary detection over video payloads: consecutive-"
+        "frame mean absolute difference (MAD) with cuts above a "
+        "threshold — the frame-differencing kernel every video "
+        "curation pipeline runs before sampling (m03) so samples "
+        "align to shots. Integer-exact cross-engine: SAD is an "
+        "integer, /32 is a power-of-two division, and the cut "
+        "decision is an integer compare (sad > thr*32) — the oracle "
+        "recomputes the whole kernel arithmetically from the "
+        "synthetic payload formula. Shuffle-free mapInPandas; "
+        "payloads die in the Python worker. "
+        "operators/multimodal.py video_scene_cuts.",
+    tags=("multimodal", "pipeline"),
+)
+def m06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.multimodal import (
+        synthetic_media,
+        video_scene_cuts,
+    )
+
+    return video_scene_cuts(synthetic_media(spark))

@@ -1913,3 +1913,89 @@ def d12(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nycdb_k8s_loader_spark.operators.similarity import semantic_dedup
 
     return semantic_dedup(_emb(spark, sf_dir), k=8, threshold=0.45)
+
+
+# s10 composes the three ANN oracles registered above as CTE
+# subqueries — the audit's ground truth IS s01's oracle, verbatim.
+from nycdb_k8s_loader_spark.plans.catalog import QUERIES as _Q
+
+_S10_ORACLE = f"""
+    WITH truth AS ({_Q['s01_ann_cosine_topk'].oracle}),
+    ivf AS ({_Q['s04_ivf_cell_topk'].oracle}),
+    lsh AS ({_Q['s02_ann_lsh_bucketed_topk'].oracle}),
+    hits_i AS (
+        SELECT t.query_id, COUNT(*) AS h
+        FROM truth t JOIN ivf i
+          ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+        GROUP BY 1
+    ),
+    hits_l AS (
+        SELECT t.query_id, COUNT(*) AS h
+        FROM truth t JOIN lsh l
+          ON l.query_id = t.query_id AND l.neighbor_id = t.neighbor_id
+        GROUP BY 1
+    ),
+    base AS (SELECT query_id, COUNT(*) AS kt FROM truth GROUP BY 1)
+    SELECT b.query_id, b.kt::BIGINT AS k_truth,
+           COALESCE(hi.h, 0)::BIGINT AS ivf_hits,
+           COALESCE(hl.h, 0)::BIGINT AS lsh_hits,
+           ROUND(COALESCE(hi.h, 0) * 1.0 / b.kt, 4) AS recall_ivf,
+           ROUND(COALESCE(hl.h, 0) * 1.0 / b.kt, 4) AS recall_lsh
+    FROM base b
+    LEFT JOIN hits_i hi ON hi.query_id = b.query_id
+    LEFT JOIN hits_l hl ON hl.query_id = b.query_id
+"""
+
+
+@register(
+    "s10_ann_recall_audit",
+    _S10_ORACLE,
+    doc="ANN index quality audit — overlap@k of each pruned path "
+        "(s04 IVF nprobe=1, s02 hyperplane-LSH) against the s01 "
+        "brute-force ground truth, per query: the measure-don't-guess "
+        "query an index rollout gates on (recall dial: nprobe / "
+        "bucket bits). Composes the registered operators directly; "
+        "the oracle composes their oracle texts as CTEs, so the "
+        "audit's truth is definitionally the audited queries'. All "
+        "joins are Qxk-row frames — metadata-scale next to the "
+        "searches themselves.",
+    tags=("similarity", "audit"),
+)
+def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = (
+        _Q["s01_ann_cosine_topk"].fn(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+    )
+    ivf = (
+        _Q["s04_ivf_cell_topk"].fn(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+    )
+    lsh = (
+        _Q["s02_ann_lsh_bucketed_topk"].fn(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+    )
+    hits_i = (
+        truth.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("__hi"))
+    )
+    hits_l = (
+        truth.join(lsh, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("__hl"))
+    )
+    base = truth.groupBy("query_id").agg(F.count("*").alias("__kt"))
+    hi = F.coalesce(F.col("__hi"), F.lit(0))
+    hl = F.coalesce(F.col("__hl"), F.lit(0))
+    return (
+        base.join(hits_i, "query_id", "left")
+        .join(hits_l, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("__kt").cast("long").alias("k_truth"),
+            hi.cast("long").alias("ivf_hits"),
+            hl.cast("long").alias("lsh_hits"),
+            F.round(hi * F.lit(1.0) / F.col("__kt"), 4).alias("recall_ivf"),
+            F.round(hl * F.lit(1.0) / F.col("__kt"), 4).alias("recall_lsh"),
+        )
+    )

@@ -1510,3 +1510,41 @@ class TestRound4LatePlanShapes:
         )
         plan = self._plan(df)
         assert "CartesianProduct" not in plan
+
+
+class TestVideoSceneCuts:
+    def test_frame_pair_counts_and_cut_rule(self, spark):
+        from nycdb_k8s_loader_spark.operators.multimodal import (
+            synthetic_media,
+            video_scene_cuts,
+        )
+
+        media = synthetic_media(spark, n=12)
+        rows = video_scene_cuts(media, frame_len=32, threshold=60.0).collect()
+        assert rows, "expected video frame pairs"
+        by_media = {}
+        for r in rows:
+            by_media.setdefault(r["media_id"], []).append(r)
+        for mid, rs in by_media.items():
+            n = 128 + (mid % 5) * 64
+            assert len(rs) == n // 32 - 1
+            assert sorted(r["frame_idx"] for r in rs) == list(range(len(rs)))
+            for r in rs:
+                # byte stream is linear mod 256: per-position diff is 32
+                # or 224, so mad = 32 + 6*wraps — never at the 60.0
+                # threshold boundary
+                assert (r["mad"] - 32.0) % 6.0 == 0.0
+                assert r["is_cut"] == (r["mad"] > 60.0)
+
+    def test_short_payload_emits_nothing(self, spark):
+        from nycdb_k8s_loader_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            video_scene_cuts,
+        )
+
+        one = spark.createDataFrame(
+            [(0, "video", bytes(range(40)), "application/x-video", "s3://x")],
+            MEDIA_SCHEMA,
+        )
+        # 40 bytes < 2 full 32-byte frames → no pairs
+        assert video_scene_cuts(one).count() == 0
