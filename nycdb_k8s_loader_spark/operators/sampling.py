@@ -138,3 +138,65 @@ def temperature_mixture(
             "sampling_factor"
         ),
     )
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    seed: str = "seed42",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global corpus shuffle — the training-order
+    randomization step that precedes sharding (c04) and batching
+    (c05): every row gets a dense 1-based ``shuffle_pos`` drawn from a
+    content-addressed pseudo-random total order (md5 of seed ‖ id,
+    id tiebreak). Reruns, engines, and partitionings agree exactly;
+    changing ``seed`` is a fresh epoch permutation with zero data
+    movement beyond the rank itself.
+
+    100 TB shape: one ``distributed_rank`` — range repartition on the
+    hash key (uniform by construction, no skew), per-partition local
+    ranks, metadata-scale offset window. Never a global
+    single-partition sort.
+    """
+    from nycdb_k8s_loader_spark.operators.relational import distributed_rank
+
+    sel = df.select(
+        F.col(id_col),
+        F.md5(
+            F.concat(F.lit(seed), F.col(id_col).cast("string"))
+        ).alias("__hkey"),
+    )
+    return distributed_rank(
+        sel, ["__hkey", id_col], rank_col="shuffle_pos"
+    ).select(id_col, "shuffle_pos")
+
+
+def global_exact_sample(
+    df: DataFrame,
+    n: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACTLY min(n, |df|) rows, chosen by content-addressed hash
+    order — the global-total twin of :func:`stratified_sample`'s
+    per-stratum exact-k (p02) and of :func:`hash_sample`'s
+    probabilistic keep (p01): p01 keeps a deterministic *fraction*
+    (size varies), this keeps a deterministic *count*. Nested: the
+    n=100 sample is a prefix of the n=1000 sample under the same
+    hash order, so growing a eval/holdout set never churns it.
+
+    100 TB shape: same single ``distributed_rank`` as
+    :func:`corpus_shuffle` (the rank IS the selection order), then a
+    map-side rank filter. No driver-side limit, no single-partition
+    TakeOrdered of the whole corpus.
+    """
+    from nycdb_k8s_loader_spark.operators.relational import distributed_rank
+
+    sel = df.select(
+        F.col(id_col),
+        F.md5(F.col(id_col).cast("string")).alias("__hkey"),
+    )
+    return (
+        distributed_rank(sel, ["__hkey", id_col], rank_col="sample_rank")
+        .filter(F.col("sample_rank") <= n)
+        .select(id_col, "sample_rank")
+    )

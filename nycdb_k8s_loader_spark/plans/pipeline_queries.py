@@ -1999,3 +1999,57 @@ def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(hl * F.lit(1.0) / F.col("__kt"), 4).alias("recall_lsh"),
         )
     )
+
+
+@register(
+    "c06_corpus_shuffle",
+    """
+    SELECT doc_id,
+           row_number() OVER (
+               ORDER BY md5('seed42' || doc_id::VARCHAR), doc_id
+           )::BIGINT AS shuffle_pos
+    FROM documents
+    """,
+    doc="Deterministic global corpus shuffle (training-order "
+        "randomization before sharding/batching): dense 1-based "
+        "position from a content-addressed pseudo-random total order "
+        "(md5(seed||id), id tiebreak) — rerun/engine/partitioning "
+        "invariant, re-seedable per epoch. One distributed_rank: "
+        "range repartition on the uniform hash key + metadata-scale "
+        "offset window, never a single-partition global sort. "
+        "operators/sampling.py corpus_shuffle.",
+    tags=("sampling", "pipeline", "ordering"),
+)
+def c06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.sampling import corpus_shuffle
+
+    return corpus_shuffle(_docs(spark, sf_dir))
+
+
+@register(
+    "p06_global_exact_sample",
+    """
+    SELECT doc_id, sample_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY md5(doc_id::VARCHAR), doc_id
+               )::BIGINT AS sample_rank
+        FROM documents
+    ) WHERE sample_rank <= 100
+    """,
+    doc="Exact-N global sample by content-addressed hash order — the "
+        "global twin of p02's per-stratum exact-k: deterministic "
+        "COUNT (p01 keeps a deterministic fraction), and nested — "
+        "the N=100 set is a prefix of the N=1000 set, so a growing "
+        "eval/holdout split never churns. Same scale shape as c06 "
+        "(one distributed_rank, map-side rank filter); no driver "
+        "limit, no whole-corpus TakeOrdered. "
+        "operators/sampling.py global_exact_sample.",
+    tags=("sampling", "pipeline"),
+)
+def p06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.sampling import (
+        global_exact_sample,
+    )
+
+    return global_exact_sample(_docs(spark, sf_dir), n=100)

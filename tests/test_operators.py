@@ -1548,3 +1548,40 @@ class TestVideoSceneCuts:
         )
         # 40 bytes < 2 full 32-byte frames → no pairs
         assert video_scene_cuts(one).count() == 0
+
+
+class TestCorpusShuffleAndExactSample:
+    def _docs(self, spark, n=200):
+        return spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(n)], "doc_id long, text string"
+        )
+
+    def test_shuffle_is_dense_permutation_and_seed_sensitive(self, spark):
+        from nycdb_k8s_loader_spark.operators.sampling import corpus_shuffle
+
+        docs = self._docs(spark)
+        a = {r["doc_id"]: r["shuffle_pos"]
+             for r in corpus_shuffle(docs).collect()}
+        assert sorted(a.values()) == list(range(1, 201))  # dense 1..n
+        # partitioning-invariant
+        b = {r["doc_id"]: r["shuffle_pos"]
+             for r in corpus_shuffle(docs.repartition(7)).collect()}
+        assert a == b
+        # a different seed is a different permutation
+        c = {r["doc_id"]: r["shuffle_pos"]
+             for r in corpus_shuffle(docs, seed="epoch2").collect()}
+        assert sorted(c.values()) == list(range(1, 201))
+        assert c != a
+
+    def test_exact_sample_is_nested_prefix(self, spark):
+        from nycdb_k8s_loader_spark.operators.sampling import (
+            global_exact_sample,
+        )
+
+        docs = self._docs(spark)
+        small = {r["doc_id"] for r in global_exact_sample(docs, 30).collect()}
+        big = {r["doc_id"] for r in global_exact_sample(docs, 80).collect()}
+        assert len(small) == 30 and len(big) == 80
+        assert small < big  # growing the sample never churns it
+        # n beyond |df| returns everything
+        assert global_exact_sample(docs, 10_000).count() == 200
