@@ -1008,3 +1008,66 @@ def m06(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return video_scene_cuts(synthetic_media(spark))
+
+
+@register(
+    "st09_stream_novelty_vs_corpus",
+    """
+    WITH corpus AS (
+        SELECT DISTINCT user_id, event_type,
+               floor(value / 50) AS band
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+    ),
+    live AS (
+        SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+    )
+    SELECT l.event_type,
+           COUNT(*)::BIGINT AS n_novel_events,
+           ROUND(SUM(l.value), 2) AS total_novel_value
+    FROM live l
+    LEFT JOIN corpus c
+      ON c.user_id = l.user_id AND c.event_type = l.event_type
+     AND c.band = floor(l.value / 50)
+    WHERE c.user_id IS NULL
+    GROUP BY l.event_type
+    """,
+    doc="Streaming novelty detection against a published corpus — the "
+        "streaming plane of d11's incremental dedup: the live event "
+        "STREAM left-joins the static frame of (user, event_type) "
+        "keys already seen before the cutoff and keeps only "
+        "never-seen (user, type, value-band) combinations (left "
+        "outer + IS NULL — the "
+        "supported stream-static anti shape), aggregating novel "
+        "traffic per type. The corpus side is a batch DISTINCT "
+        "pre-aggregated BEFORE the join, so the per-micro-batch "
+        "re-read is key-width only and broadcast-sized; stream state "
+        "is O(groups), no distinct aggregates on the stream. "
+        "streaming/pipeline.py + operators/dedup.py patterns.",
+    tags=("streaming", "dedup", "incremental"),
+)
+def st09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = "2024-01-16 00:00:00"
+    events = events_stream(spark, sf_dir).filter(
+        F.col("ts") >= F.lit(cutoff).cast("timestamp")
+    )
+    from nycdb_k8s_loader_spark.session import read_table
+
+    band = F.floor(F.col("value") / F.lit(50)).alias("band")
+    corpus = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+        .select("user_id", "event_type", band)
+        .distinct()
+        .withColumn("__seen", F.lit(True))
+    )
+    novel = (
+        events.withColumn("band", band)
+        .join(corpus, ["user_id", "event_type", "band"], "left")
+        .filter(F.col("__seen").isNull())
+    )
+    agg = novel.groupBy("event_type").agg(
+        F.count("*").alias("n_novel_events"),
+        F.round(F.sum("value"), 2).alias("total_novel_value"),
+    )
+    return _run_memory_stream(spark, agg, "st09", "complete")
