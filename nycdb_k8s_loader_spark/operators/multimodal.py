@@ -313,11 +313,13 @@ def video_scene_cuts(
     consecutive-frame mean absolute difference (MAD), cut flagged
     where MAD > threshold.
 
-    Numerics are integer-exact cross-engine: the sum of absolute byte
-    differences (SAD) is an integer, ``mad = sad / frame_len`` is a
-    power-of-two division, and the cut decision compares
-    ``sad > threshold * frame_len`` in integers — no float boundary
-    can flip between Spark and the SQL oracle.
+    Numerics are exact cross-engine: the sum of absolute byte
+    differences (SAD) is an integer, ``mad = round(sad / frame_len,
+    4)`` applies the catalog's 4-decimal rounding convention (so
+    parity holds for any frame_len, not just power-of-two divisors),
+    and the cut decision compares ``sad > threshold * frame_len`` in
+    integers — no float boundary can flip between Spark and the SQL
+    oracle.
 
     Output: one row per leading frame of a consecutive pair
     (``frame_idx`` = 0..n_frames-2). Trailing partial frames are
@@ -353,7 +355,7 @@ def video_scene_cuts(
                 k = len(sad)
                 out["media_id"].extend([mid] * k)
                 out["frame_idx"].extend(range(k))
-                out["mad"].extend(sad / float(frame_len))
+                out["mad"].extend(np.round(sad / float(frame_len), 4))
                 out["is_cut"].extend(sad > sad_cut)
             yield pd.DataFrame(out)
 

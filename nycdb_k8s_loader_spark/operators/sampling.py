@@ -110,11 +110,9 @@ def temperature_mixture(
     a single FileScan). Everything downstream is metadata-scale
     (crossJoins are one-row broadcast totals, not data joins).
     """
-    n_tokens = (
-        F.length(F.trim(F.col(text_col)))
-        - F.length(F.replace(F.trim(F.col(text_col)), F.lit(" "), F.lit("")))
-        + 1
-    ).cast("long")
+    from nycdb_k8s_loader_spark.operators.textops import _ws_tokens
+
+    n_tokens = _ws_tokens(F.col(text_col)).cast("long")
     per = (
         df.groupBy(source_col)
         .agg(

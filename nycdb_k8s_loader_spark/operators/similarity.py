@@ -307,6 +307,51 @@ def ivf_topk(
     )
 
 
+def _gemm_pair_emitter(threshold: float):
+    """The shared Arrow-batched GEMM kernel behind every blocked pair
+    stage (d08's blocked/bucketed forms and d12's per-cluster blocks):
+    each input row carries two packed blocks of unit vectors; one
+    numpy matrix product per row emits the oriented ``id_a < id_b``
+    pairs whose unit-dot (== cosine) clears ``threshold``.
+
+    Diagonal blocks (blk_a == blk_b) keep the strict upper triangle —
+    each pair appears twice there, plus self-pairs; off-diagonal
+    blocks see each cross pair exactly once but unordered, so they
+    orient via min/max.
+    """
+
+    def gemm(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b = [], []
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                A = np.asarray([np.asarray(x) for x in row.us_a])
+                B = np.asarray([np.asarray(x) for x in row.us_b])
+                sims = A @ B.T
+                ii, jj = np.nonzero(sims >= threshold)
+                ia, ib = ids_a[ii], ids_b[jj]
+                if row.blk_a == row.blk_b:
+                    keep = ia < ib
+                    ia, ib = ia[keep], ib[keep]
+                else:
+                    ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
+                out_a.append(ia)
+                out_b.append(ib)
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                    }
+                )
+
+    return gemm
+
+
 def embedding_neardup_pairs_blocked(
     emb: DataFrame,
     threshold: float = 0.9,
@@ -367,42 +412,9 @@ def embedding_neardup_pairs_blocked(
         min(int(spark.conf.get("spark.sql.shuffle.partitions")),
             n_blocks * (n_blocks + 1) // 2)
     )
-
-    def gemm(batches):
-        import numpy as np
-
-        for pdf in batches:
-            out_a, out_b = [], []
-            for row in pdf.itertuples(index=False):
-                ids_a = np.asarray(row.ids_a, dtype=np.int64)
-                ids_b = np.asarray(row.ids_b, dtype=np.int64)
-                A = np.asarray([np.asarray(x) for x in row.us_a])
-                B = np.asarray([np.asarray(x) for x in row.us_b])
-                sims = A @ B.T
-                ii, jj = np.nonzero(sims >= threshold)
-                ia, ib = ids_a[ii], ids_b[jj]
-                if row.blk_a == row.blk_b:
-                    # diagonal block: each pair appears twice (and as
-                    # self-pairs); the strict upper triangle is the set
-                    keep = ia < ib
-                    ia, ib = ia[keep], ib[keep]
-                else:
-                    # off-diagonal: each cross pair appears exactly once
-                    # but ids are not ordered by block — orient min/max
-                    ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
-                out_a.append(ia)
-                out_b.append(ib)
-            if out_a:
-                import pandas as pd
-
-                yield pd.DataFrame(
-                    {
-                        "id_a": np.concatenate(out_a),
-                        "id_b": np.concatenate(out_b),
-                    }
-                )
-
-    return block_pairs.mapInPandas(gemm, "id_a long, id_b long")
+    return block_pairs.mapInPandas(
+        _gemm_pair_emitter(threshold), "id_a long, id_b long"
+    )
 
 
 def embedding_neardup_pairs_bucketed(
@@ -468,37 +480,9 @@ def embedding_neardup_pairs_bucketed(
     block_pairs = block_pairs.repartition(
         min(shuffle_n, (1 << n_bits) * n_blocks * (n_blocks + 1) // 2)
     )
-
-    def gemm(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            out_a, out_b = [], []
-            for row in pdf.itertuples(index=False):
-                ids_a = np.asarray(row.ids_a, dtype=np.int64)
-                ids_b = np.asarray(row.ids_b, dtype=np.int64)
-                A = np.asarray([np.asarray(x) for x in row.us_a])
-                B = np.asarray([np.asarray(x) for x in row.us_b])
-                sims = A @ B.T
-                ii, jj = np.nonzero(sims >= threshold)
-                ia, ib = ids_a[ii], ids_b[jj]
-                if row.blk_a == row.blk_b:
-                    keep = ia < ib
-                    ia, ib = ia[keep], ib[keep]
-                else:
-                    ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
-                out_a.append(ia)
-                out_b.append(ib)
-            if out_a:
-                yield pd.DataFrame(
-                    {
-                        "id_a": np.concatenate(out_a),
-                        "id_b": np.concatenate(out_b),
-                    }
-                )
-
-    return block_pairs.mapInPandas(gemm, "id_a long, id_b long")
+    return block_pairs.mapInPandas(
+        _gemm_pair_emitter(threshold), "id_a long, id_b long"
+    )
 
 
 def sq_dist(a: Column, b: Column) -> Column:
@@ -642,17 +626,45 @@ def knn_label_vote(
     )
 
 
+def _cluster_blocks(assigned: DataFrame, max_block_rows: int) -> DataFrame:
+    """Sub-block a clustered vector frame for the GEMM pair stage:
+    each cluster of size n_c gets ``nb = ceil(n_c / max_block_rows)``
+    blocks (``blk = id % nb``), so no (cid, blk) cell ever packs more
+    than ~max_block_rows vectors and no GEMM task exceeds
+    ``max_block_rows²`` dot products. Input: (vid, v, cid); output:
+    (cid, id, u, nb, blk) with u unit-normalized.
+    """
+    sizes = assigned.groupBy("cid").agg(F.count("*").alias("n_c"))
+    return (
+        assigned.join(F.broadcast(sizes), "cid")
+        .select(
+            "cid",
+            F.col("vid").alias("id"),
+            F.transform(
+                "v", lambda x: x / F.sqrt(dot(F.col("v"), F.col("v")))
+            ).alias("u"),
+            F.ceil(F.col("n_c") / F.lit(max_block_rows))
+            .cast("int")
+            .alias("nb"),
+        )
+        .withColumn("blk", F.pmod(F.col("id"), F.col("nb")))
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     k: int = 8,
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_iters: int = 2,
+    max_block_rows: int = 4096,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: cluster the embedding space
-    coarsely (one deterministic k-means assignment — the s07
-    machinery), then prune near-duplicates WITHIN each cluster by
-    exact cosine, keeping the smallest id of every close group.
+    coarsely (deterministic seeds + ``lloyd_iters`` Lloyd refinement
+    rounds — the s07 machinery iterated), then prune near-duplicates
+    WITHIN each cluster by exact cosine, keeping the smallest id of
+    every close group.
 
     Returns one row per vector: ``(vec_id, cluster_id, is_kept)``
     where ``is_kept`` is false iff some smaller-id vector in the same
@@ -660,65 +672,129 @@ def semantic_dedup(
     deterministic, no transitive closure; the closure form is d09's
     component machinery if needed).
 
+    Seeding: the k SMALLEST ids (rank-based — any id space works, not
+    just 0..k-1), renumbered to cluster ids 0..k-1; empty input fails
+    loudly instead of silently assigning null clusters. Refinement:
+    each Lloyd round recomputes per-dimension centroid means rounded
+    to 4 decimals (the catalog's cross-engine convention, so the
+    DuckDB oracle replays the identical trajectory); clusters that
+    lose every member keep their previous centroid. The k×dim
+    centroid frame is eagerly localCheckpointed per round so round
+    N+1's plan doesn't nest round N's corpus scan.
+
     100 TB shape: assignment is map-side (broadcast k×dim centroid
-    array, in-row struct-min fold — no shuffle); the pairwise stage is
-    an equi-join ON cluster id, so candidate work is Σ_c C(n_c, 2)
-    instead of C(n, 2) and the shuffle never crosses clusters — k
-    scales with corpus size to keep clusters bounded. Norms are
-    computed once per vector before the join (one dot per pair after,
-    not three). A pathologically hot cluster sub-blocks into the d08
-    GEMM machinery keyed by (cluster, block) — same trade as d08's
-    sign-buckets, with learned cells instead of fixed hyperplanes.
+    array, in-row struct-min fold — no shuffle; one corpus scan per
+    Lloyd round, driver-bounded like operators/graph.py); each mean
+    recompute is one partial-agg groupBy reducing to ≤ k×dim sums.
+    The pairwise stage is keyed by (cluster, block): every cluster is
+    cut into ``ceil(n_c / max_block_rows)`` sub-blocks and pairs flow
+    through the d08 GEMM machinery (`_gemm_pair_emitter`), so a
+    pathologically hot cluster becomes B(B+1)/2 bounded tasks of at
+    most ``max_block_rows²`` dot products each instead of one
+    C(n_c, 2) straggler — candidate work stays Σ_c C(n_c, 2) (the
+    SemDeDup trade; k scales with corpus size) but no single task
+    exceeds the block budget and the shuffle never crosses clusters.
+
+    Float note: the GEMM accumulates in BLAS order (~1e-15 relative
+    vs the oracle's sequential fold); thresholds need the same
+    cross-engine margin d08 documents.
     """
+    from pyspark.sql import Window
+
     vecs = emb.select(
         F.col(id_col).alias("vid"), as_double_vec(vec_col).alias("v")
     )
-    cent_arr = (
-        vecs.filter(F.col("vid") < k)
-        .select(F.col("vid").alias("cid"), F.col("v").alias("c"))
-        .agg(F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cents"))
+    # Seeds: k smallest ids, renumbered 0..k-1. The window runs over a
+    # k-row frame (post-limit) — metadata-scale, not a data window;
+    # the literal partition key just silences the single-partition
+    # WindowExec warning.
+    cent_df = (
+        vecs.orderBy("vid")
+        .limit(k)
+        .select(
+            (
+                F.row_number().over(
+                    Window.partitionBy(F.lit(0)).orderBy("vid")
+                )
+                - 1
+            ).alias("cid"),
+            F.col("v").alias("c"),
+        )
+        .localCheckpoint(eager=True)
     )
-    assigned = vecs.crossJoin(F.broadcast(cent_arr)).select(
-        "vid",
-        "v",
-        F.array_min(
-            F.transform(
-                "cents",
-                lambda ct: F.struct(
-                    sq_dist(F.col("v"), ct["c"]).alias("d2"),
-                    ct["cid"].alias("cid"),
-                ),
+    if not cent_df.take(1):
+        raise ValueError(
+            "semantic_dedup: no centroid seeds — embedding input is empty"
+        )
+
+    def _pack(cdf: DataFrame) -> DataFrame:
+        return cdf.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cents")
+        )
+
+    def _assign(cent_arr: DataFrame) -> DataFrame:
+        return vecs.crossJoin(F.broadcast(cent_arr)).select(
+            "vid",
+            "v",
+            F.array_min(
+                F.transform(
+                    "cents",
+                    lambda ct: F.struct(
+                        sq_dist(F.col("v"), ct["c"]).alias("d2"),
+                        ct["cid"].alias("cid"),
+                    ),
+                )
+            )["cid"].alias("cid"),
+        )
+
+    for _ in range(lloyd_iters):
+        assigned = _assign(_pack(cent_df))
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            # + 0.0 folds IEEE -0.0 to +0.0 (kmeans_lloyd_step's
+            # cross-engine convention)
+            .agg((F.round(F.avg("x"), 4) + F.lit(0.0)).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
             )
-        )["cid"].alias("cid"),
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("c_new"))
+        )
+        cent_df = (
+            cent_df.join(means, "cid", "left")
+            .select("cid", F.coalesce("c_new", "c").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+
+    assigned = _assign(_pack(cent_df))
+    unit = _cluster_blocks(assigned, max_block_rows)
+    packed = unit.groupBy("cid", "blk").agg(
+        F.collect_list("id").alias("ids"), F.collect_list("u").alias("us")
     )
-    withn = assigned.select(
-        "vid", "cid", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
+    a = packed.select(
+        "cid",
+        F.col("blk").alias("blk_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("us").alias("us_a"),
     )
-    a = withn.select(
-        F.col("cid"),
-        F.col("vid").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
+    b = packed.select(
+        "cid",
+        F.col("blk").alias("blk_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("us").alias("us_b"),
     )
-    b = withn.select(
-        F.col("cid"),
-        F.col("vid").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
+    block_pairs = a.join(b, "cid").filter(F.col("blk_a") <= F.col("blk_b"))
     dup = (
-        a.join(b, "cid")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-            >= F.lit(threshold)
+        block_pairs.mapInPandas(
+            _gemm_pair_emitter(threshold), "id_a long, id_b long"
         )
         .select(F.col("id_b").alias("vid"))
         .distinct()
         .withColumn("__dup", F.lit(True))
     )
     return (
-        withn.select("vid", "cid")
+        assigned.select("vid", "cid")
         .join(dup, "vid", "left")
         .select(
             F.col("vid").alias(id_col),

@@ -448,11 +448,7 @@ def length_bucket_batches(
     """
     from nycdb_k8s_loader_spark.operators.relational import distributed_rank
 
-    n_tokens = (
-        F.length(F.trim(F.col(text_col)))
-        - F.length(F.replace(F.trim(F.col(text_col)), F.lit(" "), F.lit("")))
-        + 1
-    ).cast("long")
+    n_tokens = _ws_tokens(F.col(text_col)).cast("long")
     sel = df.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),

@@ -1873,22 +1873,62 @@ def p05(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d12_semantic_dedup",
     f"""
     WITH e AS ({_VEC}),
-    cent AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8),
-    dists AS (
-        SELECT e.vec_id, c.cid,
-               list_sum(list_transform(range(1, len(e.v) + 1),
-                        i -> (e.v[i] - c.c[i]) ^ 2)) AS d2
-        FROM e CROSS JOIN cent c
+    seed AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+        FROM e ORDER BY vec_id LIMIT 8
     ),
-    assign AS (
+    a0 AS (
         SELECT vec_id, cid FROM (
-            SELECT vec_id, cid,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY d2, cid) AS rn
-            FROM dists
+            SELECT e.vec_id, s.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_sum(list_transform(range(1, len(e.v) + 1),
+                                i -> (e.v[i] - s.c[i]) ^ 2)), s.cid) AS rn
+            FROM e CROSS JOIN seed s
         ) WHERE rn = 1
     ),
-    j AS (SELECT a.vec_id, a.cid, e.v FROM assign a JOIN e USING (vec_id)),
+    m0 AS (
+        SELECT a.cid, j.i AS pos, ROUND(AVG(e.v[j.i]), 4) AS m
+        FROM a0 a JOIN e USING (vec_id),
+             unnest(range(1, len(e.v) + 1)) j(i)
+        GROUP BY 1, 2
+    ),
+    c1 AS (
+        SELECT s.cid, COALESCE(mm.c, s.c) AS c
+        FROM seed s LEFT JOIN (
+            SELECT cid, list(m ORDER BY pos) AS c FROM m0 GROUP BY cid
+        ) mm USING (cid)
+    ),
+    a1 AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, s.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_sum(list_transform(range(1, len(e.v) + 1),
+                                i -> (e.v[i] - s.c[i]) ^ 2)), s.cid) AS rn
+            FROM e CROSS JOIN c1 s
+        ) WHERE rn = 1
+    ),
+    m1 AS (
+        SELECT a.cid, j.i AS pos, ROUND(AVG(e.v[j.i]), 4) AS m
+        FROM a1 a JOIN e USING (vec_id),
+             unnest(range(1, len(e.v) + 1)) j(i)
+        GROUP BY 1, 2
+    ),
+    c2 AS (
+        SELECT s.cid, COALESCE(mm.c, s.c) AS c
+        FROM c1 s LEFT JOIN (
+            SELECT cid, list(m ORDER BY pos) AS c FROM m1 GROUP BY cid
+        ) mm USING (cid)
+    ),
+    a2 AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, s.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_sum(list_transform(range(1, len(e.v) + 1),
+                                i -> (e.v[i] - s.c[i]) ^ 2)), s.cid) AS rn
+            FROM e CROSS JOIN c2 s
+        ) WHERE rn = 1
+    ),
+    j AS (SELECT a.vec_id, a.cid, e.v FROM a2 a JOIN e USING (vec_id)),
     dup AS (
         SELECT DISTINCT b.vec_id
         FROM j a JOIN j b ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -1898,15 +1938,18 @@ def p05(spark: SparkSession, sf_dir: str) -> DataFrame:
            d.vec_id IS NULL AS is_kept
     FROM j LEFT JOIN dup d ON d.vec_id = j.vec_id
     """,
-    doc="SemDeDup-style semantic dedup: one deterministic k-means "
-        "assignment (s07's broadcast-centroid map-side argmin, k=8) "
-        "partitions the embedding space; exact cosine >= 0.45 prunes "
+    doc="SemDeDup-style semantic dedup: rank-based seeds (k smallest "
+        "ids) refined by two deterministic Lloyd rounds (s07's "
+        "broadcast-centroid map-side argmin, per-dim means rounded "
+        "to 4dp — the oracle replays the identical trajectory) "
+        "partition the embedding space; exact cosine >= 0.45 prunes "
         "near-duplicates WITHIN clusters only, keeping each close "
-        "group's smallest id. Candidate work is sum_c C(n_c,2), the "
-        "pair join never crosses clusters, and cross-cluster recall "
-        "is the standard coarse-quantizer trade (vs d08's fixed "
-        "hyperplanes: learned cells). "
-        "operators/similarity.py semantic_dedup.",
+        "group's smallest id. Candidate work is sum_c C(n_c,2) "
+        "routed through the d08 GEMM machinery keyed by (cluster, "
+        "block) — a hot cluster becomes bounded sub-block tasks, "
+        "never one straggler. Cross-cluster recall is the standard "
+        "coarse-quantizer trade (vs d08's fixed hyperplanes: learned "
+        "cells). operators/similarity.py semantic_dedup.",
     tags=("dedup", "similarity", "scale"),
 )
 def d12(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1917,7 +1960,14 @@ def d12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # s10 composes the three ANN oracles registered above as CTE
 # subqueries — the audit's ground truth IS s01's oracle, verbatim.
+# This import is mid-module ON PURPOSE: it must run AFTER the
+# s01/s02/s04 @register calls earlier in this file; moving this
+# block (or splitting the module) above them breaks the contract.
 from nycdb_k8s_loader_spark.plans.catalog import QUERIES as _Q
+
+for _dep in ("s01_ann_cosine_topk", "s04_ivf_cell_topk",
+             "s02_ann_lsh_bucketed_topk"):
+    assert _dep in _Q, f"s10 composes {_dep}; register it before this block"
 
 _S10_ORACLE = f"""
     WITH truth AS ({_Q['s01_ann_cosine_topk'].oracle}),
