@@ -1,0 +1,232 @@
+#!/usr/bin/env python
+"""Empirical scale-proof of the heavy LLM-pipeline operators.
+
+Round-4 verdict: "nothing has ever run above 600k rows — the 100 TB
+claims rest on plan reading alone." This harness is the answer: run
+the heavy dedup/ANN/pipeline set at two generated scales (default
+tools/gen_scale_data.py output at sf0.1 and sf1 — a 10x step) and
+record, per query: steady-state wall time, shuffle read/write bytes
+and input bytes (Spark UI REST, deltas around each run), and the
+big/small ratios. A ~linear operator shows time and shuffle ratios
+near the 10x data ratio (plus fixed overheads, so usually below it);
+a quadratic one shows ~100x and fails the gate.
+
+    python tools/gen_scale_data.py --sf 0.1 --out .scaledata/sf0.1
+    python tools/gen_scale_data.py --sf 1.0 --out .scaledata/sf1
+    python bench_scale.py --out BENCH_sf1.json
+
+The gate (``scales_linearly``) flags any query whose time ratio
+exceeds ``linear_gate`` (default 20 = 2x headroom on the 10x data
+step, absorbing fixed costs and noise on the small side).
+
+d12 runs twice: once exactly as the catalog pins it (k=8 — at fixed k
+the within-cluster pair work is quadratic in corpus size; that is the
+documented SemDeDup trade) and once under the documented production
+policy (k scaled with corpus size to hold expected cluster size
+constant), which is the form the linearity gate applies to.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bench import _await_idle  # noqa: E402
+from nycdb_k8s_loader_spark.session import get_spark  # noqa: E402
+
+HEAVY = [
+    "d03_minhash_band_candidates",
+    "d09_fuzzy_dedup_e2e",
+    "d11_incremental_dedup",
+    "d12_semantic_dedup",
+    "s02_ann_lsh_bucketed_topk",
+    "s04_ivf_cell_topk",
+    "s09_filtered_ann",
+    "c06_corpus_shuffle",
+    "t13_exact_substring_scrub",
+]
+
+# expected cluster size the scaled-k policy holds constant (matches
+# the catalog's k=8 at the 2k-vector sf0.1 embeddings table)
+_D12_CLUSTER_ROWS = 250
+
+
+def _d12_scaled_k(spark, sf_dir):
+    """d12 under the documented policy: k grows with the corpus so
+    E[cluster size] stays constant — the linear form of SemDeDup."""
+    from pyspark.sql import functions as F
+
+    from nycdb_k8s_loader_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = emb.count()
+    k = max(8, n // _D12_CLUSTER_ROWS)
+    return semantic_dedup(emb, k=k, threshold=0.45)
+
+
+def _d03_scaled_bands(spark, sf_dir):
+    """d03 under the documented 100 TB parameter policy: wider bands
+    (rows-per-band 2 → 4) so the per-pair false-positive probability
+    falls with J^4 instead of J^2 and the candidate set stays ~linear
+    as the corpus grows (the catalog's r=2 form is oracle-pinned; at
+    10x corpus its FP candidates grow ~quadratically by design of the
+    banding math — this is the knob the operator docstring names)."""
+    import os as _os
+
+    from nycdb_k8s_loader_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    return minhash_signatures(docs, num_hashes=8, bands=2, shingles=3)
+
+
+def _d09_scaled_bands(spark, sf_dir):
+    """d09 with the same scaled banding (see _d03_scaled_bands)."""
+    import os as _os
+
+    from nycdb_k8s_loader_spark.operators.dedup import fuzzy_dedup
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    return fuzzy_dedup(docs, threshold=0.7, num_hashes=8, bands=2,
+                       shingles=3)
+
+
+EXTRA = {
+    "d12_semantic_dedup_scaled_k": _d12_scaled_k,
+    "d03_minhash_scaled_bands": _d03_scaled_bands,
+    "d09_fuzzy_dedup_scaled_bands": _d09_scaled_bands,
+}
+
+
+def _stage_totals(spark) -> dict[str, int]:
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
+    with urllib.request.urlopen(url) as r:
+        stages = json.load(r)
+    return {
+        "shuffle_write": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        "shuffle_read": sum(s.get("shuffleReadBytes", 0) for s in stages),
+        "input": sum(s.get("inputBytes", 0) for s in stages),
+    }
+
+
+def _run_one(spark, fn, sf_dir: str, runs: int = 2) -> dict:
+    times = []
+    before = _stage_totals(spark)
+    for _ in range(runs):
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        times.append(time.perf_counter() - t0)
+    after = _stage_totals(spark)
+    mb = 1024.0 * 1024.0
+    return {
+        "sec": round(min(times), 3),
+        "sec_cold": round(times[0], 3),
+        # metrics are totals over all runs; divide by runs for per-run
+        "shuffle_write_mb": round(
+            (after["shuffle_write"] - before["shuffle_write"]) / runs / mb, 2
+        ),
+        "shuffle_read_mb": round(
+            (after["shuffle_read"] - before["shuffle_read"]) / runs / mb, 2
+        ),
+        "input_mb": round((after["input"] - before["input"]) / runs / mb, 2),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", default=".scaledata/sf0.1")
+    ap.add_argument("--big", default=".scaledata/sf1")
+    ap.add_argument("--sf-small", type=float, default=0.1)
+    ap.add_argument("--sf-big", type=float, default=1.0)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--linear-gate", type=float, default=20.0)
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated subset")
+    args = ap.parse_args()
+
+    load_meta = _await_idle()
+    # local-mode note: spark.driver.memory IS the whole JVM heap here
+    # (PySpark's default is 1g — fine at sf0.1, a guaranteed OOM for
+    # 32-thread sf1 runs); a real cluster sizes executors instead.
+    spark = get_spark(
+        app_name="nycdb-spark-scale-proof",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "48g"
+            ),
+        },
+    )
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    from nycdb_k8s_loader_spark.plans.catalog import queries
+
+    qs = queries()
+    names = list(HEAVY) + list(EXTRA)
+    if args.queries:
+        names = [n for n in names if n in set(args.queries.split(","))]
+
+    data_ratio = args.sf_big / args.sf_small
+    out: dict = {
+        "metric": "scale_proof_heavy_operators",
+        "unit": "sec",
+        "sf_small": args.sf_small,
+        "sf_big": args.sf_big,
+        "data_ratio": data_ratio,
+        "linear_gate": args.linear_gate,
+        "generator": "tools/gen_scale_data.py",
+        "queries": {},
+        **load_meta,
+    }
+    nonlinear = []
+    for name in names:
+        fn = EXTRA.get(name) or qs[name]
+        small = _run_one(spark, fn, args.small)
+        big = _run_one(spark, fn, args.big)
+        ratio = round(big["sec"] / max(small["sec"], 1e-9), 2)
+        sw_ratio = (
+            round(
+                big["shuffle_write_mb"] / max(small["shuffle_write_mb"], 0.01),
+                2,
+            )
+            if big["shuffle_write_mb"] > 0
+            else None
+        )
+        rec = {
+            "small": small,
+            "big": big,
+            "time_ratio": ratio,
+            "shuffle_write_ratio": sw_ratio,
+            "linear": ratio <= args.linear_gate,
+        }
+        out["queries"][name] = rec
+        if not rec["linear"] and name in HEAVY:
+            nonlinear.append(name)
+        print(
+            f"# {name}: {small['sec']}s -> {big['sec']}s "
+            f"(x{ratio}; shuffle {small['shuffle_write_mb']}MB -> "
+            f"{big['shuffle_write_mb']}MB)",
+            file=sys.stderr,
+        )
+    out["value"] = round(
+        sum(r["big"]["sec"] for r in out["queries"].values()), 3
+    )
+    out["nonlinear"] = nonlinear
+    out["scales_linearly"] = not nonlinear
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

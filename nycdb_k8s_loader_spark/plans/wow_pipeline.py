@@ -54,6 +54,7 @@ _GEN_COLS = {
         "documentid", "doctype", "docdate", "recordedfiled", "docamount",
     ],
     "real_property_legals": ["documentid", "bbl"],
+    "real_property_parties": ["documentid", "recordtype", "partytype", "name"],
     "rentstab_summary": ["ucbbl", "unitsstab2007", "uc2021"],
 }
 
@@ -133,6 +134,12 @@ def _synth_sources(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             F.concat(F.lit("BBL"), s(F.col("o_custkey"))).alias("bbl"),
         )
     )
+    parties = lineitem.select(
+        docid.alias("documentid"),
+        F.lit("P").alias("recordtype"),
+        (F.col("l_linenumber") % 2 + 1).cast("int").alias("partytype"),
+        F.concat(F.lit("Party "), s(F.col("l_suppkey"))).alias("name"),
+    )
     rentstab = customer.select(
         F.concat(F.lit("BBL"), s(k)).alias("ucbbl"),
         F.when(k % 10 == 0, F.lit(None).cast("int"))
@@ -149,6 +156,7 @@ def _synth_sources(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "hpd_complaints": comp,
         "real_property_master": master,
         "real_property_legals": legals,
+        "real_property_parties": parties,
         "rentstab_summary": rentstab,
     }
 
@@ -286,6 +294,10 @@ lastsale AS (
 viol AS (
     SELECT 'BBL' || o_custkey AS bbl,
            count(*)::BIGINT AS total_violations,
+           count(*) FILTER (WHERE o_orderpriority NOT IN
+               ('1-URGENT', '2-HIGH'))::BIGINT AS classa_violations,
+           count(*) FILTER (WHERE o_orderpriority = '2-HIGH')::BIGINT
+               AS classb_violations,
            count(*) FILTER (WHERE o_orderpriority = '1-URGENT')::BIGINT
                AS classc_violations,
            count(*) FILTER (WHERE o_orderstatus = 'O')::BIGINT
@@ -312,6 +324,8 @@ rentstab AS (
 SELECT
     r.bbl, r.boro, o.ownername, p.portfolio_id,
     coalesce(v.total_violations, 0)::BIGINT AS total_violations,
+    coalesce(v.classa_violations, 0)::BIGINT AS classa_violations,
+    coalesce(v.classb_violations, 0)::BIGINT AS classb_violations,
     coalesce(v.classc_violations, 0)::BIGINT AS classc_violations,
     coalesce(v.open_violations, 0)::BIGINT AS open_violations,
     coalesce(v.recent_violations, 0)::BIGINT AS recent_violations,
@@ -370,7 +384,8 @@ def w01(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.load_all(["wow"])
     return spark.table(f"{WOW_SCHEMA}.wow_bldgs").select(
         "bbl", "boro", "ownername", "portfolio_id",
-        "total_violations", "classc_violations", "open_violations",
+        "total_violations", "classa_violations", "classb_violations",
+        "classc_violations", "open_violations",
         "recent_violations", "total_complaints", "recent_complaints",
         "lastsale_docid", "lastsale_date", "lastsale_amount",
         "rsunits2007", "rsunitslatest",

@@ -46,6 +46,8 @@ CREATE TABLE wow_viol AS
 SELECT
     bbl,
     count(*) AS total_violations,
+    count(*) FILTER (WHERE class = 'A') AS classa_violations,
+    count(*) FILTER (WHERE class = 'B') AS classb_violations,
     count(*) FILTER (WHERE class = 'C') AS classc_violations,
     count(*) FILTER (WHERE currentstatus = 'Open') AS open_violations,
     count(*) FILTER (WHERE inspectiondate >= '1997-06-01'::timestamp)
@@ -80,6 +82,8 @@ SELECT
     o.ownername,
     p.portfolio_id,
     coalesce(v.total_violations, 0)::bigint AS total_violations,
+    coalesce(v.classa_violations, 0)::bigint AS classa_violations,
+    coalesce(v.classb_violations, 0)::bigint AS classb_violations,
     coalesce(v.classc_violations, 0)::bigint AS classc_violations,
     coalesce(v.open_violations, 0)::bigint AS open_violations,
     coalesce(v.recent_violations, 0)::bigint AS recent_violations,
