@@ -490,10 +490,16 @@ builtin_registry = wow_registry
 # -- the wow builder ----------------------------------------------------------
 
 
-def _run_scripts(spark, resolver, scripts, function_stmts) -> list[str]:
+def _run_scripts(
+    spark, resolver, scripts, function_stmts, functions=None
+) -> list[str]:
     """Transpile + run every statement of each Postgres-dialect script;
     function DDL is collected for post-publish replay (reference
-    wowutil.py:170-181). Returns created table names."""
+    wowutil.py:170-181). With ``functions`` (a FunctionRegistry),
+    table-function calls in FROM position are materialized to temp
+    views first, so reference scripts invoking
+    ``wow.get_assoc_addrs_from_bbl(...)`` run unmodified. Returns
+    created table names."""
     from nycdb_k8s_loader_spark.publish.parse_created_tables import (
         is_function_sql,
         parse_created_tables,
@@ -506,6 +512,8 @@ def _run_scripts(spark, resolver, scripts, function_stmts) -> list[str]:
         with open(script, encoding="utf-8") as fh:
             raw = fh.read()
         for stmt in split_statements(raw):
+            if functions is not None:
+                stmt = functions.materialize_table_fn_calls(spark, stmt)
             stmt = transpile_pg(stmt)
             if is_function_sql(stmt):
                 function_stmts.append(stmt)
@@ -645,10 +653,16 @@ def _custom_pipeline(
             [staging_db, *extra_namespaces, *engine.search_path],
             ddl_db=staging_db,
         )
-        _run_scripts(spark, resolver, pre_scripts, function_stmts)
+        _run_scripts(
+            spark, resolver, pre_scripts, function_stmts,
+            functions=engine.functions,
+        )
         if populate is not None:
             populate(spark, staging_db)
-        _run_scripts(spark, resolver, post_scripts, function_stmts)
+        _run_scripts(
+            spark, resolver, post_scripts, function_stmts,
+            functions=engine.functions,
+        )
         with engine.grants.save_and_reapply(target_schema, tables):
             published = pub.publish_tables(staging_db, tables)
 

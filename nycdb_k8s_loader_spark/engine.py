@@ -221,6 +221,12 @@ class Engine:
                     if is_function_sql(stmt):
                         function_stmts.append(stmt)
                     else:
+                        # table-function calls in FROM position become
+                        # materialized temp views (the reference's
+                        # SQL-invocable set-returning functions)
+                        stmt = self.functions.materialize_table_fn_calls(
+                            self.spark, stmt
+                        )
                         resolver.sql(stmt)
                 for t in parse_created_tables(sql_text):
                     if t not in created:

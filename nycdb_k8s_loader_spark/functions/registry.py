@@ -110,6 +110,35 @@ class FunctionRegistry:
     def table_fn_names(self) -> list[str]:
         return list(self._table_fns)
 
+    def materialize_table_fn_calls(self, spark: SparkSession, sql: str) -> str:
+        """Make registered table functions SQL-invocable: rewrite
+        ``FROM <name>(<literal args>)`` calls in ``sql`` into temp-view
+        references, evaluating each call once (driver-side, the only
+        place a catalog-querying table function can run) and
+        registering the result under a deterministic view name. The
+        reference's users call these inside scripts
+        (``SELECT ... FROM wow.get_assoc_addrs_from_bbl('xxx')``,
+        reference tests/test_wowutil.py:42-44); unregistered names and
+        non-literal arguments pass through untouched."""
+        import hashlib
+
+        import re as _re
+
+        from nycdb_k8s_loader_spark.publish.transpile import (
+            rewrite_table_fn_calls,
+        )
+
+        def resolve(name: str, args: list):
+            if name not in self._table_fns:
+                return None
+            slug = _re.sub(r"\W+", "_", name)
+            tag = hashlib.md5(repr(args).encode()).hexdigest()[:8]
+            view = f"__tablefn_{slug}_{tag}"
+            self._table_fns[name](spark, *args).createOrReplaceTempView(view)
+            return view
+
+        return rewrite_table_fn_calls(sql, resolve)
+
     def apply(self, spark: SparkSession) -> list[str]:
         applied = []
         for fn in self._fns.values():

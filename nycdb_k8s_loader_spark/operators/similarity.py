@@ -698,6 +698,13 @@ def semantic_dedup(
     Float note: the GEMM accumulates in BLAS order (~1e-15 relative
     vs the oracle's sequential fold); thresholds need the same
     cross-engine margin d08 documents.
+
+    Scale hinge (measured in BENCH_sf1.json): under the scaled-k
+    policy (k ∝ corpus, constant cluster size) the pair stage is
+    linear but the broadcast-argmin ASSIGNMENT costs O(n·k·dim) —
+    quadratic in n. Past ~10^6 vectors, train centroids on a sample
+    and assign through an inverted cell index (ivf_topk's machinery)
+    instead of the full-fold argmin.
     """
     from pyspark.sql import Window
 

@@ -390,6 +390,62 @@ def _rewrite_drop_cascade(sql: str) -> str:
     )
 
 
+#: ``FROM/JOIN <qualified_name>(<args>)`` — a table-function call in a
+#: FROM position. The mandatory identifier excludes subqueries
+#: ``FROM (SELECT ...)``; non-literal args or unregistered names are
+#: left untouched by the rewriter below.
+_TABLE_FN_CALL = re.compile(
+    r"\b(FROM|JOIN)\s+((?:[A-Za-z_][\w$]*\s*\.\s*)?[A-Za-z_][\w$]*)"
+    r"\s*\(([^()]*)\)",
+    re.IGNORECASE,
+)
+
+
+def rewrite_table_fn_calls(sql: str, resolve) -> str:
+    """Rewrite table-valued function calls in FROM/JOIN position into
+    plain table references — the Spark analog of Postgres set-returning
+    functions (the reference's users write ``SELECT ... FROM
+    wow.get_assoc_addrs_from_bbl('xxx')``, tests/test_wowutil.py:42-44;
+    Spark SQL cannot call a driver-side table function, so the engine
+    materializes the result as a temp view and substitutes its name).
+
+    ``resolve(name, args) -> str | None`` receives the (possibly
+    schema-qualified) function name and the parsed LITERAL argument
+    list (strings unquoted, numbers as int/float) and returns the
+    replacement view name, or None to leave the call untouched
+    (unregistered name — e.g. ``FROM range(10)`` / lateral builtins).
+    Calls with non-literal arguments are never rewritten: a correlated
+    table-function argument needs a lateral join, which belongs in the
+    DataFrame layer."""
+
+    def sub(m: re.Match) -> str:
+        kw, name, rawargs = m.group(1), m.group(2), m.group(3)
+        name = re.sub(r"\s*\.\s*", ".", name)
+        args: list = []
+        for a in _split_top_commas(rawargs):
+            a = a.strip()
+            if not a:
+                continue
+            if a.startswith("'") and a.endswith("'"):
+                args.append(a[1:-1].replace("''", "'"))
+                continue
+            try:
+                args.append(int(a))
+                continue
+            except ValueError:
+                pass
+            try:
+                args.append(float(a))
+            except ValueError:
+                return m.group(0)  # non-literal arg: leave untouched
+        view = resolve(name, args)
+        if view is None:
+            return m.group(0)
+        return f"{kw} {view}"
+
+    return _TABLE_FN_CALL.sub(sub, sql)
+
+
 def transpile_pg(sql: str) -> str:
     """Apply all rewrites. Order matters: interval-casts before simple
     casts, DISTINCT ON last (it restructures the statement)."""

@@ -1665,3 +1665,80 @@ class TestCorpusShuffleAndExactSample:
         assert small < big  # growing the sample never churns it
         # n beyond |df| returns everything
         assert global_exact_sample(docs, 10_000).count() == 200
+
+
+class TestIncrementalDedupState:
+    """The persisted-signature production loop (r4 VERDICT wrong-item
+    #4): batch verdicts must be identical whether corpus signatures
+    are recomputed or read from a published state table, and the
+    from-state plan must never scan corpus text."""
+
+    def _frames(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "one two three four five six seven okay fine done"),
+                (3, "unrelated words entirely here now"),
+            ],
+            "doc_id long, text string",
+        )
+        batch2 = spark.createDataFrame(
+            [
+                (10, "alpha beta gamma delta epsilon zeta"),   # exact
+                (11, "one two three four five six seven okay fine extra"),  # near
+                (12, "completely novel content stream okay"),   # keep
+            ],
+            "doc_id long, text string",
+        )
+        return corpus, batch2
+
+    def test_two_batch_loop_state_equals_recompute(self, spark, tmp_path):
+        from nycdb_k8s_loader_spark.operators.dedup import (
+            dedup_signature_state,
+            incremental_dedup,
+            incremental_dedup_from_state,
+        )
+
+        corpus, batch2 = self._frames(spark)
+        corpus_path = str(tmp_path / "corpus.parquet")
+        state_path = str(tmp_path / "state.parquet")
+        corpus.write.parquet(corpus_path)
+        corpus_on_disk = spark.read.parquet(corpus_path)
+        # corpus refresh: persist the signature state once
+        dedup_signature_state(corpus_on_disk).write.parquet(state_path)
+
+        recomputed = {
+            r["doc_id"]: r["verdict"]
+            for r in incremental_dedup(corpus_on_disk, batch2).collect()
+        }
+        state = spark.read.parquet(state_path)
+        from_state_df = incremental_dedup_from_state(state, batch2)
+        from_state = {
+            r["doc_id"]: r["verdict"] for r in from_state_df.collect()
+        }
+        assert from_state == recomputed == {
+            10: "exact_dup", 11: "near_dup", 12: "keep"
+        }
+        # plan assertion: the from-state probe reads the STATE table,
+        # never the corpus parquet (corpus text is not re-scanned)
+        files = from_state_df.inputFiles()
+        assert files and all("state.parquet" in f for f in files)
+        assert not any("corpus.parquet" in f for f in files)
+
+    def test_state_kinds_cover_probe_surfaces(self, spark):
+        from nycdb_k8s_loader_spark.operators.dedup import (
+            dedup_signature_state,
+        )
+
+        corpus, _ = self._frames(spark)
+        state = dedup_signature_state(corpus)
+        kinds = {
+            r["kind"]: r["n"]
+            for r in state.groupBy("kind").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        assert kinds["hash"] == 3          # one content hash per doc
+        assert kinds["band"] == 3 * 4      # one key per (doc, band)
+        assert kinds["shingle"] > 0
+        # bodies never enter the state
+        assert "text" not in state.columns
