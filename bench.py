@@ -39,6 +39,15 @@ HEADLINE = [
     "d01_exact_dedup",
     "d03_minhash_band_candidates",
     "t04_doc_fingerprint",
+    # round-5 widening (r4 verdict #7): one representative per heavy
+    # LLM-pipeline family, so regressions there surface in
+    # BENCH_r{N}.json rather than only in the cold --all profile.
+    # The first 9 keep their order for round-over-round comparability.
+    "d09_fuzzy_dedup_e2e",
+    "d12_semantic_dedup",
+    "s09_filtered_ann",
+    "t13_exact_substring_scrub",
+    "c06_corpus_shuffle",
 ]
 
 

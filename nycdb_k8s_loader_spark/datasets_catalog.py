@@ -384,7 +384,16 @@ CATALOG_TABLES: dict[str, list[TableDef]] = {
             "dos_active_corporations", DOS_ACTIVE_CORPORATIONS_SCHEMA
         )
     ],
-    "boundaries": [TableDef("nta_boundaries", BOUNDARIES_NTA_SCHEMA)],
+    # the reference's actual boundaries source is a ZIPPED SHAPEFILE
+    # (tests/test_load_dataset.py:46-51, loaded via shp2pgsql there);
+    # sources/shapefile.py parses .shp/.dbf with stdlib struct and
+    # emits the same attributes + geom_wkt rows this schema declares.
+    "boundaries": [
+        TableDef(
+            "nta_boundaries", BOUNDARIES_NTA_SCHEMA,
+            files=["nta_boundaries.zip"],
+        )
+    ],
 }
 
 
@@ -403,6 +412,7 @@ def catalog_defs() -> list[DatasetDef]:
                     SourceFile(
                         url=f"https://data.cityofnewyork.us/mirror/{d}",
                         dest=d,
+                        format="shapefile" if d.endswith(".zip") else "csv",
                     )
                 )
         out.append(

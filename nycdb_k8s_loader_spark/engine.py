@@ -275,6 +275,75 @@ class Engine:
                 )
         return published
 
+    def load_streaming(self, name: str) -> LoadResult:
+        """Streaming ingestion of a standard registry dataset — the
+        reference's cron unit of work as a CHECKPOINTED incremental
+        stream (SURVEY §2.9's declared stretch). Source files are
+        DROPPED into ``<landing_root>/<name>/stream/<table>/`` (by an
+        upstream fetcher, a cloud transfer job, or tests); each call:
+
+        1. runs one ``availableNow`` pass per typed table —
+           ``incremental_csv_source`` (readStream + registry schema)
+           appending into a durable parquet store, with the file-source
+           checkpoint remembering which files earlier calls consumed,
+           so a rerun processes only the NEW drops;
+        2. republishes the ACCUMULATED store through the identical
+           staging → TableChecks validation → atomic publish protocol
+           as a batch load — readers always see the full table, and a
+           corrupt increment aborts BEFORE any published table moves.
+
+        Incremental in compute (per-call cost ∝ new files), full-table
+        in publish semantics — the same contract the reference's
+        repeated cron loads provide, minus the re-download of
+        unchanged source files. The store/checkpoint live under
+        ``<landing_root>/<name>/_stream/`` — on a real cluster, point
+        ``landing_root`` at durable shared storage.
+        """
+        import os
+
+        from nycdb_k8s_loader_spark.publish.validate import validate_or_raise
+        from nycdb_k8s_loader_spark.streaming.pipeline import (
+            incremental_csv_source,
+            run_available_now,
+        )
+
+        ds = self.registry.get(name)
+        typed = [t for t in ds.tables if t.schema is not None]
+        with self.publisher.staging(ds.name) as staging_db:
+            for table in typed:
+                land = os.path.join(
+                    self.landing_root, ds.name, "stream", table.name
+                )
+                store = os.path.join(
+                    self.landing_root, ds.name, "_stream", table.name, "data"
+                )
+                ckpt = os.path.join(
+                    self.landing_root, ds.name, "_stream", table.name, "ckpt"
+                )
+                os.makedirs(land, exist_ok=True)
+                src = incremental_csv_source(self.spark, land, table.schema)
+                run_available_now(src, store, ckpt)
+                accumulated = self.spark.read.schema(table.schema).parquet(
+                    store
+                )
+                self.publisher.write_staging_table(
+                    staging_db, table.name, accumulated
+                )
+                if table.checks is not None:
+                    validate_or_raise(
+                        table.name,
+                        self.spark.table(f"`{staging_db}`.`{table.name}`"),
+                        table.checks,
+                    )
+            with self.grants.save_and_reapply(
+                self.publisher.target_db, [t.name for t in typed]
+            ):
+                published = self.publisher.publish_tables(
+                    staging_db, [t.name for t in typed]
+                )
+        self.functions.apply(self.spark)
+        return LoadResult(dataset=name, skipped=False, published=published)
+
     def load_all(
         self,
         targets: list[str] | None = None,

@@ -1071,3 +1071,98 @@ def st09(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_novel_value"),
     )
     return _run_memory_stream(spark, agg, "st09", "complete")
+
+
+@register(
+    "st10_streaming_ingest_e2e",
+    """
+    SELECT o_orderkey AS violationid,
+           'BBL' || o_custkey AS bbl,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 'C'
+                WHEN o_orderpriority = '2-HIGH' THEN 'B'
+                ELSE 'A' END AS class,
+           CASE WHEN o_orderstatus = 'O' THEN 'Open'
+                ELSE 'Close' END AS currentstatus
+    FROM orders
+    """,
+    doc="Streaming ingestion end-to-end (SURVEY §2.9 stretch): two "
+        "source-file drops derived from orders run through "
+        "Engine.load_streaming — incremental_csv_source + availableNow "
+        "with a file-source checkpoint (drop 2's pass reads only the "
+        "new file), each pass republishing the ACCUMULATED store "
+        "through the same staging → validate → atomic-publish "
+        "protocol as a batch load — and the published table is "
+        "returned. The oracle recomputes the derivation directly: the "
+        "two drops partition orders by key parity, so their "
+        "accumulated union IS the orders projection. "
+        "engine.py Engine.load_streaming, streaming/pipeline.py.",
+    tags=("streaming", "engine", "e2e"),
+)
+def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import re as _re
+
+    from nycdb_k8s_loader_spark.datasets import wow_registry
+    from nycdb_k8s_loader_spark.engine import Engine
+    from nycdb_k8s_loader_spark.session import read_table
+    from nycdb_k8s_loader_spark.state.kvstore import DictKVStore
+    from nycdb_k8s_loader_spark.state.lastmod import FetchResult
+
+    # one root per (sf_dir, source mtime): reruns hit the checkpoint
+    # and re-publish identical rows; regenerated testdata gets a fresh
+    # stream state instead of mixing vintages (the w01 cache rule)
+    src = os.path.join(sf_dir, "orders.parquet")
+    sig = hashlib.md5(
+        f"{sf_dir}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    root = "/tmp/stream_e2e_" + _re.sub(r"\W+", "_", sf_dir).strip("_")
+    target_db = f"stream_e2e_{sig}"
+    os.makedirs(root, exist_ok=True)
+
+    orders = read_table(spark, sf_dir, "orders")
+    derived = orders.select(
+        F.col("o_orderkey").alias("violationid"),
+        F.concat(F.lit("BBL"), F.col("o_custkey").cast("string")).alias(
+            "bbl"
+        ),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("C"))
+        .when(F.col("o_orderpriority") == "2-HIGH", F.lit("B"))
+        .otherwise(F.lit("A"))
+        .alias("class"),
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias(
+            "inspectiondate"
+        ),
+        F.when(F.col("o_orderstatus") == "O", F.lit("Open"))
+        .otherwise(F.lit("Close"))
+        .alias("currentstatus"),
+    )
+
+    land = os.path.join(
+        root, sig, "landing", "hpd_violations", "stream", "hpd_violations"
+    )
+    os.makedirs(land, exist_ok=True)
+    marker = os.path.join(land, "_DROPS")
+    if not os.path.exists(marker):
+        for batch, par in (("batch1", 0), ("batch2", 1)):
+            pdf = (
+                derived.filter(F.pmod("violationid", F.lit(2)) == par)
+                .toPandas()
+            )
+            pdf.to_csv(os.path.join(land, f"{batch}.csv"), index=False)
+        with open(marker, "w") as fh:
+            fh.write(sig)
+
+    eng = Engine(
+        spark,
+        wow_registry(),
+        DictKVStore(),
+        target_db=target_db,
+        landing_root=os.path.join(root, sig, "landing"),
+        transport=lambda url, headers: FetchResult(200, etag='"st10"'),
+        downloader=lambda url, dest: None,
+    )
+    eng.load_streaming("hpd_violations")
+    return spark.table(f"{target_db}.hpd_violations").select(
+        "violationid", "bbl", "class", "currentstatus"
+    )

@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 class SourceFile:
     url: str
     dest: str
-    format: str = "csv"  # csv | excel | parquet | json
+    format: str = "csv"  # csv | excel | shapefile | parquet | json
 
 
 @dataclass

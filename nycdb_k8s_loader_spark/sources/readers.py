@@ -169,6 +169,14 @@ def read_source_table(
     for d in dests:
         if formats.get(d, "csv") == "excel":
             frames.append(read_excel(spark, dest_paths[d], table.schema))
+        elif formats.get(d, "csv") == "shapefile":
+            from nycdb_k8s_loader_spark.sources.shapefile import (
+                read_shapefile_zip,
+            )
+
+            frames.append(
+                read_shapefile_zip(spark, dest_paths[d], table.schema)
+            )
     if not frames:
         raise ValueError(f"table {table.name}: no source files resolved")
     out = frames[0]

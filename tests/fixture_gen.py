@@ -128,3 +128,34 @@ def csv_bytes(header: list[str], rows: list[list[str]]) -> bytes:
     lines = [",".join(header)]
     lines += [",".join("" if v is None else v for v in r) for r in rows]
     return ("\n".join(lines) + "\n").encode()
+
+
+def shapefile_zip_from_schema(
+    schema: T.StructType, n: int = 3, salt: int = 0
+) -> bytes:
+    """Zipped-shapefile fixture synthesized from a registry StructType
+    (the sources/shapefile.py writer twin of csv_bytes/xlsx_bytes):
+    non-geometry fields become dbf columns (numeric types as N,
+    everything else C), each record carries one closed square ring."""
+    from nycdb_k8s_loader_spark.sources.shapefile import write_shapefile_zip
+
+    fields, attr_fields = [], []
+    for f in schema.fields:
+        if f.name == "geom_wkt":
+            continue
+        attr_fields.append(f)
+        if isinstance(f.dataType, (T.IntegerType, T.LongType, T.ShortType)):
+            fields.append((f.name, "N", 18, 0))
+        elif isinstance(
+            f.dataType, (T.DoubleType, T.FloatType, T.DecimalType)
+        ):
+            fields.append((f.name, "N", 18, 4))
+        else:
+            fields.append((f.name, "C", 32, 0))
+    records = []
+    for i in range(n):
+        vals = [synth_value(f, i, salt) for f in attr_fields]
+        k = float(i + salt % 7)
+        ring = [(k, 0.0), (k + 1, 0.0), (k + 1, 1.0), (k, 0.0)]
+        records.append((vals, [ring]))
+    return write_shapefile_zip(fields, records)

@@ -24,7 +24,8 @@ from nycdb_k8s_loader_spark.registry import DatasetDef
 from nycdb_k8s_loader_spark.state.kvstore import DictKVStore
 from nycdb_k8s_loader_spark.state.lastmod import FetchResult
 
-from fixture_gen import csv_bytes, synth_rows, xlsx_bytes
+from fixture_gen import (csv_bytes, shapefile_zip_from_schema,
+                         synth_rows, xlsx_bytes)
 
 _REG = wow_registry()
 STANDARD = [n for n in _REG.names() if _REG.get(n).builder is None]
@@ -49,6 +50,9 @@ def _fixture_payloads(ds: DatasetDef) -> dict[str, bytes]:
     for f in ds.files:
         table = _table_for_dest(ds, f.dest)
         salt = int(hashlib.md5(f.dest.encode()).hexdigest()[:4], 16)
+        if f.format == "shapefile":
+            out[f.url] = shapefile_zip_from_schema(table.schema, n=3, salt=salt)
+            continue
         header, rows = synth_rows(table.schema, n=3, salt=salt)
         out[f.url] = (
             xlsx_bytes(header, rows)

@@ -66,3 +66,78 @@ class TestS3Fetch:
             pass
         with pytest.raises(NotImplementedError, match="boto3"):
             fetch_to_landing("s3://bucket/key.csv", str(tmp_path / "x.csv"))
+
+class TestShapefile:
+    """S6 closed: stdlib .shp/.dbf parsing (reference boundaries
+    source, tests/test_load_dataset.py:46-51 loads a zipped shapefile
+    via shp2pgsql; here struct-parsed to attributes + WKT)."""
+
+    def _zip(self, tmp_path, fields, records):
+        from nycdb_k8s_loader_spark.sources.shapefile import (
+            write_shapefile_zip,
+        )
+
+        p = tmp_path / "fix.zip"
+        p.write_bytes(write_shapefile_zip(fields, records))
+        return str(p)
+
+    def test_polygon_multiring_roundtrip(self, tmp_path):
+        import zipfile
+
+        from nycdb_k8s_loader_spark.sources.shapefile import (
+            parse_dbf,
+            parse_shp,
+        )
+
+        outer = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+        hole = [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 1.0)]
+        path = self._zip(
+            tmp_path,
+            [("name", "C", 10, 0), ("area", "N", 12, 2), ("ok", "L", 1, 0)],
+            [(["sq", 7.5, "T"], [outer, hole]), (["pt", None, "F"], (3.0, 9.0))],
+        )
+        with zipfile.ZipFile(path) as zf:
+            geoms = parse_shp(zf.read("layer.shp"))
+            names, recs = parse_dbf(zf.read("layer.dbf"))
+        assert geoms[0] == (
+            "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0), "
+            "(1.0 1.0, 2.0 1.0, 2.0 2.0, 1.0 1.0))"
+        )
+        assert geoms[1] == "POINT (3.0 9.0)"
+        assert names == ["name", "area", "ok"]
+        assert recs[0] == ["sq", 7.5, True]
+        assert recs[1] == ["pt", None, False]
+
+    def test_read_zip_casts_by_name_and_nulls_missing(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from nycdb_k8s_loader_spark.sources.shapefile import (
+            read_shapefile_zip,
+        )
+
+        ring = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)]
+        path = self._zip(
+            tmp_path,
+            [("code", "C", 8, 0), ("pop", "N", 10, 0)],
+            [(["A1", 42], [ring])],
+        )
+        schema = T.StructType([
+            T.StructField("code", T.StringType()),
+            T.StructField("pop", T.LongType()),
+            T.StructField("absent", T.DoubleType()),
+            T.StructField("geom_wkt", T.StringType()),
+        ])
+        rows = read_shapefile_zip(spark, path, schema).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["code"] == "A1" and r["pop"] == 42
+        assert r["absent"] is None
+        assert r["geom_wkt"].startswith("POLYGON ((0.0 0.0,")
+
+    def test_bad_file_code_and_unsupported_type_raise(self, tmp_path):
+        import pytest as _pytest
+
+        from nycdb_k8s_loader_spark.sources.shapefile import parse_shp
+
+        with _pytest.raises(ValueError, match="file code"):
+            parse_shp(b"\x00" * 100)

@@ -294,3 +294,84 @@ def test_tws_user_profiles_across_batches(spark, tmp_path):
         .collect()
     }
     assert final == {1: (3, 2), 2: (2, 1)}
+
+
+class TestStreamingIngestionE2E:
+    """Engine.load_streaming (SURVEY §2.9 stretch, r4 verdict #8): the
+    cron unit of work as a checkpointed stream. Two file drops → two
+    incremental publishes; the second call's checkpoint skips batch-1
+    files (reprocessing would double rows and fail the counts), and
+    the accumulated publish equals a plain batch load of the same
+    files."""
+
+    B1 = (
+        "violationid,bbl,class,inspectiondate,currentstatus\n"
+        "1,BBL1,C,1997-07-01T00:00:00,Open\n"
+        "2,BBL1,A,1995-01-01T00:00:00,Close\n"
+        "3,BBL2,B,1998-01-01T00:00:00,Open\n"
+    )
+    B2 = (
+        "violationid,bbl,class,inspectiondate,currentstatus\n"
+        "4,BBL3,C,1999-07-01T00:00:00,Open\n"
+        "5,BBL3,A,2000-01-01T00:00:00,Close\n"
+    )
+
+    def test_two_drops_two_incremental_publishes(self, spark, tmp_path):
+        from nycdb_k8s_loader_spark.datasets import wow_registry
+        from nycdb_k8s_loader_spark.engine import Engine
+        from nycdb_k8s_loader_spark.state.kvstore import DictKVStore
+        from nycdb_k8s_loader_spark.state.lastmod import FetchResult
+
+        eng = Engine(
+            spark,
+            wow_registry(),
+            DictKVStore(),
+            target_db="stream_ing_test",
+            landing_root=str(tmp_path / "landing"),
+            transport=lambda url, headers: FetchResult(200, etag='"s"'),
+            downloader=lambda url, dest: None,
+        )
+        land = tmp_path / "landing" / "hpd_violations" / "stream" / "hpd_violations"
+        land.mkdir(parents=True)
+        try:
+            (land / "batch1.csv").write_text(self.B1)
+            res1 = eng.load_streaming("hpd_violations")
+            assert res1.published == ["stream_ing_test.hpd_violations"]
+            t = spark.table("stream_ing_test.hpd_violations")
+            assert t.count() == 3
+
+            (land / "batch2.csv").write_text(self.B2)
+            res2 = eng.load_streaming("hpd_violations")
+            assert not res2.skipped
+            t = spark.table("stream_ing_test.hpd_violations")
+            assert t.count() == 5
+            got = {
+                r["violationid"]: r["bbl"]
+                for r in t.select("violationid", "bbl").collect()
+            }
+            assert got == {1: "BBL1", 2: "BBL1", 3: "BBL2",
+                           4: "BBL3", 5: "BBL3"}
+            # typed scan, not inferred: timestamps parsed
+            assert dict(t.dtypes)["inspectiondate"] == "timestamp"
+
+            # equals the batch load of the same two files
+            batch_eng = Engine(
+                spark,
+                wow_registry(),
+                DictKVStore(),
+                target_db="stream_ing_batch",
+                landing_root=str(tmp_path / "landing_batch"),
+                transport=lambda url, headers: FetchResult(200, etag='"b"'),
+                downloader=lambda url, dest: open(dest, "w").write(
+                    self.B1 + self.B2.split("\n", 1)[1]
+                ),
+            )
+            batch_eng.load("hpd_violations")
+            b = spark.table("stream_ing_batch.hpd_violations")
+            assert b.count() == 5
+            assert sorted(
+                map(tuple, b.select("violationid", "bbl").collect())
+            ) == sorted(map(tuple, t.select("violationid", "bbl").collect()))
+        finally:
+            for db in ("stream_ing_test", "stream_ing_batch"):
+                spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
