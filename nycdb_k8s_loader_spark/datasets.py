@@ -266,6 +266,8 @@ RENTSTAB_SCHEMA = _s(
     ("uc2018", T.IntegerType()),
     ("uc2019", T.IntegerType()),
     ("uc2020", T.IntegerType()),
+    ("diff", T.IntegerType()),
+    ("percentchange", T.DoubleType()),
 )
 
 # OCA court-filing surface (reference fixture header at

@@ -715,6 +715,51 @@ def exact_substring_scrub(
     return out
 
 
+def benchmark_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    shingles: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Eval-set decontamination — the n-gram-overlap rule every LLM
+    training pipeline runs before training (the GPT-3/PaLM 13-gram
+    convention, parameterized): a training document is contaminated
+    when it shares ANY ``shingles``-gram with the benchmark/eval
+    corpus. Returns one row per training doc:
+    ``(id_col, n_shared_ngrams, is_contaminated)`` where
+    ``n_shared_ngrams`` counts the doc's DISTINCT n-grams that appear
+    anywhere in the benchmark set.
+
+    100 TB shape: the benchmark side is eval-set-sized by definition —
+    its distinct n-gram set broadcasts; the training corpus streams
+    through one hash join on the n-gram string plus a per-doc count
+    (map-side combinable). No shuffle ever carries document bodies,
+    and training-side work is linear in corpus n-grams regardless of
+    benchmark composition.
+    """
+    tp = shingle_postings(train, shingles, id_col, text_col)
+    bp = (
+        shingle_postings(bench, shingles, id_col, text_col)
+        .select("w")
+        .distinct()
+    )
+    hits = (
+        tp.join(F.broadcast(bp), "w")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+    return (
+        train.select(F.col(id_col))
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shared_ngrams", F.lit(0)).alias("n_shared_ngrams"),
+            F.col("n_shared_ngrams").isNotNull().alias("is_contaminated"),
+        )
+    )
+
+
 def dedup_signature_state(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -467,3 +467,61 @@ def length_bucket_batches(
         .cast("long")
         .alias("batch_idx"),
     )
+
+
+def repetition_scores(
+    df: DataFrame,
+    shingles: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-document repetition metrics — the Gopher/MassiveText
+    quality-filter family's repetition rules: documents dominated by
+    repeated n-grams are boilerplate/spam and get filtered before
+    training. Per document:
+
+    - ``n_ngrams``: total (non-distinct) word ``shingles``-grams;
+    - ``dup_ngram_frac``: 1 - distinct/total — the duplicated-n-gram
+      fraction;
+    - ``top_ngram_frac``: the most frequent n-gram's share of all
+      n-grams (the "top n-gram" rule).
+
+    100 TB shape: one explode over the per-row shingle array into a
+    (doc, gram) partial-agg count, then a per-doc aggregate — both
+    groupBys map-side combinable, the shuffle carries (id, gram hash,
+    count), never text bodies beyond the gram strings themselves.
+    """
+    from nycdb_k8s_loader_spark.operators.dedup import (
+        normalized_text,
+        shingle_array,
+    )
+
+    words = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(normalized_text(text_col), " "), lambda w: w != ""
+        ).alias("words"),
+    )
+    grams = words.select(
+        F.col(id_col),
+        F.explode(shingle_array(F.col("words"), shingles)).alias("w"),
+    )
+    per_gram = grams.groupBy(id_col, "w").agg(F.count("*").alias("c"))
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_ngrams"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_ngrams"),
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_ngrams"), 4
+            ).alias("dup_ngram_frac"),
+            F.round(F.col("top_c") / F.col("n_ngrams"), 4).alias(
+                "top_ngram_frac"
+            ),
+        )
+    )

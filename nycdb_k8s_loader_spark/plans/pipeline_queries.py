@@ -2103,3 +2103,108 @@ def p06(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return global_exact_sample(_docs(spark, sf_dir), n=100)
+
+
+@register(
+    "t14_benchmark_contamination",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS l
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(l) >= 5
+                    THEN l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' '
+                         || l[i+3] || ' ' || l[i+4]
+                    ELSE array_to_string(l, ' ') END AS w
+        FROM toks,
+             unnest(CASE WHEN len(l) >= 5 THEN range(1, len(l) - 3)
+                         ELSE [CAST(1 AS BIGINT)] END) AS t(i)
+    ),
+    bench AS (
+        SELECT DISTINCT s.w
+        FROM sh s JOIN documents d USING (doc_id)
+        WHERE d.source = 'src0'
+    ),
+    hits AS (
+        SELECT s.doc_id, COUNT(*) AS n
+        FROM sh s
+        JOIN documents d USING (doc_id)
+        JOIN bench b USING (w)
+        WHERE d.source <> 'src0'
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n, 0)::BIGINT AS n_shared_ngrams,
+           h.n IS NOT NULL AS is_contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.source <> 'src0'
+    """,
+    doc="Eval-set decontamination — the GPT-3/PaLM n-gram-overlap "
+        "rule (5-word grams here; 13 is the classic for real token "
+        "streams): a training doc (source<>'src0') is contaminated "
+        "when any of its distinct 5-grams appears in the benchmark "
+        "corpus (source='src0'). The benchmark's distinct-gram set is "
+        "eval-sized by definition and broadcasts; the training corpus "
+        "streams through one hash join + per-doc count, linear in "
+        "corpus grams. operators/dedup.py benchmark_contamination.",
+    tags=("pipeline", "dedup", "contamination"),
+)
+def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.dedup import (
+        benchmark_contamination,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return benchmark_contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        shingles=5,
+    )
+
+
+@register(
+    "t15_repetition_scores",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS l
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               CASE WHEN len(l) >= 3
+                    THEN l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                    ELSE array_to_string(l, ' ') END AS w
+        FROM toks,
+             unnest(CASE WHEN len(l) >= 3 THEN range(1, len(l) - 1)
+                         ELSE [CAST(1 AS BIGINT)] END) AS t(i)
+    ),
+    per AS (SELECT doc_id, w, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+    agg AS (
+        SELECT doc_id, SUM(c)::BIGINT AS n_ngrams,
+               COUNT(*) AS nd, MAX(c) AS topc
+        FROM per GROUP BY 1
+    )
+    SELECT doc_id, n_ngrams,
+           ROUND(1 - nd * 1.0 / n_ngrams, 4) AS dup_ngram_frac,
+           ROUND(topc * 1.0 / n_ngrams, 4) AS top_ngram_frac
+    FROM agg
+    """,
+    doc="Within-document repetition metrics — the Gopher/MassiveText "
+        "repetition quality rules: duplicated-3-gram fraction and the "
+        "top 3-gram's share per document flag boilerplate/spam before "
+        "training. One explode into a (doc, gram) partial-agg count "
+        "then a per-doc aggregate — both map-side combinable, no "
+        "bodies past the gram strings. "
+        "operators/textops.py repetition_scores.",
+    tags=("pipeline", "text", "quality"),
+)
+def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.textops import repetition_scores
+
+    return repetition_scores(_docs(spark, sf_dir), shingles=3)

@@ -1742,3 +1742,59 @@ class TestIncrementalDedupState:
         assert kinds["shingle"] > 0
         # bodies never enter the state
         assert "text" not in state.columns
+
+
+class TestContaminationAndRepetition:
+    def test_benchmark_contamination_flags_overlap_only(self, spark):
+        from nycdb_k8s_loader_spark.operators.dedup import (
+            benchmark_contamination,
+        )
+
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        train = spark.createDataFrame(
+            [
+                # contains the bench 5-gram "quick brown fox jumps over"
+                (1, "a quick brown fox jumps over fences daily it seems"),
+                # no shared 5-gram
+                (2, "completely different words with no overlap at all here"),
+                # exact copy: every 5-gram shared
+                (3, "the quick brown fox jumps over the lazy dog"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in benchmark_contamination(train, bench, shingles=5)
+            .collect()
+        }
+        assert out[1]["is_contaminated"]
+        assert out[1]["n_shared_ngrams"] >= 1
+        assert not out[2]["is_contaminated"]
+        assert out[2]["n_shared_ngrams"] == 0
+        assert out[3]["is_contaminated"]
+        assert out[3]["n_shared_ngrams"] == 5  # 9 words -> 5 grams
+
+    def test_repetition_scores_flag_boilerplate(self, spark):
+        from nycdb_k8s_loader_spark.operators.textops import (
+            repetition_scores,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "spam spam spam spam spam spam"),      # one gram x4
+                (2, "one two three four five six seven"),  # all distinct
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r for r in repetition_scores(docs).collect()
+        }
+        assert out[1]["n_ngrams"] == 4
+        assert out[1]["dup_ngram_frac"] == 0.75   # 1 distinct of 4
+        assert out[1]["top_ngram_frac"] == 1.0
+        assert out[2]["dup_ngram_frac"] == 0.0
+        assert out[2]["n_ngrams"] == 5
+        assert out[2]["top_ngram_frac"] == 0.2

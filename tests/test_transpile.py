@@ -226,3 +226,113 @@ class TestReferenceScriptsParse:
         # three fixture scripts, each: big CTAS + drop + rename (+
         # CREATE INDEX rows skipped) => 7 parseable statements today
         assert checked >= 7
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(REFERENCE_SQL_DIR),
+    reason="reference checkout not present",
+)
+class TestReferenceWow2020Executes:
+    """Beyond parse parity: the reference's wow_2020 bldgs script runs
+    END-TO-END through transpile + SearchPathResolver on synthesized
+    source tables, and the produced wow_bldgs carries the expected
+    values. (The 2021 variant is parse-only fixture text upstream — it
+    references an undefined ``h.`` alias that no engine, Postgres
+    included, could resolve; 2020 is the newest executable variant.)
+
+    first()/DISTINCT ON determinism: the fixture gives every bbl
+    exactly one qualifying deed and one registration row, so the
+    order-dependent picks are single-candidate and the assertion is
+    exact."""
+
+    def test_wow_2020_runs_end_to_end(self, spark):
+        import os
+
+        from nycdb_k8s_loader_spark.publish.parse_created_tables import (
+            split_statements,
+        )
+        from nycdb_k8s_loader_spark.publish.resolver import (
+            SearchPathResolver,
+        )
+
+        def view(name, data, schema):
+            spark.createDataFrame(data, schema).createOrReplaceTempView(name)
+
+        view(
+            "hpd_registrations_with_contacts",
+            [(1, "B1", "MN"), (2, "B2", "BK")],
+            "registrationid int, bbl string, boro string",
+        )
+        view(
+            "hpd_violations",
+            [("B1", "Open"), ("B1", "Close"), ("B2", "Close")],
+            "bbl string, violationstatus string",
+        )
+        view(
+            "pluto_19v2",
+            [("B1", 10, 1920, 40.7, -73.9)],
+            "bbl string, unitsres int, yearbuilt int, lat double, lng double",
+        )
+        view(
+            "marshal_evictions_19",
+            [("B1", "RESIDENTIAL"), ("B1", "RESIDENTIAL"),
+             ("B1", "COMMERCIAL"), ("B2", "RESIDENTIAL")],
+            "bbl string, residentialcommercialind string",
+        )
+        view(
+            "rentstab_summary",
+            [("B1", 12, 8, -4, -33.3)],
+            "ucbbl string, unitsstab2007 int, unitsstab2017 int, "
+            "diff int, percentchange double",
+        )
+        view(
+            "real_property_master",
+            # B1: one DEED (kept), one MTGE (doctype-filtered), one
+            # cheap DEED (amount-filtered) -> single candidate
+            [("D1", "DEED", "2019-05-01", "2019-05-02", 1000.5),
+             ("D2", "MTGE", "2020-01-01", "2020-01-01", 9000.0),
+             ("D3", "DEED", "2020-06-01", "2020-06-01", 1.0)],
+            "documentid string, doctype string, docdate string, "
+            "recordedfiled string, docamount double",
+        )
+        view(
+            "real_property_legals",
+            [("D1", "B1"), ("D2", "B1"), ("D3", "B1")],
+            "documentid string, bbl string",
+        )
+
+        spark.sql("CREATE DATABASE IF NOT EXISTS ref2020")
+        resolver = SearchPathResolver(spark, ["ref2020"], ddl_db="ref2020")
+        text = open(
+            os.path.join(REFERENCE_SQL_DIR, "wow_2020_create_bldgs_table.sql")
+        ).read()
+        try:
+            ran = 0
+            for stmt in split_statements(text):
+                s = stmt.strip()
+                if not s or s.upper().startswith("CREATE INDEX"):
+                    continue
+                resolver.sql(transpile_pg(s))
+                ran += 1
+            assert ran == 2  # drop-if-exists + the CTAS
+            rows = {
+                r["bbl"]: r
+                for r in spark.table("ref2020.wow_bldgs").collect()
+            }
+            assert set(rows) == {"B1", "B2"}
+            b1 = rows["B1"]
+            assert b1["registrationid"] == 1 and b1["boro"] == "MN"
+            assert b1["totalviolations"] == 2
+            assert b1["openviolations"] == 1
+            assert b1["unitsres"] == 10 and b1["yearbuilt"] == 1920
+            assert b1["evictions"] == 2  # RESIDENTIAL only
+            assert b1["rsunits2007"] == 12 and b1["rsunits2017"] == 8
+            assert b1["rsdiff"] == -4
+            assert b1["lastsaleacrisid"] == "D1"
+            assert float(b1["lastsaleamount"]) == 1000.5
+            b2 = rows["B2"]
+            assert b2["totalviolations"] == 1 and b2["openviolations"] == 0
+            assert b2["lastsaleacrisid"] is None
+            assert b2["unitsres"] is None
+        finally:
+            spark.sql("DROP DATABASE IF EXISTS ref2020 CASCADE")

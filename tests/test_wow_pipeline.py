@@ -462,7 +462,10 @@ def test_reference_wow_sql_columns_resolve_in_registry_schemas():
         ],
         "real_property_legals": ["documentid", "bbl"],
         "hpd_violations": ["bbl", "violationstatus", "class"],
-        "rentstab_summary": ["ucbbl", "unitsstab2007"],
+        "rentstab_summary": [
+            "ucbbl", "unitsstab2007", "unitsstab2017", "diff",
+            "percentchange",
+        ],
         # the reference reads the joined hpd_complaints_and_problems
         # surface; our hpd_complaints models complaint+problem columns
         "hpd_complaints": [
