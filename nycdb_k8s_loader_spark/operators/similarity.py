@@ -678,14 +678,20 @@ def semantic_dedup(
     each Lloyd round recomputes per-dimension centroid means rounded
     to 4 decimals (the catalog's cross-engine convention, so the
     DuckDB oracle replays the identical trajectory); clusters that
-    lose every member keep their previous centroid. The k×dim
-    centroid frame is eagerly localCheckpointed per round so round
-    N+1's plan doesn't nest round N's corpus scan.
+    lose every member keep their previous centroid. Centroids live as
+    DRIVER-side k×dim literals between rounds (the "k-means seeds
+    shipped as a literal table" form kmeans_lloyd_step documents):
+    collecting ≤ k×dim doubles per round is metadata-scale, costs ONE
+    job per Lloyd round (the mean aggregate), and embeds the next
+    round's centroids as literal arrays — no per-round checkpoint, no
+    nested lineage, and the final plan's assignment is a pure
+    projection.
 
-    100 TB shape: assignment is map-side (broadcast k×dim centroid
-    array, in-row struct-min fold — no shuffle; one corpus scan per
-    Lloyd round, driver-bounded like operators/graph.py); each mean
-    recompute is one partial-agg groupBy reducing to ≤ k×dim sums.
+    100 TB shape: assignment is map-side (literal k×dim centroid
+    array folded in-row via struct-min — no shuffle, no join; one
+    corpus scan per Lloyd round, driver-bounded like
+    operators/graph.py); each mean recompute is one partial-agg
+    groupBy reducing to ≤ k×dim sums before the exchange.
     The pairwise stage is keyed by (cluster, block): every cluster is
     cut into ``ceil(n_c / max_block_rows)`` sub-blocks and pairs flow
     through the d08 GEMM machinery (`_gemm_pair_emitter`), so a
@@ -706,40 +712,28 @@ def semantic_dedup(
     and assign through an inverted cell index (ivf_topk's machinery)
     instead of the full-fold argmin.
     """
-    from pyspark.sql import Window
-
     vecs = emb.select(
         F.col(id_col).alias("vid"), as_double_vec(vec_col).alias("v")
     )
-    # Seeds: k smallest ids, renumbered 0..k-1. The window runs over a
-    # k-row frame (post-limit) — metadata-scale, not a data window;
-    # the literal partition key just silences the single-partition
-    # WindowExec warning.
-    cent_df = (
-        vecs.orderBy("vid")
-        .limit(k)
-        .select(
-            (
-                F.row_number().over(
-                    Window.partitionBy(F.lit(0)).orderBy("vid")
-                )
-                - 1
-            ).alias("cid"),
-            F.col("v").alias("c"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    if not cent_df.take(1):
+    # Seeds: the k smallest ids, renumbered 0..k-1 — collected to the
+    # driver (k×dim doubles, metadata-scale).
+    seed_rows = vecs.orderBy("vid").limit(k).collect()
+    if not seed_rows:
         raise ValueError(
             "semantic_dedup: no centroid seeds — embedding input is empty"
         )
+    cents: list[list[float]] = [list(r["v"]) for r in seed_rows]
 
-    def _pack(cdf: DataFrame) -> DataFrame:
-        return cdf.agg(
-            F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cents")
+    spark = emb.sparkSession
+
+    def _assign(cs: list[list[float]]) -> DataFrame:
+        # one-row broadcast frame (NOT per-row literal expressions —
+        # a k×dim literal array re-materializes per row and measures
+        # ~2× slower than the broadcast at sf0.1)
+        cent_arr = spark.createDataFrame(
+            [([(cid, [float(x) for x in c]) for cid, c in enumerate(cs)],)],
+            "cents array<struct<cid:int,c:array<double>>>",
         )
-
-    def _assign(cent_arr: DataFrame) -> DataFrame:
         return vecs.crossJoin(F.broadcast(cent_arr)).select(
             "vid",
             "v",
@@ -755,26 +749,24 @@ def semantic_dedup(
         )
 
     for _ in range(lloyd_iters):
-        assigned = _assign(_pack(cent_df))
+        # + 0.0 folds IEEE -0.0 to +0.0 (kmeans_lloyd_step's
+        # cross-engine convention)
         means = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            _assign(cents)
+            .select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
-            # + 0.0 folds IEEE -0.0 to +0.0 (kmeans_lloyd_step's
-            # cross-engine convention)
             .agg((F.round(F.avg("x"), 4) + F.lit(0.0)).alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
-            )
-            .select("cid", F.transform("pm", lambda s: s["m"]).alias("c_new"))
+            .collect()
         )
-        cent_df = (
-            cent_df.join(means, "cid", "left")
-            .select("cid", F.coalesce("c_new", "c").alias("c"))
-            .localCheckpoint(eager=True)
-        )
+        new_cents = [list(c) for c in cents]  # empty clusters carry over
+        by_cid: dict[int, list] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], []).append((r["pos"], r["m"]))
+        for cid, pm in by_cid.items():
+            new_cents[cid] = [m for _pos, m in sorted(pm)]
+        cents = new_cents
 
-    assigned = _assign(_pack(cent_df))
+    assigned = _assign(cents)
     unit = _cluster_blocks(assigned, max_block_rows)
     packed = unit.groupBy("cid", "blk").agg(
         F.collect_list("id").alias("ids"), F.collect_list("u").alias("us")
