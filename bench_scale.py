@@ -96,8 +96,24 @@ def _d09_scaled_bands(spark, sf_dir):
                        shingles=3)
 
 
+def _d12_scaled_k_two_level(spark, sf_dir):
+    """d12 scaled-k with the two-level assignment (coarse_cells≈√k):
+    O(n·(√k+√k)·dim) assignment instead of O(n·k·dim) — the form that
+    keeps BOTH stages linear under the scaled-k policy."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from nycdb_k8s_loader_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = emb.count()
+    k = max(8, n // _D12_CLUSTER_ROWS)
+    c = max(2, int(k ** 0.5))
+    return semantic_dedup(emb, k=k, threshold=0.45, coarse_cells=c)
+
+
 EXTRA = {
     "d12_semantic_dedup_scaled_k": _d12_scaled_k,
+    "d12_semantic_dedup_scaled_k_2level": _d12_scaled_k_two_level,
     "d03_minhash_scaled_bands": _d03_scaled_bands,
     "d09_fuzzy_dedup_scaled_bands": _d09_scaled_bands,
 }

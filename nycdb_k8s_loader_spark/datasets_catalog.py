@@ -216,12 +216,42 @@ DOF_421A_SCHEMA = _s(
 
 # --- city planning / other agencies ------------------------------------------
 
+# full-width (the public MapPLUTO data dictionary's commonly-queried
+# surface; appended past the original 14 so positional CSV fixtures
+# stay valid — the round-5 schema-fidelity rule from datasets.py)
 PLUTO_LATEST_SCHEMA = _s(
     ("bbl", _str), ("borough", _str), ("block", _int), ("lot", _int),
     ("address", _str), ("zipcode", _str), ("unitsres", _int),
     ("unitstotal", _int), ("yearbuilt", _int), ("numfloors", _dbl),
     ("ownername", _str), ("bldgclass", _str), ("latitude", _dbl),
     ("longitude", _dbl),
+    ("cd", _int), ("ct2010", _str), ("cb2010", _str),
+    ("schooldist", _int), ("council", _int), ("firecomp", _str),
+    ("policeprct", _int), ("healtharea", _int),
+    ("sanitboro", _str), ("sanitdistrict", _int),
+    ("zonedist1", _str), ("zonedist2", _str), ("overlay1", _str),
+    ("spdist1", _str), ("ltdheight", _str), ("splitzone", _str),
+    ("landuse", _str), ("easements", _int), ("ownertype", _str),
+    ("lotarea", T.LongType()), ("bldgarea", T.LongType()),
+    ("comarea", T.LongType()), ("resarea", T.LongType()),
+    ("officearea", T.LongType()), ("retailarea", T.LongType()),
+    ("garagearea", T.LongType()), ("strgearea", T.LongType()),
+    ("factryarea", T.LongType()), ("otherarea", T.LongType()),
+    ("areasource", _str), ("numbldgs", _int),
+    ("lotfront", _dbl), ("lotdepth", _dbl),
+    ("bldgfront", _dbl), ("bldgdepth", _dbl),
+    ("ext", _str), ("proxcode", _str), ("irrlotcode", _str),
+    ("lottype", _str), ("bsmtcode", _str),
+    ("assessland", _dbl), ("assesstot", _dbl), ("exempttot", _dbl),
+    ("yearalter1", _int), ("yearalter2", _int),
+    ("histdist", _str), ("landmark", _str),
+    ("builtfar", _dbl), ("residfar", _dbl), ("commfar", _dbl),
+    ("facilfar", _dbl),
+    ("borocode", _int), ("condono", _int), ("tract2010", _str),
+    ("xcoord", _int), ("ycoord", _int), ("zonemap", _str),
+    ("zmcode", _str), ("sanborn", _str), ("taxmap", _str),
+    ("edesignum", _str), ("appbbl", _str), ("appdate", _str),
+    ("plutomapid", _str), ("version", _str),
 )
 
 # pad is the reference registry's two-table dataset (address ranges +

@@ -626,6 +626,65 @@ def knn_label_vote(
     )
 
 
+def _assign_two_level(
+    vecs: DataFrame, cents: list[list[float]], coarse_cells: int
+) -> DataFrame:
+    """Two-level centroid assignment (see semantic_dedup docstring):
+    centroids are cut into ``coarse_cells`` contiguous chunks, each
+    summarized by its mean; per row, argmin over the chunk means picks
+    a cell, then argmin over only that cell's members picks the
+    cluster. O(n·(c + k/c)·dim) vs the flat form's O(n·k·dim);
+    approximate at cell boundaries (the IVF nprobe=1 trade)."""
+    k = len(cents)
+    dim = len(cents[0])
+    chunk = -(-k // coarse_cells)  # ceil
+    cells = []
+    for ci in range(0, k, chunk):
+        members = [(cid, cents[cid]) for cid in range(ci, min(ci + chunk, k))]
+        mean = [
+            sum(c[d] for _cid, c in members) / len(members)
+            for d in range(dim)
+        ]
+        cells.append((ci // chunk, mean, [
+            (cid, [float(x) for x in c]) for cid, c in members
+        ]))
+    spark = vecs.sparkSession
+    cells_arr = spark.createDataFrame(
+        [(
+            [(idx, [float(x) for x in mean]) for idx, mean, _m in cells],
+            [m for _idx, _mean, m in cells],
+        )],
+        "cells array<struct<idx:int,cc:array<double>>>, "
+        "subs array<array<struct<cid:int,c:array<double>>>>",
+    )
+    best_idx = F.array_min(
+        F.transform(
+            "cells",
+            lambda cl: F.struct(
+                sq_dist(F.col("v"), cl["cc"]).alias("d2"),
+                cl["idx"].alias("idx"),
+            ),
+        )
+    )["idx"]
+    return (
+        vecs.crossJoin(F.broadcast(cells_arr))
+        .withColumn("__subs", F.element_at(F.col("subs"), best_idx + 1))
+        .select(
+            "vid",
+            "v",
+            F.array_min(
+                F.transform(
+                    "__subs",
+                    lambda ct: F.struct(
+                        sq_dist(F.col("v"), ct["c"]).alias("d2"),
+                        ct["cid"].alias("cid"),
+                    ),
+                )
+            )["cid"].alias("cid"),
+        )
+    )
+
+
 def _cluster_blocks(assigned: DataFrame, max_block_rows: int) -> DataFrame:
     """Sub-block a clustered vector frame for the GEMM pair stage:
     each cluster of size n_c gets ``nb = ceil(n_c / max_block_rows)``
@@ -659,6 +718,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     lloyd_iters: int = 2,
     max_block_rows: int = 4096,
+    coarse_cells: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: cluster the embedding space
     coarsely (deterministic seeds + ``lloyd_iters`` Lloyd refinement
@@ -707,10 +767,19 @@ def semantic_dedup(
 
     Scale hinge (measured in BENCH_sf1.json): under the scaled-k
     policy (k ∝ corpus, constant cluster size) the pair stage is
-    linear but the broadcast-argmin ASSIGNMENT costs O(n·k·dim) —
-    quadratic in n. Past ~10^6 vectors, train centroids on a sample
-    and assign through an inverted cell index (ivf_topk's machinery)
-    instead of the full-fold argmin.
+    linear but the FLAT broadcast-argmin assignment costs O(n·k·dim) —
+    quadratic in n. ``coarse_cells=c`` switches the FINAL assignment
+    to a two-level argmin (the IVF idea applied to assignment):
+    centroids are grouped into c coarse cells (contiguous cid chunks,
+    cell centroid = chunk mean), a row first argmins over the c cell
+    centroids, then over only that cell's ~k/c members — O(n·(c+k/c)·
+    dim), minimized at c≈√k. The pick is APPROXIMATE exactly the way
+    IVF nprobe=1 is (a row near a cell boundary may land in the
+    second-best cell), so the oracle-pinned catalog entry keeps the
+    flat form and the two-level form is the documented production
+    path for scaled k (bench_scale.py measures both). Lloyd rounds
+    always use the flat argmin — they run on rounded metadata-scale
+    centroid state and their cost is bounded by lloyd_iters.
     """
     vecs = emb.select(
         F.col(id_col).alias("vid"), as_double_vec(vec_col).alias("v")
@@ -766,7 +835,10 @@ def semantic_dedup(
             new_cents[cid] = [m for _pos, m in sorted(pm)]
         cents = new_cents
 
-    assigned = _assign(cents)
+    if coarse_cells and coarse_cells < k:
+        assigned = _assign_two_level(vecs, cents, coarse_cells)
+    else:
+        assigned = _assign(cents)
     unit = _cluster_blocks(assigned, max_block_rows)
     packed = unit.groupBy("cid", "blk").agg(
         F.collect_list("id").alias("ids"), F.collect_list("u").alias("us")

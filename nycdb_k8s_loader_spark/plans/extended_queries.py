@@ -1144,10 +1144,13 @@ def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(land, exist_ok=True)
     marker = os.path.join(land, "_DROPS")
     if not os.path.exists(marker):
+        from nycdb_k8s_loader_spark.plans.fixture_cache import (
+            collect_fixture_pdf,
+        )
+
         for batch, par in (("batch1", 0), ("batch2", 1)):
-            pdf = (
+            pdf = collect_fixture_pdf(
                 derived.filter(F.pmod("violationid", F.lit(2)) == par)
-                .toPandas()
             )
             pdf.to_csv(os.path.join(land, f"{batch}.csv"), index=False)
         with open(marker, "w") as fh:

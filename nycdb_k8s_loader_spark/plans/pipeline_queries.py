@@ -2208,3 +2208,55 @@ def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nycdb_k8s_loader_spark.operators.textops import repetition_scores
 
     return repetition_scores(_docs(spark, sf_dir), shingles=3)
+
+
+# d13 reuses d11's oracle VERBATIM: the from-state probe is pinned to
+# produce identical verdicts (tests/test_operators.py::
+# TestIncrementalDedupState), so the correctness contract is the same
+# SQL. Requires d11 registered earlier in this module.
+assert "d11_incremental_dedup" in _Q, "d13 reuses d11's oracle text"
+
+
+@register(
+    "d13_incremental_dedup_from_state",
+    _Q["d11_incremental_dedup"].oracle,
+    doc="The persisted-signature PRODUCTION form of d11: the corpus "
+        "(even doc_ids) has its dedup state — content hashes, LSH "
+        "band keys, shingle postings, no bodies — written once to a "
+        "parquet table (cached per (sf_dir, source mtime)); the "
+        "incoming batch (odd ids) probes THAT table via "
+        "incremental_dedup_from_state, so corpus text is scanned "
+        "zero times per increment (inputFiles-asserted in tests). "
+        "Verdicts are identical to d11 by construction, hence the "
+        "shared oracle. operators/dedup.py dedup_signature_state + "
+        "incremental_dedup_from_state.",
+    tags=("dedup", "pipeline", "incremental", "engine"),
+)
+def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import re as _re
+
+    from nycdb_k8s_loader_spark.operators.dedup import (
+        dedup_signature_state,
+        incremental_dedup_from_state,
+    )
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    src = os.path.join(sf_dir, "documents.parquet")
+    sig = hashlib.md5(
+        f"{sf_dir}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    path = (
+        "/tmp/dedup_state_"
+        + _re.sub(r"\W+", "_", sf_dir).strip("_")
+        + f"_{sig}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        dedup_signature_state(corpus).write.mode("overwrite").parquet(path)
+    state = spark.read.parquet(path)
+    return incremental_dedup_from_state(
+        state, batch, threshold=0.7, shingles=3
+    )

@@ -189,17 +189,12 @@ def _write_source_csvs(spark: SparkSession, sf_dir: str) -> str:
         )
     ):
         return out_dir
+    from nycdb_k8s_loader_spark.plans.fixture_cache import (
+        collect_fixture_pdf,
+    )
+
     for name, df in _synth_sources(spark, sf_dir).items():
-        cols = []
-        for f in df.schema.fields:
-            c = F.col(f.name)
-            if f.dataType.typeName() == "timestamp":
-                cols.append(
-                    F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss").alias(f.name)
-                )
-            else:
-                cols.append(c.cast("string").alias(f.name))
-        pdf = df.select(*cols).toPandas()
+        pdf = collect_fixture_pdf(df)
         pdf.to_csv(os.path.join(out_dir, f"{name}.csv"), index=False)
     with open(marker, "w") as f:
         f.write(sig)

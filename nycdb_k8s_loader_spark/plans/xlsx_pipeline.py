@@ -56,14 +56,11 @@ def _derived(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _workbook_rows(df: DataFrame) -> list[list[str]]:
-    cols = []
-    for f in df.schema.fields:
-        c = F.col(f.name)
-        if f.dataType.typeName() == "timestamp":
-            cols.append(F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss").alias(f.name))
-        else:
-            cols.append(c.cast("string").alias(f.name))
-    pdf = df.select(*cols).toPandas()
+    from nycdb_k8s_loader_spark.plans.fixture_cache import (
+        collect_fixture_pdf,
+    )
+
+    pdf = collect_fixture_pdf(df)
     return [list(map(str, r)) for r in pdf.itertuples(index=False)]
 
 

@@ -1798,3 +1798,45 @@ class TestContaminationAndRepetition:
         assert out[2]["dup_ngram_frac"] == 0.0
         assert out[2]["n_ngrams"] == 5
         assert out[2]["top_ngram_frac"] == 0.2
+
+
+class TestSemanticDedupTwoLevel:
+    def test_two_level_matches_flat_on_separated_clusters(self, spark):
+        """coarse_cells assignment equals the flat argmin when
+        clusters are well separated (the approximation only bites at
+        cell boundaries)."""
+        from nycdb_k8s_loader_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        def v(axis, eps=0.0):
+            out = [0.0, 0.0, 0.0, 0.0]
+            out[axis] = 1.0
+            out[(axis + 1) % 4] = eps
+            return out
+
+        rows = []
+        vid = 0
+        # interleaved so ids 0..3 (the seeds) cover all four axes
+        for eps in (0.0, 0.001, -0.001, 0.002):
+            for axis in range(4):
+                rows.append((vid, v(axis, eps), 0))
+                vid += 1
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        flat = {
+            (r["vec_id"], r["cluster_id"], r["is_kept"])
+            for r in semantic_dedup(emb, k=4, threshold=0.95).collect()
+        }
+        two = {
+            (r["vec_id"], r["cluster_id"], r["is_kept"])
+            for r in semantic_dedup(
+                emb, k=4, threshold=0.95, coarse_cells=2
+            ).collect()
+        }
+        assert flat == two
+        # sanity: 4 clusters, each axis keeps exactly its smallest id
+        # (ids 0..3 after interleaving)
+        kept = sorted(vid for vid, _c, ik in flat if ik)
+        assert kept == [0, 1, 2, 3]
