@@ -364,3 +364,81 @@ def video_scene_cuts(
         .select("media_id", "payload")
         .mapInPandas(batches, SCENE_CUT_SCHEMA)
     )
+
+
+def image_neardup_pairs(
+    df: DataFrame, max_hamming: int = 6, bands: int = 4
+) -> DataFrame:
+    """Image-level near-duplicate pairs — the multimodal member of the
+    dedup pack: perceptual aHash fingerprints (:func:`image_ahash`)
+    banded LSH-style (``bands`` equal slices of the 64-bit hash; two
+    images sharing ANY slice are candidates — the d03 idea with
+    hash-bit bands instead of MinHash rows), then exact Hamming
+    distance over the full 64 bits keeps pairs ≤ ``max_hamming``.
+
+    Output: ``(id_a, id_b, hamming)`` with ``id_a < id_b``. Recall
+    trade: a true near-dup pair is missed only when every band differs
+    (all-bands-corrupted — vanishing for small Hamming distances:
+    ≤ max_hamming bit flips can spoil at most max_hamming bands).
+
+    100 TB shape: fingerprints are 64-char bit strings (payloads died
+    in the aHash worker); candidates come from one groupBy-free
+    equi-join on (band, band slice); Hamming is computed JVM-side by
+    xor-ing the hash halves as integers and bit-counting — no Python,
+    no per-character loop, work ∝ candidates, never C(n,2).
+    """
+    assert 64 % bands == 0, "bands must divide 64"
+    width = 64 // bands
+    ah = image_ahash(df).select(
+        F.col("media_id"),
+        F.col("ahash"),
+        F.conv(F.substring("ahash", 1, 32), 2, 10)
+        .cast("long")
+        .alias("h_hi"),
+        F.conv(F.substring("ahash", 33, 32), 2, 10)
+        .cast("long")
+        .alias("h_lo"),
+    )
+    banded = ah.select(
+        "media_id",
+        "h_hi",
+        "h_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring(
+                            "ahash", 1 + width * b, width
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "media_id", "h_hi", "h_lo",
+        F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"),
+    )
+    a = banded.select(
+        F.col("media_id").alias("id_a"),
+        F.col("h_hi").alias("ha_hi"),
+        F.col("h_lo").alias("ha_lo"),
+        "band", "bkey",
+    )
+    b = banded.select(
+        F.col("media_id").alias("id_b"),
+        F.col("h_hi").alias("hb_hi"),
+        F.col("h_lo").alias("hb_lo"),
+        "band", "bkey",
+    )
+    hamming = F.bit_count(
+        F.col("ha_hi").bitwiseXOR(F.col("hb_hi"))
+    ) + F.bit_count(F.col("ha_lo").bitwiseXOR(F.col("hb_lo")))
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -525,3 +525,51 @@ def repetition_scores(
             ),
         )
     )
+
+
+#: RE2-safe PII patterns (no lookarounds, no backrefs) so Spark's Java
+#: regex and DuckDB's RE2 agree byte-for-byte.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE = r"\b[0-9]{3}-[0-9]{4}\b"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """PII detection + redaction — the scrubbing pass every
+    training-data pipeline runs before release: count and mask
+    email / phone / IPv4 spans. Returns one row per doc:
+    ``(doc_id, n_emails, n_phones, n_ipv4, has_pii, redacted)`` with
+    spans replaced by ``[EMAIL]``/``[PHONE]``/``[IP]`` tokens.
+
+    Order matters and is pinned: emails are masked FIRST (an email's
+    domain can contain an IPv4-shaped span), then phones, then IPs —
+    the oracle applies the same cascade. Counts come from
+    regexp_extract_all on the ORIGINAL text, so a span consumed by an
+    earlier mask still counts for its own category.
+
+    100 TB shape: pure codegen'd regex expressions over the scan — no
+    shuffle, no Python; runs at parquet-scan speed like the rest of
+    the t-pack.
+    """
+    text = F.lower(F.col(text_col))
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), F.lit(0)))
+    n_ipv4 = F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, PII_EMAIL, "[EMAIL]"),
+            PII_PHONE,
+            "[PHONE]",
+        ),
+        PII_IPV4,
+        "[IP]",
+    )
+    return df.select(
+        F.col(id_col),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        n_ipv4.cast("long").alias("n_ipv4"),
+        ((n_emails + n_phones + n_ipv4) > 0).alias("has_pii"),
+        redacted.alias("redacted"),
+    )

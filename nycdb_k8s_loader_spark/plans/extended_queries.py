@@ -1169,3 +1169,49 @@ def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(f"{target_db}.hpd_violations").select(
         "violationid", "bbl", "class", "currentstatus"
     )
+
+
+# m07 composes m05's oracle verbatim (the s10 pattern): the candidate
+# fingerprints ARE the audited operator's own output definition.
+from nycdb_k8s_loader_spark.plans.catalog import QUERIES as _EQ
+
+assert "m05_image_ahash" in _EQ, "m07 composes m05's oracle text"
+
+_M07_ORACLE = f"""
+    WITH ah AS ({_EQ['m05_image_ahash'].oracle}),
+    pairs AS (
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               len(list_filter(range(1, 65),
+                   i -> a.ahash[i] <> b.ahash[i]))::BIGINT AS hamming
+        FROM ah a JOIN ah b ON a.media_id < b.media_id
+        WHERE a.ahash[1:16] = b.ahash[1:16]
+           OR a.ahash[17:32] = b.ahash[17:32]
+           OR a.ahash[33:48] = b.ahash[33:48]
+           OR a.ahash[49:64] = b.ahash[49:64]
+    )
+    SELECT DISTINCT id_a, id_b, hamming FROM pairs WHERE hamming <= 6
+"""
+
+
+@register(
+    "m07_image_neardup_pairs",
+    _M07_ORACLE,
+    doc="Image-level near-duplicate pairs — the multimodal member of "
+        "the dedup pack: perceptual aHash fingerprints (m05's kernel) "
+        "banded into four 16-bit slices (the d03 banding idea with "
+        "hash bits instead of MinHash rows — any shared slice makes a "
+        "candidate), verified by exact 64-bit Hamming distance <= 6 "
+        "computed JVM-side as bit_count(xor) over the hash halves. "
+        "Candidates ∝ collisions, never C(n,2); payloads die in the "
+        "aHash worker; the oracle composes m05's oracle and counts "
+        "differing bit-characters directly. "
+        "operators/multimodal.py image_neardup_pairs.",
+    tags=("multimodal", "dedup", "pipeline"),
+)
+def m07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.multimodal import (
+        image_neardup_pairs,
+        synthetic_media,
+    )
+
+    return image_neardup_pairs(synthetic_media(spark), max_hamming=6)

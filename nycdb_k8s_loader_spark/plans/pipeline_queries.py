@@ -2260,3 +2260,86 @@ def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup_from_state(
         state, batch, threshold=0.7, shingles=3
     )
+
+
+@register(
+    "t16_pii_scrub",
+    """
+    WITH aug AS (
+        SELECT doc_id,
+               lower(text) ||
+               CASE doc_id % 5
+                   WHEN 0 THEN ' contact user' || doc_id
+                               || '@example.com now'
+                   WHEN 1 THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                               || ' today'
+                   WHEN 2 THEN ' host 10.0.' || (doc_id % 256)::VARCHAR
+                               || '.1 up'
+                   ELSE ''
+               END AS text
+        FROM documents
+    ),
+    scanned AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))::BIGINT
+                   AS n_emails,
+               len(regexp_extract_all(text,
+                   '\\b[0-9]{3}-[0-9]{4}\\b'))::BIGINT AS n_phones,
+               len(regexp_extract_all(text,
+                   '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))::BIGINT
+                   AS n_ipv4,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+                           '[EMAIL]', 'g'),
+                       '\\b[0-9]{3}-[0-9]{4}\\b', '[PHONE]', 'g'),
+                   '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                   '[IP]', 'g') AS redacted
+        FROM aug
+    )
+    SELECT doc_id, n_emails, n_phones, n_ipv4,
+           (n_emails + n_phones + n_ipv4) > 0 AS has_pii,
+           redacted
+    FROM scanned
+    """,
+    doc="PII detection + redaction — the scrub pass before any "
+        "corpus release: count and mask email/phone/IPv4 spans "
+        "(RE2-safe patterns, identical in Java regex and DuckDB RE2; "
+        "masking cascade order pinned email→phone→IP). The synthetic "
+        "corpus carries no PII, so deterministic spans are appended "
+        "per doc_id%5 in BOTH engines — m-series' synthesize-in-query "
+        "pattern. Pure codegen'd regex over the scan, no shuffle. "
+        "operators/textops.py pii_scrub.",
+    tags=("pipeline", "text", "privacy"),
+)
+def t16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.textops import pii_scrub
+
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lower(F.col("text")),
+            F.when(
+                F.pmod("doc_id", F.lit(5)) == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                         F.lit("@example.com now")),
+            )
+            .when(
+                F.pmod("doc_id", F.lit(5)) == 1,
+                F.concat(F.lit(" call 555-"),
+                         F.lpad(F.pmod("doc_id", F.lit(10000)).cast("string"),
+                                4, "0"),
+                         F.lit(" today")),
+            )
+            .when(
+                F.pmod("doc_id", F.lit(5)) == 2,
+                F.concat(F.lit(" host 10.0."),
+                         F.pmod("doc_id", F.lit(256)).cast("string"),
+                         F.lit(".1 up")),
+            )
+            .otherwise(F.lit(""))
+        ).alias("text"),
+    )
+    return pii_scrub(aug)

@@ -1840,3 +1840,47 @@ class TestSemanticDedupTwoLevel:
         # (ids 0..3 after interleaving)
         kept = sorted(vid for vid, _c, ik in flat if ik)
         assert kept == [0, 1, 2, 3]
+
+
+class TestPiiScrubAndImageNearDup:
+    def test_pii_scrub_counts_and_cascade(self, spark):
+        from nycdb_k8s_loader_spark.operators.textops import pii_scrub
+
+        docs = spark.createDataFrame(
+            [
+                (1, "reach me at bob.smith@corp.io or 555-1234 ok"),
+                (2, "server 192.168.0.1 rebooted"),
+                (3, "nothing sensitive here"),
+                # email whose domain carries an IPv4-shaped span:
+                # email masks FIRST so the IP is consumed by [EMAIL]
+                (4, "x@10.0.0.1.example.com y"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+        assert (out[1]["n_emails"], out[1]["n_phones"]) == (1, 1)
+        assert "[EMAIL]" in out[1]["redacted"]
+        assert "[PHONE]" in out[1]["redacted"]
+        assert out[2]["n_ipv4"] == 1 and "[IP]" in out[2]["redacted"]
+        assert not out[3]["has_pii"]
+        assert out[3]["redacted"] == "nothing sensitive here"
+        assert out[4]["n_emails"] == 1 and out[4]["n_ipv4"] == 1
+        assert "[IP]" not in out[4]["redacted"]  # cascade pinned
+
+    def test_image_neardup_pairs_exact_and_banded(self, spark):
+        from nycdb_k8s_loader_spark.operators.multimodal import (
+            image_neardup_pairs,
+            synthetic_media,
+        )
+
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in image_neardup_pairs(
+                synthetic_media(spark), max_hamming=6
+            ).collect()
+        }
+        # identical fingerprints surface with hamming 0 (verified
+        # against the oracle's char-compare; (0, 6) is one such pair)
+        assert pairs[(0, 6)] == 0
+        assert all(h <= 6 for h in pairs.values())
+        assert all(a < b for (a, b) in pairs)
