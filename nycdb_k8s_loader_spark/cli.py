@@ -195,9 +195,56 @@ def cmd_grant_schema_read(args) -> int:
     return 0
 
 
+def cmd_load_streaming(args, engine_factory=None) -> int:
+    """Checkpointed streaming ingestion of one dataset
+    (Engine.load_streaming): process new file drops under
+    <landing>/<dataset>/stream/<table>/ and republish the accumulated
+    tables — the cron unit of work as an incremental stream. Same
+    error-notify contract as ``load``."""
+    if engine_factory is None:  # pragma: no cover - wiring
+
+        def engine_factory():
+            from nycdb_k8s_loader_spark.datasets import builtin_registry
+            from nycdb_k8s_loader_spark.engine import Engine
+            from nycdb_k8s_loader_spark.session import get_spark
+
+            return Engine(
+                get_spark(app_name=f"nycdb-stream-{args.dataset}"),
+                builtin_registry(),
+                _default_kv(),
+                landing_root=os.environ.get(
+                    "LANDING_DIR", "/tmp/nycdb_landing"
+                ),
+                notifier=_default_notifier(),
+            )
+
+    eng = engine_factory()
+    if args.dataset not in eng.registry:
+        print(
+            f"unknown dataset {args.dataset!r}; known: "
+            f"{', '.join(sorted(eng.registry.names()))}",
+            file=sys.stderr,
+        )
+        return 2
+    try:
+        r = eng.load_streaming(args.dataset)
+    except Exception as exc:  # noqa: BLE001 - reference error_handling
+        eng.notifier.safe_notify(
+            f"Alas, an error occurred streaming the dataset "
+            f"`{args.dataset}`: {type(exc).__name__}: {exc}"
+        )
+        raise
+    print(f"{r.dataset}: published {len(r.published)} tables")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="nycdb-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    ls = sub.add_parser("load-streaming")
+    ls.add_argument("dataset")
+    ls.set_defaults(fn=cmd_load_streaming)
 
     ld = sub.add_parser("load")
     ld.add_argument("dataset")

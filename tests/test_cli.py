@@ -180,3 +180,46 @@ def test_staging_cleanup(spark, capsys):
     finally:
         for db in (leaked, other):
             spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_cmd_load_streaming_end_to_end(spark, tmp_path):
+    """cli load-streaming: drop -> incremental publish through the
+    engine, unknown dataset exits 2."""
+    from nycdb_k8s_loader_spark.cli import cmd_load_streaming
+    from nycdb_k8s_loader_spark.datasets import wow_registry
+    from nycdb_k8s_loader_spark.engine import Engine
+    from nycdb_k8s_loader_spark.state.kvstore import DictKVStore
+    from nycdb_k8s_loader_spark.state.lastmod import FetchResult
+
+    eng = Engine(
+        spark,
+        wow_registry(),
+        DictKVStore(),
+        target_db="cli_stream_test",
+        landing_root=str(tmp_path / "landing"),
+        transport=lambda url, headers: FetchResult(200, etag='"c"'),
+        downloader=lambda url, dest: None,
+    )
+    land = (
+        tmp_path / "landing" / "hpd_violations" / "stream" / "hpd_violations"
+    )
+    land.mkdir(parents=True)
+    (land / "drop1.csv").write_text(
+        "violationid,bbl,class,inspectiondate,currentstatus\n"
+        "1,BBL1,C,1997-07-01T00:00:00,Open\n"
+    )
+
+    class A:
+        dataset = "hpd_violations"
+
+    try:
+        rc = cmd_load_streaming(A(), engine_factory=lambda: eng)
+        assert rc == 0
+        assert spark.table("cli_stream_test.hpd_violations").count() == 1
+
+        class B:
+            dataset = "not_a_dataset"
+
+        assert cmd_load_streaming(B(), engine_factory=lambda: eng) == 2
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS cli_stream_test CASCADE")
