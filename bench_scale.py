@@ -111,11 +111,31 @@ def _d12_scaled_k_two_level(spark, sf_dir):
     return semantic_dedup(emb, k=k, threshold=0.45, coarse_cells=c)
 
 
+def _d11_scaled_bands(spark, sf_dir):
+    """d11 with the scaled banding policy (r=4, see _d03_scaled_bands):
+    the catalog's r=2 form verifies quadratically-growing false-
+    positive candidates (visible as a superlinear time ratio at the
+    sf1→sf3 step); wider bands keep the cross-side candidate set — and
+    with it the verify join — linear in the corpus."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from nycdb_k8s_loader_spark.operators.dedup import incremental_dedup
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_dedup(corpus, batch, threshold=0.7,
+                             num_hashes=8, bands=2, shingles=3)
+
+
 EXTRA = {
     "d12_semantic_dedup_scaled_k": _d12_scaled_k,
     "d12_semantic_dedup_scaled_k_2level": _d12_scaled_k_two_level,
     "d03_minhash_scaled_bands": _d03_scaled_bands,
     "d09_fuzzy_dedup_scaled_bands": _d09_scaled_bands,
+    "d11_incremental_scaled_bands": _d11_scaled_bands,
 }
 
 
@@ -133,6 +153,10 @@ def _stage_totals(spark) -> dict[str, int]:
 
 
 def _run_one(spark, fn, sf_dir: str, runs: int = 2) -> dict:
+    # settle the JVM between measurements: a preceding query's heap
+    # debris otherwise taxes this one's first run (observed: a 150k-doc
+    # verify join inflating the NEXT query's small-side timing 3-8x)
+    spark.sparkContext._jvm.System.gc()
     times = []
     before = _stage_totals(spark)
     for _ in range(runs):

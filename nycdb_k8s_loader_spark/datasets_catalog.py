@@ -53,11 +53,30 @@ _bool = T.BooleanType()
 
 # --- DOB (buildings) ---------------------------------------------------------
 
+# full-width where the public data dictionary is commonly queried
+# (round-5 rule from datasets.py: append past the historical prefix so
+# positional CSV fixtures stay valid)
 DOBJOBS_SCHEMA = _s(
     ("job", _long), ("doc", _int), ("borough", _str), ("bbl", _str),
     ("jobtype", _str), ("jobstatus", _str), ("latestactiondate", _ts),
     ("ownername", _str), ("existingdwellingunits", _int),
     ("proposeddwellingunits", _int),
+    ("house", _str), ("streetname", _str), ("block", _str), ("lot", _str),
+    ("bin", _str), ("jobstatusdescrp", _str), ("buildingtype", _str),
+    ("communityboard", _str), ("landmarked", _str), ("otherdescription", _str),
+    ("applicantfirstname", _str), ("applicantlastname", _str),
+    ("applicantprofessionaltitle", _str), ("applicantlicense", _str),
+    ("prefilingdate", _ts), ("fullypaid", _ts), ("approved", _ts),
+    ("fullypermitted", _ts), ("initialcost", _dbl), ("totalestfee", _dbl),
+    ("existingzoningsqft", _long), ("proposedzoningsqft", _long),
+    ("enlargementsqfootage", _long), ("existingoccupancy", _str),
+    ("proposedoccupancy", _str), ("existingnumstories", _int),
+    ("proposednumstories", _int), ("existingheight", _int),
+    ("proposedheight", _int), ("zoningdist1", _str),
+    ("specialdistrict1", _str), ("ownertype", _str),
+    ("nonprofit", _str), ("ownerbusinessname", _str),
+    ("ownerhousestreet", _str), ("city", _str), ("state", _str),
+    ("zip", _str), ("jobdescription", _str), ("dobrundate", _ts),
 )
 
 DOB_COMPLAINTS_SCHEMA = _s(
@@ -72,6 +91,10 @@ DOB_VIOLATIONS_SCHEMA = _s(
     ("issuedate", _ts), ("violationnumber", _str),
     ("violationtypecode", _str), ("violationcategory", _str),
     ("dispositiondate", _ts), ("description", _str),
+    ("block", _str), ("lot", _str), ("housenumber", _str),
+    ("street", _str), ("dispositioncomments", _str),
+    ("devicenumber", _str), ("ecbnumber", _str), ("number", _str),
+    ("violationtype", _str),
 )
 
 ECB_VIOLATIONS_SCHEMA = _s(
@@ -284,6 +307,10 @@ MARSHAL_EVICTIONS_SCHEMA = _s(
     ("executeddate", _ts), ("marshalfirstname", _str),
     ("marshallastname", _str), ("residentialcommercialind", _str),
     ("borough", _str), ("evictionzip", _str), ("bbl", _str),
+    ("ejectment", _str), ("evictionlegalpossession", _str),
+    ("latitude", _dbl), ("longitude", _dbl),
+    ("communityboard", _int), ("councildistrict", _int),
+    ("censustract", _str), ("nta", _str),
 )
 
 EXECUTED_EVICTIONS_SCHEMA = _s(
