@@ -1884,3 +1884,57 @@ class TestPiiScrubAndImageNearDup:
         assert pairs[(0, 6)] == 0
         assert all(h <= 6 for h in pairs.values())
         assert all(a < b for (a, b) in pairs)
+
+
+class TestRound5PlanShapes:
+    """Plan pins for the round-5 additions (the executedPlan toString
+    discipline from TestRound4LatePlanShapes)."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_t14_benchmark_side_broadcasts(self, spark):
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        df = queries()["t14_benchmark_contamination"](
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = self._plan(df)
+        # eval-set grams must be the broadcast side of the hash join —
+        # a shuffled join here would re-partition the whole training
+        # corpus by gram string
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_m07_band_join_no_cartesian(self, spark):
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        df = queries()["m07_image_neardup_pairs"](
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = self._plan(df)
+        # candidates come from the (band, slice) equi-join, never an
+        # all-pairs product over fingerprints
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_t16_is_pure_projection(self, spark):
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        df = queries()["t16_pii_scrub"](spark, "/root/testdata/sf0.001")
+        plan = self._plan(df)
+        # regex scrub must run at scan speed: no exchange, no join
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+
+    def test_t15_two_partial_agg_groupbys(self, spark):
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        df = queries()["t15_repetition_scores"](
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = self._plan(df)
+        # (doc, gram) count then per-doc aggregate — both hash
+        # aggregates with map-side partials; no window, no join
+        assert "Window" not in plan
+        assert plan.count("HashAggregate") >= 4  # partial+final x2

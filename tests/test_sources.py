@@ -141,3 +141,28 @@ class TestShapefile:
 
         with _pytest.raises(ValueError, match="file code"):
             parse_shp(b"\x00" * 100)
+
+
+def test_scale_generator_schema_matches_driver_testdata(spark, tmp_path):
+    """tools/gen_scale_data.py must stay schema-identical to the
+    driver's parquet (BENCH_sf1/sf3 claims rest on the generated
+    tables exercising the same plans): generate a micro scale factor
+    and compare every table's StructType field names + types against
+    /root/testdata/sf0.001."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from gen_scale_data import generate
+
+    out = str(tmp_path / "micro")
+    generate(spark, 0.001, out)
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        ref = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+        gen = spark.read.parquet(f"{out}/{t}.parquet")
+        ref_fields = [(f.name, f.dataType.simpleString())
+                      for f in ref.schema.fields]
+        gen_fields = [(f.name, f.dataType.simpleString())
+                      for f in gen.schema.fields]
+        assert gen_fields == ref_fields, f"{t}: {gen_fields} != {ref_fields}"
+        assert gen.count() > 0

@@ -152,7 +152,7 @@ def gen_part(spark: SparkSession, n: int) -> DataFrame:
 def gen_orders(spark: SparkSession, n: int, n_cust: int) -> DataFrame:
     return spark.range(n).select(
         F.col("id").alias("o_orderkey"),
-        _u(F.col("id"), 11, n_cust).alias("o_custkey"),
+        _u(F.col("id"), 11, n_cust).cast("long").alias("o_custkey"),
         F.element_at(
             _arr(["O", "O", "F", "F", "P"]), _u(F.col("id"), 12, 5) + 1
         ).alias("o_orderstatus"),
@@ -162,7 +162,7 @@ def gen_orders(spark: SparkSession, n: int, n_cust: int) -> DataFrame:
         F.date_add(
             F.lit("1995-01-01").cast("date"), _u(F.col("id"), 14, 2400)
         )
-        .cast("timestamp")
+        .cast("timestamp_ntz")
         .alias("o_orderdate"),
         F.element_at(
             _arr(PRIORITIES), _u(F.col("id"), 15, len(PRIORITIES)) + 1
@@ -174,9 +174,9 @@ def gen_lineitem(
     spark: SparkSession, n: int, n_orders: int, n_part: int, n_supp: int
 ) -> DataFrame:
     return spark.range(n).select(
-        _u(F.col("id"), 16, n_orders).alias("l_orderkey"),
-        _u(F.col("id"), 17, n_part).alias("l_partkey"),
-        _u(F.col("id"), 18, n_supp).alias("l_suppkey"),
+        _u(F.col("id"), 16, n_orders).cast("long").alias("l_orderkey"),
+        _u(F.col("id"), 17, n_part).cast("long").alias("l_partkey"),
+        _u(F.col("id"), 18, n_supp).cast("long").alias("l_suppkey"),
         (_u(F.col("id"), 19, 7) + 1).cast("int").alias("l_linenumber"),
         (_u(F.col("id"), 20, 50) + 1).cast("double").alias("l_quantity"),
         F.round(_uf(F.col("id"), 21) * 99_000 + 900, 2).alias(
@@ -193,7 +193,7 @@ def gen_lineitem(
         F.date_add(
             F.lit("1995-01-01").cast("date"), _u(F.col("id"), 26, 2500)
         )
-        .cast("timestamp")
+        .cast("timestamp_ntz")
         .alias("l_shipdate"),
     )
 
@@ -209,8 +209,8 @@ def gen_events(spark: SparkSession, n: int) -> DataFrame:
                 _u(F.col("id"), 27, 45 * 24 * 3600)
                 + _uf(F.col("id"), 28),
             )
-        ).alias("ts"),
-        _u(F.col("id"), 29, n_users).alias("user_id"),
+        ).cast("timestamp_ntz").alias("ts"),
+        _u(F.col("id"), 29, n_users).cast("long").alias("user_id"),
         F.element_at(
             _arr(["view", "click", "purchase", "signup", "error"]),
             _u(F.col("id"), 30, 5) + 1,
@@ -259,7 +259,7 @@ def gen_documents(spark: SparkSession, n: int) -> DataFrame:
         )
         .alias("lang"),
         F.concat(F.lit("src"), _u(F.col("doc_id"), 36, 20)).alias("source"),
-        F.length(text).alias("n_chars"),
+        F.length(text).cast("long").alias("n_chars"),
     )
 
 
