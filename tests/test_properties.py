@@ -417,3 +417,104 @@ def test_canonical_url_idempotent_and_variant_stable(
     ).first()
     assert row["cm"] == row["cc"]
     assert row["cmm"] == row["cm"]
+
+
+_pii_text = st.lists(
+    st.one_of(
+        # adversarial-by-construction fragments: near-miss and valid
+        # PII shapes mixed with noise
+        st.sampled_from([
+            "a@b.io", "x.y@z.co", "no@tld", "@x.com", "a@@b.cc",
+            "555-1234", "55-1234", "5551-234", "1234-5678",
+            "10.0.0.1", "1.2.3", "999.999.999.999", "1.2.3.4.5",
+            "plain", "words", "a.b", "-", "ok 3.14 done",
+        ]),
+        st.text(alphabet="ab1.-@ ", min_size=0, max_size=12),
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(frags=st.lists(_pii_text, min_size=1, max_size=6))
+@SETTINGS
+def test_pii_scrub_matches_python_re_model(spark, frags):
+    """pii_scrub's counts and redaction must equal a pure-Python `re`
+    model applying the identical patterns and cascade — Java regex and
+    Python re agree on these RE2-safe patterns, so any divergence is a
+    Spark-side wiring bug (group index, replace-all, lowering)."""
+    import re
+
+    from nycdb_k8s_loader_spark.operators.textops import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+        pii_scrub,
+    )
+
+    texts = [" ".join(f) for f in frags]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    out = {
+        r["doc_id"]: r
+        for r in pii_scrub(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    for i, t in rows:
+        low = t.lower()
+        exp_e = len(re.findall(PII_EMAIL, low))
+        exp_p = len(re.findall(PII_PHONE, low))
+        exp_i = len(re.findall(PII_IPV4, low))
+        red = re.sub(
+            PII_IPV4,
+            "[IP]",
+            re.sub(
+                PII_PHONE, "[PHONE]", re.sub(PII_EMAIL, "[EMAIL]", low)
+            ),
+        )
+        r = out[i]
+        assert (r["n_emails"], r["n_phones"], r["n_ipv4"]) == (
+            exp_e, exp_p, exp_i,
+        ), t
+        assert r["redacted"] == red, t
+        assert r["has_pii"] == ((exp_e + exp_p + exp_i) > 0)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=1, max_size=10
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SETTINGS
+def test_repetition_scores_match_python_model(spark, docs):
+    """repetition_scores vs a pure-Python shingle-count model over a
+    3-letter alphabet (maximal gram collisions — the adversarial
+    domain for the dup/top fraction arithmetic and the short-doc
+    truncated-gram rule)."""
+    from nycdb_k8s_loader_spark.operators.textops import repetition_scores
+
+    rows = [(i, " ".join(w)) for i, w in enumerate(docs)]
+    out = {
+        r["doc_id"]: r
+        for r in repetition_scores(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            shingles=3,
+        ).collect()
+    }
+    for i, w in enumerate(docs):
+        grams = (
+            [" ".join(w[j:j + 3]) for j in range(len(w) - 2)]
+            if len(w) >= 3
+            else [" ".join(w)]
+        )
+        total = len(grams)
+        distinct = len(set(grams))
+        top = max(grams.count(g) for g in set(grams))
+        r = out[i]
+        assert r["n_ngrams"] == total
+        assert r["dup_ngram_frac"] == round(1 - distinct / total, 4)
+        assert r["top_ngram_frac"] == round(top / total, 4)
