@@ -335,13 +335,54 @@ class Engine:
                         self.spark.table(f"`{staging_db}`.`{table.name}`"),
                         table.checks,
                     )
+            # dataset-attached SQL runs against the refreshed staging
+            # copies exactly as in the batch load (step 2 of
+            # _standard_load) — without this, a streaming-loaded
+            # dataset would silently drop its derived tables (e.g.
+            # hpd_registrations_grouped_by_bbl)
+            created = [t.name for t in typed]
+            function_stmts: list[str] = []
+            resolver = SearchPathResolver(
+                self.spark,
+                [staging_db, *self.search_path],
+                ddl_db=staging_db,
+            )
+            for script in ds.sql:
+                with open(script, encoding="utf-8") as fh:
+                    sql_text = fh.read()
+                for stmt in split_statements(sql_text):
+                    if is_function_sql(stmt):
+                        function_stmts.append(stmt)
+                    else:
+                        stmt = self.functions.materialize_table_fn_calls(
+                            self.spark, stmt
+                        )
+                        resolver.sql(stmt)
+                for t in parse_created_tables(sql_text):
+                    if t not in created:
+                        created.append(t)
+            for table in ds.tables:
+                if table.schema is None and table.checks is not None:
+                    validate_or_raise(
+                        table.name,
+                        self.spark.table(f"`{staging_db}`.`{table.name}`"),
+                        table.checks,
+                    )
             with self.grants.save_and_reapply(
-                self.publisher.target_db, [t.name for t in typed]
+                self.publisher.target_db, created
             ):
                 published = self.publisher.publish_tables(
-                    staging_db, [t.name for t in typed]
+                    staging_db, created
                 )
         self.functions.apply(self.spark)
+        for stmt in function_stmts:
+            try:
+                self.spark.sql(stmt)
+            except Exception:  # noqa: BLE001 - dialect gap, not fatal
+                log.warning(
+                    "function DDL is not Spark-compatible; register it "
+                    "in the FunctionRegistry instead:\n%s", stmt[:200]
+                )
         return LoadResult(dataset=name, skipped=False, published=published)
 
     def load_all(

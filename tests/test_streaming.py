@@ -375,3 +375,59 @@ class TestStreamingIngestionE2E:
         finally:
             for db in ("stream_ing_test", "stream_ing_batch"):
                 spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+class TestStreamingIngestionValidationGate:
+    """O1 for the streaming plane: a corrupt increment (duplicate
+    primary keys in the accumulated table) must abort BEFORE any
+    published table moves — readers keep the last good version."""
+
+    G1 = "registrationid,bbl,boro\n1,BBL1,MN\n2,BBL2,BK\n"
+    BAD = "registrationid,bbl,boro\n2,BBL9,QN\n"  # dup registrationid
+
+    def test_corrupt_increment_never_publishes(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from nycdb_k8s_loader_spark.datasets import wow_registry
+        from nycdb_k8s_loader_spark.engine import Engine
+        from nycdb_k8s_loader_spark.publish.validate import ValidationError
+        from nycdb_k8s_loader_spark.state.kvstore import DictKVStore
+        from nycdb_k8s_loader_spark.state.lastmod import FetchResult
+
+        eng = Engine(
+            spark,
+            wow_registry(),
+            DictKVStore(),
+            target_db="stream_gate_test",
+            landing_root=str(tmp_path / "landing"),
+            transport=lambda url, headers: FetchResult(200, etag='"g"'),
+            downloader=lambda url, dest: None,
+        )
+        land = (
+            tmp_path / "landing" / "hpd_registrations" / "stream"
+            / "hpd_registrations"
+        )
+        land.mkdir(parents=True)
+        try:
+            (land / "good.csv").write_text(self.G1)
+            res = eng.load_streaming("hpd_registrations")
+            t = "stream_gate_test.hpd_registrations"
+            assert spark.table(t).count() == 2
+            # dataset-attached SQL runs in streaming mode too: the
+            # derived grouped-by-bbl table publishes alongside
+            assert "stream_gate_test.hpd_registrations_grouped_by_bbl" in (
+                res.published
+            )
+            assert spark.table(
+                "stream_gate_test.hpd_registrations_grouped_by_bbl"
+            ).count() == 2
+
+            (land / "bad.csv").write_text(self.BAD)
+            with _pytest.raises(ValidationError):
+                eng.load_streaming("hpd_registrations")
+            # the published table still serves the last good version
+            rows = {r["registrationid"]: r["bbl"]
+                    for r in spark.table(t).collect()}
+            assert rows == {1: "BBL1", 2: "BBL2"}
+        finally:
+            spark.sql("DROP DATABASE IF EXISTS stream_gate_test CASCADE")
