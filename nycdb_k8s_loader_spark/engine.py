@@ -308,6 +308,18 @@ class Engine:
         )
 
         ds = self.registry.get(name)
+        # file-source streams are CSV scans; an excel/shapefile
+        # dataset dropped here would PERMISSIVE-parse binary garbage
+        # into NULL rows — fail loudly at the seam instead
+        non_csv = sorted(
+            {f.format for f in ds.files if f.format != "csv"}
+        )
+        if non_csv:
+            raise ValueError(
+                f"load_streaming({name!r}): streaming ingestion reads "
+                f"CSV drops only; dataset declares {non_csv} sources — "
+                "use the batch load for those formats"
+            )
         typed = [t for t in ds.tables if t.schema is not None]
         with self.publisher.staging(ds.name) as staging_db:
             for table in typed:

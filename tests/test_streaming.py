@@ -431,3 +431,32 @@ class TestStreamingIngestionValidationGate:
             assert rows == {1: "BBL1", 2: "BBL2"}
         finally:
             spark.sql("DROP DATABASE IF EXISTS stream_gate_test CASCADE")
+
+
+def test_load_streaming_rejects_non_csv_datasets(spark, tmp_path):
+    """File-source streams are CSV scans; an excel/shapefile dataset
+    must fail loudly, not PERMISSIVE-parse binary as NULL rows."""
+    import pytest as _pytest
+
+    from nycdb_k8s_loader_spark.datasets_catalog import catalog_defs
+    from nycdb_k8s_loader_spark.engine import Engine
+    from nycdb_k8s_loader_spark.registry import Registry
+    from nycdb_k8s_loader_spark.state.kvstore import DictKVStore
+    from nycdb_k8s_loader_spark.state.lastmod import FetchResult
+
+    reg = Registry()
+    for d in catalog_defs():
+        reg.add(d)
+    eng = Engine(
+        spark,
+        reg,
+        DictKVStore(),
+        target_db="stream_fmt_test",
+        landing_root=str(tmp_path / "landing"),
+        transport=lambda url, headers: FetchResult(200, etag='"f"'),
+        downloader=lambda url, dest: None,
+    )
+    with _pytest.raises(ValueError, match="CSV drops only"):
+        eng.load_streaming("dof_annual_sales")  # excel sources
+    with _pytest.raises(ValueError, match="CSV drops only"):
+        eng.load_streaming("boundaries")  # shapefile source
