@@ -96,9 +96,11 @@ def _s(*fields: tuple[str, T.DataType]) -> T.StructType:
 # Full-width source schemas. Column surfaces mirror the PUBLIC NYC
 # open-data portal datasets (the same surface nycdb's YAML types for
 # the reference's Postgres tables — pinned at the reference's
-# Dockerfile:37-47). Field ORDER matters: the first fields keep the
-# historical fixture column order (read_csv binds positionally), new
-# fields are appended so narrow CSVs read as NULL-padded rows.
+# Dockerfile:37-47). Field ORDER is documentation, not a binding
+# contract: registry CSVs load through read_csv_union_by_name, which
+# binds by HEADER NAME (a real portal export whose column order
+# differs from this declaration still loads correctly, and narrow
+# historical vintages NULL-pad their missing columns).
 HPD_REGISTRATIONS_SCHEMA = _s(
     ("registrationid", T.IntegerType()),
     ("bbl", T.StringType()),
@@ -514,13 +516,19 @@ def _run_scripts(
         with open(script, encoding="utf-8") as fh:
             raw = fh.read()
         for stmt in split_statements(raw):
+            # classify BEFORE rewriting (matching engine.py's load
+            # loop): a CREATE FUNCTION body that itself calls a
+            # registered table function must pass through untouched —
+            # materializing it here would bake a temp-view reference
+            # (and an eager materialization) into the DDL replayed
+            # post-publish
+            if is_function_sql(stmt):
+                function_stmts.append(transpile_pg(stmt))
+                continue
             if functions is not None:
                 stmt = functions.materialize_table_fn_calls(spark, stmt)
             stmt = transpile_pg(stmt)
-            if is_function_sql(stmt):
-                function_stmts.append(stmt)
-            else:
-                resolver.sql(stmt)
+            resolver.sql(stmt)
             created += [
                 t for t in parse_created_tables(stmt) if t not in created
             ]

@@ -284,13 +284,24 @@ class Engine:
 
         1. runs one ``availableNow`` pass per typed table —
            ``incremental_csv_source`` (readStream + registry schema)
-           appending into a durable parquet store, with the file-source
-           checkpoint remembering which files earlier calls consumed,
-           so a rerun processes only the NEW drops;
-        2. republishes the ACCUMULATED store through the identical
-           staging → TableChecks validation → atomic publish protocol
-           as a batch load — readers always see the full table, and a
-           corrupt increment aborts BEFORE any published table moves.
+           staging each micro-batch as a plain parquet dir under
+           ``_stream/<table>/pending/`` (``run_available_now_staged``),
+           with the file-source checkpoint remembering which files
+           earlier calls consumed, so a rerun processes only NEW drops;
+        2. validates the (durable store ∪ pending increment) union
+           through TableChecks, and only on success MOVES the pending
+           files into the durable store — the store therefore always
+           holds last-known-good data. A failing increment is moved to
+           ``_stream/<table>/quarantine/<n>/`` and the load aborts with
+           the quarantine path in the error: the next call republishes
+           the clean store, and the operator can inspect/fix/re-drop
+           the quarantined files. (Without this gate a corrupt drop
+           would be committed to the store AND marked consumed in the
+           checkpoint, wedging every subsequent call.)
+        3. republishes the ACCUMULATED store through the identical
+           staging → validation → atomic publish protocol as a batch
+           load — readers always see the full table, and a corrupt
+           increment aborts BEFORE any published table moves.
 
         Incremental in compute (per-call cost ∝ new files), full-table
         in publish semantics — the same contract the reference's
@@ -301,10 +312,13 @@ class Engine:
         """
         import os
 
-        from nycdb_k8s_loader_spark.publish.validate import validate_or_raise
+        from nycdb_k8s_loader_spark.publish.validate import (
+            ValidationError,
+            validate_or_raise,
+        )
         from nycdb_k8s_loader_spark.streaming.pipeline import (
             incremental_csv_source,
-            run_available_now,
+            run_available_now_staged,
         )
 
         ds = self.registry.get(name)
@@ -321,32 +335,66 @@ class Engine:
                 "use the batch load for those formats"
             )
         typed = [t for t in ds.tables if t.schema is not None]
+        pending_commits: list[tuple[str, str, list[str]]] = []
         with self.publisher.staging(ds.name) as staging_db:
             for table in typed:
+                stream_root = os.path.join(
+                    self.landing_root, ds.name, "_stream", table.name
+                )
                 land = os.path.join(
                     self.landing_root, ds.name, "stream", table.name
                 )
-                store = os.path.join(
-                    self.landing_root, ds.name, "_stream", table.name, "data"
-                )
-                ckpt = os.path.join(
-                    self.landing_root, ds.name, "_stream", table.name, "ckpt"
-                )
+                store = os.path.join(stream_root, "data")
+                pending = os.path.join(stream_root, "pending")
+                ckpt = os.path.join(stream_root, "ckpt")
                 os.makedirs(land, exist_ok=True)
+                os.makedirs(store, exist_ok=True)
                 src = incremental_csv_source(self.spark, land, table.schema)
-                run_available_now(src, store, ckpt)
+                run_available_now_staged(src, pending, ckpt)
+                # pending = this call's increment plus any batches a
+                # crashed/aborted earlier call staged but never
+                # committed — both re-enter validation here
+                batch_dirs = (
+                    sorted(
+                        os.path.join(pending, d)
+                        for d in os.listdir(pending)
+                        if d.startswith("batch-")
+                    )
+                    if os.path.isdir(pending)
+                    else []
+                )
                 accumulated = self.spark.read.schema(table.schema).parquet(
-                    store
+                    store, *batch_dirs
                 )
                 self.publisher.write_staging_table(
                     staging_db, table.name, accumulated
                 )
                 if table.checks is not None:
-                    validate_or_raise(
-                        table.name,
-                        self.spark.table(f"`{staging_db}`.`{table.name}`"),
-                        table.checks,
-                    )
+                    try:
+                        validate_or_raise(
+                            table.name,
+                            self.spark.table(
+                                f"`{staging_db}`.`{table.name}`"
+                            ),
+                            table.checks,
+                        )
+                    except ValidationError as err:
+                        qdir = self._quarantine_pending(
+                            stream_root, batch_dirs
+                        )
+                        err.args = (
+                            f"{err.args[0]} — increment quarantined to "
+                            f"{qdir}; the durable store keeps the last "
+                            "validated data and the next load_streaming "
+                            "call republishes it (inspect/fix/re-drop "
+                            "the quarantined files to recover the "
+                            "increment)",
+                        )
+                        raise
+                # validated — but commit only after the WHOLE load
+                # (derived-table checks + publish) succeeds, so a
+                # failure anywhere leaves the store untouched
+                pending_commits.append((stream_root, store, batch_dirs))
             # dataset-attached SQL runs against the refreshed staging
             # copies exactly as in the batch load (step 2 of
             # _standard_load) — without this, a streaming-loaded
@@ -375,17 +423,42 @@ class Engine:
                         created.append(t)
             for table in ds.tables:
                 if table.schema is None and table.checks is not None:
-                    validate_or_raise(
-                        table.name,
-                        self.spark.table(f"`{staging_db}`.`{table.name}`"),
-                        table.checks,
-                    )
+                    try:
+                        validate_or_raise(
+                            table.name,
+                            self.spark.table(
+                                f"`{staging_db}`.`{table.name}`"
+                            ),
+                            table.checks,
+                        )
+                    except ValidationError as err:
+                        # a derived-table check indicts the whole
+                        # increment set — quarantine every table's
+                        # pending batches so the stores stay clean
+                        qdirs = [
+                            self._quarantine_pending(root, dirs)
+                            for root, _store, dirs in pending_commits
+                            if dirs
+                        ]
+                        err.args = (
+                            f"{err.args[0]} — increments quarantined "
+                            f"to {qdirs}; the durable stores keep the "
+                            "last validated data",
+                        )
+                        raise
             with self.grants.save_and_reapply(
                 self.publisher.target_db, created
             ):
                 published = self.publisher.publish_tables(
                     staging_db, created
                 )
+            # everything validated and the publish succeeded — commit
+            # the increments into the durable stores. A crash between
+            # publish and here just leaves the batches pending; the
+            # next call re-validates and re-publishes the same data
+            # (idempotent), then commits.
+            for stream_root, store, batch_dirs in pending_commits:
+                self._commit_pending(store, batch_dirs)
         self.functions.apply(self.spark)
         for stmt in function_stmts:
             try:
@@ -396,6 +469,46 @@ class Engine:
                     "in the FunctionRegistry instead:\n%s", stmt[:200]
                 )
         return LoadResult(dataset=name, skipped=False, published=published)
+
+    @staticmethod
+    def _commit_pending(store: str, batch_dirs: list[str]) -> None:
+        """Move a validated pending increment's parquet files into the
+        durable stream store. Files are renamed (same filesystem under
+        ``_stream/``) with a ``b<batch>-`` prefix so names stay unique
+        and attributable; the emptied batch dir is removed. Plain
+        parquet dirs on both sides — no ``_spark_metadata`` log to
+        invalidate (see run_available_now_staged)."""
+        import os
+        import shutil
+
+        for bdir in batch_dirs:
+            tag = os.path.basename(bdir).replace("batch-", "b")
+            for fname in os.listdir(bdir):
+                if fname.startswith(("_", ".")):
+                    continue  # _SUCCESS markers, hidden CRCs
+                os.rename(
+                    os.path.join(bdir, fname),
+                    os.path.join(store, f"{tag}-{fname}"),
+                )
+            shutil.rmtree(bdir)
+
+    @staticmethod
+    def _quarantine_pending(stream_root: str, batch_dirs: list[str]) -> str:
+        """Move a failing pending increment to a fresh
+        ``quarantine/<n>/`` under the table's stream root and return
+        that path. The checkpoint has already consumed the source
+        files, so quarantining (rather than deleting) preserves the
+        only remaining copy of the increment for inspection/re-drop."""
+        import os
+        import shutil
+
+        qroot = os.path.join(stream_root, "quarantine")
+        os.makedirs(qroot, exist_ok=True)
+        qdir = os.path.join(qroot, str(len(os.listdir(qroot))))
+        os.makedirs(qdir)
+        for bdir in batch_dirs:
+            shutil.move(bdir, os.path.join(qdir, os.path.basename(bdir)))
+        return qdir
 
     def load_all(
         self,

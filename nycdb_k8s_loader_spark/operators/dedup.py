@@ -58,6 +58,76 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def bands_for(
+    n_docs: int,
+    target_sim: float = 0.7,
+    max_hashes: int = 128,
+) -> tuple[int, int]:
+    """Corpus-size-aware MinHash banding policy → ``(num_hashes,
+    bands)`` — the scale-safe DEFAULT for every banded dedup operator
+    (d03/d09/d11/d13). Callers wanting a pinned parameterization (the
+    catalog's oracle entries, regression baselines) pass explicit
+    values instead, exactly the d02/d04 ``exact_allpairs`` precedent.
+
+    Why a policy instead of a constant: with ``b`` bands of ``r`` rows
+    the LSH collision probability at similarity ``s`` is
+    ``1-(1-s^r)^b ≈ b·s^r``, so FALSE-POSITIVE candidate pairs scale
+    like ``C(n,2)·b·s̄^r`` for the corpus's background similarity
+    ``s̄ < 1``. A fixed small ``r`` (the historical r=2 default) makes
+    that term grow ~n² — measured empirically in BENCH_sf1.json
+    (591 → 53k candidates on a ×10 step) and BENCH_sf3.json, where the
+    r=2 verify join is the first operator to thrash under heap
+    pressure. Growing ``r`` with ``ln n`` keeps expected FP candidates
+    ~linear (each +1 on r multiplies the FP term by s̄), while ``b``
+    tracks ``target_sim^-r`` so the S-curve threshold ``(1/b)^(1/r)``
+    stays near the similarity the caller actually wants to catch.
+
+    Policy (deterministic, monotone in ``n_docs``):
+
+    - ``r = clamp(round(ln n / 3), 2, 8)`` — r=2 below ~1e3 docs
+      (tiny corpora want recall; FP work is bounded by n² anyway),
+      r=4 at ~1e5, r=7 at ~1e9;
+    - ``b = clamp(round(target_sim^-r), 2, max_hashes // r)`` — the
+      cap bounds signature width; at the cap the effective threshold
+      drifts up (documented trade: past ~1e9 docs you accept missing
+      the bottom of the similarity range or raise ``max_hashes``);
+    - ``num_hashes = r·b`` (bands always divide num_hashes by
+      construction — the :func:`band_keys` contract).
+
+    128 permutations max is the standard large-corpus choice (the
+    datasketch/text-dedup convention); signatures stay one md5 pass +
+    ``num_hashes`` integer passes per doc regardless.
+    """
+    import math
+
+    if n_docs < 1:
+        raise ValueError("bands_for: n_docs must be >= 1")
+    if not 0.0 < target_sim < 1.0:
+        raise ValueError("bands_for: target_sim must be in (0, 1)")
+    r = min(8, max(2, round(math.log(max(n_docs, 2)) / 3)))
+    b = max(2, min(max_hashes // r, round(target_sim ** -r)))
+    return r * b, b
+
+
+def _resolve_banding(
+    df: DataFrame,
+    num_hashes: int | None,
+    bands: int | None,
+    target_sim: float,
+) -> tuple[int, int]:
+    """Resolve (num_hashes, bands): explicit values pass through;
+    both-None routes to :func:`bands_for` on the corpus count (one
+    count job — callers on a hot path pass explicit values)."""
+    if num_hashes is not None and bands is not None:
+        return num_hashes, bands
+    if (num_hashes is None) != (bands is None):
+        raise ValueError(
+            "pass BOTH num_hashes and bands (pinned parameterization) "
+            "or NEITHER (corpus-size-aware bands_for policy)"
+        )
+    return bands_for(df.count(), target_sim=target_sim)
+
+
 def shingle_postings(
     df: DataFrame,
     shingles: int,

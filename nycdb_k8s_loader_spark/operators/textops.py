@@ -528,8 +528,12 @@ def repetition_scores(
 
 
 #: RE2-safe PII patterns (no lookarounds, no backrefs) so Spark's Java
-#: regex and DuckDB's RE2 agree byte-for-byte.
-PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+#: regex and DuckDB's RE2 agree byte-for-byte. Case handling is spelled
+#: out in the class ([A-Za-z]) instead of an ``(?i)`` flag: Java's
+#: default (?i) folds ASCII-only while RE2 folds full Unicode (e.g.
+#: U+212A KELVIN SIGN -> k), so an inline flag could diverge on exotic
+#: input; explicit classes cannot.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_PHONE = r"\b[0-9]{3}-[0-9]{4}\b"
 PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 
@@ -548,11 +552,17 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
     regexp_extract_all on the ORIGINAL text, so a span consumed by an
     earlier mask still counts for its own category.
 
+    Non-PII content is preserved VERBATIM: detection and masking both
+    run on the original text with case spelled out in the patterns
+    ([A-Za-z]), so a scrub pass never case-folds the released corpus
+    (a scrubber that lowercases everything destroys the text it is
+    supposed to protect).
+
     100 TB shape: pure codegen'd regex expressions over the scan — no
     shuffle, no Python; runs at parquet-scan speed like the rest of
     the t-pack.
     """
-    text = F.lower(F.col(text_col))
+    text = F.col(text_col)
     n_emails = F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), F.lit(0)))
     n_phones = F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), F.lit(0)))
     n_ipv4 = F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), F.lit(0)))

@@ -2267,10 +2267,10 @@ def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH aug AS (
         SELECT doc_id,
-               lower(text) ||
+               text ||
                CASE doc_id % 5
-                   WHEN 0 THEN ' contact user' || doc_id
-                               || '@example.com now'
+                   WHEN 0 THEN ' Contact User' || doc_id
+                               || '@Example.COM now'
                    WHEN 1 THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
                                || ' today'
                    WHEN 2 THEN ' host 10.0.' || (doc_id % 256)::VARCHAR
@@ -2282,7 +2282,7 @@ def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned AS (
         SELECT doc_id,
                len(regexp_extract_all(text,
-                   '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))::BIGINT
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT
                    AS n_emails,
                len(regexp_extract_all(text,
                    '\\b[0-9]{3}-[0-9]{4}\\b'))::BIGINT AS n_phones,
@@ -2292,7 +2292,7 @@ def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
                regexp_replace(
                    regexp_replace(
                        regexp_replace(text,
-                           '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
                            '[EMAIL]', 'g'),
                        '\\b[0-9]{3}-[0-9]{4}\\b', '[PHONE]', 'g'),
                    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
@@ -2307,10 +2307,12 @@ def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="PII detection + redaction — the scrub pass before any "
         "corpus release: count and mask email/phone/IPv4 spans "
         "(RE2-safe patterns, identical in Java regex and DuckDB RE2; "
-        "masking cascade order pinned email→phone→IP). The synthetic "
-        "corpus carries no PII, so deterministic spans are appended "
-        "per doc_id%5 in BOTH engines — m-series' synthesize-in-query "
-        "pattern. Pure codegen'd regex over the scan, no shuffle. "
+        "masking cascade order pinned email→phone→IP; casing of "
+        "non-PII text preserved verbatim — the appended spans are "
+        "mixed-case to prove it). The synthetic corpus carries no "
+        "PII, so deterministic spans are appended per doc_id%5 in "
+        "BOTH engines — m-series' synthesize-in-query pattern. Pure "
+        "codegen'd regex over the scan, no shuffle. "
         "operators/textops.py pii_scrub.",
     tags=("pipeline", "text", "privacy"),
 )
@@ -2320,11 +2322,11 @@ def t16(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = _docs(spark, sf_dir).select(
         "doc_id",
         F.concat(
-            F.lower(F.col("text")),
+            F.col("text"),
             F.when(
                 F.pmod("doc_id", F.lit(5)) == 0,
-                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
-                         F.lit("@example.com now")),
+                F.concat(F.lit(" Contact User"), F.col("doc_id").cast("string"),
+                         F.lit("@Example.COM now")),
             )
             .when(
                 F.pmod("doc_id", F.lit(5)) == 1,

@@ -43,6 +43,25 @@ def read_csv(
     return reader.csv(paths)
 
 
+def _csv_header(spark: SparkSession, path: str) -> list[str]:
+    """First line of a CSV as normalized column names (comma-split via
+    the csv module so quoted names survive; lowercased, stripped, BOM
+    removed). Local paths read one line driver-side; other Hadoop-FS
+    schemes fall back to a one-line ``spark.read.text`` job."""
+    import csv
+    import io
+
+    p = path[7:] if path.startswith("file://") else path
+    if "://" not in p:
+        with open(p, encoding="utf-8-sig", newline="") as fh:
+            line = fh.readline()
+    else:  # pragma: no cover - object-store landing
+        row = spark.read.text(path).first()
+        line = (row[0] if row else "").lstrip("﻿")
+    names = next(csv.reader(io.StringIO(line)), [])
+    return [n.strip().lower() for n in names]
+
+
 def read_csv_union_by_name(
     spark: SparkSession,
     paths: list[str],
@@ -50,46 +69,91 @@ def read_csv_union_by_name(
     header: bool = True,
     **options,
 ) -> DataFrame:
-    """Column-name-based union for file batches whose column order may
-    drift between vintages (safer than positional union for yearly
-    dataset revisions).
+    """Header-NAME-bound typed CSV scan — the safe path for registry
+    datasets whose source column order may differ from the registry
+    schema or drift between vintages.
 
-    Each file is read with header-derived column names (NOT the
-    registry schema — Spark applies an explicit schema positionally
-    and ignores the header, which would silently misbind drifted
-    columns), then cast/selected by NAME into the registry schema and
-    unioned. A header missing a schema column surfaces as nulls via
-    allowMissingColumns; an order change is harmless by construction.
+    ``spark.read.schema(...).csv`` binds an explicit schema POSITIONALLY
+    and ignores the header, so a source whose columns are ordered
+    differently than the registry schema would silently misbind nearly
+    every column (type mismatches PERMISSIVE-null, strings cross-load).
+    Here each file's header is peeked first, files are grouped by
+    header signature, and each group is scanned ONCE with a schema
+    REORDERED to that group's actual column order — native typed CSV
+    parsing is preserved (no read-as-string-and-cast), and the result
+    is selected back into registry-schema order. Properties:
+
+    - order drift between files/vintages: harmless by construction;
+    - schema columns absent from a header: NULL-padded (narrow
+      historical vintages keep loading);
+    - header columns the registry doesn't type: logged and dropped;
+    - a header sharing NO names with the schema (wrong file, binary
+      garbage, headerless dump): loud ValueError — the guard the
+      Excel reader has had all along;
+    - duplicate header names: first occurrence binds, later ones are
+      dropped (logged).
+
+    Cost at scale: one driver-side header line per file (object-store
+    paths: a one-line text job), then one multi-path parallel scan per
+    header signature — same scan count as read_csv for homogeneous
+    batches.
     """
+    import logging
+
     from pyspark.sql import functions as F
 
-    frames = []
+    log = logging.getLogger(__name__)
+    by_name = {f.name.lower(): f for f in schema.fields}
+    groups: dict[tuple[str, ...], list[str]] = {}
     for p in paths:
-        reader = spark.read.option("header", str(header).lower())
-        for k, v in options.items():
-            reader = reader.option(k, v)
-        raw = reader.csv(p)  # header names, all strings
+        groups.setdefault(tuple(_csv_header(spark, p)), []).append(p)
+
+    frames = []
+    for hdr, ps in sorted(groups.items()):
+        matched = [n for n in hdr if n in by_name]
+        if not matched:
+            raise ValueError(
+                f"CSV header {list(hdr)[:8]}... of {ps[0]} shares no "
+                f"column names with the registry schema "
+                f"({[f.name for f in schema.fields][:8]}...) — wrong "
+                "file or headerless dump; refusing to guess a binding"
+            )
+        unknown = [n for n in hdr if n not in by_name]
+        if unknown:
+            log.warning(
+                "CSV header of %s carries %d column(s) the registry "
+                "schema does not type — dropped: %s",
+                ps[0], len(unknown), unknown[:10],
+            )
+        seen: set[str] = set()
+        file_fields, keep = [], []
+        for i, n in enumerate(hdr):
+            if n in by_name and n not in seen:
+                seen.add(n)
+                f = by_name[n]
+                file_fields.append(T.StructField(f.name, f.dataType))
+                keep.append(f.name)
+            else:
+                file_fields.append(
+                    T.StructField(f"_dropped_{i}", T.StringType())
+                )
+        df = read_csv(
+            spark, ps, T.StructType(file_fields), header=header, **options
+        ).select(*keep)
         frames.append(
-            raw.select(
+            df.select(
                 *[
-                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    F.col(f.name)
+                    if f.name in keep
+                    else F.lit(None).cast(f.dataType).alias(f.name)
                     for f in schema.fields
-                    if f.name in raw.columns
                 ]
             )
         )
     out = frames[0]
     for f in frames[1:]:
-        out = out.unionByName(f, allowMissingColumns=True)
-    # normalize to the full registry schema (missing columns → null)
-    return out.select(
-        *[
-            F.col(f.name).cast(f.dataType)
-            if f.name in out.columns
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in schema.fields
-        ]
-    )
+        out = out.unionByName(f)
+    return out
 
 
 def read_excel(
@@ -165,7 +229,12 @@ def read_source_table(
     ]
     frames: list[DataFrame] = []
     if csv_paths:
-        frames.append(read_csv(spark, csv_paths, table.schema))
+        # NAME-bound, not positional: real portal CSVs order columns
+        # differently than the registry's fixture-prefix+appended
+        # schemas (e.g. HPD registrations puts buildingid/boroid
+        # up front) — a positional bind would silently cross-load
+        # nearly every column
+        frames.append(read_csv_union_by_name(spark, csv_paths, table.schema))
     for d in dests:
         if formats.get(d, "csv") == "excel":
             frames.append(read_excel(spark, dest_paths[d], table.schema))

@@ -44,6 +44,16 @@ def _ring_wkt(points: list[tuple[float, float]]) -> str:
     return "(" + ", ".join(f"{x} {y}" for x, y in points) + ")"
 
 
+def _is_clockwise(ring: list[tuple[float, float]]) -> bool:
+    """Shoelace orientation (wraparound edge included so unclosed
+    rings still classify). ESRI spec: outer rings wind CLOCKWISE,
+    holes counter-clockwise."""
+    s = 0.0
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):
+        s += (x2 - x1) * (y2 + y1)
+    return s > 0
+
+
 def parse_shp(data: bytes) -> list[str | None]:
     """WKT geometry per record (None for Null shapes), in record
     order."""
@@ -79,9 +89,34 @@ def parse_shp(data: bytes) -> list[str | None]:
             rings = [
                 pts[bounds[i]:bounds[i + 1]] for i in range(num_parts)
             ]
-            out.append(
-                "POLYGON (" + ", ".join(_ring_wkt(r) for r in rings) + ")"
-            )
+            # ESRI type 5 also encodes MULTIPOLYGONS: every CLOCKWISE
+            # ring is an outer boundary, counter-clockwise rings are
+            # holes of the preceding outer (the writer convention —
+            # holes follow their outer). Emitting multiple outers as
+            # one POLYGON ring list would turn additional islands into
+            # HOLES under WKT semantics (NYC NTA boundaries include
+            # real multipolygons), so group by orientation instead.
+            polys: list[list[list[tuple[float, float]]]] = []
+            for r in rings:
+                if not polys or _is_clockwise(r):
+                    polys.append([r])
+                else:
+                    polys[-1].append(r)
+            if len(polys) == 1:
+                out.append(
+                    "POLYGON ("
+                    + ", ".join(_ring_wkt(r) for r in polys[0])
+                    + ")"
+                )
+            else:
+                out.append(
+                    "MULTIPOLYGON ("
+                    + ", ".join(
+                        "(" + ", ".join(_ring_wkt(r) for r in p) + ")"
+                        for p in polys
+                    )
+                    + ")"
+                )
         else:
             raise ValueError(
                 f"shapefile: unsupported shape type {stype} "

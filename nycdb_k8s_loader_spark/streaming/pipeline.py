@@ -145,6 +145,47 @@ def run_available_now(
     q.awaitTermination()
 
 
+def run_available_now_staged(
+    df: DataFrame,
+    staging_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """One ``availableNow`` pass whose increments land as per-batch
+    plain-parquet directories (``<staging_dir>/batch-<id>/``) via
+    ``foreachBatch`` — NOT a live file sink.
+
+    Why not the parquet sink: the file sink keeps a ``_spark_metadata``
+    commit log inside its output path, so files written there can never
+    safely be moved out (readers of the sink resolve files through the
+    log). Staged batches are ordinary parquet dirs with no such log,
+    which lets a caller VALIDATE an increment first and only then move
+    its files into a durable store — or quarantine them on failure —
+    without corrupting streaming bookkeeping. The source checkpoint
+    still provides exactly-once file tracking; overwrite-by-batch-id
+    keeps the staged write idempotent under the checkpoint's
+    at-least-once batch replay (a replayed batch rewrites its own
+    ``batch-<id>`` dir instead of duplicating rows).
+
+    Callers list ``staging_dir`` for pending ``batch-*`` dirs after the
+    pass — leftovers from a crashed earlier call surface there too and
+    get re-validated/committed on the next call.
+    """
+    import os
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(staging_dir, f"batch-{batch_id}")
+        )
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stateful_running_totals(
     events: DataFrame,
     key_col: str = "user_id",

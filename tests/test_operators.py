@@ -1854,6 +1854,8 @@ class TestPiiScrubAndImageNearDup:
                 # email whose domain carries an IPv4-shaped span:
                 # email masks FIRST so the IP is consumed by [EMAIL]
                 (4, "x@10.0.0.1.example.com y"),
+                # mixed-case PII detected; non-PII casing untouched
+                (5, "Dear Ann, mail Bob.Smith@Corp.IO ASAP"),
             ],
             "doc_id long, text string",
         )
@@ -1866,6 +1868,10 @@ class TestPiiScrubAndImageNearDup:
         assert out[3]["redacted"] == "nothing sensitive here"
         assert out[4]["n_emails"] == 1 and out[4]["n_ipv4"] == 1
         assert "[IP]" not in out[4]["redacted"]  # cascade pinned
+        # scrub must only replace the PII span — casing elsewhere is
+        # preserved verbatim (a lowercasing scrub destroys the corpus)
+        assert out[5]["n_emails"] == 1
+        assert out[5]["redacted"] == "Dear Ann, mail [EMAIL] ASAP"
 
     def test_image_neardup_pairs_exact_and_banded(self, spark):
         from nycdb_k8s_loader_spark.operators.multimodal import (

@@ -425,11 +425,12 @@ _pii_text = st.lists(
         # PII shapes mixed with noise
         st.sampled_from([
             "a@b.io", "x.y@z.co", "no@tld", "@x.com", "a@@b.cc",
+            "A@B.IO", "Bob.Smith@Corp.Io", "Keep Casing HERE",
             "555-1234", "55-1234", "5551-234", "1234-5678",
             "10.0.0.1", "1.2.3", "999.999.999.999", "1.2.3.4.5",
             "plain", "words", "a.b", "-", "ok 3.14 done",
         ]),
-        st.text(alphabet="ab1.-@ ", min_size=0, max_size=12),
+        st.text(alphabet="aAbB1.-@ ", min_size=0, max_size=12),
     ),
     min_size=0,
     max_size=8,
@@ -461,15 +462,14 @@ def test_pii_scrub_matches_python_re_model(spark, frags):
         ).collect()
     }
     for i, t in rows:
-        low = t.lower()
-        exp_e = len(re.findall(PII_EMAIL, low))
-        exp_p = len(re.findall(PII_PHONE, low))
-        exp_i = len(re.findall(PII_IPV4, low))
+        exp_e = len(re.findall(PII_EMAIL, t))
+        exp_p = len(re.findall(PII_PHONE, t))
+        exp_i = len(re.findall(PII_IPV4, t))
         red = re.sub(
             PII_IPV4,
             "[IP]",
             re.sub(
-                PII_PHONE, "[PHONE]", re.sub(PII_EMAIL, "[EMAIL]", low)
+                PII_PHONE, "[PHONE]", re.sub(PII_EMAIL, "[EMAIL]", t)
             ),
         )
         r = out[i]

@@ -35,6 +35,109 @@ class TestNonLocalUriScan:
         assert read_csv(spark, [f"file://{p}", str(p2)], SCHEMA).count() == 3
 
 
+class TestHeaderNameBoundScan:
+    """read_csv_union_by_name (r5 ADVICE): registry CSVs bind by header
+    NAME, so a portal export whose column order differs from the
+    registry schema declaration still loads correctly — a positional
+    bind would silently cross-load nearly every column."""
+
+    def test_reordered_portal_columns_bind_by_name(self, spark, tmp_path):
+        from nycdb_k8s_loader_spark.sources.readers import (
+            read_csv_union_by_name,
+        )
+
+        schema = T.StructType([
+            T.StructField("registrationid", T.IntegerType()),
+            T.StructField("bbl", T.StringType()),
+            T.StructField("boro", T.StringType()),
+            T.StructField("buildingid", T.IntegerType()),
+        ])
+        # real-portal order: buildingid first, bbl/boro in the middle —
+        # NOT the registry declaration order
+        p = tmp_path / "portal.csv"
+        p.write_text(
+            "BuildingID,BBL,Boro,RegistrationID\n"
+            "77,1000010001,MN,5\n"
+        )
+        row = read_csv_union_by_name(spark, [str(p)], schema).first()
+        assert (row["registrationid"], row["bbl"],
+                row["boro"], row["buildingid"]) == (5, "1000010001", "MN", 77)
+
+    def test_mixed_vintages_union_with_null_padding(self, spark, tmp_path):
+        from nycdb_k8s_loader_spark.sources.readers import (
+            read_csv_union_by_name,
+        )
+
+        schema = T.StructType([
+            T.StructField("id", T.IntegerType()),
+            T.StructField("bbl", T.StringType()),
+            T.StructField("units", T.IntegerType()),
+        ])
+        old = tmp_path / "v2019.csv"
+        old.write_text("id,bbl\n1,BBL1\n")  # narrow vintage
+        new = tmp_path / "v2024.csv"
+        new.write_text("units,id,bbl,extra\n9,2,BBL2,x\n")  # reordered+extra
+        got = {
+            r["id"]: (r["bbl"], r["units"])
+            for r in read_csv_union_by_name(
+                spark, [str(old), str(new)], schema
+            ).collect()
+        }
+        assert got == {1: ("BBL1", None), 2: ("BBL2", 9)}
+
+    def test_disjoint_header_fails_loudly(self, spark, tmp_path):
+        from nycdb_k8s_loader_spark.sources.readers import (
+            read_csv_union_by_name,
+        )
+
+        schema = T.StructType([T.StructField("bbl", T.StringType())])
+        p = tmp_path / "garbage.csv"
+        p.write_text("1000010001,10\nxx,yy\n")  # headerless dump
+        with pytest.raises(ValueError, match="shares no column names"):
+            read_csv_union_by_name(spark, [str(p)], schema)
+
+    def test_registry_load_binds_real_portal_order(self, spark, tmp_path):
+        """End-to-end through Engine.load: an hpd_registrations CSV in
+        the PORTAL's column order (buildingid/boroid up front) must
+        publish with every value in its right column."""
+        from nycdb_k8s_loader_spark.datasets import wow_registry
+        from nycdb_k8s_loader_spark.engine import Engine
+        from nycdb_k8s_loader_spark.state.kvstore import DictKVStore
+        from nycdb_k8s_loader_spark.state.lastmod import FetchResult
+
+        csv_text = (
+            "RegistrationID,BuildingID,BoroID,Boro,HouseNumber,"
+            "LowHouseNumber,HighHouseNumber,StreetName,StreetCode,Zip,"
+            "Block,Lot,BIN,CommunityBoard,LastRegistrationDate,"
+            "RegistrationEndDate,BBL\n"
+            "11,900,1,MN,10,10,12,MAIN ST,123,10001,5,7,1000001,101,"
+            "2024-01-01T00:00:00,2025-01-01T00:00:00,1000050007\n"
+        )
+        eng = Engine(
+            spark,
+            wow_registry(),
+            DictKVStore(),
+            target_db="portal_order_test",
+            landing_root=str(tmp_path / "landing"),
+            transport=lambda url, headers: FetchResult(200, etag='"p"'),
+            downloader=lambda url, dest: open(dest, "w").write(csv_text),
+        )
+        try:
+            eng.load("hpd_registrations")
+            row = spark.table(
+                "portal_order_test.hpd_registrations"
+            ).first()
+            assert row["registrationid"] == 11
+            assert row["buildingid"] == 900
+            assert row["bbl"] == "1000050007"
+            assert row["boro"] == "MN"
+            assert row["block"] == 5 and row["lot"] == 7
+        finally:
+            spark.sql(
+                "DROP DATABASE IF EXISTS portal_order_test CASCADE"
+            )
+
+
 class FakeS3:
     def __init__(self):
         self.calls = []
@@ -107,6 +210,35 @@ class TestShapefile:
         assert names == ["name", "area", "ok"]
         assert recs[0] == ["sq", 7.5, True]
         assert recs[1] == ["pt", None, False]
+
+    def test_multi_outer_rings_emit_multipolygon(self, tmp_path):
+        """r5 ADVICE: ESRI type 5 also encodes multipolygons — outer
+        rings wind CLOCKWISE per the spec, holes counter-clockwise.
+        Two outers must become MULTIPOLYGON; rendering them as one
+        POLYGON ring list would turn the island into a HOLE in WKT
+        semantics (real NYC NTA boundaries include multipolygons)."""
+        import zipfile
+
+        from nycdb_k8s_loader_spark.sources.shapefile import parse_shp
+
+        # CW outer with a CCW hole, plus a second CW outer (island)
+        outer1 = [(0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0), (0.0, 0.0)]
+        hole1 = [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 1.0)]
+        island = [(10.0, 0.0), (10.0, 2.0), (12.0, 2.0), (12.0, 0.0),
+                  (10.0, 0.0)]
+        path = self._zip(
+            tmp_path,
+            [("name", "C", 10, 0)],
+            [(["multi"], [outer1, hole1, island])],
+        )
+        with zipfile.ZipFile(path) as zf:
+            geoms = parse_shp(zf.read("layer.shp"))
+        assert geoms[0] == (
+            "MULTIPOLYGON ("
+            "((0.0 0.0, 0.0 4.0, 4.0 4.0, 4.0 0.0, 0.0 0.0), "
+            "(1.0 1.0, 2.0 1.0, 2.0 2.0, 1.0 1.0)), "
+            "((10.0 0.0, 10.0 2.0, 12.0 2.0, 12.0 0.0, 10.0 0.0)))"
+        )
 
     def test_read_zip_casts_by_name_and_nulls_missing(self, spark, tmp_path):
         from pyspark.sql import types as T

@@ -423,12 +423,42 @@ class TestStreamingIngestionValidationGate:
             ).count() == 2
 
             (land / "bad.csv").write_text(self.BAD)
-            with _pytest.raises(ValidationError):
+            with _pytest.raises(ValidationError, match="quarantined"):
                 eng.load_streaming("hpd_registrations")
             # the published table still serves the last good version
             rows = {r["registrationid"]: r["bbl"]
                     for r in spark.table(t).collect()}
             assert rows == {1: "BBL1", 2: "BBL2"}
+
+            # RECOVERY (r5 ADVICE): the corrupt increment must be
+            # quarantined, NOT committed to the durable stream store —
+            # otherwise every later call re-reads the poisoned store
+            # and the dataset is wedged forever. The very next call
+            # must succeed again, republishing the last good data...
+            res3 = eng.load_streaming("hpd_registrations")
+            assert not res3.skipped
+            rows = {r["registrationid"]: r["bbl"]
+                    for r in spark.table(t).collect()}
+            assert rows == {1: "BBL1", 2: "BBL2"}
+            # ...and a subsequent GOOD drop loads incrementally on top
+            (land / "good2.csv").write_text(
+                "registrationid,bbl,boro\n3,BBL3,SI\n"
+            )
+            eng.load_streaming("hpd_registrations")
+            rows = {r["registrationid"]: r["bbl"]
+                    for r in spark.table(t).collect()}
+            assert rows == {1: "BBL1", 2: "BBL2", 3: "BBL3"}
+            # the quarantined increment is preserved on disk for
+            # inspection/re-drop (the checkpoint already consumed the
+            # source file, so this is its only remaining copy)
+            qroot = (
+                tmp_path / "landing" / "hpd_registrations" / "_stream"
+                / "hpd_registrations" / "quarantine"
+            )
+            qfiles = list(qroot.rglob("*.parquet"))
+            assert qfiles, "quarantine must hold the rejected increment"
+            qdf = spark.read.parquet(*(str(p.parent) for p in qfiles))
+            assert {r["registrationid"] for r in qdf.collect()} == {2}
         finally:
             spark.sql("DROP DATABASE IF EXISTS stream_gate_test CASCADE")
 

@@ -539,6 +539,43 @@ def test_table_fn_sql_invocable_end_to_end(spark, wow_engine, tmp_path):
         spark.sql("DROP DATABASE IF EXISTS tfn_out CASCADE")
 
 
+def test_function_ddl_passes_run_scripts_unrewritten(
+    spark, wow_engine, tmp_path
+):
+    """r5 ADVICE: _run_scripts must classify function DDL BEFORE the
+    table-fn materialization pass (matching engine.py's load loop) —
+    a CREATE FUNCTION whose body calls a registered table function is
+    DDL to replay post-publish, and rewriting it would bake a
+    session-temporary view name into the collected statement (and
+    eagerly materialize the view during script execution)."""
+    from nycdb_k8s_loader_spark.datasets import _run_scripts
+    from nycdb_k8s_loader_spark.publish.resolver import SearchPathResolver
+
+    eng, _ = wow_engine
+    eng.load_all(["wow"])
+
+    ddl = (
+        "CREATE OR REPLACE FUNCTION n_assoc() RETURNS bigint AS "
+        "(SELECT count(*) FROM wow.get_assoc_addrs_from_bbl('BBL1'));"
+    )
+    script = tmp_path / "fn.sql"
+    script.write_text(ddl)
+    spark.sql("CREATE DATABASE IF NOT EXISTS fn_ddl_out")
+    resolver = SearchPathResolver(spark, ["fn_ddl_out"], ddl_db="fn_ddl_out")
+    fn_stmts: list[str] = []
+    try:
+        created = _run_scripts(
+            spark, resolver, [str(script)], fn_stmts,
+            functions=eng.functions,
+        )
+        assert created == []
+        assert len(fn_stmts) == 1
+        # the table-fn call survives verbatim — no __v temp-view name
+        assert "wow.get_assoc_addrs_from_bbl('BBL1')" in fn_stmts[0]
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS fn_ddl_out CASCADE")
+
+
 def test_rewrite_table_fn_calls_text_rules():
     from nycdb_k8s_loader_spark.publish.transpile import (
         rewrite_table_fn_calls,
