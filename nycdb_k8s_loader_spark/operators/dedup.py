@@ -64,10 +64,16 @@ def bands_for(
     max_hashes: int = 128,
 ) -> tuple[int, int]:
     """Corpus-size-aware MinHash banding policy → ``(num_hashes,
-    bands)`` — the scale-safe DEFAULT for every banded dedup operator
-    (d03/d09/d11/d13). Callers wanting a pinned parameterization (the
-    catalog's oracle entries, regression baselines) pass explicit
-    values instead, exactly the d02/d04 ``exact_allpairs`` precedent.
+    bands)`` — the live DEFAULT (via :func:`_resolve_banding`) of
+    every banded dedup OPERATOR: :func:`ngram_jaccard_pairs`,
+    :func:`fuzzy_dedup`, :func:`incremental_dedup`,
+    :func:`dedup_signature_state` (and through its meta row,
+    :func:`incremental_dedup_from_state`). The signature PRIMITIVES
+    (:func:`band_keys`, :func:`minhash_signatures`) keep fixed 8/4
+    defaults — they are building blocks whose callers own the policy.
+    Callers wanting a pinned parameterization (the catalog's oracle
+    entries, regression baselines) pass explicit values instead,
+    exactly the d02/d04 ``exact_allpairs`` precedent.
 
     Why a policy instead of a constant: with ``b`` bands of ``r`` rows
     the LSH collision probability at similarity ``s`` is
@@ -117,7 +123,11 @@ def _resolve_banding(
 ) -> tuple[int, int]:
     """Resolve (num_hashes, bands): explicit values pass through;
     both-None routes to :func:`bands_for` on the corpus count (one
-    count job — callers on a hot path pass explicit values)."""
+    count job — callers on a hot path pass explicit values).
+    ``target_sim`` is clamped into bands_for's open (0,1) domain so
+    degenerate caller thresholds (0.0 = "any overlap", 1.0 = "exact
+    only") still resolve — the verify stage enforces the caller's
+    actual threshold either way."""
     if num_hashes is not None and bands is not None:
         return num_hashes, bands
     if (num_hashes is None) != (bands is None):
@@ -125,7 +135,9 @@ def _resolve_banding(
             "pass BOTH num_hashes and bands (pinned parameterization) "
             "or NEITHER (corpus-size-aware bands_for policy)"
         )
-    return bands_for(df.count(), target_sim=target_sim)
+    return bands_for(
+        df.count(), target_sim=min(max(target_sim, 0.05), 0.95)
+    )
 
 
 def shingle_postings(
@@ -161,19 +173,24 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingles: int = 1,
     exact_allpairs: bool = False,
-    num_hashes: int = 8,
-    bands: int = 4,
+    num_hashes: int | None = None,
+    bands: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by token-set Jaccard ≥ threshold.
 
     DEFAULT (``exact_allpairs=False``) is the scale-safe path: MinHash
     band candidates first, exact Jaccard evaluated only on them (the
     d09 machinery) — linear in corpus, the documented LSH
-    false-negative trade. ``exact_allpairs=True`` is the all-pairs
-    inverted-index oracle baseline: postings self-joined on token,
-    common-count per pair, |A∩B| / (|A| + |B| - |A∩B|). The division
-    is exact integer-over-integer in doubles either way, so the oracle
-    compare is stable.
+    false-negative trade. Banding defaults to the corpus-size-aware
+    :func:`bands_for` policy (rows-per-band grows with ln n, so
+    false-positive candidates stay ~linear instead of the fixed-r=2
+    ~n² growth measured in BENCH_sf1.json); pass explicit
+    ``num_hashes``/``bands`` for a pinned parameterization (the
+    catalog's oracle entries do). ``exact_allpairs=True`` is the
+    all-pairs inverted-index oracle baseline: postings self-joined on
+    token, common-count per pair, |A∩B| / (|A| + |B| - |A∩B|). The
+    division is exact integer-over-integer in doubles either way, so
+    the oracle compare is stable.
 
     The default flipped in round 4 (verdict item 5): a direct caller
     of this operator used to get the Σ_t df(t)² candidate blowup —
@@ -184,6 +201,7 @@ def ngram_jaccard_pairs(
     one.
     """
     if not exact_allpairs:
+        num_hashes, bands = _resolve_banding(df, num_hashes, bands, threshold)
         return _lsh_verified_pairs(
             df, threshold, num_hashes, bands, shingles, id_col, text_col
         ).select("doc_a", "doc_b", "jaccard")
@@ -297,6 +315,24 @@ MINHASH_PERMS: list[tuple[int, int]] = [
     (1927868237, 20011),
 ]
 _MERSENNE31 = 2147483647
+
+# bands_for can resolve to signatures up to max_hashes=128 wide at
+# billion-doc corpora; extend the permutation family deterministically
+# past the 16 hand-pinned pairs (which the DuckDB oracle SQL hardcodes
+# verbatim — NEVER reorder or regenerate those). Generator: a 64-bit
+# LCG (Knuth MMIX constants) whose high bits supply a (odd, 31-bit —
+# keeps (M-1)*a < 2^62 overflow-free) and b (mod M).
+def _extend_perms(perms: list[tuple[int, int]], upto: int = 128) -> None:
+    x = 0x9E3779B97F4A7C15
+    while len(perms) < upto:
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = ((x >> 33) % (1 << 31)) | 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = (x >> 33) % _MERSENNE31
+        perms.append((a, b))
+
+
+_extend_perms(MINHASH_PERMS)
 
 
 def band_keys(
@@ -589,8 +625,8 @@ def simhash_near_pairs(
 def fuzzy_dedup(
     df: DataFrame,
     threshold: float = 0.7,
-    num_hashes: int = 8,
-    bands: int = 4,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     shingles: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -620,9 +656,14 @@ def fuzzy_dedup(
       are shallow);
     - keep: one broadcast-joinable (doc, cluster) frame back onto the
       corpus ids.
+
+    Banding defaults to the :func:`bands_for` corpus-size policy
+    (scale-safe FP growth); pass explicit ``num_hashes``/``bands`` to
+    pin (catalog entries, regression baselines do).
     """
     from nycdb_k8s_loader_spark.operators.graph import cluster_assignments
 
+    num_hashes, bands = _resolve_banding(df, num_hashes, bands, threshold)
     edges = _lsh_verified_pairs(
         df, threshold, num_hashes, bands, shingles, id_col, text_col
     ).select("doc_a", "doc_b")
@@ -834,9 +875,10 @@ def dedup_signature_state(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 8,
-    bands: int = 4,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     shingles: int = 3,
+    target_sim: float = 0.7,
 ) -> DataFrame:
     """The persistable per-corpus dedup state — everything the
     incremental probe needs, with NO document bodies: one tall frame
@@ -847,15 +889,32 @@ def dedup_signature_state(
     - ``kind='band'``: ``key`` = LSH band key at band index ``band``
       (the near probe's candidate generator);
     - ``kind='shingle'``: ``key`` = one distinct k-word shingle (the
-      near probe's exact-Jaccard verifier).
+      near probe's exact-Jaccard verifier);
+    - ``kind='meta'``: ONE self-description row
+      (``key = 'num_hashes=<n>;bands=<b>;shingles=<s>'``, id/band
+      NULL) recording the parameterization the signatures were built
+      with, so :func:`incremental_dedup_from_state` can reconstruct
+      compatible batch-side keys without out-of-band bookkeeping —
+      probing a state with mismatched banding silently finds zero
+      candidates, the worst failure mode.
 
-    Write it once per corpus refresh (a published table like any
-    other); each increment then costs O(batch + candidates) and never
-    re-reads corpus text — the production loop d11's docstring
-    promised. The shingle section dominates storage (~corpus-sized
-    tokens); at deploy scale store ``key`` dictionary-encoded parquet
-    (free for repeated shingles) or swap in the 60-bit hashed form.
+    Banding defaults to the :func:`bands_for` policy on the corpus
+    count (``target_sim`` is its similarity knob); pass explicit
+    values to pin. Write the state once per corpus refresh (a
+    published table like any other); each increment then costs
+    O(batch + candidates) and never re-reads corpus text — the
+    production loop d11's docstring promised. The shingle section
+    dominates storage (~corpus-sized tokens); at deploy scale store
+    ``key`` dictionary-encoded parquet (free for repeated shingles) or
+    swap in the 60-bit hashed form.
     """
+    num_hashes, bands = _resolve_banding(df, num_hashes, bands, target_sim)
+    spark = df.sparkSession
+    meta = spark.createDataFrame(
+        [(None, "meta", None,
+          f"num_hashes={num_hashes};bands={bands};shingles={shingles}")],
+        f"{id_col} long, kind string, band int, key string",
+    )
     hashes = df.select(
         F.col(id_col),
         F.lit("hash").alias("kind"),
@@ -877,7 +936,38 @@ def dedup_signature_state(
         F.lit(None).cast("int").alias("band"),
         F.col("w").alias("key"),
     )
-    return hashes.unionByName(bnd).unionByName(posts)
+    return hashes.unionByName(bnd).unionByName(posts).unionByName(meta)
+
+
+def _state_banding(
+    state: DataFrame,
+    num_hashes: int | None,
+    bands: int | None,
+    shingles: int | None,
+) -> tuple[int, int, int]:
+    """Resolve the banding a persisted state was built with: explicit
+    caller values win; otherwise parse the state's ``kind='meta'``
+    self-description row (one collect of a single tiny row). A state
+    written before meta rows existed must be probed with explicit
+    values — mismatched banding would silently miss every candidate,
+    so this raises instead of guessing."""
+    if num_hashes is not None and bands is not None and shingles is not None:
+        return num_hashes, bands, shingles
+    rows = (
+        state.filter(F.col("kind") == "meta").select("key").limit(2).collect()
+    )
+    if len(rows) != 1:
+        raise ValueError(
+            "incremental_dedup_from_state: state has no single "
+            "kind='meta' self-description row — pass explicit "
+            "num_hashes/bands/shingles matching how the state was built"
+        )
+    meta = dict(kv.split("=", 1) for kv in rows[0]["key"].split(";"))
+    return (
+        num_hashes if num_hashes is not None else int(meta["num_hashes"]),
+        bands if bands is not None else int(meta["bands"]),
+        shingles if shingles is not None else int(meta["shingles"]),
+    )
 
 
 def incremental_dedup_from_state(
@@ -886,9 +976,9 @@ def incremental_dedup_from_state(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
-    num_hashes: int = 8,
-    bands: int = 4,
-    shingles: int = 3,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    shingles: int | None = None,
 ) -> DataFrame:
     """:func:`incremental_dedup` probing a PERSISTED corpus state
     (:func:`dedup_signature_state` output, e.g. read back from a
@@ -898,6 +988,11 @@ def incremental_dedup_from_state(
     the same probe over the same state values (pinned by
     tests/test_operators.py::TestIncrementalDedupState).
 
+    Banding defaults to the state's own ``kind='meta'``
+    self-description (see :func:`dedup_signature_state`) — batch-side
+    band keys MUST be built with the parameterization the state was;
+    explicit arguments override per-field for meta-less legacy states.
+
     100 TB shape: corpus text never enters the plan. The exact probe
     is a semi-join on 32-char hashes; candidates come from one
     equi-join of batch band keys against corpus band keys (cross-side
@@ -906,6 +1001,9 @@ def incremental_dedup_from_state(
     the batch plus its candidates); exact Jaccard runs on candidates'
     shingle postings, sizes from two count aggregates.
     """
+    num_hashes, bands, shingles = _state_banding(
+        state, num_hashes, bands, shingles
+    )
     c_hashes = (
         state.filter(F.col("kind") == "hash").select(F.col("key").alias("__h"))
         .distinct()
@@ -975,8 +1073,8 @@ def incremental_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
-    num_hashes: int = 8,
-    bands: int = 4,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     shingles: int = 3,
 ) -> DataFrame:
     """Dedup an incoming batch AGAINST an existing corpus — the
@@ -996,7 +1094,11 @@ def incremental_dedup(
     refresh and calls the from-state form directly, so corpus text is
     scanned zero times per increment (see that function's docstring
     for the 100 TB shape).
+
+    Banding defaults to :func:`bands_for` on the CORPUS count (the
+    side the probe indexes); explicit values pin it.
     """
+    num_hashes, bands = _resolve_banding(corpus, num_hashes, bands, threshold)
     state = dedup_signature_state(
         corpus, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, bands=bands, shingles=shingles,

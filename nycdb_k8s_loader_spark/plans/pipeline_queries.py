@@ -1783,7 +1783,10 @@ def d11(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
-    return incremental_dedup(corpus, batch, threshold=0.7, shingles=3)
+    # explicit 8/4 pins the oracle parameterization (the operator
+    # default is now the corpus-size-aware bands_for policy)
+    return incremental_dedup(corpus, batch, threshold=0.7,
+                             num_hashes=8, bands=4, shingles=3)
 
 
 @register(
@@ -2255,10 +2258,14 @@ def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
         + f"_{sig}"
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        dedup_signature_state(corpus).write.mode("overwrite").parquet(path)
+        # explicit 8/4 pins the oracle parameterization (the operator
+        # default is now the corpus-size-aware bands_for policy)
+        dedup_signature_state(
+            corpus, num_hashes=8, bands=4, shingles=3
+        ).write.mode("overwrite").parquet(path)
     state = spark.read.parquet(path)
     return incremental_dedup_from_state(
-        state, batch, threshold=0.7, shingles=3
+        state, batch, threshold=0.7, num_hashes=8, bands=4, shingles=3
     )
 
 

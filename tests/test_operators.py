@@ -1730,6 +1730,8 @@ class TestIncrementalDedupState:
             dedup_signature_state,
         )
 
+        from nycdb_k8s_loader_spark.operators.dedup import bands_for
+
         corpus, _ = self._frames(spark)
         state = dedup_signature_state(corpus)
         kinds = {
@@ -1737,11 +1739,166 @@ class TestIncrementalDedupState:
             for r in state.groupBy("kind").count()
             .withColumnRenamed("count", "n").collect()
         }
+        # defaults route through the bands_for policy on the corpus count
+        nh, b = bands_for(3, target_sim=0.7)
         assert kinds["hash"] == 3          # one content hash per doc
-        assert kinds["band"] == 3 * 4      # one key per (doc, band)
+        assert kinds["band"] == 3 * b      # one key per (doc, band)
         assert kinds["shingle"] > 0
+        assert kinds["meta"] == 1          # one self-description row
+        meta_key = state.filter("kind = 'meta'").collect()[0]["key"]
+        assert meta_key == f"num_hashes={nh};bands={b};shingles=3"
         # bodies never enter the state
         assert "text" not in state.columns
+
+
+class TestScaleSafeDefaults:
+    """bands_for is the LIVE default of the banded dedup operators
+    (round-6 verdict #1: it had shipped as dead code). These pin (a)
+    the policy's scale properties — monotone banding, bounded
+    signature width, candidates ≪ n²/2 — and (b) that the operator
+    defaults actually route through it."""
+
+    def test_policy_monotone_and_bounded(self):
+        from nycdb_k8s_loader_spark.operators.dedup import (
+            MINHASH_PERMS,
+            bands_for,
+        )
+
+        prev_r, prev_b = 0, 0
+        for n in (10, 1_000, 100_000, 10_000_000, 1_000_000_000):
+            nh, b = bands_for(n)
+            r = nh // b
+            assert nh % b == 0, "bands must divide num_hashes"
+            assert nh <= len(MINHASH_PERMS) <= 128
+            # rows-per-band AND band count are monotone in corpus size:
+            # more docs -> sharper S-curve, never a looser one
+            assert r >= prev_r and b >= prev_b
+            prev_r, prev_b = r, b
+        # small corpora keep the recall-friendly r=2 (the historical
+        # pinned default); billion-doc corpora sharpen to r>=6
+        assert bands_for(100)[0] // bands_for(100)[1] == 2
+        nh, b = bands_for(1_000_000_000)
+        assert nh // b >= 6
+
+    def test_policy_validation(self):
+        import pytest
+
+        from nycdb_k8s_loader_spark.operators.dedup import bands_for
+
+        with pytest.raises(ValueError):
+            bands_for(0)
+        with pytest.raises(ValueError):
+            bands_for(100, target_sim=0.0)
+        with pytest.raises(ValueError):
+            bands_for(100, target_sim=1.0)
+
+    def test_half_explicit_banding_rejected(self, spark):
+        import pytest
+
+        from nycdb_k8s_loader_spark.operators.dedup import fuzzy_dedup
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="BOTH num_hashes and bands"):
+            fuzzy_dedup(docs, num_hashes=8).collect()
+
+    def test_candidates_far_below_allpairs_at_two_sizes(self, spark):
+        """The brief's 'done' bar: policy-resolved banding keeps the
+        candidate-pair set ≪ n²/2 at two corpus sizes (500 and 5000
+        docs — a 10x step), and candidate growth stays far below the
+        quadratic 100x."""
+        from nycdb_k8s_loader_spark.operators.dedup import (
+            bands_for,
+            minhash_signatures,
+        )
+
+        counts = {}
+        for sf, n_expect in (("sf0.001", 500), ("sf0.1", 5000)):
+            docs = spark.read.parquet(
+                f"/root/testdata/{sf}/documents.parquet"
+            )
+            n = docs.count()
+            assert n == n_expect
+            nh, b = bands_for(n, target_sim=0.7)
+            cands = minhash_signatures(
+                docs, num_hashes=nh, bands=b, shingles=3
+            ).count()
+            assert cands < 0.05 * (n * (n - 1) / 2), (
+                f"{sf}: {cands} candidates vs {n*(n-1)//2} pairs"
+            )
+            counts[n] = cands
+        # 10x docs: candidate growth must stay far below quadratic
+        # (allow 3x the data ratio for true-dup density variation)
+        assert counts[5000] <= 30 * max(counts[500], 1)
+
+    def test_operator_defaults_match_policy_pin(self, spark):
+        """fuzzy_dedup / ngram_jaccard_pairs defaults produce EXACTLY
+        the frame explicit bands_for(...) values produce — the wiring
+        is live, not parallel code paths."""
+        from nycdb_k8s_loader_spark.operators.dedup import (
+            bands_for,
+            fuzzy_dedup,
+            ngram_jaccard_pairs,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        nh, b = bands_for(docs.count(), target_sim=0.7)
+        got = sorted(map(tuple, fuzzy_dedup(docs, threshold=0.7).collect()))
+        want = sorted(map(tuple, fuzzy_dedup(
+            docs, threshold=0.7, num_hashes=nh, bands=b
+        ).collect()))
+        assert got == want
+        nh6, b6 = bands_for(docs.count(), target_sim=0.6)
+        got_p = sorted(map(tuple, ngram_jaccard_pairs(
+            docs, threshold=0.6, shingles=3
+        ).collect()))
+        want_p = sorted(map(tuple, ngram_jaccard_pairs(
+            docs, threshold=0.6, shingles=3, num_hashes=nh6, bands=b6
+        ).collect()))
+        assert got_p == want_p
+
+    def test_from_state_resolves_banding_from_meta(self, spark):
+        """incremental_dedup_from_state with NO banding args probes
+        with the parameterization recorded in the state's meta row —
+        and refuses to guess when the meta row is missing."""
+        import pytest
+
+        from nycdb_k8s_loader_spark.operators.dedup import (
+            dedup_signature_state,
+            incremental_dedup_from_state,
+        )
+
+        corpus = spark.createDataFrame(
+            [(2, "alpha beta gamma delta epsilon zeta"),
+             (4, "one two three four five six seven okay fine done")],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [(11, "alpha beta gamma delta epsilon zeta"),
+             (13, "totally new words never seen anywhere before now")],
+            "doc_id long, text string",
+        )
+        state = dedup_signature_state(
+            corpus, num_hashes=6, bands=3, shingles=3
+        )
+        got = {
+            r["doc_id"]: r["verdict"]
+            for r in incremental_dedup_from_state(state, batch).collect()
+        }
+        want = {
+            r["doc_id"]: r["verdict"]
+            for r in incremental_dedup_from_state(
+                state, batch, num_hashes=6, bands=3, shingles=3
+            ).collect()
+        }
+        assert got == want == {11: "exact_dup", 13: "keep"}
+        with pytest.raises(ValueError, match="meta"):
+            incremental_dedup_from_state(
+                state.filter("kind <> 'meta'"), batch
+            )
 
 
 class TestContaminationAndRepetition:
