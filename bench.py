@@ -8,12 +8,26 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced with a noop-format write — full computation, no
 driver-side collect, so the timing measures the distributed plan, not
-Arrow transfer. Each query runs twice and the minimum is reported
-(steady-state): the first execution of a plan shape pays one-off JVM
-JIT + whole-stage-codegen compilation that is irrelevant at cluster
-scale, where a query's compile time amortizes over terabytes, not
-megabytes. The cold total is also emitted (``cold_total_sec``) for
-transparency.
+Arrow transfer.
+
+Regression-grade measurement (round-6 verdict #3: two consecutive
+rounds of bench movement were machine weather on byte-identical
+plans):
+
+- each query runs 5 times; the reported number is the MEDIAN of runs
+  2-5 (run 1 pays one-off JIT/codegen compilation and is reported
+  separately as ``cold_total_sec``). Median, not min: min rewards
+  lucky scheduling; median is the steady-state estimator with a
+  breakdown point.
+- the idle gate waits for 1-min loadavg <= 1.0 (was 4.0 — BENCH_r06
+  started at 3.71 and the judge called the resulting numbers
+  weather), and records what it saw either way.
+- a fixed CALIBRATION job (CPU-bound xxhash64 fold over range(48M),
+  median of 3) runs in the same session; ``calibration_sec`` and
+  ``normalized_value`` (= value / calibration_sec) land in the JSON,
+  so two runs on differently-loaded machines compare on the
+  normalized number. Two runs >= 30 min apart should agree within ~5%
+  normalized; if they don't, trust neither.
 """
 
 from __future__ import annotations
@@ -51,7 +65,7 @@ HEADLINE = [
 ]
 
 
-def _await_idle(threshold: float = 4.0, max_wait: float = 90.0) -> dict:
+def _await_idle(threshold: float = 1.0, max_wait: float = 120.0) -> dict:
     """Measurement guard (round-3 lesson: BENCH_r03's committed 6.3 s
     was pure machine-load artifact — the same plans measured 4.3 s on
     an idle box). Sample the 1-min loadavg; if the machine is busy,
@@ -87,7 +101,27 @@ def _await_idle(threshold: float = 4.0, max_wait: float = 90.0) -> dict:
     return meta
 
 
+def _calibrate(spark, rounds: int = 3) -> float:
+    """Fixed CPU-bound reference job (median of ``rounds``): a
+    whole-stage-codegen xxhash64 fold over range(48M). Its runtime
+    moves with ambient machine load/thermal state exactly like the
+    headline queries do, so value/calibration_sec is comparable
+    across runs that raw seconds are not."""
+    import statistics
+
+    times = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        spark.range(48_000_000).selectExpr(
+            "sum(xxhash64(id))"
+        ).collect()
+        times.append(time.perf_counter() - t0)
+    return round(statistics.median(times), 3)
+
+
 def main() -> None:
+    import statistics
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -99,18 +133,21 @@ def main() -> None:
     # Warm the JVM/codegen once with a trivial job so query timings
     # measure the plans, not session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
+    calibration = _calibrate(spark)
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
         runs = []
-        for _ in range(2):
+        for _ in range(n_runs):
             df = qs[name](spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         cold[name] = round(runs[0], 3)
-        timings[name] = round(min(runs), 3)
+        steady = runs[1:] if len(runs) > 1 else runs
+        timings[name] = round(statistics.median(steady), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -122,6 +159,10 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cold_total_sec": round(sum(cold.values()), 3),
+                "runs_per_query": n_runs,
+                "estimator": "median_of_warm_runs",
+                "calibration_sec": calibration,
+                "normalized_value": round(total / calibration, 3),
                 **load_meta,
             }
         )

@@ -111,6 +111,38 @@ def _d12_scaled_k_two_level(spark, sf_dir):
     return semantic_dedup(emb, k=k, threshold=0.45, coarse_cells=c)
 
 
+def _d12_scaled_k_sampled(spark, sf_dir):
+    """d12's PRODUCTION form at scaled k (round-6 brief #2): Lloyd
+    training on a ~32/centroid hash sample + IVF two-level assignment
+    of the full corpus — both stages linear in n at k ∝ n. This is the
+    variant the sf1→sf3 ≤ ×1.5-per-×3-step gate applies to;
+    semdedup_agreement (pytest-pinned ≥ 0.95) audits its verdict
+    agreement with the exact flat form."""
+    from nycdb_k8s_loader_spark.operators.similarity import (
+        semantic_dedup_sampled,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = emb.count()
+    k = max(8, n // _D12_CLUSTER_ROWS)
+    return semantic_dedup_sampled(emb, k=k, threshold=0.45)
+
+
+def _t13_hashed_grams(spark, sf_dir):
+    """t13 with the hashed-gram global frequency pass (round-6 brief
+    #5): the corpus-wide count shuffles xxhash64 keys, exact strings
+    re-verified on the candidate subset only. Compare this variant's
+    shuffle_write_mb to t13_exact_substring_scrub's — the string
+    form's gram shuffle measured 7.6→75.7 MB across one scale step."""
+    import os as _os
+
+    from nycdb_k8s_loader_spark.operators.dedup import exact_substring_scrub
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    return exact_substring_scrub(docs, ngram=5, min_count=2,
+                                 hashed_grams=True)
+
+
 def _d11_scaled_bands(spark, sf_dir):
     """d11 with the scaled banding policy (r=4, see _d03_scaled_bands):
     the catalog's r=2 form verifies quadratically-growing false-
@@ -133,7 +165,9 @@ def _d11_scaled_bands(spark, sf_dir):
 EXTRA = {
     "d12_semantic_dedup_scaled_k": _d12_scaled_k,
     "d12_semantic_dedup_scaled_k_2level": _d12_scaled_k_two_level,
+    "d12_semantic_dedup_scaled_k_sampled": _d12_scaled_k_sampled,
     "d03_minhash_scaled_bands": _d03_scaled_bands,
+    "t13_hashed_grams": _t13_hashed_grams,
     "d09_fuzzy_dedup_scaled_bands": _d09_scaled_bands,
     "d11_incremental_scaled_bands": _d11_scaled_bands,
 }

@@ -662,6 +662,7 @@ def _custom_pipeline(
             spark,
             [staging_db, *extra_namespaces, *engine.search_path],
             ddl_db=staging_db,
+            pointer=engine.version_pointer,
         )
         _run_scripts(
             spark, resolver, pre_scripts, function_stmts,

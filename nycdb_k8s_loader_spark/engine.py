@@ -86,6 +86,7 @@ class Engine:
         functions: FunctionRegistry | None = None,
         exporters: dict[str, Callable[[], None]] | None = None,
         publish_external_root: str | None = None,
+        versioned_publish: bool = False,
     ) -> None:
         self.spark = spark
         self.registry = registry
@@ -96,8 +97,22 @@ class Engine:
         # default; copy mode remains for warehouses where the catalog
         # must own the files.
         self.publish_external_root = publish_external_root
+        # versioned_publish opts into CROSS-TABLE-atomic publish: all
+        # of a load's tables land in one fresh version database and
+        # commit via one pointer flip in this engine's KV store — the
+        # reference's single-transaction schema swap
+        # (load_dataset.py:244-252). Readers go through
+        # self.version_pointer (read_published / the resolvers below).
+        from nycdb_k8s_loader_spark.publish.protocol import VersionPointer
+
+        self.version_pointer = (
+            VersionPointer(kv) if versioned_publish else None
+        )
         self.publisher = Publisher(
-            spark, target_db, external_root=publish_external_root
+            spark,
+            target_db,
+            external_root=publish_external_root,
+            version_pointer=self.version_pointer,
         )
         self.landing_root = landing_root
         self.transport = transport
@@ -143,6 +158,16 @@ class Engine:
         import urllib.request
 
         urllib.request.urlretrieve(url, dest)
+
+    def read_published(self, table: str):
+        """Read a published table the way a downstream consumer should:
+        through the version pointer when versioned publish is on (one
+        committed version, never a mid-publish mix), else the target
+        database directly."""
+        db = self.publisher.target_db
+        if self.version_pointer is not None:
+            db = self.version_pointer.resolve(db)
+        return self.spark.table(f"`{db}`.`{table}`")
 
     # -- the lifecycle ---------------------------------------------------------
 
@@ -210,6 +235,7 @@ class Engine:
                 self.spark,
                 [staging_db, *self.search_path],
                 ddl_db=staging_db,
+                pointer=self.version_pointer,
             )
             created: list[str] = [
                 t.name for t in ds.tables if t.schema is not None
@@ -406,6 +432,7 @@ class Engine:
                 self.spark,
                 [staging_db, *self.search_path],
                 ddl_db=staging_db,
+                pointer=self.version_pointer,
             )
             for script in ds.sql:
                 with open(script, encoding="utf-8") as fh:
@@ -504,7 +531,13 @@ class Engine:
 
         qroot = os.path.join(stream_root, "quarantine")
         os.makedirs(qroot, exist_ok=True)
-        qdir = os.path.join(qroot, str(len(os.listdir(qroot))))
+        # max+1, not len(): an operator deleting older quarantine dirs
+        # non-contiguously (rm 0/ keep 1/) must not make the next
+        # quarantine collide and mask the original ValidationError
+        existing = [
+            int(d) for d in os.listdir(qroot) if d.isdigit()
+        ]
+        qdir = os.path.join(qroot, str(max(existing, default=-1) + 1))
         os.makedirs(qdir)
         for bdir in batch_dirs:
             shutil.move(bdir, os.path.join(qdir, os.path.basename(bdir)))

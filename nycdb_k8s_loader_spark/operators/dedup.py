@@ -741,6 +741,7 @@ def duplicated_span_starts(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hashed_grams: bool = False,
 ) -> DataFrame:
     """(doc, start_pos) of every length-``ngram`` token window whose
     exact text occurs ≥ min_count times ACROSS THE CORPUS (within-doc
@@ -753,6 +754,18 @@ def duplicated_span_starts(
     ONE groupBy on the gram string; dup starts come back via an
     equi-join of grams against the (filtered, far smaller) duplicated-
     gram set. Shuffles carry grams + (id, pos) ints, never documents.
+
+    ``hashed_grams=True`` is the 100 TB form of the frequency pass
+    (round-6 brief #5: the string form's shuffle grew 7.6→75.7 MB
+    across one scale step): the GLOBAL count shuffles 8-byte
+    ``xxhash64(gram)`` keys instead of ~50-char strings, then exact
+    gram strings are re-counted ONLY on the candidate subset (every
+    occurrence of any hash-duplicated gram — all true copies share the
+    hash, so the subset count IS the global count for them) to kill
+    hash collisions, which stop being ignorable at corpus scale
+    (~G²/2⁶⁵ colliding gram pairs ≈ tens of thousands at 10¹² grams).
+    Same output by construction; the catalog entry keeps the string
+    form as the oracle pin and TestHashedGramTwin pins equality.
     """
     words = df.select(
         F.col(id_col),
@@ -764,6 +777,24 @@ def duplicated_span_starts(
         F.col(id_col),
         F.posexplode(shingle_array(F.col("ws"), ngram)).alias("pos", "gram"),
     )
+    if hashed_grams:
+        hgrams = grams.select(
+            F.col(id_col), "pos", "gram", F.xxhash64("gram").alias("gh")
+        )
+        dup_h = (
+            hgrams.groupBy("gh")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= min_count)
+            .select("gh")
+        )
+        cand = hgrams.join(dup_h, "gh")
+        dup_grams = (
+            cand.groupBy("gram")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= min_count)
+            .select("gram")
+        )
+        return cand.join(dup_grams, "gram").select(id_col, "pos")
     dup_grams = (
         grams.groupBy("gram")
         .agg(F.count("*").alias("n"))
@@ -779,11 +810,15 @@ def exact_substring_scrub(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hashed_grams: bool = False,
 ) -> DataFrame:
     """Remove duplicated spans from every document: tokens covered by
     any duplicated ``ngram`` window are dropped, the rest re-joined in
     order. Returns (doc_id, n_tokens, dup_tokens, cleaned_text) for
     every input doc — including untouched ones (dup_tokens = 0).
+    ``hashed_grams`` selects the hashed global-frequency pass (see
+    :func:`duplicated_span_starts` — identical output, 8-byte shuffle
+    keys).
 
     The cover set is computed token-wise (explode of the L-window over
     dup starts only, distinct) — interval merging as a set union, no
@@ -797,7 +832,9 @@ def exact_substring_scrub(
             F.split(normalized_text(text_col), " "), lambda w: w != ""
         ).alias("ws"),
     )
-    starts = duplicated_span_starts(df, ngram, min_count, id_col, text_col)
+    starts = duplicated_span_starts(
+        df, ngram, min_count, id_col, text_col, hashed_grams=hashed_grams
+    )
     covered = (
         starts.select(
             F.col(id_col),

@@ -710,6 +710,107 @@ def _cluster_blocks(assigned: DataFrame, max_block_rows: int) -> DataFrame:
     )
 
 
+def _assign_flat(vecs: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Map-side flat centroid assignment: the k×dim centroid list rides
+    a one-row broadcast frame (NOT per-row literal expressions — a
+    k×dim literal array re-materializes per row and measures ~2×
+    slower than the broadcast at sf0.1); per row, struct-min over the
+    array gives the deterministic (d2, cid) argmin. O(n·k·dim)."""
+    spark = vecs.sparkSession
+    cent_arr = spark.createDataFrame(
+        [([(cid, [float(x) for x in c]) for cid, c in enumerate(cents)],)],
+        "cents array<struct<cid:int,c:array<double>>>",
+    )
+    return vecs.crossJoin(F.broadcast(cent_arr)).select(
+        "vid",
+        "v",
+        F.array_min(
+            F.transform(
+                "cents",
+                lambda ct: F.struct(
+                    sq_dist(F.col("v"), ct["c"]).alias("d2"),
+                    ct["cid"].alias("cid"),
+                ),
+            )
+        )["cid"].alias("cid"),
+    )
+
+
+def _lloyd_refine(
+    vecs: DataFrame, cents: list[list[float]], lloyd_iters: int
+) -> list[list[float]]:
+    """``lloyd_iters`` deterministic Lloyd rounds over ``vecs``:
+    flat-assign, recompute per-dim means rounded to 4 decimals (the
+    catalog's cross-engine convention), carry empty clusters forward.
+    Centroids live as driver-side k×dim lists between rounds
+    (metadata-scale; one aggregate job per round)."""
+    for _ in range(lloyd_iters):
+        # + 0.0 folds IEEE -0.0 to +0.0 (kmeans_lloyd_step's
+        # cross-engine convention)
+        means = (
+            _assign_flat(vecs, cents)
+            .select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg((F.round(F.avg("x"), 4) + F.lit(0.0)).alias("m"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # empty clusters carry over
+        by_cid: dict[int, list] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], []).append((r["pos"], r["m"]))
+        for cid, pm in by_cid.items():
+            new_cents[cid] = [m for _pos, m in sorted(pm)]
+        cents = new_cents
+    return cents
+
+
+def _semdedup_prune(
+    assigned: DataFrame,
+    threshold: float,
+    max_block_rows: int,
+    id_col: str,
+) -> DataFrame:
+    """The shared within-cluster prune of semantic_dedup and its
+    sampled production twin: sub-block each cluster
+    (:func:`_cluster_blocks`), run the d08 GEMM kernel per
+    (cluster, block-pair), mark every vector some smaller-id
+    same-cluster vector matches at cosine >= threshold."""
+    unit = _cluster_blocks(assigned, max_block_rows)
+    packed = unit.groupBy("cid", "blk").agg(
+        F.collect_list("id").alias("ids"), F.collect_list("u").alias("us")
+    )
+    a = packed.select(
+        "cid",
+        F.col("blk").alias("blk_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("us").alias("us_a"),
+    )
+    b = packed.select(
+        "cid",
+        F.col("blk").alias("blk_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("us").alias("us_b"),
+    )
+    block_pairs = a.join(b, "cid").filter(F.col("blk_a") <= F.col("blk_b"))
+    dup = (
+        block_pairs.mapInPandas(
+            _gemm_pair_emitter(threshold), "id_a long, id_b long"
+        )
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assigned.select("vid", "cid")
+        .join(dup, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cid").alias("cluster_id"),
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("is_kept"),
+        )
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     k: int = 8,
@@ -793,83 +894,122 @@ def semantic_dedup(
         )
     cents: list[list[float]] = [list(r["v"]) for r in seed_rows]
 
-    spark = emb.sparkSession
-
-    def _assign(cs: list[list[float]]) -> DataFrame:
-        # one-row broadcast frame (NOT per-row literal expressions —
-        # a k×dim literal array re-materializes per row and measures
-        # ~2× slower than the broadcast at sf0.1)
-        cent_arr = spark.createDataFrame(
-            [([(cid, [float(x) for x in c]) for cid, c in enumerate(cs)],)],
-            "cents array<struct<cid:int,c:array<double>>>",
-        )
-        return vecs.crossJoin(F.broadcast(cent_arr)).select(
-            "vid",
-            "v",
-            F.array_min(
-                F.transform(
-                    "cents",
-                    lambda ct: F.struct(
-                        sq_dist(F.col("v"), ct["c"]).alias("d2"),
-                        ct["cid"].alias("cid"),
-                    ),
-                )
-            )["cid"].alias("cid"),
-        )
-
-    for _ in range(lloyd_iters):
-        # + 0.0 folds IEEE -0.0 to +0.0 (kmeans_lloyd_step's
-        # cross-engine convention)
-        means = (
-            _assign(cents)
-            .select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg((F.round(F.avg("x"), 4) + F.lit(0.0)).alias("m"))
-            .collect()
-        )
-        new_cents = [list(c) for c in cents]  # empty clusters carry over
-        by_cid: dict[int, list] = {}
-        for r in means:
-            by_cid.setdefault(r["cid"], []).append((r["pos"], r["m"]))
-        for cid, pm in by_cid.items():
-            new_cents[cid] = [m for _pos, m in sorted(pm)]
-        cents = new_cents
+    cents = _lloyd_refine(vecs, cents, lloyd_iters)
 
     if coarse_cells and coarse_cells < k:
         assigned = _assign_two_level(vecs, cents, coarse_cells)
     else:
-        assigned = _assign(cents)
-    unit = _cluster_blocks(assigned, max_block_rows)
-    packed = unit.groupBy("cid", "blk").agg(
-        F.collect_list("id").alias("ids"), F.collect_list("u").alias("us")
+        assigned = _assign_flat(vecs, cents)
+    return _semdedup_prune(assigned, threshold, max_block_rows, id_col)
+
+
+def semantic_dedup_sampled(
+    emb: DataFrame,
+    k: int = 8,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 2,
+    max_block_rows: int = 4096,
+    train_per_centroid: int = 32,
+    coarse_cells: int | None = None,
+) -> DataFrame:
+    """The PRODUCTION form of :func:`semantic_dedup` for scaled k
+    (k ∝ corpus so E[cluster size] stays constant — the SemDeDup
+    deployment policy): train on a sample, assign through the s04 IVF
+    machinery. Same output contract: ``(vec_id, cluster_id,
+    is_kept)``.
+
+    Why the flat form breaks at scaled k (measured ×4.7 on a ×3 step,
+    BENCH_sf3.json): Lloyd rounds and the final assignment each cost
+    O(n·k·dim) — quadratic in n once k ∝ n. This form caps BOTH:
+
+    - **sampled train**: Lloyd refinement runs over a deterministic
+      hash-bucketed sample of ~``train_per_centroid × k`` vectors
+      (``xxhash64(id) % mod == 0`` — reproducible, no RNG; the
+      standard faiss/IVF practice of training the quantizer on
+      39–256 points per centroid). Training cost is O(k²·dim·iters)
+      regardless of corpus size.
+    - **IVF assignment**: the full corpus assigns through
+      :func:`_assign_two_level` — argmin over ``coarse_cells ≈ √k``
+      cell means, then over only that cell's ~√k members —
+      O(n·√k·dim) instead of O(n·k·dim). Approximate exactly the way
+      IVF nprobe=1 is (cell-boundary rows may land in the second-best
+      cell); :func:`semdedup_agreement` is the committed audit of how
+      often that changes a verdict.
+
+    The prune stage is unchanged (cluster-blocked GEMM — already
+    linear at constant cluster size). Seeds are the k smallest SAMPLE
+    ids, so the trajectory is deterministic and the agreement audit is
+    rerun-stable. The oracle-pinned catalog d12 keeps the flat form;
+    this is what you run at 100 TB.
+    """
+    vecs = emb.select(
+        F.col(id_col).alias("vid"), as_double_vec(vec_col).alias("v")
     )
-    a = packed.select(
-        "cid",
-        F.col("blk").alias("blk_a"),
-        F.col("ids").alias("ids_a"),
-        F.col("us").alias("us_a"),
-    )
-    b = packed.select(
-        "cid",
-        F.col("blk").alias("blk_b"),
-        F.col("ids").alias("ids_b"),
-        F.col("us").alias("us_b"),
-    )
-    block_pairs = a.join(b, "cid").filter(F.col("blk_a") <= F.col("blk_b"))
-    dup = (
-        block_pairs.mapInPandas(
-            _gemm_pair_emitter(threshold), "id_a long, id_b long"
+    n = vecs.count()
+    if n == 0:
+        raise ValueError(
+            "semantic_dedup_sampled: embedding input is empty"
         )
-        .select(F.col("id_b").alias("vid"))
-        .distinct()
-        .withColumn("__dup", F.lit(True))
+    target = min(n, max(k * train_per_centroid, 2 * k))
+    mod = max(1, n // max(target, 1))
+    sample = vecs.filter(F.pmod(F.xxhash64(F.col("vid")), mod) == 0)
+    seed_rows = sample.orderBy("vid").limit(k).collect()
+    if len(seed_rows) < k:
+        # pathological hash skew / tiny corpus: fall back to the full
+        # frame for seeding+training rather than under-seeding
+        sample = vecs
+        seed_rows = vecs.orderBy("vid").limit(k).collect()
+    cents = _lloyd_refine(
+        sample, [list(r["v"]) for r in seed_rows], lloyd_iters
     )
-    return (
-        assigned.select("vid", "cid")
-        .join(dup, "vid", "left")
-        .select(
-            F.col("vid").alias(id_col),
-            F.col("cid").alias("cluster_id"),
-            F.coalesce(~F.col("__dup"), F.lit(True)).alias("is_kept"),
-        )
+    c = coarse_cells or max(2, int(k ** 0.5))
+    if c < k:
+        assigned = _assign_two_level(vecs, cents, c)
+    else:
+        assigned = _assign_flat(vecs, cents)
+    return _semdedup_prune(assigned, threshold, max_block_rows, id_col)
+
+
+def semdedup_agreement(
+    emb: DataFrame,
+    k: int = 8,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 2,
+    train_per_centroid: int = 32,
+) -> DataFrame:
+    """s10-style agreement audit of the approximate production form:
+    run :func:`semantic_dedup` (flat, exact assignment — the
+    oracle-pinned d12 form) and :func:`semantic_dedup_sampled`
+    (sampled train + IVF assign) over the same input and report ONE
+    row: ``(n_vectors, n_same_verdict, kept_flat, kept_sampled,
+    agreement)`` where agreement = fraction of vectors whose
+    ``is_kept`` verdict matches. This is the number a production
+    rollout gates on — the recall dial is ``train_per_centroid`` /
+    ``coarse_cells``, exactly s10's nprobe/bucket-bits pattern.
+
+    Both sides are Q-scale frames joined on the id — metadata-scale
+    next to the dedups themselves."""
+    flat = semantic_dedup(
+        emb, k=k, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        lloyd_iters=lloyd_iters,
+    ).select(F.col(id_col), F.col("is_kept").alias("kept_flat"))
+    prod = semantic_dedup_sampled(
+        emb, k=k, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        lloyd_iters=lloyd_iters, train_per_centroid=train_per_centroid,
+    ).select(F.col(id_col), F.col("is_kept").alias("kept_sampled"))
+    return flat.join(prod, id_col).agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(
+            (F.col("kept_flat") == F.col("kept_sampled")).cast("long")
+        ).alias("n_same_verdict"),
+        F.sum(F.col("kept_flat").cast("long")).alias("kept_flat"),
+        F.sum(F.col("kept_sampled").cast("long")).alias("kept_sampled"),
+        F.round(
+            F.avg((F.col("kept_flat") == F.col("kept_sampled"))
+                  .cast("double")), 4
+        ).alias("agreement"),
     )

@@ -29,9 +29,21 @@ equivalent), so publish is one of two modes:
   tables created inside the staging db are managed and publish via
   copy mode automatically — mixed datasets just work.
 
-Cross-*table* atomicity is weaker than the reference's single-schema
-swap in both modes — documented trade-off, Delta's REPLACE TABLE
-restores it where available.
+Cross-*table* atomicity in these two modes is weaker than the
+reference's single-schema swap (a reader between per-table flips can
+see table A new + table B old). **Versioned mode** restores the
+reference's all-tables-one-commit semantics
+(/root/reference/load_dataset.py:244-252 — every ALTER TABLE SET
+SCHEMA shares ONE ``conn.commit()``): construct the Publisher with a
+:class:`VersionPointer` and every publish writes ALL tables into a
+fresh ``<target>__v_<epoch>_<seq>`` database, then flips ONE pointer
+(an atomic KV write — ParquetKVStore's temp-file + ``os.replace``).
+Readers resolve the logical database through the pointer
+(:meth:`VersionPointer.resolve`, honored by
+``SearchPathResolver(pointer=...)``), so mid-publish they keep the
+previous version in full and post-flip they see the new version in
+full — never a mix. Old version databases are pruned AFTER the flip,
+never the pointed-at one.
 
 Idempotency (reference O3, tests/test_load_dataset.py:78-84): rerunning
 a load is a deterministic overwrite — same inputs, same tables.
@@ -78,6 +90,55 @@ class TableLayout:
         return writer
 
 
+class VersionPointer:
+    """ONE current-version pointer per logical database — the atomic
+    commit of versioned publish (the Spark twin of the reference's
+    single transaction around all SET SCHEMAs, load_dataset.py:244-252).
+
+    Backed by any str→str MutableMapping with ``get_or_none`` /
+    write-through mutation (``state.kvstore.ParquetKVStore`` persists
+    each flip via temp-file + ``os.replace`` — readers see the old
+    value or the new value, never a torn one; ``DictKVStore`` for
+    tests). The pointer is the ONLY shared mutable state: version
+    databases themselves are immutable once pointed at.
+    """
+
+    _PREFIX = "current_db_version:"
+
+    def __init__(self, kv) -> None:
+        self.kv = kv
+
+    def current(self, logical_db: str) -> str | None:
+        get = getattr(self.kv, "get_or_none", self.kv.get)
+        return get(self._PREFIX + logical_db)
+
+    def flip(self, logical_db: str, physical_db: str) -> None:
+        """THE commit: one atomic KV write."""
+        self.kv[self._PREFIX + logical_db] = physical_db
+
+    def resolve(self, logical_db: str) -> str:
+        """Physical database readers should use for ``logical_db`` —
+        the pointed-at version, or the name itself when the logical db
+        has never been version-published (non-versioned tables keep
+        working through the same resolver)."""
+        return self.current(logical_db) or logical_db
+
+
+def version_db_name(target_db: str, epoch: int, seq: int) -> str:
+    """``<target>__v_<epoch>_<seq>`` — lexically ordered so pruning can
+    sort; double underscore keeps it unambiguous vs user databases."""
+    return f"{target_db}__v_{epoch}_{seq:06d}"
+
+
+_VERSION_DB = re.compile(r"(.+)__v_(\d+)_(\d{6})$")
+
+
+def parse_version_db(db: str) -> str | None:
+    """Logical database a version-db name belongs to, else None."""
+    m = _VERSION_DB.fullmatch(db)
+    return m.group(1) if m else None
+
+
 def staging_db_name(dataset: str, epoch: int | None = None) -> str:
     """``staging_<ds>_<epoch>`` (reference naming: load_dataset.py:69-74)."""
     epoch = int(time.time()) if epoch is None else epoch
@@ -97,11 +158,16 @@ class Publisher:
         target_db: str = "public",
         external_root: str | None = None,
         keep_versions: int = 1,
+        version_pointer: VersionPointer | None = None,
     ) -> None:
         self.spark = spark
         self.target_db = target_db
         self.external_root = external_root.rstrip("/") if external_root else None
         self.keep_versions = max(1, keep_versions)
+        # versioned mode: publishes write a fresh version DATABASE and
+        # commit with one pointer flip (cross-table atomic — see the
+        # module docstring); None keeps the per-table modes.
+        self.version_pointer = version_pointer
         # per-write version sequence: a reload in the same second must
         # NEVER overwrite the dir the live table points at (lexical
         # sort order is the prune order, so zero-pad the counter)
@@ -276,11 +342,20 @@ class Publisher:
         staging_db: str,
         tables: list[str],
         layouts: dict[str, TableLayout] | None = None,
+        on_table_published=None,
     ) -> list[str]:
         """Move results staging → target: drop-and-replace per table
         (reference: drop_tables_if_they_exist + change_table_schemas,
         load_dataset.py:163-169, 244-252). ``layouts`` re-applies
-        per-table partitioning/bucketing on the published copy."""
+        per-table partitioning/bucketing on the published copy.
+        ``on_table_published(table)`` fires after each table lands
+        (progress hooks; the versioned-mode atomicity test interleaves
+        a reader here). With a :class:`VersionPointer` configured this
+        routes to the cross-table-atomic versioned publish."""
+        if self.version_pointer is not None:
+            return self._publish_tables_versioned(
+                staging_db, tables, layouts, on_table_published
+            )
         self._sql(f"CREATE DATABASE IF NOT EXISTS `{self.target_db}`")
         published = []
         for t in tables:
@@ -293,6 +368,8 @@ class Publisher:
                 self._create_external(self.target_db, t, path)
                 self._prune_versions(t)
                 published.append(f"{self.target_db}.{t}")
+                if on_table_published:
+                    on_table_published(t)
                 continue
             self._reclaim_orphan_location(self.target_db, t)
             src = self.spark.table(f"`{staging_db}`.`{t}`")
@@ -309,7 +386,84 @@ class Publisher:
                     self._sql(f"DROP TABLE IF EXISTS `{self.target_db}`.`{t}`")
             w.saveAsTable(f"`{self.target_db}`.`{t}`")
             published.append(f"{self.target_db}.{t}")
+            if on_table_published:
+                on_table_published(t)
         return published
+
+    # -- versioned (cross-table atomic) publish --------------------------------
+
+    def _publish_tables_versioned(
+        self,
+        staging_db: str,
+        tables: list[str],
+        layouts: dict[str, TableLayout] | None = None,
+        on_table_published=None,
+    ) -> list[str]:
+        """All-tables-one-commit publish: land EVERY table in a fresh
+        version database (external tables re-point at the staged files
+        — metadata only; managed tables copy), then commit with ONE
+        :meth:`VersionPointer.flip`. Readers resolving through the
+        pointer see the previous version in full until the flip and
+        the new version in full after it — the reference's
+        single-transaction schema swap (load_dataset.py:244-252),
+        which the per-table modes above cannot give.
+
+        The logical database keeps existing (empty) so unpointed
+        readers fail on a missing table instead of a missing database;
+        returned names are LOGICAL (``target.table``) — callers
+        address tables through the pointer, not the version db."""
+        self._sql(f"CREATE DATABASE IF NOT EXISTS `{self.target_db}`")
+        phys = version_db_name(
+            self.target_db, int(time.time()), next(self._version_seq)
+        )
+        self._sql(f"CREATE DATABASE `{phys}`")
+        try:
+            for t in tables:
+                if self._is_external(staging_db, t):
+                    path = self._table_location(staging_db, t)
+                    self._create_external(phys, t, path)
+                else:
+                    # a same-named version db from a crashed PREVIOUS
+                    # session can leave orphaned warehouse dirs
+                    self._reclaim_orphan_location(phys, t)
+                    w = self.spark.table(
+                        f"`{staging_db}`.`{t}`"
+                    ).write.mode("overwrite")
+                    if layouts and t in layouts:
+                        w = layouts[t].apply(w)
+                    w.saveAsTable(f"`{phys}`.`{t}`")
+                if on_table_published:
+                    on_table_published(t)
+        except BaseException:
+            # abort: the pointer never flipped, readers never saw the
+            # partial version — drop it and re-raise
+            self.drop_db(phys)
+            raise
+        self.version_pointer.flip(self.target_db, phys)  # THE commit
+        self._prune_version_dbs()
+        return [f"{self.target_db}.{t}" for t in tables]
+
+    def _prune_version_dbs(self) -> None:
+        """Drop version databases beyond ``keep_versions``, oldest
+        first, NEVER the pointed-at one (runs after the flip — a crash
+        strands extra versions, never the live one). External-table
+        files under ``external_root`` outlive the metadata drop and
+        fall to ``_prune_versions``/bucket lifecycle rules, same as
+        the per-table external mode."""
+        live = self.version_pointer.resolve(self.target_db)
+        versions = sorted(
+            d.name
+            for d in self.spark.catalog.listDatabases()
+            if parse_version_db(d.name) == self.target_db
+        )
+        excess = (
+            versions[: -self.keep_versions]
+            if len(versions) > self.keep_versions
+            else []
+        )
+        for db in excess:
+            if db != live:
+                self.drop_db(db)
 
     # -- whole-protocol convenience ---------------------------------------------
 

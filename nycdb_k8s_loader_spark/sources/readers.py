@@ -102,6 +102,15 @@ def read_csv_union_by_name(
 
     from pyspark.sql import functions as F
 
+    if not header:
+        # _csv_header unconditionally consumes line 1 as the header;
+        # header=False would bind column names from a DATA row (or die
+        # on the no-name-overlap guard with a misleading message)
+        raise ValueError(
+            "read_csv_union_by_name requires headered CSVs (the "
+            "binding IS the header); use read_csv for positional "
+            "headerless scans"
+        )
     log = logging.getLogger(__name__)
     by_name = {f.name.lower(): f for f in schema.fields}
     groups: dict[tuple[str, ...], list[str]] = {}

