@@ -112,8 +112,10 @@ def _calibrate(spark, rounds: int = 3) -> float:
     times = []
     for _ in range(rounds):
         t0 = time.perf_counter()
+        # % 1e6 keeps the ANSI-mode sum far from long overflow while
+        # the per-row xxhash64 work (the thing being calibrated) stays
         spark.range(48_000_000).selectExpr(
-            "sum(xxhash64(id))"
+            "sum(xxhash64(id) % 1000000)"
         ).collect()
         times.append(time.perf_counter() - t0)
     return round(statistics.median(times), 3)

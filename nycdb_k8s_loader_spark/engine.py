@@ -301,7 +301,9 @@ class Engine:
                 )
         return published
 
-    def load_streaming(self, name: str) -> LoadResult:
+    def load_streaming(
+        self, name: str, max_files_per_trigger: int | None = None
+    ) -> LoadResult:
         """Streaming ingestion of a standard registry dataset — the
         reference's cron unit of work as a CHECKPOINTED incremental
         stream (SURVEY §2.9's declared stretch). Source files are
@@ -335,6 +337,19 @@ class Engine:
         unchanged source files. The store/checkpoint live under
         ``<landing_root>/<name>/_stream/`` — on a real cluster, point
         ``landing_root`` at durable shared storage.
+
+        ``max_files_per_trigger`` bounds every micro-batch (the file
+        sources' maxFilesPerTrigger): a 100-file backlog drains across
+        ceil(100/N) bounded triggers inside ONE availableNow pass
+        instead of a single unbounded batch — the backpressure knob a
+        large drop needs at deploy scale (round-6 brief #6).
+
+        Source formats: CSV tables stream through the typed CSV file
+        source; Excel/shapefile tables stream as OPAQUE FILES
+        (binaryFile source — same checkpointed new-files-only
+        tracking) whose bytes each micro-batch parses with the exact
+        batch readers. A table mixing CSV and binary formats has no
+        single stream shape and fails loudly.
         """
         import os
 
@@ -343,24 +358,29 @@ class Engine:
             validate_or_raise,
         )
         from nycdb_k8s_loader_spark.streaming.pipeline import (
+            incremental_binary_source,
             incremental_csv_source,
             run_available_now_staged,
+            run_available_now_staged_binary,
         )
 
         ds = self.registry.get(name)
-        # file-source streams are CSV scans; an excel/shapefile
-        # dataset dropped here would PERMISSIVE-parse binary garbage
-        # into NULL rows — fail loudly at the seam instead
-        non_csv = sorted(
-            {f.format for f in ds.files if f.format != "csv"}
-        )
-        if non_csv:
-            raise ValueError(
-                f"load_streaming({name!r}): streaming ingestion reads "
-                f"CSV drops only; dataset declares {non_csv} sources — "
-                "use the batch load for those formats"
-            )
+        formats = {f.dest: f.format for f in ds.files}
         typed = [t for t in ds.tables if t.schema is not None]
+
+        def _table_format(table) -> str:
+            dests = (
+                table.files if table.files is not None else list(formats)
+            )
+            fmts = {formats.get(d, "csv") for d in dests} or {"csv"}
+            if len(fmts) > 1:
+                raise ValueError(
+                    f"load_streaming({name!r}): table {table.name!r} "
+                    f"mixes source formats {sorted(fmts)} — no single "
+                    "stream shape; split the table or use the batch "
+                    "load"
+                )
+            return next(iter(fmts))
         pending_commits: list[tuple[str, str, list[str]]] = []
         with self.publisher.staging(ds.name) as staging_db:
             for table in typed:
@@ -375,8 +395,22 @@ class Engine:
                 ckpt = os.path.join(stream_root, "ckpt")
                 os.makedirs(land, exist_ok=True)
                 os.makedirs(store, exist_ok=True)
-                src = incremental_csv_source(self.spark, land, table.schema)
-                run_available_now_staged(src, pending, ckpt)
+                fmt = _table_format(table)
+                if fmt == "csv":
+                    src = incremental_csv_source(
+                        self.spark, land, table.schema,
+                        max_files_per_trigger=max_files_per_trigger,
+                    )
+                    run_available_now_staged(src, pending, ckpt)
+                else:
+                    src = incremental_binary_source(
+                        self.spark, land,
+                        max_files_per_trigger=max_files_per_trigger,
+                    )
+                    run_available_now_staged_binary(
+                        src, pending, ckpt,
+                        self._binary_parse_fn(fmt, table.schema),
+                    )
                 # pending = this call's increment plus any batches a
                 # crashed/aborted earlier call staged but never
                 # committed — both re-enter validation here
@@ -496,6 +530,39 @@ class Engine:
                     "in the FunctionRegistry instead:\n%s", stmt[:200]
                 )
         return LoadResult(dataset=name, skipped=False, published=published)
+
+    def _binary_parse_fn(self, fmt: str, schema):
+        """parse_fn for the binaryFile stream: materialize each file's
+        bytes to a temp path and hand it to the SAME reader the batch
+        load uses (both parse driver-side at call time, so the temp
+        file can be unlinked as soon as the reader returns). One
+        parser, two ingestion modes — no drift."""
+        import os
+        import tempfile
+
+        from nycdb_k8s_loader_spark.sources.readers import read_excel
+
+        def parse(path: str, content: bytes):
+            suffix = os.path.splitext(path)[1] or ".bin"
+            fd, tmp = tempfile.mkstemp(suffix=suffix)
+            try:
+                with os.fdopen(fd, "wb") as fh:
+                    fh.write(content)
+                if fmt == "excel":
+                    return read_excel(self.spark, tmp, schema)
+                if fmt == "shapefile":
+                    from nycdb_k8s_loader_spark.sources.shapefile import (
+                        read_shapefile_zip,
+                    )
+
+                    return read_shapefile_zip(self.spark, tmp, schema)
+                raise ValueError(
+                    f"no streaming parser for source format {fmt!r}"
+                )
+            finally:
+                os.unlink(tmp)
+
+        return parse
 
     @staticmethod
     def _commit_pending(store: str, batch_dirs: list[str]) -> None:

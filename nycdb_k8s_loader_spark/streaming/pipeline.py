@@ -87,6 +87,70 @@ def incremental_csv_source(
     return reader.csv(landing_dir)
 
 
+def incremental_binary_source(
+    spark: SparkSession,
+    landing_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Checkpointed incremental stream of OPAQUE FILES — the
+    non-CSV half of streaming ingestion (round-6 brief #6: Excel
+    workbooks and shapefile zips are whole-file formats no row-parsing
+    file stream can read). The ``binaryFile`` source gives the same
+    exactly-once new-files-only tracking the CSV stream gets from its
+    checkpoint; each row is (path, modificationTime, length, content)
+    and a foreachBatch stage parses the bytes with the exact batch
+    readers (sources/readers.read_excel, shapefile.read_shapefile_zip)
+    — one ingestion semantics, two physical sources."""
+    # the binaryFile format's FIXED schema — file streaming sources
+    # require it stated explicitly
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, "
+        "length long, content binary"
+    )
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    return reader.load(landing_dir)
+
+
+def run_available_now_staged_binary(
+    src: DataFrame,
+    staging_dir: str,
+    checkpoint_dir: str,
+    parse_fn,
+) -> None:
+    """:func:`run_available_now_staged` for a binaryFile stream: each
+    micro-batch's files are parsed DRIVER-side (``parse_fn(path,
+    content) -> DataFrame`` — workbooks/shapefiles are config-scale by
+    the batch readers' declared design) and the union lands as the
+    same plain-parquet ``batch-<id>`` staging dirs, so the
+    validate-then-commit / quarantine machinery downstream is format-
+    agnostic. Overwrite-by-batch-id keeps replays idempotent exactly
+    as in the CSV form."""
+    import os
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select("path", "content").collect()
+        frames = [parse_fn(r["path"], bytes(r["content"])) for r in rows]
+        if not frames:
+            return
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        out.write.mode("overwrite").parquet(
+            os.path.join(staging_dir, f"batch-{batch_id}")
+        )
+
+    q = (
+        src.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

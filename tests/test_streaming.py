@@ -463,11 +463,98 @@ class TestStreamingIngestionValidationGate:
             spark.sql("DROP DATABASE IF EXISTS stream_gate_test CASCADE")
 
 
-def test_load_streaming_rejects_non_csv_datasets(spark, tmp_path):
-    """File-source streams are CSV scans; an excel/shapefile dataset
-    must fail loudly, not PERMISSIVE-parse binary as NULL rows."""
-    import pytest as _pytest
+def _write_xlsx(path: str, header: list[str], rows: list[list]) -> None:
+    """Minimal inline-string .xlsx builder (no sharedStrings part —
+    sources/xlsx.py treats it as optional): numbers stay numeric cells,
+    everything else is an inlineStr."""
+    import zipfile
 
+    def colname(i: int) -> str:
+        s = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            s = chr(65 + r) + s
+        return s
+
+    def cell(ref: str, v) -> str:
+        if v is None:
+            return ""
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+
+    rows_xml = []
+    for rno, vals in enumerate([header] + rows, start=1):
+        cells = "".join(
+            cell(f"{colname(c)}{rno}", v) for c, v in enumerate(vals)
+        )
+        rows_xml.append(f'<row r="{rno}">{cells}</row>')
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        + "".join(rows_xml)
+        + "</sheetData></worksheet>"
+    )
+    wb = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{ns}" xmlns:r="http://schemas.openxmlformats'
+        '.org/officeDocument/2006/relationships"><sheets>'
+        '<sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package'
+        '/2006/relationships"><Relationship Id="rId1" Type="http://schemas'
+        '.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package'
+        '/2006/relationships"><Relationship Id="rId1" Type="http://schemas'
+        '.openxmlformats.org/officeDocument/2006/relationships/'
+        'officeDocument" Target="xl/workbook.xml"/></Relationships>'
+    )
+    ctypes = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types"><Default Extension="rels" ContentType="application'
+        '/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+        'worksheet+xml"/></Types>'
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", ctypes)
+        zf.writestr("_rels/.rels", root_rels)
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+_DOF_HEADER = [
+    "borough", "neighborhood", "buildingclasscategory", "address",
+    "zipcode", "residentialunits", "totalunits", "saleprice",
+    "saledate", "bbl",
+]
+
+
+def _dof_row(bbl: str, price: float) -> list:
+    return ["MANHATTAN", "CHELSEA", "07 RENTALS", "1 W 21 ST", "10010",
+            5, 6, price, "2020-03-04 00:00:00", bbl]
+
+
+def test_load_streaming_excel_incremental(spark, tmp_path):
+    """Round-6 brief #6: dof_annual_sales (Excel workbooks) loads
+    INCREMENTALLY — new workbook drops stream through the binaryFile
+    source + the exact batch parser, accumulate in the durable store,
+    and republish the full table; already-consumed workbooks are never
+    re-parsed (checkpointed file tracking)."""
     from nycdb_k8s_loader_spark.datasets_catalog import catalog_defs
     from nycdb_k8s_loader_spark.engine import Engine
     from nycdb_k8s_loader_spark.registry import Registry
@@ -481,12 +568,132 @@ def test_load_streaming_rejects_non_csv_datasets(spark, tmp_path):
         spark,
         reg,
         DictKVStore(),
-        target_db="stream_fmt_test",
+        target_db="stream_xlsx_test",
         landing_root=str(tmp_path / "landing"),
         transport=lambda url, headers: FetchResult(200, etag='"f"'),
         downloader=lambda url, dest: None,
     )
-    with _pytest.raises(ValueError, match="CSV drops only"):
-        eng.load_streaming("dof_annual_sales")  # excel sources
-    with _pytest.raises(ValueError, match="CSV drops only"):
-        eng.load_streaming("boundaries")  # shapefile source
+    land = (
+        tmp_path / "landing" / "dof_annual_sales" / "stream"
+        / "dof_annual_sales"
+    )
+    land.mkdir(parents=True)
+    try:
+        _write_xlsx(
+            str(land / "2020_manhattan.xlsx"), _DOF_HEADER,
+            [_dof_row("1000010001", 1250000.5),
+             _dof_row("1000020002", 900000.0)],
+        )
+        eng.load_streaming("dof_annual_sales")
+        t = "stream_xlsx_test.dof_annual_sales"
+        got = {r["bbl"]: r for r in spark.table(t).collect()}
+        assert set(got) == {"1000010001", "1000020002"}
+        assert got["1000010001"]["saleprice"] == 1250000.5
+        assert got["1000010001"]["residentialunits"] == 5
+        assert str(got["1000010001"]["saledate"]).startswith("2020-03-04")
+
+        # second yearly workbook drops later: incremental on top
+        _write_xlsx(
+            str(land / "2015_manhattan.xlsx"), _DOF_HEADER,
+            [_dof_row("1000030003", 450000.0)],
+        )
+        eng.load_streaming("dof_annual_sales")
+        assert {r["bbl"] for r in spark.table(t).collect()} == {
+            "1000010001", "1000020002", "1000030003"
+        }
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS stream_xlsx_test CASCADE")
+
+
+def test_load_streaming_rejects_mixed_format_table(spark, tmp_path):
+    """A table fed by BOTH csv and excel sources has no single stream
+    shape — loud error, not garbage parsing."""
+    import pytest as _pytest
+
+    from pyspark.sql import types as T
+
+    from nycdb_k8s_loader_spark.engine import Engine
+    from nycdb_k8s_loader_spark.registry import (
+        DatasetDef,
+        Registry,
+        SourceFile,
+        TableDef,
+    )
+    from nycdb_k8s_loader_spark.state.kvstore import DictKVStore
+    from nycdb_k8s_loader_spark.state.lastmod import FetchResult
+
+    reg = Registry()
+    reg.add(DatasetDef(
+        name="mixed",
+        files=[
+            SourceFile(url="http://x/a.csv", dest="a.csv", format="csv"),
+            SourceFile(url="http://x/b.xlsx", dest="b.xlsx",
+                       format="excel"),
+        ],
+        tables=[TableDef(
+            "mixed",
+            T.StructType([T.StructField("a", T.StringType())]),
+        )],
+    ))
+    eng = Engine(
+        spark, reg, DictKVStore(),
+        target_db="stream_mixed_test",
+        landing_root=str(tmp_path / "landing"),
+        transport=lambda url, headers: FetchResult(200, etag='"m"'),
+        downloader=lambda url, dest: None,
+    )
+    with _pytest.raises(ValueError, match="mixes source formats"):
+        eng.load_streaming("mixed")
+
+
+def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
+    """Round-6 brief #6: a 10-file backlog with max_files_per_trigger=3
+    drains across >= 4 BOUNDED micro-batches inside one availableNow
+    pass — and the published counts equal the batch-load semantics
+    (all rows, exactly once)."""
+    from nycdb_k8s_loader_spark.datasets import wow_registry
+    from nycdb_k8s_loader_spark.engine import Engine
+    from nycdb_k8s_loader_spark.state.kvstore import DictKVStore
+    from nycdb_k8s_loader_spark.state.lastmod import FetchResult
+
+    eng = Engine(
+        spark,
+        wow_registry(),
+        DictKVStore(),
+        target_db="stream_mft_test",
+        landing_root=str(tmp_path / "landing"),
+        transport=lambda url, headers: FetchResult(200, etag='"t"'),
+        downloader=lambda url, dest: None,
+    )
+    land = (
+        tmp_path / "landing" / "hpd_registrations" / "stream"
+        / "hpd_registrations"
+    )
+    land.mkdir(parents=True)
+    try:
+        for i in range(10):
+            (land / f"drop{i:02d}.csv").write_text(
+                f"registrationid,bbl,boro\n{i + 1},BBL{i + 1},MN\n"
+            )
+        eng.load_streaming(
+            "hpd_registrations", max_files_per_trigger=3
+        )
+        t = "stream_mft_test.hpd_registrations"
+        assert spark.table(t).count() == 10  # == the batch-load result
+        # committed store files carry their batch id (b<id>-...): the
+        # backlog must have drained across ceil(10/3) = 4 triggers
+        import os
+        import re
+
+        store = (
+            tmp_path / "landing" / "hpd_registrations" / "_stream"
+            / "hpd_registrations" / "data"
+        )
+        batches = {
+            m.group(1)
+            for f in os.listdir(store)
+            if (m := re.match(r"(b\d+)-", f))
+        }
+        assert len(batches) >= 4, batches
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS stream_mft_test CASCADE")

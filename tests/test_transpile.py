@@ -336,3 +336,174 @@ class TestReferenceWow2020Executes:
             assert b2["unitsres"] is None
         finally:
             spark.sql("DROP DATABASE IF EXISTS ref2020 CASCADE")
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(REFERENCE_SQL_DIR),
+    reason="reference checkout not present",
+)
+class TestReferenceWow2021Executes:
+    """The reference's WIDEST script (wow_2021_create_bldgs_table.sql —
+    12 source tables, json_agg-of-objects with ORDER BY + FILTER,
+    interval arithmetic, ~* regex, exemption classification joins) runs
+    END-TO-END with exact value assertions — round-6 verdict item #5.
+
+    ONE documented patch (asserted against the fixture text below so an
+    upstream fix surfaces here): the complaints subquery reads ``from
+    hpd_complaints_and_problems using(complaintid)`` yet filters on an
+    ``h.receiveddate`` alias that NO engine (Postgres included) could
+    resolve — the upstream WOW query this fixture abridges joins
+    ``hpd_complaints h`` to ``hpd_complaint_problems``. The patch
+    restores exactly that join and nothing else; every other byte of
+    the reference SQL executes as shipped (CREATE INDEX excepted, K7).
+    """
+
+    _BROKEN = "from hpd_complaints_and_problems using(complaintid)"
+    _PATCH = (
+        "from hpd_complaints as h join hpd_complaint_problems "
+        "using(complaintid)"
+    )
+
+    def test_wow_2021_runs_end_to_end(self, spark):
+        import datetime as dt
+        import os
+
+        from nycdb_k8s_loader_spark.publish.parse_created_tables import (
+            split_statements,
+        )
+        from nycdb_k8s_loader_spark.publish.resolver import (
+            SearchPathResolver,
+        )
+
+        def view(name, data, schema):
+            spark.createDataFrame(data, schema).createOrReplaceTempView(name)
+
+        view(
+            "hpd_registrations_with_contacts",
+            [(1, "B1", "MN"), (2, "B2", "BK")],
+            "registrationid int, bbl string, boro string",
+        )
+        view(
+            "hpd_violations",
+            [("B1", "Open"), ("B1", "Close"), ("B2", "Close")],
+            "bbl string, violationstatus string",
+        )
+        view(
+            "pluto_19v2",
+            [("B1", 10, 1920, 40.7, -73.9)],
+            "bbl string, unitsres int, yearbuilt int, lat double, lng double",
+        )
+        view(
+            "marshal_evictions_all",
+            [("B1", "RESIDENTIAL"), ("B1", "RESIDENTIAL"),
+             ("B1", "COMMERCIAL"), ("B2", "RESIDENTIAL")],
+            "bbl string, residentialcommercialind string",
+        )
+        view(
+            "rentstab_summary",
+            [("B1", 12)],
+            "ucbbl string, unitsstab2007 int",
+        )
+        view(
+            "rentstab_v2",
+            [("B1", 8)],
+            "ucbbl string, uc2021 int",
+        )
+        # complaints: C1 recent (always > CURRENT_DATE - 3y until 2098),
+        # C2 ancient; GENERAL major falls through to the minor category
+        view(
+            "hpd_complaints",
+            [(100, "B1", dt.date(2100, 1, 1)),
+             (101, "B1", dt.date(2000, 1, 1))],
+            "complaintid int, bbl string, receiveddate date",
+        )
+        view(
+            "hpd_complaint_problems",
+            [(100, "HEAT/HOT WATER", "APARTMENT"),
+             (101, "GENERAL", "COOKING GAS")],
+            "complaintid int, majorcategory string, minorcategory string",
+        )
+        view(
+            "dof_exemptions",
+            # B1: one J-51, one 421a, one unrelated (WHERE-filtered)
+            [("B1", 1, 1995), ("B1", 2, 2005), ("B1", 3, 2010)],
+            "bbl string, exmpcode int, benftstart int",
+        )
+        view(
+            "dof_exemption_classification_codes",
+            [(1, "J-51 ALTERATION"), (2, "421A NEW CONSTRUCTION"),
+             (3, "VETERAN")],
+            "exemptcode int, description string",
+        )
+        view(
+            "real_property_master",
+            # B1: one DEED kept, one MTGE (doctype-filtered), one $1
+            # DEED (amount-filtered) -> the first() pick is single-
+            # candidate, so order-dependence cannot bite
+            [("D1", "DEED", "2019-05-01", "2019-05-02", 1000.5),
+             ("D2", "MTGE", "2020-01-01", "2020-01-01", 9000.0),
+             ("D3", "DEED", "2020-06-01", "2020-06-01", 1.0)],
+            "documentid string, doctype string, docdate string, "
+            "recordedfiled string, docamount double",
+        )
+        view(
+            "real_property_legals",
+            [("D1", "B1"), ("D2", "B1"), ("D3", "B1")],
+            "documentid string, bbl string",
+        )
+
+        text = open(
+            os.path.join(REFERENCE_SQL_DIR, "wow_2021_create_bldgs_table.sql")
+        ).read()
+        # the documented patch (see class docstring): if the fixture no
+        # longer carries the broken fragment, this test needs updating
+        assert self._BROKEN in text
+        text = text.replace(self._BROKEN, self._PATCH)
+
+        spark.sql("CREATE DATABASE IF NOT EXISTS ref2021")
+        resolver = SearchPathResolver(spark, ["ref2021"], ddl_db="ref2021")
+        try:
+            ran = 0
+            for stmt in split_statements(text):
+                s = stmt.strip()
+                if not s or s.upper().startswith("CREATE INDEX"):
+                    continue
+                resolver.sql(transpile_pg(s))
+                ran += 1
+            # CTAS + DROP CASCADE + ALTER RENAME (index skipped)
+            assert ran == 3
+            rows = {
+                r["bbl"]: r
+                for r in spark.table("ref2021.wow_bldgs").collect()
+            }
+            assert set(rows) == {"B1", "B2"}
+            b1 = rows["B1"]
+            assert b1["registrationid"] == 1 and b1["boro"] == "MN"
+            assert b1["totalviolations"] == 2
+            assert b1["openviolations"] == 1
+            assert b1["totalcomplaints"] == 2
+            assert b1["recentcomplaints"] == 1
+            # only the recent type survives the FILTER; GENERAL fell
+            # through to its minor category but was not recent
+            assert "HEAT/HOT WATER" in b1["recentcomplaintsbytype"]
+            assert "COOKING GAS" not in b1["recentcomplaintsbytype"]
+            assert b1["unitsres"] == 10 and b1["yearbuilt"] == 1920
+            assert b1["evictions"] == 2  # RESIDENTIAL only
+            assert b1["rsunits2007"] == 12
+            assert b1["rsunitslatest"] == 8
+            assert b1["rsunitslatestyear"] == 2021
+            assert b1["rsdiff"] == -4
+            assert b1["yearstartedj51"] == 1995
+            assert b1["yearstarted421a"] == 2005  # ~* '421a' matched
+            assert b1["lastsaleacrisid"] == "D1"
+            assert float(b1["lastsaleamount"]) == 1000.5
+            b2 = rows["B2"]
+            assert b2["totalviolations"] == 1 and b2["openviolations"] == 0
+            assert b2["totalcomplaints"] == 0 and b2["recentcomplaints"] == 0
+            assert b2["recentcomplaintsbytype"] is None
+            assert b2["evictions"] == 1
+            assert b2["rsunits2007"] is None
+            assert b2["yearstartedj51"] is None
+            assert b2["lastsaleacrisid"] is None
+        finally:
+            spark.sql("DROP DATABASE IF EXISTS ref2021 CASCADE")
