@@ -157,6 +157,63 @@ class TestCrossTableAtomicity:
                     spark.sql(f"DROP DATABASE IF EXISTS `{d.name}` CASCADE")
 
 
+class TestEngineVersionedPublish:
+    def test_engine_e2e_load_and_read_through_pointer(self, spark, tmp_path):
+        """Engine(versioned_publish=True): a standard dataset load
+        lands ALL tables (source + SQL-derived) in one version db,
+        flips once, and Engine.read_published resolves through the
+        pointer. A reload creates a new version and the pointer moves."""
+        from nycdb_k8s_loader_spark.datasets import wow_registry
+        from nycdb_k8s_loader_spark.engine import Engine
+        from nycdb_k8s_loader_spark.state.kvstore import DictKVStore
+        from nycdb_k8s_loader_spark.state.lastmod import FetchResult
+
+        csv = "registrationid,bbl,boro\n1,BBL1,MN\n2,BBL2,BK\n"
+
+        def downloader(url, dest):
+            with open(dest, "w") as fh:
+                fh.write(csv)
+
+        etags = iter(['"a"', '"b"'])
+        eng = Engine(
+            spark,
+            wow_registry(),
+            DictKVStore(),
+            target_db="veng",
+            landing_root=str(tmp_path / "landing"),
+            transport=lambda url, headers: FetchResult(
+                200, etag=next(etags)
+            ),
+            downloader=downloader,
+            versioned_publish=True,
+        )
+        try:
+            res = eng.load("hpd_registrations")
+            assert not res.skipped
+            # published names are LOGICAL; reads resolve the pointer
+            assert "veng.hpd_registrations" in res.published
+            assert eng.read_published("hpd_registrations").count() == 2
+            # derived SQL table published in the SAME version db
+            assert eng.read_published(
+                "hpd_registrations_grouped_by_bbl"
+            ).count() == 2
+            v1 = eng.version_pointer.current("veng")
+            assert v1 and v1.startswith("veng__v_")
+            # the logical database itself holds no tables — readers
+            # that bypass the pointer fail loudly, not stale-ly
+            assert spark.catalog.listTables("veng") == []
+
+            csv = csv + "3,BBL3,SI\n"  # downloader closes over csv
+            res2 = eng.load("hpd_registrations", force=True)
+            assert not res2.skipped
+            v2 = eng.version_pointer.current("veng")
+            assert v2 != v1
+        finally:
+            for d in spark.catalog.listDatabases():
+                if d.name.startswith("veng"):
+                    spark.sql(f"DROP DATABASE IF EXISTS `{d.name}` CASCADE")
+
+
 class TestResolverHonorsPointer:
     def test_search_path_resolves_to_pointed_version(self, spark):
         pointer = VersionPointer(DictKVStore())
