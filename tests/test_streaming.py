@@ -605,6 +605,101 @@ def test_load_streaming_excel_incremental(spark, tmp_path):
         spark.sql("DROP DATABASE IF EXISTS stream_xlsx_test CASCADE")
 
 
+def test_load_streaming_shapefile_incremental(spark, tmp_path):
+    """The shapefile branch of the binary stream path: zipped
+    shapefiles drop into the landing dir, parse through
+    read_shapefile_zip inside foreachBatch, and accumulate
+    attributes + WKT geometry in the durable store."""
+    from nycdb_k8s_loader_spark.datasets_catalog import catalog_defs
+    from nycdb_k8s_loader_spark.engine import Engine
+    from nycdb_k8s_loader_spark.registry import Registry
+    from nycdb_k8s_loader_spark.sources.shapefile import write_shapefile_zip
+    from nycdb_k8s_loader_spark.state.kvstore import DictKVStore
+    from nycdb_k8s_loader_spark.state.lastmod import FetchResult
+
+    reg = Registry()
+    for d in catalog_defs():
+        reg.add(d)
+    eng = Engine(
+        spark, reg, DictKVStore(),
+        target_db="stream_shp_test",
+        landing_root=str(tmp_path / "landing"),
+        transport=lambda url, headers: FetchResult(200, etag='"s"'),
+        downloader=lambda url, dest: None,
+    )
+    land = tmp_path / "landing" / "boundaries" / "stream" / "nta_boundaries"
+    land.mkdir(parents=True)
+    fields = [("ntacode", "C", 8, 0), ("ntaname", "C", 30, 0),
+              ("boroname", "C", 16, 0), ("borocode", "N", 4, 0),
+              ("shape_area", "N", 16, 2)]
+    ring = [(0.0, 0.0), (0.0, 2.0), (2.0, 2.0), (2.0, 0.0), (0.0, 0.0)]
+    try:
+        (land / "drop1.zip").write_bytes(write_shapefile_zip(
+            fields, [(["MN01", "Chelsea", "Manhattan", 1, 1.5], [ring])]
+        ))
+        eng.load_streaming("boundaries")
+        t = "stream_shp_test.nta_boundaries"
+        rows = {r["ntacode"]: r for r in spark.table(t).collect()}
+        assert set(rows) == {"MN01"}
+        assert rows["MN01"]["borocode"] == 1
+        assert rows["MN01"]["geom_wkt"].startswith("POLYGON ((0.0 0.0,")
+
+        (land / "drop2.zip").write_bytes(write_shapefile_zip(
+            fields, [(["BK01", "Greenpoint", "Brooklyn", 3, 2.5], [ring])]
+        ))
+        eng.load_streaming("boundaries")
+        assert {r["ntacode"] for r in spark.table(t).collect()} == {
+            "MN01", "BK01"
+        }
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS stream_shp_test CASCADE")
+
+
+def test_load_streaming_versioned_publish(spark, tmp_path):
+    """load_streaming composes with versioned publish: each call
+    commits ALL tables (source + derived) with one pointer flip."""
+    from nycdb_k8s_loader_spark.datasets import wow_registry
+    from nycdb_k8s_loader_spark.engine import Engine
+    from nycdb_k8s_loader_spark.state.kvstore import DictKVStore
+    from nycdb_k8s_loader_spark.state.lastmod import FetchResult
+
+    eng = Engine(
+        spark, wow_registry(), DictKVStore(),
+        target_db="stream_ver_test",
+        landing_root=str(tmp_path / "landing"),
+        transport=lambda url, headers: FetchResult(200, etag='"v"'),
+        downloader=lambda url, dest: None,
+        versioned_publish=True,
+    )
+    land = (
+        tmp_path / "landing" / "hpd_registrations" / "stream"
+        / "hpd_registrations"
+    )
+    land.mkdir(parents=True)
+    try:
+        (land / "a.csv").write_text(
+            "registrationid,bbl,boro\n1,BBL1,MN\n"
+        )
+        eng.load_streaming("hpd_registrations")
+        v1 = eng.version_pointer.current("stream_ver_test")
+        assert v1
+        assert eng.read_published("hpd_registrations").count() == 1
+        assert eng.read_published(
+            "hpd_registrations_grouped_by_bbl"
+        ).count() == 1
+
+        (land / "b.csv").write_text(
+            "registrationid,bbl,boro\n2,BBL2,BK\n"
+        )
+        eng.load_streaming("hpd_registrations")
+        assert eng.version_pointer.current("stream_ver_test") != v1
+        assert eng.read_published("hpd_registrations").count() == 2
+    finally:
+        for d in spark.catalog.listDatabases():
+            if d.name.startswith("stream_ver_test"):
+                spark.sql(f"DROP DATABASE IF EXISTS `{d.name}` CASCADE")
+
+
 def test_load_streaming_rejects_mixed_format_table(spark, tmp_path):
     """A table fed by BOTH csv and excel sources has no single stream
     shape — loud error, not garbage parsing."""
