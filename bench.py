@@ -101,12 +101,21 @@ def _await_idle(threshold: float = 1.0, max_wait: float = 120.0) -> dict:
     return meta
 
 
-def _calibrate(spark, rounds: int = 3) -> float:
+def _calibrate(spark, rounds: int = 5) -> float:
     """Fixed CPU-bound reference job (median of ``rounds``): a
-    whole-stage-codegen xxhash64 fold over range(48M). Its runtime
-    moves with ambient machine load/thermal state exactly like the
-    headline queries do, so value/calibration_sec is comparable
-    across runs that raw seconds are not."""
+    whole-stage-codegen xxhash64 fold over range(4B), ~1.2 s per
+    round on an idle 32-thread box. Its runtime moves with ambient
+    machine load/thermal state exactly like the headline queries do,
+    so value/calibration_sec is comparable across runs that raw
+    seconds are not.
+
+    Sizing lesson (instrumented r7 runs): a 0.2 s calibration job
+    swung ±18% from scheduling jitter ALONE on an idle box, so
+    normalizing by it AMPLIFIED noise instead of removing it (raw
+    shared-9 totals agreed to 3-6%, 'normalized' ones diverged to
+    24%). Codegen folds this simple run ~80M rows/s/thread, so the
+    row count must be in the billions before per-job scheduling
+    jitter (~50 ms) amortizes below the noise floor."""
     import statistics
 
     times = []
@@ -114,7 +123,7 @@ def _calibrate(spark, rounds: int = 3) -> float:
         t0 = time.perf_counter()
         # % 1e6 keeps the ANSI-mode sum far from long overflow while
         # the per-row xxhash64 work (the thing being calibrated) stays
-        spark.range(48_000_000).selectExpr(
+        spark.range(4_000_000_000).selectExpr(
             "sum(xxhash64(id) % 1000000)"
         ).collect()
         times.append(time.perf_counter() - t0)

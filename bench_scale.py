@@ -162,12 +162,59 @@ def _d11_scaled_bands(spark, sf_dir):
                              num_hashes=8, bands=2, shingles=3)
 
 
+def _d03_policy_bands(spark, sf_dir):
+    """d03 candidates under the LIVE bands_for policy (round-7: the
+    operator default) — at 50k docs the policy resolves r=4/b=4, at
+    150k the same; candidate growth should track the data ratio, not
+    the r=2 form's ~n²."""
+    import os as _os
+
+    from nycdb_k8s_loader_spark.operators.dedup import (
+        bands_for,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    nh, b = bands_for(docs.count(), target_sim=0.7)
+    return minhash_signatures(docs, num_hashes=nh, bands=b, shingles=3)
+
+
+def _d09_policy_default(spark, sf_dir):
+    """d09 exactly as a bare caller gets it — NO banding args, the
+    bands_for policy resolves from the corpus count. The form the
+    round-6 verdict asked to prove out."""
+    import os as _os
+
+    from nycdb_k8s_loader_spark.operators.dedup import fuzzy_dedup
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    return fuzzy_dedup(docs, threshold=0.7, shingles=3)
+
+
+def _d11_policy_default(spark, sf_dir):
+    """d11 with policy-default banding (no explicit num_hashes/bands):
+    resolved from the CORPUS side's count via bands_for."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from nycdb_k8s_loader_spark.operators.dedup import incremental_dedup
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_dedup(corpus, batch, threshold=0.7, shingles=3)
+
+
 EXTRA = {
     "d12_semantic_dedup_scaled_k": _d12_scaled_k,
     "d12_semantic_dedup_scaled_k_2level": _d12_scaled_k_two_level,
     "d12_semantic_dedup_scaled_k_sampled": _d12_scaled_k_sampled,
     "d03_minhash_scaled_bands": _d03_scaled_bands,
     "t13_hashed_grams": _t13_hashed_grams,
+    "d03_policy_bands": _d03_policy_bands,
+    "d09_policy_default": _d09_policy_default,
+    "d11_policy_default": _d11_policy_default,
     "d09_fuzzy_dedup_scaled_bands": _d09_scaled_bands,
     "d11_incremental_scaled_bands": _d11_scaled_bands,
 }

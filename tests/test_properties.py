@@ -518,3 +518,62 @@ def test_repetition_scores_match_python_model(spark, docs):
         assert r["n_ngrams"] == total
         assert r["dup_ngram_frac"] == round(1 - distinct / total, 4)
         assert r["top_ngram_frac"] == round(top / total, 4)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=10**12),
+    m=st.integers(min_value=1, max_value=10**12),
+    sim=st.floats(min_value=0.05, max_value=0.95),
+)
+@settings(max_examples=200, deadline=None)
+def test_bands_for_policy_invariants(n, m, sim):
+    """bands_for (the live banded-dedup default since round 7) must be
+    (a) well-formed for ANY corpus size and target similarity — bands
+    divide num_hashes, signature width within the 128-perm family —
+    and (b) monotone: more docs never loosens the banding (rows-per-
+    band non-decreasing in n at fixed sim; band count non-decreasing
+    too EXCEPT when pinned at its max_hashes//r cap, which shrinks as
+    r grows — the documented accept-threshold-drift trade)."""
+    from nycdb_k8s_loader_spark.operators.dedup import (
+        MINHASH_PERMS,
+        bands_for,
+    )
+
+    nh, b = bands_for(n, target_sim=sim)
+    assert nh % b == 0
+    assert b >= 2
+    assert 2 <= nh // b <= 8
+    assert nh <= len(MINHASH_PERMS)
+    nh2, b2 = bands_for(max(n, m), target_sim=sim)
+    nh1, b1 = bands_for(min(n, m), target_sim=sim)
+    assert nh2 // b2 >= nh1 // b1
+    assert b2 >= b1 or b2 == 128 // (nh2 // b2)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 50), st.text("ab ", min_size=1,
+                                              max_size=30)),
+        min_size=1, max_size=25, unique_by=lambda t: t[0],
+    ),
+    ngram=st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hashed_gram_pass_matches_string_pass(spark, pairs, ngram):
+    """t13's hashed-gram frequency pass (round 7) is a pure physical
+    rewrite: identical duplicated-span starts to the string form on
+    arbitrary small corpora, including degenerate repeated-token
+    texts."""
+    from nycdb_k8s_loader_spark.operators.dedup import (
+        duplicated_span_starts,
+    )
+
+    docs = spark.createDataFrame(pairs, "doc_id long, text string")
+    a = sorted(map(tuple, duplicated_span_starts(
+        docs, ngram=ngram, min_count=2
+    ).collect()))
+    b = sorted(map(tuple, duplicated_span_starts(
+        docs, ngram=ngram, min_count=2, hashed_grams=True
+    ).collect()))
+    assert a == b
