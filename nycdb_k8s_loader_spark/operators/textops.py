@@ -583,3 +583,116 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
         ((n_emails + n_phones + n_ipv4) > 0).alias("has_pii"),
         redacted.alias("redacted"),
     )
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher/MassiveText document-level quality rules — the composite
+    pre-training filter (Rae et al. 2021 §A1.1): word-count bounds,
+    mean-word-length bounds, alphabetic-word fraction, and the
+    "contains >= 2 of a small stopword set" signal, plus the overall
+    keep verdict. The repetition members of the family live in
+    :func:`repetition_scores` (t09/t15); this operator is the
+    length/lexical half.
+
+    Every statistic is an exact integer or an exact integer ratio
+    (mean word length = non-space chars / words), so the rule
+    comparisons and the 4 dp display rounding are bit-identical in the
+    DuckDB oracle. One codegen'd projection over the scan — no
+    shuffle, no Python; parquet-scan speed at 100 TB.
+    """
+    text = F.col(text_col)
+    staged = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.trim(text)), " "), lambda w: w != ""
+        ).alias("__ws"),
+        (F.length(F.replace(F.trim(text), F.lit(" "), F.lit("")))).alias(
+            "__nonspace"
+        ),
+    )
+    n_words = F.size("__ws")
+    mean_wl = F.col("__nonspace") / n_words
+    n_alpha = F.size(F.filter(F.col("__ws"), lambda w: w.rlike("[a-z]")))
+    alpha_frac = n_alpha / n_words
+    stop_hits = F.size(
+        F.filter(
+            F.array_distinct(F.col("__ws")), lambda w: w.isin(*STOPWORDS)
+        )
+    )
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_mean = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    ok_alpha = alpha_frac >= min_alpha_frac
+    ok_stop = stop_hits >= min_stopword_hits
+    return staged.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        ok_words.alias("ok_word_count"),
+        ok_mean.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha_frac"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_mean & ok_alpha & ok_stop).alias("keep"),
+    )
+
+
+def lexical_diversity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram lexical-diversity scores per document: type-token ratio,
+    hapax fraction (words occurring once / vocabulary), and the top
+    word's share — the information-density quality signals that flag
+    keyword-stuffed or template text whose 3-gram repetition (t09/t15)
+    looks clean. All outputs are exact integer ratios rounded at 4 dp,
+    so cross-engine hashes are stable (no entropy/log terms).
+
+    100 TB shape: one explode into a (doc, word) partial-agg count,
+    then a per-doc aggregate — both map-side combinable; the shuffle
+    carries (id, word, count), never text bodies.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), " "),
+                lambda w: w != "",
+            )
+        ).alias("w"),
+    )
+    per_word = words.groupBy(id_col, "w").agg(F.count("*").alias("c"))
+    return (
+        per_word.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count("*").alias("n_types"),
+            F.max("c").alias("__topc"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("__hapax"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_words"),
+            F.col("n_types"),
+            F.round(F.col("n_types") / F.col("n_words"), 4).alias(
+                "type_token_ratio"
+            ),
+            F.round(F.col("__hapax") / F.col("n_types"), 4).alias(
+                "hapax_frac"
+            ),
+            F.round(F.col("__topc") / F.col("n_words"), 4).alias(
+                "top_word_frac"
+            ),
+        )
+    )

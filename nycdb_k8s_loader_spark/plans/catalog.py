@@ -49,6 +49,7 @@ def register(
 def _load_all() -> None:
     """Import every module that registers queries (side-effect imports)."""
     from nycdb_k8s_loader_spark.plans import (  # noqa: F401
+        curation_queries,
         extended_queries,
         flagship,
         pipeline_queries,

@@ -1,0 +1,177 @@
+"""Curation pack round 7 additions: document-level quality rules,
+lexical diversity, and sparse (BM25) retrieval.
+
+- t17: the Gopher/MassiveText length/lexical quality rules — the
+  composite document filter run before every pre-training mix.
+- t18: unigram lexical-diversity scores (type-token ratio, hapax
+  fraction, top-word share) — information-density signals that catch
+  keyword-stuffed text whose n-gram repetition (t09/t15) looks clean.
+- s11: BM25 top-k retrieval through an inverted-posting equi-join —
+  the lexical sibling of the dense ANN family (s01-s10), the shape of
+  benchmark-decontamination search.
+
+All three share the determinism discipline of the rest of the
+catalog: exact integer ratios or exactly-rounded IEEE chains (BM25
+uses t11's log-free rational idf and a term-sorted sequential float
+fold), so the DuckDB oracles hash-match bit-for-bit at every sf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nycdb_k8s_loader_spark.operators.textops import STOPWORDS
+from nycdb_k8s_loader_spark.plans.catalog import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@register(
+    "t17_gopher_quality_rules",
+    f"""
+    WITH s AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS ws,
+               length(replace(trim(text), ' ', '')) AS nonspace
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               len(ws) AS n_words,
+               nonspace / len(ws) AS mean_wl,
+               len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+                   / len(ws) AS alpha_frac,
+               len(list_filter(list_distinct(ws),
+                   w -> list_contains({_STOP_SQL}, w))) AS stop_hits
+        FROM s
+    )
+    SELECT doc_id,
+           n_words::BIGINT AS n_words,
+           ROUND(mean_wl, 4) AS mean_word_len,
+           ROUND(alpha_frac, 4) AS alpha_word_frac,
+           stop_hits::BIGINT AS stopword_hits,
+           (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+           (mean_wl >= 3.0 AND mean_wl <= 10.0) AS ok_mean_word_len,
+           (alpha_frac >= 0.8) AS ok_alpha_frac,
+           (stop_hits >= 2) AS ok_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+            AND (alpha_frac >= 0.8) AND (stop_hits >= 2)) AS keep
+    FROM c
+    """,
+    doc="Gopher/MassiveText document-level quality rules (Rae et al. "
+        "2021 A1.1): word-count bounds, mean-word-length bounds, "
+        "alphabetic-word fraction, >=2-stopword signal, composite "
+        "keep verdict. Exact integer ratios only, so both engines "
+        "agree bit-for-bit; a single codegen'd projection — no "
+        "shuffle, parquet-scan speed at 100 TB. "
+        "operators/textops.py gopher_quality_rules.",
+    tags=("pipeline", "text", "quality"),
+)
+def t17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.textops import (
+        gopher_quality_rules,
+    )
+
+    return gopher_quality_rules(_docs(spark, sf_dir))
+
+
+@register(
+    "t18_lexical_diversity",
+    """
+    WITH w AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(trim(text)), ' '),
+                                  w -> w <> '')) AS w
+        FROM documents
+    ),
+    per AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+    agg AS (
+        SELECT doc_id, SUM(c)::BIGINT AS n_words, COUNT(*)::BIGINT AS n_types,
+               MAX(c)::BIGINT AS topc,
+               SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax
+        FROM per GROUP BY 1
+    )
+    SELECT doc_id, n_words, n_types,
+           ROUND(n_types / n_words, 4) AS type_token_ratio,
+           ROUND(hapax / n_types, 4) AS hapax_frac,
+           ROUND(topc / n_words, 4) AS top_word_frac
+    FROM agg
+    """,
+    doc="Unigram lexical diversity per doc: type-token ratio, hapax "
+        "fraction, top-word share — log-free information-density "
+        "quality signals. One explode into a (doc, word) partial-agg "
+        "count then a per-doc aggregate, both map-side combinable; "
+        "the shuffle carries (id, word, count), never bodies. "
+        "operators/textops.py lexical_diversity.",
+    tags=("pipeline", "text", "quality"),
+)
+def t18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.textops import lexical_diversity
+
+    return lexical_diversity(_docs(spark, sf_dir))
+
+
+@register(
+    "s11_bm25_topk",
+    """
+    WITH ws AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS l
+        FROM documents
+    ),
+    toks AS (SELECT doc_id, unnest(l) AS term FROM ws),
+    tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+           FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, len(l)::BIGINT AS dl FROM ws),
+    tot AS (SELECT COUNT(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS sum_dl
+            FROM dl),
+    dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+                 * (tf * (1.2::DOUBLE + 1))
+                 / (tf + 1.2::DOUBLE
+                      * (0.25::DOUBLE + 0.75::DOUBLE
+                           * (dl / (sum_dl / n_docs)))) AS s
+        FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+        CROSS JOIN tot
+    ),
+    q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id < 5),
+    pair AS (
+        SELECT q.query_id, s.doc_id,
+               ROUND(list_reduce(list(s.s ORDER BY s.term),
+                                 (a, b) -> a + b), 6) AS score
+        FROM q JOIN scored s USING (term)
+        WHERE s.doc_id <> q.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, rank, score FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+        )::BIGINT AS rank FROM pair
+    ) WHERE rank <= 10
+    """,
+    doc="BM25 top-10 retrieval for 5 query docs — the sparse/lexical "
+        "sibling of the ANN pack and the decontamination-search "
+        "shape. Corpus reduced once to (doc, term, tf) postings + "
+        "df + doc lengths (three map-side-combinable aggs); queries "
+        "probe via ONE term equi-join (inverted-index probe — never "
+        "doc x doc); corpus constants ride a broadcast 1-row frame. "
+        "Determinism: t11-style log-free rational idf "
+        "(N-df+.5)/(df+.5) and a term-sorted sequential float fold "
+        "(F.aggregate == DuckDB list_reduce), so scores are "
+        "bit-identical cross-engine. operators/retrieval.py bm25_topk.",
+    tags=("similarity", "text", "retrieval"),
+)
+def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), query_ids=list(range(5)), k=10)

@@ -2223,3 +2223,106 @@ class TestRound5PlanShapes:
         # aggregates with map-side partials; no window, no join
         assert "Window" not in plan
         assert plan.count("HashAggregate") >= 4  # partial+final x2
+
+
+class TestCurationPack:
+    """Round-7 curation additions: Gopher rules (t17), lexical
+    diversity (t18), BM25 retrieval (s11)."""
+
+    def test_gopher_rules_hand_computed(self, spark):
+        from nycdb_k8s_loader_spark.operators.textops import (
+            gopher_quality_rules,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                # 60 words incl stopwords 'the','a' -> passes all
+                (1, " ".join(["the", "a"] + ["word"] * 58)),
+                # too short (3 words), one stopword
+                (2, "the tiny doc"),
+                # long words -> mean word len out of range
+                (3, " ".join(["the", "a"] + ["x" * 20] * 58)),
+                # digits only -> alpha fraction fails
+                (4, " ".join(["the", "a"] + ["123"] * 58)),
+            ],
+            "doc_id long, text string",
+        )
+        r = {x["doc_id"]: x for x in gopher_quality_rules(docs).collect()}
+        assert r[1]["keep"] and r[1]["n_words"] == 60
+        assert r[1]["stopword_hits"] == 2
+        assert not r[2]["keep"] and r[2]["ok_mean_word_len"]
+        assert not r[2]["ok_word_count"]
+        assert not r[3]["keep"] and not r[3]["ok_mean_word_len"]
+        assert not r[4]["keep"] and not r[4]["ok_alpha_frac"]
+        # 2 alpha words of 60 -> 0.0333
+        assert r[4]["alpha_word_frac"] == 0.0333
+
+    def test_lexical_diversity_hand_computed(self, spark):
+        from nycdb_k8s_loader_spark.operators.textops import (
+            lexical_diversity,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a a a b c"), (2, "x y z w")],
+            "doc_id long, text string",
+        )
+        r = {x["doc_id"]: x for x in lexical_diversity(docs).collect()}
+        # doc 1: 5 words, 3 types (a,b,c), hapax b,c -> 2/3, top a 3/5
+        assert r[1]["n_words"] == 5 and r[1]["n_types"] == 3
+        assert r[1]["type_token_ratio"] == 0.6
+        assert r[1]["hapax_frac"] == 0.6667
+        assert r[1]["top_word_frac"] == 0.6
+        # doc 2: all hapax
+        assert r[2]["type_token_ratio"] == 1.0
+        assert r[2]["hapax_frac"] == 1.0
+
+    def test_bm25_ranks_matching_doc_first(self, spark):
+        from nycdb_k8s_loader_spark.operators.retrieval import bm25_topk
+
+        docs = spark.createDataFrame(
+            [
+                (0, "apple banana cherry"),
+                (1, "apple banana cherry date"),   # 3 shared terms
+                (2, "apple fig grape"),            # 1 shared term
+                (3, "kiwi lemon mango"),           # no shared terms
+            ],
+            "doc_id long, text string",
+        )
+        out = bm25_topk(docs, query_ids=[0], k=10).collect()
+        got = {r["doc_id"]: r for r in out}
+        # doc 3 shares no terms -> absent; doc 1 outranks doc 2
+        assert set(got) == {1, 2}
+        assert got[1]["rank"] == 1 and got[2]["rank"] == 2
+        assert got[1]["score"] > got[2]["score"] > 0
+
+    def test_bm25_no_self_match_and_k_limit(self, spark):
+        from nycdb_k8s_loader_spark.operators.retrieval import bm25_topk
+
+        docs = spark.createDataFrame(
+            [(i, "shared word plus unique%d token" % i) for i in range(8)],
+            "doc_id long, text string",
+        )
+        out = bm25_topk(docs, query_ids=[0, 1], k=3).toPandas()
+        assert set(out["query_id"]) == {0, 1}
+        for q in (0, 1):
+            sub = out[out["query_id"] == q]
+            assert len(sub) == 3
+            assert q not in set(sub["doc_id"])
+            assert list(sub.sort_values("rank")["rank"]) == [1, 2, 3]
+
+    def test_plan_shapes(self, spark):
+        """t17 is a pure projection (scan speed); s11's probe is an
+        equi-join on term with a broadcast totals frame — never a
+        cartesian of docs."""
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        t17 = queries()["t17_gopher_quality_rules"](
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = t17._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan
+
+        s11 = queries()["s11_bm25_topk"](spark, "/root/testdata/sf0.001")
+        plan = s11._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
