@@ -250,8 +250,17 @@ def _lsh_verified_pairs(
 
     pa = posts.select(F.col(id_col).alias("doc_a"), "w")
     pb = posts.select(F.col(id_col).alias("doc_b"), "w")
+    # shuffle_hash hints: posting/size tables are DERIVED from the doc
+    # scan (explode/groupBy), and Generate/Aggregate pass the scan's
+    # sizeInBytes through — Catalyst can estimate a multi-million-row
+    # posting table at the parquet's 2 MB and BROADCAST it (measured:
+    # d11's 3x-data step ran x8.3 wall under the engine's 64m
+    # threshold purely from a 4.3M-row postings broadcast; the hinted
+    # plan is flat). The hinted (candidate) side is the genuinely
+    # small one, built per-partition after an equi-shuffle.
     common = (
-        cands.join(pa, "doc_a")
+        cands.hint("shuffle_hash").join(pa, "doc_a")
+        .hint("shuffle_hash")
         .join(pb, ["doc_b", "w"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
@@ -260,7 +269,8 @@ def _lsh_verified_pairs(
     zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        common.join(za, "doc_a")
+        common.hint("shuffle_hash").join(za, "doc_a")
+        .hint("shuffle_hash")
         .join(zb, "doc_b")
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
@@ -787,21 +797,25 @@ def duplicated_span_starts(
             .filter(F.col("n") >= min_count)
             .select("gh")
         )
-        cand = hgrams.join(dup_h, "gh")
+        cand = hgrams.join(dup_h.hint("shuffle_hash"), "gh")
         dup_grams = (
             cand.groupBy("gram")
             .agg(F.count("*").alias("n"))
             .filter(F.col("n") >= min_count)
             .select("gram")
         )
-        return cand.join(dup_grams, "gram").select(id_col, "pos")
+        return cand.join(
+            dup_grams.hint("shuffle_hash"), "gram"
+        ).select(id_col, "pos")
     dup_grams = (
         grams.groupBy("gram")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= min_count)
         .select("gram")
     )
-    return grams.join(dup_grams, "gram").select(id_col, "pos")
+    return grams.join(
+        dup_grams.hint("shuffle_hash"), "gram"
+    ).select(id_col, "pos")
 
 
 def exact_substring_scrub(
@@ -846,7 +860,7 @@ def exact_substring_scrub(
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("t")).alias("cov"))
     )
-    out = words.join(covered, id_col, "left").select(
+    out = words.join(covered.hint("shuffle_hash"), id_col, "left").select(
         F.col(id_col),
         F.size("ws").alias("n_tokens"),
         F.coalesce(F.size("cov"), F.lit(0)).alias("dup_tokens"),
@@ -1052,9 +1066,16 @@ def incremental_dedup_from_state(
         F.col(id_col).alias("__cid"), F.col("key").alias("w")
     )
 
+    # shuffle_hash hints throughout: every state/posting/band frame
+    # here is DERIVED (explode, union, aggregate) from a scan whose
+    # sizeInBytes it inherits, so Catalyst may broadcast a corpus-wide
+    # table because the parquet behind it is small — measured x8.3
+    # wall inflation on a x3 step when the 4.3M-row batch postings
+    # table rode the 64m threshold into a broadcast. Hash sides are
+    # the bounded ones (per-partition after the equi-shuffle).
     exact = (
         batch.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("__h"))
-        .join(c_hashes, "__h", "left_semi")
+        .join(c_hashes.hint("shuffle_hash"), "__h", "left_semi")
         .select(F.col(id_col))
         .withColumn("__e", F.lit(True))
     )
@@ -1064,7 +1085,7 @@ def incremental_dedup_from_state(
         id_col=id_col, text_col=text_col, shingles=shingles,
     ).select(F.col(id_col).alias("__bid"), "band", "band_key")
     cands = (
-        b_bands.join(c_bands, ["band", "band_key"])
+        b_bands.hint("shuffle_hash").join(c_bands, ["band", "band_key"])
         .select("__bid", "__cid")
         .distinct()
     )
@@ -1073,7 +1094,8 @@ def incremental_dedup_from_state(
         F.col(id_col).alias("__bid"), "w"
     )
     common = (
-        cands.join(b_posts, "__bid")
+        cands.hint("shuffle_hash").join(b_posts, "__bid")
+        .hint("shuffle_hash")
         .join(c_posts, ["__cid", "w"])
         .groupBy("__bid", "__cid")
         .agg(F.count("*").alias("n_common"))
@@ -1082,7 +1104,8 @@ def incremental_dedup_from_state(
     c_sizes = c_posts.groupBy("__cid").agg(F.count("*").alias("nc"))
     jac = F.col("n_common") / (F.col("nb") + F.col("nc") - F.col("n_common"))
     near = (
-        common.join(b_sizes, "__bid")
+        common.hint("shuffle_hash").join(b_sizes, "__bid")
+        .hint("shuffle_hash")
         .join(c_sizes, "__cid")
         .filter(jac >= threshold)
         .select(F.col("__bid").alias(id_col))
@@ -1092,8 +1115,8 @@ def incremental_dedup_from_state(
 
     return (
         batch.select(F.col(id_col))
-        .join(exact, id_col, "left")
-        .join(near, id_col, "left")
+        .join(exact.hint("shuffle_hash"), id_col, "left")
+        .join(near.hint("shuffle_hash"), id_col, "left")
         .select(
             F.col(id_col),
             F.when(F.col("__e"), F.lit("exact_dup"))

@@ -157,7 +157,7 @@ def radius_self_join(
         F.col("lat_a"), F.col("lng_a"), F.col("lat_b"), F.col("lng_b")
     )
     return (
-        left.join(right, ["cell_x", "cell_y"])
+        left.hint("shuffle_hash").join(right, ["cell_x", "cell_y"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("dist_km", dist)
         .filter(F.col("dist_km") <= F.lit(radius_km))

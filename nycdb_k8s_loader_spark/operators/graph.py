@@ -91,8 +91,12 @@ def connected_components(
         )
 
         for _ in range(max_iterations):
+            # labels is checkpointed (huge default size estimate) while
+            # sym inherits the edge scan's tiny one — without a hint
+            # Catalyst would BROADCAST the full edge list every round
+            # (PERFORMANCE.md round-7: derived-size broadcast bomb)
             neighbor_min = (
-                sym.join(labels, sym.b == labels.node)
+                sym.hint("shuffle_hash").join(labels, sym.b == labels.node)
                 .groupBy("a")
                 .agg(F.min("component").alias("nbr_component"))
             )
@@ -139,7 +143,7 @@ def _large_star(sym: DataFrame) -> DataFrame:
     )
     return (
         sym.filter(F.col("b") > F.col("a"))
-        .join(mins, "a")
+        .join(mins.hint("shuffle_hash"), "a")
         .select(F.col("b").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
@@ -151,7 +155,7 @@ def _small_star(edges_dir: DataFrame) -> DataFrame:
     link each small neighbor (and u) to the minimum of them."""
     # edges_dir: (u, v) with v < u   (strictly, after self-loop removal)
     mins = edges_dir.groupBy("u").agg(F.min("v").alias("m"))
-    linked = edges_dir.join(mins, "u")
+    linked = edges_dir.join(mins.hint("shuffle_hash"), "u")
     out = linked.select(F.col("v").alias("u"), F.col("m").alias("v")).unionByName(
         linked.select(F.col("u"), F.col("m").alias("v"))
     )

@@ -436,7 +436,7 @@ def image_neardup_pairs(
         F.col("ha_hi").bitwiseXOR(F.col("hb_hi"))
     ) + F.bit_count(F.col("ha_lo").bitwiseXOR(F.col("hb_lo")))
     return (
-        a.join(b, ["band", "bkey"])
+        a.hint("shuffle_hash").join(b, ["band", "bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
         .distinct()

@@ -69,8 +69,8 @@ def bm25_topk(
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
 
     scored = (
-        tf.join(dfreq, "term")
-        .join(dl, id_col)
+        tf.join(dfreq.hint("shuffle_hash"), "term")
+        .join(dl.hint("shuffle_hash"), id_col)
         .crossJoin(F.broadcast(totals))
         .select(
             F.col(id_col),
@@ -99,7 +99,7 @@ def bm25_topk(
         F.col(id_col).alias("query_id"), "term"
     )
     pair_scores = (
-        qterms.join(scored, "term")
+        qterms.hint("shuffle_hash").join(scored, "term")
         .filter(F.col(id_col) != F.col("query_id"))
         .groupBy("query_id", F.col(id_col))
         .agg(

@@ -287,8 +287,13 @@ def ivf_topk(
         F.col(label_col).alias("cell"),
         F.col("v").alias("nv"),
     )
+    # assigned is query-scale by construction (|query_ids| x nprobe);
+    # broadcast it EXPLICITLY — Catalyst's estimate for the corpus side
+    # (cands) inherits the scan's sizeInBytes and could otherwise win
+    # the broadcast choice at any true size (PERFORMANCE.md round-7:
+    # the derived-size broadcast bomb)
     scored = (
-        assigned.join(cands, "cell")
+        F.broadcast(assigned).join(cands, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -472,7 +477,9 @@ def embedding_neardup_pairs_bucketed(
         F.col("ids").alias("ids_b"),
         F.col("us").alias("us_b"),
     )
-    block_pairs = a.join(b, "bucket").filter(F.col("blk_a") <= F.col("blk_b"))
+    block_pairs = a.hint("shuffle_hash").join(b, "bucket").filter(
+        F.col("blk_a") <= F.col("blk_b")
+    )
     try:
         shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (ValueError, TypeError):
@@ -791,7 +798,9 @@ def _semdedup_prune(
         F.col("ids").alias("ids_b"),
         F.col("us").alias("us_b"),
     )
-    block_pairs = a.join(b, "cid").filter(F.col("blk_a") <= F.col("blk_b"))
+    block_pairs = a.hint("shuffle_hash").join(b, "cid").filter(
+        F.col("blk_a") <= F.col("blk_b")
+    )
     dup = (
         block_pairs.mapInPandas(
             _gemm_pair_emitter(threshold), "id_a long, id_b long"
@@ -802,7 +811,7 @@ def _semdedup_prune(
     )
     return (
         assigned.select("vid", "cid")
-        .join(dup, "vid", "left")
+        .join(dup.hint("shuffle_hash"), "vid", "left")
         .select(
             F.col("vid").alias(id_col),
             F.col("cid").alias("cluster_id"),

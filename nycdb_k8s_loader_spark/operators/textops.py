@@ -273,8 +273,8 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).select("doc_id", "bg.w1", "bg.w2")
     bigc = big_inst.groupBy("w1", "w2").agg(F.count("*").alias("c_big"))
     scored = (
-        big_inst.join(bigc, ["w1", "w2"])
-        .join(uni, "w1")
+        big_inst.join(bigc.hint("shuffle_hash"), ["w1", "w2"])
+        .join(uni.hint("shuffle_hash"), "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
@@ -327,7 +327,10 @@ def tfidf_top_terms(
     )
     tf = toks.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
-    scored = tf.join(dfreq, "w").select(
+    # vocabulary-wide count tables are aggregate-derived: their size
+    # estimate is the SCAN's, so without a hint Catalyst may broadcast
+    # a 100 TB corpus's vocabulary (PERFORMANCE.md round-7)
+    scored = tf.join(dfreq.hint("shuffle_hash"), "w").select(
         F.col(id_col),
         F.col("w").alias("term"),
         (F.col("tf") / F.col("df")).alias("score"),

@@ -2225,6 +2225,58 @@ class TestRound5PlanShapes:
         assert plan.count("HashAggregate") >= 4  # partial+final x2
 
 
+class TestDerivedSizeBroadcastPins:
+    """Round-7 regression pins for the derived-size broadcast bomb
+    (PERFORMANCE.md): Generate/Aggregate pass the parquet scan's
+    sizeInBytes through, so Catalyst estimates multi-million-row
+    exploded posting/gram tables at ~2 MB and BROADCASTs them under
+    any generous autoBroadcastJoinThreshold (measured ×8.3 wall on a
+    ×3 data step at sf3). Every derived-side join now carries an
+    explicit shuffle_hash hint; these pins fail if a refactor drops
+    one, because at sf0.001 the un-hinted plan would flip straight
+    back to broadcast."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_incremental_dedup_all_shuffled_hash(self, spark):
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        for name in (
+            "d11_incremental_dedup",
+            "d13_incremental_dedup_from_state",
+        ):
+            plan = self._plan(queries()[name](spark, "/root/testdata/sf0.001"))
+            # exact semi-join, band-candidate join, postings verify
+            # join, size joins, verdict left-joins — all hinted
+            assert plan.count("ShuffledHashJoin") >= 6, name
+            assert "BroadcastHashJoin" not in plan, name
+
+    def test_t13_dup_gram_joins_shuffled_hash(self, spark):
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        plan = self._plan(
+            queries()["t13_exact_substring_scrub"](
+                spark, "/root/testdata/sf0.001"
+            )
+        )
+        # hashed-gram candidate join + coverage left-join
+        assert plan.count("ShuffledHashJoin") >= 2
+        assert "BroadcastHashJoin" not in plan
+
+    def test_d09_never_broadcasts_postings(self, spark):
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        plan = self._plan(
+            queries()["d09_fuzzy_dedup_e2e"](spark, "/root/testdata/sf0.001")
+        )
+        # the visible plan is the post-checkpoint tail (connected
+        # components truncates lineage) — the pin is that no join
+        # anywhere in it rides a size estimate into a broadcast
+        assert "BroadcastHashJoin" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 class TestCurationPack:
     """Round-7 curation additions: Gopher rules (t17), lexical
     diversity (t18), BM25 retrieval (s11)."""

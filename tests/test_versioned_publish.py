@@ -201,7 +201,12 @@ class TestEngineVersionedPublish:
             assert v1 and v1.startswith("veng__v_")
             # the logical database itself holds no tables — readers
             # that bypass the pointer fail loudly, not stale-ly
-            assert spark.catalog.listTables("veng") == []
+            # (listTables also surfaces session temp views, which other
+            # tests in the shared session may own — ignore those)
+            assert [
+                t for t in spark.catalog.listTables("veng")
+                if not t.isTemporary
+            ] == []
 
             csv = csv + "3,BBL3,SI\n"  # downloader closes over csv
             res2 = eng.load("hpd_registrations", force=True)
