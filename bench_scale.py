@@ -50,6 +50,8 @@ HEAVY = [
     "s09_filtered_ann",
     "c06_corpus_shuffle",
     "t13_exact_substring_scrub",
+    "s11_bm25_topk",
+    "t19_dsir_importance_weights",
 ]
 
 # expected cluster size the scaled-k policy holds constant (matches
@@ -233,11 +235,32 @@ def _stage_totals(spark) -> dict[str, int]:
     }
 
 
+def _settle_block_manager(spark, timeout_sec: float = 20.0) -> int:
+    """Drain leaked storage between measurements so each query runs on
+    a quiet block manager. One System.gc() is NOT enough: py4j drops
+    the JVM-side references of the previous query's frames on its own
+    cleanup thread, so an immediate GC fires before they are
+    collectible, and the superseded localCheckpoint blocks survive to
+    tax the next measurement (measured: d11 at sf3 is 12 s clean but
+    117 s after ~10 heavy queries' debris — the ratio the harness
+    exists to measure gets swamped by the leak). Loop GC+sleep until
+    the persisted-RDD list is empty (or timeout) and report what's
+    left."""
+    import time as _t
+
+    spark.catalog.clearCache()
+    deadline = _t.time() + timeout_sec
+    while _t.time() < deadline:
+        spark.sparkContext._jvm.System.gc()
+        _t.sleep(1.0)
+        left = len(spark._jsc.sc().getRDDStorageInfo())
+        if left == 0:
+            return 0
+    return len(spark._jsc.sc().getRDDStorageInfo())
+
+
 def _run_one(spark, fn, sf_dir: str, runs: int = 2) -> dict:
-    # settle the JVM between measurements: a preceding query's heap
-    # debris otherwise taxes this one's first run (observed: a 150k-doc
-    # verify join inflating the NEXT query's small-side timing 3-8x)
-    spark.sparkContext._jvm.System.gc()
+    leftover = _settle_block_manager(spark)
     times = []
     before = _stage_totals(spark)
     for _ in range(runs):
@@ -250,6 +273,7 @@ def _run_one(spark, fn, sf_dir: str, runs: int = 2) -> dict:
     return {
         "sec": round(min(times), 3),
         "sec_cold": round(times[0], 3),
+        "leftover_persisted_rdds": leftover,
         # metrics are totals over all runs; divide by runs for per-run
         "shuffle_write_mb": round(
             (after["shuffle_write"] - before["shuffle_write"]) / runs / mb, 2

@@ -699,3 +699,195 @@ def lexical_diversity(
             ),
         )
     )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target_predicate: F.Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_buckets: int | None = None,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Per-document DSIR importance weights — Data Selection via
+    Importance Resampling (Xie et al. 2023): score every raw document
+    by how much its token distribution looks like a TARGET subcorpus
+    (``target_predicate``, e.g. ``F.col("lang") == "en"`` or a
+    quality-classifier verdict), then keep the highest-weight docs.
+
+    Both distributions are add-one-smoothed bag-of-feature models fit
+    on THIS corpus: ``p(f) = (c_f + 1) / (N + V)`` with V the raw
+    feature-space size. A document's weight is the mean per-token
+    log-ratio ``avg ln(p_target(f) / p_raw(f))`` (mean, not the
+    paper's sum, so the score is length-invariant and directly
+    thresholdable; ranking within a length bucket is identical).
+    Output: ``(id, n_tokens, avg_log_ratio)`` — plus a dense
+    ``select_rank`` (weight desc, id tiebreak) when ``top_k`` is set,
+    filtered to the top k.
+
+    100 TB shape: two word-count-shaped groupBys (target counts fold
+    into raw counts' shuffle input — the target side is a filter over
+    the same token stream, never a second scan of bodies), one join of
+    (doc, token) instances against the two count tables, one per-doc
+    aggregate. Shuffles carry tokens and counts, never text. The count
+    tables are aggregate-DERIVED, so they ride the scan's sizeInBytes
+    estimate — shuffle_hash hints keep Catalyst from broadcasting a
+    corpus-scale vocabulary (PERFORMANCE.md round-7 broadcast bomb).
+    ``hash_buckets`` is the paper's production form and the true
+    100 TB path: features become ``pmod(xxhash64(token), B)`` so the
+    count-table cardinality is capped at B regardless of corpus size
+    (the catalog's oracle entry pins the exact-token twin, the
+    ``exact_allpairs``-style precedent: DuckDB has no xxhash64).
+    ``top_k`` selection is a distributed_rank on the ROUNDED weight
+    (4dp, the cross-engine-stable precision) with id tiebreak — a
+    total order, so the selected set is unique and rerun-stable.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target_predicate.alias("__is_target"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), " "),
+                lambda w: w != "",
+            )
+        ).alias("w"),
+    )
+    if hash_buckets is not None:
+        toks = toks.withColumn(
+            "f", F.pmod(F.xxhash64("w"), F.lit(hash_buckets))
+        )
+    else:
+        toks = toks.withColumn("f", F.col("w"))
+
+    counts = toks.groupBy("f").agg(
+        F.count("*").alias("c_r"),
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("c_t"),
+    )
+    totals = counts.agg(
+        F.sum("c_r").alias("n_r"),
+        F.sum("c_t").alias("n_t"),
+        F.count("*").alias("v_size"),
+    )
+
+    scored = (
+        toks.select(F.col(id_col), "f")
+        .join(counts.hint("shuffle_hash"), "f")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    (F.col("c_t") + 1).cast("double")
+                    / (F.col("n_t") + F.col("v_size")).cast("double")
+                )
+                - F.log(
+                    (F.col("c_r") + 1).cast("double")
+                    / (F.col("n_r") + F.col("v_size")).cast("double")
+                )
+            ).alias("lr"),
+        )
+    )
+    out = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        # + 0.0 folds IEEE -0.0 to +0.0 (a doc whose tokens' ratios
+        # cancel can round to either zero depending on fold order;
+        # "-0.0000" vs "0.0000" diverges in a text hash)
+        (F.round(F.avg("lr"), 4) + F.lit(0.0)).alias("avg_log_ratio"),
+    )
+    if top_k is None:
+        return out
+    from nycdb_k8s_loader_spark.operators.relational import distributed_rank
+
+    return (
+        distributed_rank(
+            out.withColumn("__neg", -F.col("avg_log_ratio")),
+            ["__neg", id_col],
+            rank_col="select_rank",
+        )
+        .filter(F.col("select_rank") <= top_k)
+        .drop("__neg")
+    )
+
+
+def sentence_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = ". ",
+    min_docs: int = 2,
+    min_words: int = 3,
+    hashed_keys: bool = False,
+) -> DataFrame:
+    """Sentence/line-level dedup — the CCNet/RefinedWeb curation step
+    that removes BOILERPLATE rather than whole documents: any sentence
+    whose normalized form (lower+trim) appears in ``min_docs``+
+    distinct documents is dropped from every document that contains
+    it, and each document's remaining sentences are re-joined in
+    order. Cookie banners, nav bars, and license footers are exactly
+    this shape: near-universal across a crawl, never a whole-doc
+    duplicate, so t06/d03-style document dedup can't see them and
+    t13's n-gram span scrub only fires when the window straddles them.
+    Returns ``(id, n_sentences, n_removed, cleaned_text)`` for every
+    input doc (untouched docs: n_removed = 0).
+
+    ``min_words`` guards short sentences ("yes.", headings) from
+    removal — the CCNet convention; the guard is a predicate on the
+    normalized key, so under-length sentences are filtered MAP-SIDE
+    and never enter the count shuffle at all.
+
+    100 TB shape (mirrors exact_substring_scrub, dedup.py:821): one
+    posexplode over the pre-filtered sentence array, ONE global count
+    groupBy (map-side combinable), one hinted shuffle-hash join back
+    for removed instances, a per-doc position-set groupBy carrying
+    only ints, then an index-lambda filter over each doc's own
+    sentence array. ``hashed_keys`` is the production form: the count
+    pass and join-back key on ``xxhash64`` of the sentence, so the
+    corpus-wide shuffle carries 8-byte keys instead of raw sentence
+    strings (the t13 hashed-gram precedent; the catalog's oracle
+    entry pins the exact-string twin — DuckDB has no xxhash64).
+    """
+    import re
+
+    sents = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.col(text_col), re.escape(sep)),
+            lambda s: F.trim(s) != "",
+        ).alias("ss"),
+    )
+    inst = sents.select(
+        F.col(id_col), F.posexplode("ss").alias("pos", "s")
+    ).select(
+        F.col(id_col), "pos", F.lower(F.trim("s")).alias("k")
+    ).filter(
+        # map-side guard: only removal-eligible sentences shuffle
+        F.size(F.filter(F.split("k", " "), lambda w: w != ""))
+        >= min_words
+    )
+    if hashed_keys:
+        inst = inst.select(F.col(id_col), "pos", F.xxhash64("k").alias("k"))
+    dup_keys = (
+        inst.groupBy("k")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("k")
+    )
+    removed = (
+        inst.join(dup_keys.hint("shuffle_hash"), "k")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("rp"))
+    )
+    return sents.join(removed.hint("shuffle_hash"), id_col, "left").select(
+        F.col(id_col),
+        F.size("ss").alias("n_sentences"),
+        F.coalesce(F.size("rp"), F.lit(0)).alias("n_removed"),
+        F.concat_ws(
+            sep,
+            F.filter(
+                "ss",
+                lambda s, i: ~F.coalesce(
+                    F.array_contains("rp", i), F.lit(False)
+                ),
+            ),
+        ).alias("cleaned_text"),
+    )

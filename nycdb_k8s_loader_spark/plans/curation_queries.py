@@ -175,3 +175,133 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nycdb_k8s_loader_spark.operators.retrieval import bm25_topk
 
     return bm25_topk(_docs(spark, sf_dir), query_ids=list(range(5)), k=10)
+
+
+@register(
+    "t19_dsir_importance_weights",
+    """
+    WITH toks AS (
+        SELECT doc_id, (lang = 'en') AS is_t,
+               unnest(list_filter(string_split(lower(trim(text)), ' '),
+                                  w -> w <> '')) AS w
+        FROM documents
+    ),
+    counts AS (
+        SELECT w, COUNT(*)::BIGINT AS c_r,
+               SUM(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS c_t
+        FROM toks GROUP BY w
+    ),
+    tot AS (
+        SELECT SUM(c_r)::BIGINT AS n_r, SUM(c_t)::BIGINT AS n_t,
+               COUNT(*)::BIGINT AS v FROM counts
+    )
+    SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+           ROUND(AVG(ln((c_t + 1)::DOUBLE / (n_t + v)::DOUBLE)
+                     - ln((c_r + 1)::DOUBLE / (n_r + v)::DOUBLE)),
+                 4) + 0.0 AS avg_log_ratio
+    FROM toks JOIN counts USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc="DSIR importance weights (Xie et al. 2023): score every doc "
+        "by mean per-token log-ratio of an add-one-smoothed TARGET "
+        "unigram model (here: the English subcorpus) vs the RAW "
+        "model — the importance-resampling data-selection signal. "
+        "One token explode, ONE count shuffle carrying both "
+        "distributions (the target side is a conditional sum inside "
+        "the raw count's aggregate, not a second pass), one hinted "
+        "shuffle-hash join of (doc, token) against the count table, "
+        "corpus totals broadcast as a 1-row frame. hash_buckets (the "
+        "production form) caps feature cardinality at B via xxhash64 "
+        "regardless of corpus size; this oracle entry pins the "
+        "exact-token twin (DuckDB has no xxhash64). "
+        "operators/textops.py dsir_importance_weights.",
+    tags=("pipeline", "text", "quality", "sampling"),
+)
+def t19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from nycdb_k8s_loader_spark.operators.textops import (
+        dsir_importance_weights,
+    )
+
+    return dsir_importance_weights(
+        _docs(spark, sf_dir), target_predicate=F.col("lang") == "en"
+    )
+
+
+@register(
+    "t20_sentence_dedup",
+    """
+    WITH ws AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS ws
+        FROM documents
+    ),
+    pre AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(ws), 8),
+                              i -> array_to_string(
+                                       list_slice(ws, i, i + 7), ' ')) AS ss
+        FROM ws
+    ),
+    inst AS (
+        SELECT doc_id, i - 1 AS pos, ss[i] AS k
+        FROM pre, unnest(generate_series(1, len(ss))) AS t(i)
+        WHERE len(list_filter(string_split(ss[i], ' '),
+                              w -> w <> '')) >= 3
+    ),
+    dup AS (SELECT k FROM inst
+            GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 2),
+    rem AS (
+        SELECT doc_id, list_sort(list(pos)) AS rp
+        FROM inst JOIN dup USING (k) GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           len(p.ss)::BIGINT AS n_sentences,
+           COALESCE(len(r.rp), 0)::BIGINT AS n_removed,
+           COALESCE(array_to_string(
+               list_filter(p.ss, (x, i) -> r.rp IS NULL
+                                  OR NOT list_contains(r.rp, i - 1)),
+               '. '), '') AS cleaned_text
+    FROM pre p LEFT JOIN rem r USING (doc_id)
+    """,
+    doc="Sentence/line-level dedup (CCNet/RefinedWeb boilerplate "
+        "removal): any sentence appearing in >=2 distinct docs is "
+        "dropped from every doc, remaining sentences re-joined in "
+        "order — the curation step that catches cookie banners and "
+        "license footers document-dedup (d-series) and span-scrub "
+        "(t13) both miss. The synthetic corpus has no punctuation, so "
+        "the entry first segments each doc into aligned 8-word "
+        "pseudo-sentences with the SAME deterministic transform in "
+        "both engines (the corpus's exact-dup docs make 153 segments "
+        "cross-doc-duplicated at sf0.01). One posexplode, one count "
+        "shuffle, one hinted shuffle-hash join back, int-only "
+        "position sets; hashed_keys production mode shuffles 8-byte "
+        "xxhash64 keys (this oracle pins the exact-string twin). "
+        "operators/textops.py sentence_dedup.",
+    tags=("pipeline", "text", "dedup"),
+)
+def t20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from nycdb_k8s_loader_spark.operators.textops import sentence_dedup
+
+    ws = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), " "), lambda w: w != ""
+    )
+    staged = _docs(spark, sf_dir).select("doc_id", ws.alias("ws"))
+    pre = staged.select(
+        "doc_id",
+        F.concat_ws(
+            ". ",
+            F.transform(
+                F.when(
+                    F.size("ws") > 0,
+                    F.sequence(F.lit(1), F.size("ws"), F.lit(8)),
+                ).otherwise(F.array().cast("array<int>")),
+                lambda i: F.array_join(F.slice("ws", i, 8), " "),
+            ),
+        ).alias("text"),
+    )
+    return sentence_dedup(pre, min_docs=2, min_words=3)

@@ -54,6 +54,14 @@ def get_spark(
         # aggregates) are tiny relative to facts; 64m keeps 7-way join
         # pipelines broadcast-heavy at 100TB fact scale too.
         "spark.sql.autoBroadcastJoinThreshold": "64m",
+        # ContextCleaner's default periodic driver GC is 30 MINUTES —
+        # superseded localCheckpoint blocks from iterative operators
+        # pile up for that long in any long-lived session and tax
+        # every later query (measured 2-10x at sf3; see
+        # operators/graph.py checkpoint hygiene). Operators release
+        # their own superseded generations; this bounds whatever a
+        # plain `.cache()`-happy caller leaks anyway.
+        "spark.cleaner.periodicGC.interval": "5min",
     }
     if warehouse_dir:
         conf["spark.sql.warehouse.dir"] = warehouse_dir

@@ -2378,3 +2378,270 @@ class TestCurationPack:
         plan = s11._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
+
+
+class TestDSIRImportanceWeights:
+    """t19: DSIR importance weights vs a pure-Python model, hashed-mode
+    agreement, top-k selection, and the plan pins."""
+
+    def _toy(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "en", "a a b"),
+                (2, "en", "a c"),
+                (3, "fr", "b b c"),
+            ],
+            "doc_id long, lang string, text string",
+        )
+
+    def _model(self):
+        """Pure-Python mirror of the add-one-smoothed log-ratio."""
+        import math
+
+        docs = {1: ["a", "a", "b"], 2: ["a", "c"], 3: ["b", "b", "c"]}
+        target = {1, 2}
+        c_r: dict = {}
+        c_t: dict = {}
+        for d, ws in docs.items():
+            for w in ws:
+                c_r[w] = c_r.get(w, 0) + 1
+                if d in target:
+                    c_t[w] = c_t.get(w, 0) + 1
+        n_r, n_t, v = sum(c_r.values()), sum(c_t.values()), len(c_r)
+        lr = {
+            w: math.log((c_t.get(w, 0) + 1) / (n_t + v))
+            - math.log((c_r[w] + 1) / (n_r + v))
+            for w in c_r
+        }
+        return {
+            d: round(sum(lr[w] for w in ws) / len(ws), 4)
+            for d, ws in docs.items()
+        }
+
+    def test_hand_computed_weights(self, spark):
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.operators.textops import (
+            dsir_importance_weights,
+        )
+
+        out = {
+            r["doc_id"]: r
+            for r in dsir_importance_weights(
+                self._toy(spark), F.col("lang") == "en"
+            ).collect()
+        }
+        want = self._model()
+        assert {d: out[d]["avg_log_ratio"] for d in want} == want
+        assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+        # target-looking docs score above the off-target doc
+        assert out[2]["avg_log_ratio"] > out[1]["avg_log_ratio"] > 0
+        assert out[3]["avg_log_ratio"] < 0
+
+    def test_hashed_mode_matches_exact_without_collisions(self, spark):
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.operators.textops import (
+            dsir_importance_weights,
+        )
+
+        df = self._toy(spark)
+        exact = {
+            r["doc_id"]: r["avg_log_ratio"]
+            for r in dsir_importance_weights(
+                df, F.col("lang") == "en"
+            ).collect()
+        }
+        # 2^20 buckets over a 3-word vocab: collision-free, so the
+        # hashed production form must reproduce the exact weights
+        hashed = {
+            r["doc_id"]: r["avg_log_ratio"]
+            for r in dsir_importance_weights(
+                df, F.col("lang") == "en", hash_buckets=1 << 20
+            ).collect()
+        }
+        assert hashed == exact
+
+    def test_top_k_selection_rank(self, spark):
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.operators.textops import (
+            dsir_importance_weights,
+        )
+
+        out = dsir_importance_weights(
+            self._toy(spark), F.col("lang") == "en", top_k=2
+        ).collect()
+        assert len(out) == 2
+        by_rank = {r["select_rank"]: r["doc_id"] for r in out}
+        # doc 2 has the highest weight (hand-computed), then doc 1
+        assert by_rank[1] == 2 and by_rank[2] == 1
+
+    def test_plan_count_join_shuffled_totals_broadcast(self, spark):
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        df = queries()["t19_dsir_importance_weights"](
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # vocabulary counts are aggregate-derived -> must not ride the
+        # scan's size estimate into a broadcast
+        assert "ShuffledHashJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+        # corpus totals are the one intentional 1-row broadcast
+        assert "BroadcastNestedLoopJoin" in plan
+
+
+class TestCheckpointHygiene:
+    """Iterative operators must release superseded localCheckpoint
+    generations (round 7): ContextCleaner's default 30-min periodic GC
+    otherwise leaves every iteration's blocks pinned in the block
+    manager, and queries later in a long-lived session slow 2-10x
+    under the accumulated storage (measured at sf3: d11 12 s clean vs
+    117 s in a leaky session). Each op may keep ONLY the checkpoints
+    its returned plan still references."""
+
+    def _n_persisted(self, spark):
+        return len(spark._jsc.sc().getRDDStorageInfo())
+
+    def _drain(self, spark, floor, timeout=15.0):
+        """GC until the persisted count stops above ``floor`` or
+        timeout — py4j frees JVM refs asynchronously."""
+        import time
+
+        deadline = time.time() + timeout
+        n = self._n_persisted(spark)
+        while n > floor and time.time() < deadline:
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.5)
+            n = self._n_persisted(spark)
+        return n
+
+    def test_connected_components_keeps_only_result(self, spark):
+        from nycdb_k8s_loader_spark.operators.graph import (
+            connected_components,
+        )
+
+        base = self._drain(spark, 0)
+        # three 6-node chains: ~5 label-propagation rounds
+        rows = [
+            (c * 10 + i, c * 10 + i + 1) for c in range(3) for i in range(5)
+        ]
+        edges = spark.createDataFrame(rows, "src long, dst long")
+        out = connected_components(edges)
+        assert out.count() == 18
+        # superseded label generations + sym released in-loop, without
+        # waiting for a driver GC: only the returned labels remain
+        assert self._n_persisted(spark) <= base + 1
+
+    def test_pagerank_keeps_only_result(self, spark):
+        from nycdb_k8s_loader_spark.operators.graph import pagerank
+
+        base = self._drain(spark, 0)
+        edges = spark.createDataFrame(
+            [(i, (i * 7 + 1) % 20) for i in range(20)], "src long, dst long"
+        )
+        ranks = pagerank(edges, iterations=4)
+        assert ranks.count() > 0
+        assert self._n_persisted(spark) <= base + 1
+
+    def test_bfs_keeps_only_result(self, spark):
+        from nycdb_k8s_loader_spark.operators.graph import bfs_reachable
+
+        base = self._drain(spark, 0)
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(10)], "src long, dst long"
+        )
+        seeds = spark.createDataFrame([(0,)], "node long")
+        out = bfs_reachable(edges, seeds)
+        assert out.count() == 11
+        assert self._n_persisted(spark) <= base + 1
+
+    def test_released_result_still_collectable(self, spark):
+        """The returned frame must survive its op's internal releases:
+        re-collect after the loop frames are gone."""
+        from nycdb_k8s_loader_spark.operators.graph import (
+            connected_components,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+        )
+        out = connected_components(edges)
+        a = sorted(tuple(r) for r in out.collect())
+        b = sorted(tuple(r) for r in out.collect())  # re-execute
+        assert a == b and len(a) == 5
+
+
+class TestSentenceDedup:
+    """t20: CCNet-style sentence-level boilerplate removal — hand
+    model, hashed-key agreement, the min_words guard, all-removed
+    docs, and plan pins."""
+
+    def _toy(self, spark):
+        # "common footer text" appears in docs 1+2 (cross-doc dup);
+        # "unique line here" only in doc 1; doc 3 repeats its OWN
+        # sentence twice but shares it with nobody; "ok" is a
+        # cross-doc dup but under the min_words guard
+        return spark.createDataFrame(
+            [
+                (1, "unique line here. common footer text. ok"),
+                (2, "common footer text. something else entirely. ok"),
+                (3, "solo repeated line. solo repeated line"),
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_cross_doc_dup_removed_in_order(self, spark):
+        from nycdb_k8s_loader_spark.operators.textops import sentence_dedup
+
+        out = {
+            r["doc_id"]: r for r in sentence_dedup(self._toy(spark)).collect()
+        }
+        # every input doc comes back, untouched ones with n_removed=0
+        assert set(out) == {1, 2, 3, 4}
+        assert out[1]["cleaned_text"] == "unique line here. ok"
+        assert out[1]["n_sentences"] == 3 and out[1]["n_removed"] == 1
+        assert out[2]["cleaned_text"] == "something else entirely. ok"
+        # same-doc repetition is NOT cross-doc boilerplate
+        assert out[3]["n_removed"] == 0
+        assert out[3]["cleaned_text"] == "solo repeated line. solo repeated line"
+        # empty doc: zero sentences, empty cleaned text
+        assert out[4]["n_sentences"] == 0 and out[4]["cleaned_text"] == ""
+
+    def test_min_words_guard(self, spark):
+        from nycdb_k8s_loader_spark.operators.textops import sentence_dedup
+
+        # "ok" is duplicated across docs 1+2 but has 1 word < 3
+        out = {
+            r["doc_id"]: r["cleaned_text"]
+            for r in sentence_dedup(self._toy(spark)).collect()
+        }
+        assert out[1].endswith("ok") and out[2].endswith("ok")
+        # lowering the guard removes it too
+        loose = {
+            r["doc_id"]: r["cleaned_text"]
+            for r in sentence_dedup(self._toy(spark), min_words=1).collect()
+        }
+        assert loose[1] == "unique line here"
+
+    def test_hashed_keys_same_verdicts(self, spark):
+        from nycdb_k8s_loader_spark.operators.textops import sentence_dedup
+
+        df = self._toy(spark)
+        exact = sorted(map(tuple, sentence_dedup(df).collect()))
+        hashed = sorted(
+            map(tuple, sentence_dedup(df, hashed_keys=True).collect())
+        )
+        assert hashed == exact
+
+    def test_plan_hinted_joins_no_broadcast_of_derived(self, spark):
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        df = queries()["t20_sentence_dedup"](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # dup keys + removed-position sets are aggregate-derived: they
+        # must not ride the scan's size estimate into a broadcast
+        assert "ShuffledHashJoin" in plan
+        assert "BroadcastHashJoin" not in plan
