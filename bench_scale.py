@@ -52,6 +52,7 @@ HEAVY = [
     "t13_exact_substring_scrub",
     "s11_bm25_topk",
     "t19_dsir_importance_weights",
+    "t20_sentence_dedup",
 ]
 
 # expected cluster size the scaled-k policy holds constant (matches
@@ -259,10 +260,25 @@ def _settle_block_manager(spark, timeout_sec: float = 20.0) -> int:
     return len(spark._jsc.sc().getRDDStorageInfo())
 
 
+def _steal_jiffies() -> int:
+    """Hypervisor steal time (summed across CPUs) from /proc/stat.
+    Slow measurements on this box correlate with steal spikes
+    (co-tenant pressure: identical sf3 reps measured 4.8 s at ~60
+    jiffies and 28 s at ~1400 — cpuTime ≈ runTime, so the work is
+    real CPU running at degraded effective IPC). Recording the delta
+    per measurement makes weather-contaminated timings self-flagging
+    in the committed JSON."""
+    try:
+        return int(open("/proc/stat").readline().split()[8])
+    except Exception:  # noqa: BLE001 - non-Linux or unreadable
+        return 0
+
+
 def _run_one(spark, fn, sf_dir: str, runs: int = 2) -> dict:
     leftover = _settle_block_manager(spark)
     times = []
     before = _stage_totals(spark)
+    steal0 = _steal_jiffies()
     for _ in range(runs):
         df = fn(spark, sf_dir)
         t0 = time.perf_counter()
@@ -273,6 +289,7 @@ def _run_one(spark, fn, sf_dir: str, runs: int = 2) -> dict:
     return {
         "sec": round(min(times), 3),
         "sec_cold": round(times[0], 3),
+        "steal_jiffies": _steal_jiffies() - steal0,
         "leftover_persisted_rdds": leftover,
         # metrics are totals over all runs; divide by runs for per-run
         "shuffle_write_mb": round(

@@ -860,9 +860,12 @@ def sentence_dedup(
     ).select(
         F.col(id_col), "pos", F.lower(F.trim("s")).alias("k")
     ).filter(
-        # map-side guard: only removal-eligible sentences shuffle
-        F.size(F.filter(F.split("k", " "), lambda w: w != ""))
-        >= min_words
+        # map-side guard: only removal-eligible sentences shuffle.
+        # k is trimmed and non-empty, so splitting on SPACE RUNS
+        # counts words exactly (no empty tokens) while staying a pure
+        # codegen'd regex — no interpreted higher-order lambda in the
+        # per-sentence hot path
+        F.size(F.split("k", " +")) >= min_words
     )
     if hashed_keys:
         inst = inst.select(F.col(id_col), "pos", F.xxhash64("k").alias("k"))

@@ -10,10 +10,10 @@ lexical diversity, and sparse (BM25) retrieval.
   the lexical sibling of the dense ANN family (s01-s10), the shape of
   benchmark-decontamination search.
 
-All three share the determinism discipline of the rest of the
+All entries share the determinism discipline of the rest of the
 catalog: exact integer ratios or exactly-rounded IEEE chains (BM25
-uses t11's log-free rational idf and a term-sorted sequential float
-fold), so the DuckDB oracles hash-match bit-for-bit at every sf.
+uses t11's log-free rational idf and a fixed-point integer score
+sum), so the DuckDB oracles hash-match bit-for-bit at every sf.
 """
 
 from __future__ import annotations
@@ -147,8 +147,8 @@ def t18(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id < 5),
     pair AS (
         SELECT q.query_id, s.doc_id,
-               ROUND(list_reduce(list(s.s ORDER BY s.term),
-                                 (a, b) -> a + b), 6) AS score
+               SUM(CAST(floor(s.s * 1000000.0) AS BIGINT))::BIGINT
+                   / 1000000.0 AS score
         FROM q JOIN scored s USING (term)
         WHERE s.doc_id <> q.query_id
         GROUP BY 1, 2
@@ -166,9 +166,12 @@ def t18(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe via ONE term equi-join (inverted-index probe — never "
         "doc x doc); corpus constants ride a broadcast 1-row frame. "
         "Determinism: t11-style log-free rational idf "
-        "(N-df+.5)/(df+.5) and a term-sorted sequential float fold "
-        "(F.aggregate == DuckDB list_reduce), so scores are "
-        "bit-identical cross-engine. operators/retrieval.py bm25_topk.",
+        "(N-df+.5)/(df+.5) gives bit-identical per-term scores; the "
+        "per-doc reduction is a FIXED-POINT integer SUM "
+        "(floor(s*1e6)) — associative, map-side combinable, pure "
+        "codegen; replaced a collect_list + interpreted fold that "
+        "burned 2690s CPU at 150k docs. operators/retrieval.py "
+        "bm25_topk.",
     tags=("similarity", "text", "retrieval"),
 )
 def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,8 +251,7 @@ def t19(spark: SparkSession, sf_dir: str) -> DataFrame:
     inst AS (
         SELECT doc_id, i - 1 AS pos, ss[i] AS k
         FROM pre, unnest(generate_series(1, len(ss))) AS t(i)
-        WHERE len(list_filter(string_split(ss[i], ' '),
-                              w -> w <> '')) >= 3
+        WHERE len(string_split_regex(ss[i], ' +')) >= 3
     ),
     dup AS (SELECT k FROM inst
             GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 2),
