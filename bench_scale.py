@@ -53,6 +53,7 @@ HEAVY = [
     "s11_bm25_topk",
     "t19_dsir_importance_weights",
     "t20_sentence_dedup",
+    "t21_bigram_fluency",
 ]
 
 # expected cluster size the scaled-k policy holds constant (matches

@@ -198,3 +198,76 @@ def global_exact_sample(
         .filter(F.col("sample_rank") <= n)
         .select(id_col, "sample_rank")
     )
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    target_shares_ppm: dict[str, int],
+    budget_ppm_of_corpus: int = 500_000,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Downsample each source so the kept mix hits target TOKEN shares
+    under a total token budget — the Pile/DoReMi-style mixing step
+    done in tokens (what the training run actually consumes), not
+    document counts (what naive per-source sampling controls; sources
+    with long documents would silently over-contribute).
+
+    ``budget = corpus_tokens * budget_ppm_of_corpus / 1e6``; each
+    source's keep rate is ``min(1, budget * share_s / tokens_s)`` —
+    downsample-only (an under-represented source saturates at rate 1;
+    pair with upsample_mixture/p05 if it must be boosted). All rate
+    arithmetic is exact int64 (ppm scales + floor division), so both
+    engines derive bit-identical rates; selection is the repo's
+    deterministic ``sample_bucket`` filter — rerun-stable, and nested:
+    raising the budget keeps a superset.
+
+    Returns the KEPT docs as ``(id, source, n_tokens, rate_ppm)``.
+
+    100 TB shape: one map-side-combinable per-source token groupBy
+    (source-cardinality rows), rates derived on that tiny frame and
+    BROADCAST back, then a pure map-side filter — the corpus is
+    scanned once and never shuffled. Token counts use the
+    length-arithmetic whitespace form (textops._ws_tokens) shared
+    verbatim with the oracle.
+    """
+    t = F.trim(F.col(text_col))
+    n_tokens = (
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+    ).cast("long")
+    base = df.select(
+        F.col(id_col), F.col(source_col), n_tokens.alias("n_tokens")
+    )
+    share = F.create_map(
+        *[F.lit(x) for kv in target_shares_ppm.items() for x in kv]
+    )[F.col(source_col)].cast("long")
+    # exact int64 chain (div = floor division on non-negatives, the
+    # same op as DuckDB //): budget = corpus*ppm div 1e6;
+    # required_s = budget*share div 1e6; rate = required*1e6 div t_s
+    rates = (
+        base.groupBy(source_col)
+        .agg(F.sum("n_tokens").alias("t_s"))
+        .crossJoin(
+            F.broadcast(
+                base.agg(F.sum("n_tokens").alias("corpus_tokens"))
+            )
+        )
+        .withColumn("__share", share)
+        .select(
+            source_col,
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.expr(
+                    "((__share * ((corpus_tokens * "
+                    f"{int(budget_ppm_of_corpus)}) div 1000000)) "
+                    "div 1000000) * 1000000 div t_s"
+                ),
+            ).alias("rate_ppm"),
+        )
+    )
+    return (
+        base.join(F.broadcast(rates), source_col)
+        .filter(sample_bucket(F.col(id_col)) < F.col("rate_ppm"))
+        .select(id_col, source_col, "n_tokens", "rate_ppm")
+    )

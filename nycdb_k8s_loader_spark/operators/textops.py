@@ -894,3 +894,77 @@ def sentence_dedup(
             ),
         ).alias("cleaned_text"),
     )
+
+
+def bigram_fluency(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_buckets: int | None = None,
+) -> DataFrame:
+    """Per-document fluency under a corpus-self-trained bigram LM —
+    the CCNet-style perplexity filter (Wenzek et al. 2020) with the
+    external KenLM swapped for a bigram model fit on THIS corpus in
+    one pass: gibberish, keyword stuffing, and shuffled text score
+    poorly under ANY n-gram LM, including one trained on the corpus
+    itself. Scores stay in log space (perplexity = exp(score) is
+    monotone, and exp's last ulp differs across libm builds — same
+    reasoning as BM25's log-free idf): ``avg_neg_logprob`` is the mean
+    over a doc's bigrams of ``-ln P(w2 | w1)`` with add-one smoothing
+    ``P = (c(w1,w2) + 1) / (c(w1) + V)``, V = distinct bigram count.
+    Length-invariant, so one threshold works across document sizes;
+    LOWER is more fluent. Returns ``(id, n_bigrams, avg_neg_logprob)``
+    for every doc with >= 2 tokens.
+
+    100 TB shape (the t19 skeleton): tokenize once, one map-side
+    slide for bigram instances (no self-join — ``ws[i], ws[i+1]``
+    from the SAME row's array), ONE count shuffle for the bigram
+    table (unigram context counts fold out of it map-side — never a
+    second corpus pass), one hinted shuffle-hash join of instances
+    against counts, one per-doc aggregate. Shuffles carry word pairs
+    and longs, never text. ``hash_buckets`` is the production form
+    for web-scale vocabularies: instance/count keys become
+    ``pmod(xxhash64(w1, w2), B)`` so the model table is capped at B
+    rows (the catalog oracle pins the exact-pair twin — DuckDB has no
+    xxhash64). -0.0 folding and 4dp rounding per the repo convention.
+    """
+    ws = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), " "), lambda w: w != ""
+    )
+    base = df.select(F.col(id_col), ws.alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    inst = base.select(
+        F.col(id_col),
+        F.posexplode(F.slice("ws", 1, F.size("ws") - 1)).alias("i", "w1"),
+        F.col("ws"),
+    ).select(
+        F.col(id_col),
+        "w1",
+        F.col("ws")[F.col("i") + 1].alias("w2"),
+    )
+    if hash_buckets is not None:
+        inst = inst.select(
+            F.col(id_col),
+            F.pmod(F.xxhash64("w1"), F.lit(hash_buckets)).alias("w1"),
+            F.pmod(F.xxhash64("w1", "w2"), F.lit(hash_buckets)).alias("w2"),
+        )
+    bg = inst.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
+    ug = bg.groupBy("w1").agg(F.sum("c_bg").alias("c_ug"))
+    v = bg.agg(F.count("*").alias("v_size"))
+    scored = (
+        inst.join(bg.hint("shuffle_hash"), ["w1", "w2"])
+        .join(ug.hint("shuffle_hash"), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            F.col(id_col),
+            (
+                F.log((F.col("c_ug") + F.col("v_size")).cast("double"))
+                - F.log((F.col("c_bg") + 1).cast("double"))
+            ).alias("nlp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        (F.round(F.avg("nlp"), 4) + F.lit(0.0)).alias("avg_neg_logprob"),
+    )

@@ -9,6 +9,12 @@ lexical diversity, and sparse (BM25) retrieval.
 - s11: BM25 top-k retrieval through an inverted-posting equi-join —
   the lexical sibling of the dense ANN family (s01-s10), the shape of
   benchmark-decontamination search.
+- t19: DSIR importance weights (target-vs-raw unigram log-ratio).
+- t20: CCNet sentence-level boilerplate removal.
+- t21: corpus-self-trained bigram LM fluency (the CCNet perplexity
+  filter in log space, KenLM swapped for a one-pass bigram model).
+- p07: token-budget mixture (Pile/DoReMi mixing in tokens, exact
+  int64 ppm rate chain, corpus scanned once and never shuffled).
 
 All entries share the determinism discipline of the rest of the
 catalog: exact integer ratios or exactly-rounded IEEE chains (BM25
@@ -307,3 +313,100 @@ def t20(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return sentence_dedup(pre, min_docs=2, min_words=3)
+
+
+@register(
+    "t21_bigram_fluency",
+    """
+    WITH ws AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS ws
+        FROM documents
+    ),
+    inst AS (
+        SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        FROM ws, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 2
+    ),
+    bg AS (SELECT w1, w2, COUNT(*)::BIGINT AS c_bg
+           FROM inst GROUP BY 1, 2),
+    ug AS (SELECT w1, SUM(c_bg)::BIGINT AS c_ug FROM bg GROUP BY 1),
+    v AS (SELECT COUNT(*)::BIGINT AS v_size FROM bg)
+    SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+           ROUND(AVG(ln((c_ug + v_size)::DOUBLE)
+                     - ln((c_bg + 1)::DOUBLE)), 4) + 0.0
+               AS avg_neg_logprob
+    FROM inst JOIN bg USING (w1, w2) JOIN ug USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+    doc="CCNet-style LM fluency filter (Wenzek et al. 2020) with the "
+        "external KenLM swapped for a corpus-self-trained bigram "
+        "model: avg -ln P(w2|w1) per doc under add-one smoothing — "
+        "gibberish and keyword stuffing score poorly under any n-gram "
+        "LM including one fit on the corpus itself. Log-space score "
+        "(perplexity's exp is monotone and libm-divergent), "
+        "length-invariant, LOWER = more fluent. One tokenize pass, "
+        "map-side bigram slide (ws[i], ws[i+1] from the same row — "
+        "no self-join), ONE bigram-count shuffle (context counts fold "
+        "out of it), hinted shuffle-hash joins back, 1-row V "
+        "broadcast. hash_buckets production mode caps the model table "
+        "at B rows via xxhash64 (this oracle pins the exact-pair "
+        "twin). operators/textops.py bigram_fluency.",
+    tags=("pipeline", "text", "quality"),
+)
+def t21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.textops import bigram_fluency
+
+    return bigram_fluency(_docs(spark, sf_dir))
+
+
+@register(
+    "p07_token_budget_mixture",
+    """
+    WITH base AS (
+        SELECT doc_id, source,
+               (length(trim(text))
+                - length(replace(trim(text), ' ', '')) + 1)::BIGINT
+                   AS n_tokens
+        FROM documents
+    ),
+    tot AS (SELECT source, SUM(n_tokens)::BIGINT AS t_s
+            FROM base GROUP BY 1),
+    corpus AS (SELECT SUM(n_tokens)::BIGINT AS ct FROM base),
+    rates AS (
+        SELECT source,
+               LEAST(1000000,
+                     (((CASE WHEN source IN
+                             ('src0','src1','src2','src3','src4')
+                        THEN 120000 ELSE 26666 END)
+                       * ((ct * 400000) // 1000000)) // 1000000)
+                     * 1000000 // t_s)::BIGINT AS rate_ppm
+        FROM tot CROSS JOIN corpus
+    )
+    SELECT b.doc_id, b.source, b.n_tokens, r.rate_ppm
+    FROM base b JOIN rates r USING (source)
+    WHERE (b.doc_id * 9973 + 7919) % 1000000 < r.rate_ppm
+    """,
+    doc="Token-budget mixture (the Pile/DoReMi mixing step done in "
+        "TOKENS, not document counts): under a 40%-of-corpus token "
+        "budget, sources src0-4 target 12% token share each, the "
+        "rest split the remainder — per-source keep rate "
+        "min(1, budget*share/tokens_s), derived in an exact int64 "
+        "ppm chain (bit-identical cross-engine), applied via the "
+        "deterministic sample_bucket filter (rerun-stable, nested "
+        "under budget growth). One source-cardinality token groupBy "
+        "broadcast back, then a pure map-side filter — the corpus is "
+        "scanned once and never shuffled. "
+        "operators/sampling.py token_budget_mixture.",
+    tags=("pipeline", "sampling"),
+)
+def p07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.sampling import (
+        token_budget_mixture,
+    )
+
+    shares = {f"src{i}": (120_000 if i < 5 else 26_666) for i in range(20)}
+    return token_budget_mixture(
+        _docs(spark, sf_dir), shares, budget_ppm_of_corpus=400_000
+    )

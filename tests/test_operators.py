@@ -2645,3 +2645,164 @@ class TestSentenceDedup:
         # must not ride the scan's size estimate into a broadcast
         assert "ShuffledHashJoin" in plan
         assert "BroadcastHashJoin" not in plan
+
+
+class TestBigramFluency:
+    """t21: corpus-self-trained bigram LM fluency — pure-Python model
+    parity, fluency ordering, hashed production mode, plan pins."""
+
+    def _toy(self, spark):
+        # docs 1+2 share the common "a b" pattern; doc 3 is the odd
+        # sequence out and must score LESS fluent (higher -logprob)
+        return spark.createDataFrame(
+            [
+                (1, "a b a b a b"),
+                (2, "a b a b"),
+                (3, "c a x b"),
+                (4, "solo"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def _model(self):
+        import math
+
+        docs = {
+            1: ["a", "b", "a", "b", "a", "b"],
+            2: ["a", "b", "a", "b"],
+            3: ["c", "a", "x", "b"],
+        }
+        bg: dict = {}
+        for ws in docs.values():
+            for w1, w2 in zip(ws, ws[1:]):
+                bg[(w1, w2)] = bg.get((w1, w2), 0) + 1
+        ug: dict = {}
+        for (w1, _), c in bg.items():
+            ug[w1] = ug.get(w1, 0) + c
+        v = len(bg)
+        out = {}
+        for d, ws in docs.items():
+            nlps = [
+                math.log(ug[w1] + v) - math.log(bg[(w1, w2)] + 1)
+                for w1, w2 in zip(ws, ws[1:])
+            ]
+            out[d] = round(sum(nlps) / len(nlps), 4)
+        return out
+
+    def test_matches_pure_python_model(self, spark):
+        from nycdb_k8s_loader_spark.operators.textops import bigram_fluency
+
+        out = {
+            r["doc_id"]: r for r in bigram_fluency(self._toy(spark)).collect()
+        }
+        want = self._model()
+        assert {d: out[d]["avg_neg_logprob"] for d in want} == want
+        assert out[1]["n_bigrams"] == 5 and out[3]["n_bigrams"] == 3
+        # single-token doc has no bigrams: excluded by contract
+        assert 4 not in out
+        # the odd sequence scores less fluent than the common pattern
+        assert out[3]["avg_neg_logprob"] > out[1]["avg_neg_logprob"]
+
+    def test_hashed_mode_matches_exact_without_collisions(self, spark):
+        from nycdb_k8s_loader_spark.operators.textops import bigram_fluency
+
+        df = self._toy(spark)
+        exact = {
+            r["doc_id"]: r["avg_neg_logprob"]
+            for r in bigram_fluency(df).collect()
+        }
+        hashed = {
+            r["doc_id"]: r["avg_neg_logprob"]
+            for r in bigram_fluency(df, hash_buckets=1 << 20).collect()
+        }
+        assert hashed == exact
+
+    def test_plan_hinted_joins_v_broadcast(self, spark):
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        df = queries()["t21_bigram_fluency"](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the bigram/context count tables are aggregate-derived — they
+        # must not ride the scan's size estimate into a broadcast
+        assert "ShuffledHashJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+        # the 1-row V frame is the one intentional broadcast
+        assert "BroadcastNestedLoopJoin" in plan
+
+
+class TestTokenBudgetMixture:
+    """p07: token-budget mixing — rate math, saturation, nesting, and
+    the map-side-only plan shape."""
+
+    def _corpus(self, spark):
+        # srcA: 100 docs x 10 tokens = 1000 tokens
+        # srcB: 10 docs x 10 tokens = 100 tokens (scarce)
+        rows = [(i, "srcA", "w " * 9 + "w") for i in range(100)]
+        rows += [(1000 + i, "srcB", "w " * 9 + "w") for i in range(10)]
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+
+    def test_rates_and_saturation(self, spark):
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.operators.sampling import (
+            token_budget_mixture,
+        )
+
+        # budget = 50% of 1100 = 550 tokens; srcB targets 40% of the
+        # budget (220 tokens) but only has 100 -> saturates at 1.0;
+        # srcA targets 60% (330 of its 1000) -> rate 330000 ppm
+        out = token_budget_mixture(
+            self._corpus(spark),
+            {"srcA": 600_000, "srcB": 400_000},
+            budget_ppm_of_corpus=500_000,
+        )
+        rates = {
+            r["source"]: r["rate_ppm"]
+            for r in out.select("source", "rate_ppm").distinct().collect()
+        }
+        assert rates["srcB"] == 1_000_000  # saturation: keep all
+        assert rates["srcA"] == 330_000
+        # every srcB doc kept; srcA downsampled to ~33%
+        by_src = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert by_src["srcB"] == 10
+        assert 0 < by_src["srcA"] < 100
+
+    def test_budget_growth_keeps_superset(self, spark):
+        from nycdb_k8s_loader_spark.operators.sampling import (
+            token_budget_mixture,
+        )
+
+        df = self._corpus(spark)
+        shares = {"srcA": 600_000, "srcB": 400_000}
+        small = {
+            r["doc_id"]
+            for r in token_budget_mixture(
+                df, shares, budget_ppm_of_corpus=300_000
+            ).collect()
+        }
+        big = {
+            r["doc_id"]
+            for r in token_budget_mixture(
+                df, shares, budget_ppm_of_corpus=600_000
+            ).collect()
+        }
+        assert small <= big and len(small) < len(big)
+
+    def test_corpus_never_shuffles(self, spark):
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        df = queries()["p07_token_budget_mixture"](
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the doc-side join must be the broadcast of the rates frame,
+        # never an exchange of the corpus
+        assert "BroadcastHashJoin" in plan
+        assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan
