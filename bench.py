@@ -22,8 +22,9 @@ plans):
 - the idle gate waits for 1-min loadavg <= 1.0 (was 4.0 — BENCH_r06
   started at 3.71 and the judge called the resulting numbers
   weather), and records what it saw either way.
-- a fixed CALIBRATION job (CPU-bound xxhash64 fold over range(48M),
-  median of 3) runs in the same session; ``calibration_sec`` and
+- a fixed CALIBRATION job (CPU-bound xxhash64 fold over range(4B),
+  median of 5 — see _calibrate for why smaller jobs amplified noise)
+  runs in the same session; ``calibration_sec`` and
   ``normalized_value`` (= value / calibration_sec) land in the JSON,
   so two runs on differently-loaded machines compare on the
   normalized number. Two runs >= 30 min apart should agree within ~5%

@@ -135,8 +135,12 @@ def _resolve_banding(
             "pass BOTH num_hashes and bands (pinned parameterization) "
             "or NEITHER (corpus-size-aware bands_for policy)"
         )
+    # max(count, 1): an empty corpus (bootstrap run, a prior filter
+    # emptied the frame) must resolve to SOME banding and return an
+    # empty result like the pre-policy fixed defaults did, not raise
+    # bands_for's n_docs >= 1 guard
     return bands_for(
-        df.count(), target_sim=min(max(target_sim, 0.05), 0.95)
+        max(df.count(), 1), target_sim=min(max(target_sim, 0.05), 0.95)
     )
 
 
@@ -996,29 +1000,46 @@ def _state_banding(
     bands: int | None,
     shingles: int | None,
 ) -> tuple[int, int, int]:
-    """Resolve the banding a persisted state was built with: explicit
-    caller values win; otherwise parse the state's ``kind='meta'``
-    self-description row (one collect of a single tiny row). A state
-    written before meta rows existed must be probed with explicit
-    values — mismatched banding would silently miss every candidate,
-    so this raises instead of guessing."""
-    if num_hashes is not None and bands is not None and shingles is not None:
-        return num_hashes, bands, shingles
+    """Resolve the banding a persisted state was built with from the
+    state's ``kind='meta'`` self-description row (one collect of a
+    single tiny row). A state written before meta rows existed must be
+    probed with explicit values — mismatched banding would silently
+    miss every candidate, so meta-less states raise instead of
+    guessing. When BOTH a meta row and explicit values are present,
+    they must AGREE: an explicit value that contradicts the recorded
+    parameterization would rebuild batch-side keys in a different
+    space than the persisted corpus keys and find near-zero candidates
+    — the exact silent failure the meta row exists to prevent — so
+    that raises too."""
     rows = (
         state.filter(F.col("kind") == "meta").select("key").limit(2).collect()
     )
     if len(rows) != 1:
+        if num_hashes is not None and bands is not None and shingles is not None:
+            return num_hashes, bands, shingles
         raise ValueError(
             "incremental_dedup_from_state: state has no single "
             "kind='meta' self-description row — pass explicit "
             "num_hashes/bands/shingles matching how the state was built"
         )
     meta = dict(kv.split("=", 1) for kv in rows[0]["key"].split(";"))
-    return (
-        num_hashes if num_hashes is not None else int(meta["num_hashes"]),
-        bands if bands is not None else int(meta["bands"]),
-        shingles if shingles is not None else int(meta["shingles"]),
+    resolved = (
+        int(meta["num_hashes"]), int(meta["bands"]), int(meta["shingles"])
     )
+    for name, explicit, recorded in zip(
+        ("num_hashes", "bands", "shingles"),
+        (num_hashes, bands, shingles),
+        resolved,
+    ):
+        if explicit is not None and explicit != recorded:
+            raise ValueError(
+                f"incremental_dedup_from_state: explicit {name}="
+                f"{explicit} contradicts the state's recorded "
+                f"{name}={recorded} — probing with mismatched banding "
+                "silently finds zero candidates; drop the argument or "
+                "rebuild the state"
+            )
+    return resolved
 
 
 def incremental_dedup_from_state(
@@ -1039,10 +1060,12 @@ def incremental_dedup_from_state(
     the same probe over the same state values (pinned by
     tests/test_operators.py::TestIncrementalDedupState).
 
-    Banding defaults to the state's own ``kind='meta'``
+    Banding comes from the state's own ``kind='meta'``
     self-description (see :func:`dedup_signature_state`) — batch-side
-    band keys MUST be built with the parameterization the state was;
-    explicit arguments override per-field for meta-less legacy states.
+    band keys MUST be built with the parameterization the state was.
+    Explicit arguments exist for meta-less legacy states (where all
+    three are required); on a meta-bearing state they are VALIDATED
+    against the recorded values and a contradiction raises.
 
     100 TB shape: corpus text never enters the plan. The exact probe
     is a semi-join on 32-char hashes; candidates come from one

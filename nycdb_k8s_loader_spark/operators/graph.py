@@ -465,8 +465,12 @@ def pagerank(
             if prev_ranks is not None:
                 release_local_checkpoint(prev_ranks)
             prev_ranks = ranks
-        # the final ranks checkpoint is self-contained; loop-invariant
-        # frames are no longer referenced by the returned plan
-        for invariant in (e, nodes, e_deg):
-            release_local_checkpoint(invariant)
+        # the final ranks checkpoint is self-contained, so the
+        # loop-invariant frames are no longer referenced by the
+        # returned plan — but ONLY once the loop ran: at iterations=0
+        # the returned plan is still a select over nodes' checkpoint,
+        # and releasing it would drop the blocks the result IS
+        if prev_ranks is not None:
+            for invariant in (e, nodes, e_deg):
+                release_local_checkpoint(invariant)
         return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -217,7 +217,9 @@ def token_budget_mixture(
     ``budget = corpus_tokens * budget_ppm_of_corpus / 1e6``; each
     source's keep rate is ``min(1, budget * share_s / tokens_s)`` —
     downsample-only (an under-represented source saturates at rate 1;
-    pair with upsample_mixture/p05 if it must be boosted). All rate
+    pair with upsample_mixture/p05 if it must be boosted). A source
+    absent from ``target_shares_ppm`` has share 0 and is EXCLUDED
+    from the mix — the DoReMi convention. All rate
     arithmetic is exact int64 (ppm scales + floor division), so both
     engines derive bit-identical rates; selection is the repo's
     deterministic ``sample_bucket`` filter — rerun-stable, and nested:
@@ -232,16 +234,23 @@ def token_budget_mixture(
     length-arithmetic whitespace form (textops._ws_tokens) shared
     verbatim with the oracle.
     """
-    t = F.trim(F.col(text_col))
-    n_tokens = (
-        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
-    ).cast("long")
+    from nycdb_k8s_loader_spark.operators.textops import _ws_tokens
+
     base = df.select(
-        F.col(id_col), F.col(source_col), n_tokens.alias("n_tokens")
+        F.col(id_col),
+        F.col(source_col),
+        _ws_tokens(F.col(text_col)).cast("long").alias("n_tokens"),
     )
-    share = F.create_map(
-        *[F.lit(x) for kv in target_shares_ppm.items() for x in kv]
-    )[F.col(source_col)].cast("long")
+    # a source absent from target_shares_ppm gets share 0 — EXCLUDED
+    # from the mix by definition (the DoReMi convention), not silently
+    # NULL-dropped: coalesce makes the zero-rate row visible in the
+    # rates frame for anyone who inspects it
+    share = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for kv in target_shares_ppm.items() for x in kv]
+        )[F.col(source_col)].cast("long"),
+        F.lit(0).cast("long"),
+    )
     # exact int64 chain (div = floor division on non-negatives, the
     # same op as DuckDB //): budget = corpus*ppm div 1e6;
     # required_s = budget*share div 1e6; rate = required*1e6 div t_s

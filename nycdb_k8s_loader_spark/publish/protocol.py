@@ -308,30 +308,44 @@ class Publisher:
             and self._fs_path(loc).startswith(self.external_root)
         )
 
-    def _prune_versions(self, table: str) -> None:
+    def _prune_versions(
+        self, table: str, protect: set[str] | None = None
+    ) -> None:
         """Delete version dirs beyond keep_versions, oldest first,
         never the one the live table points at. Runs only after the
         pointer flip: a crash strands extra files, never live data.
         Local-FS/NFS only (os.listdir): on an object-store root this
         is a silent no-op and version GC belongs to a lifecycle rule
         on the bucket — stranded versions are still never wrong, just
-        unreclaimed."""
+        unreclaimed.
+
+        ``protect`` (versioned mode): the set of absolute paths still
+        referenced by any SURVIVING version database — every v_ dir
+        outside it is dropped, every dir inside it kept regardless of
+        count. The default per-table resolution (``target_db.table``'s
+        location) does not exist in versioned mode, so the caller must
+        supply the reference set."""
         import os
+        import shutil
 
         base = f"{self.external_root}/{self.target_db}/{table}"
-        live = self._fs_path(
-            self._table_location(self.target_db, table) or ""
-        )
         if not os.path.isdir(base):
             return
         versions = sorted(
             d for d in os.listdir(base) if d.startswith("v_")
         )
+        if protect is not None:
+            for v in versions:
+                path = os.path.abspath(os.path.join(base, v))
+                if path not in protect:
+                    shutil.rmtree(path, ignore_errors=True)
+            return
+        live = self._fs_path(
+            self._table_location(self.target_db, table) or ""
+        )
         excess = versions[: -self.keep_versions] if len(
             versions
         ) > self.keep_versions else []
-        import shutil
-
         for v in excess:
             path = os.path.join(base, v)
             if os.path.abspath(path) != os.path.abspath(live):
@@ -440,30 +454,52 @@ class Publisher:
             self.drop_db(phys)
             raise
         self.version_pointer.flip(self.target_db, phys)  # THE commit
-        self._prune_version_dbs()
+        survivors = self._prune_version_dbs()
+        # external-table FILE versions: a dropped version db leaves
+        # its files behind (DROP on an external table is metadata
+        # only) — delete every v_ dir no surviving version database
+        # still references, and never one that is
+        if self.external_root:
+            import os
+
+            for t in tables:
+                if not self._is_external(phys, t):
+                    continue
+                protect = set()
+                for db in survivors:
+                    loc = self._table_location(db, t)
+                    if loc:
+                        protect.add(os.path.abspath(self._fs_path(loc)))
+                self._prune_versions(t, protect=protect)
         return [f"{self.target_db}.{t}" for t in tables]
 
-    def _prune_version_dbs(self) -> None:
-        """Drop version databases beyond ``keep_versions``, oldest
+    def _prune_version_dbs(self) -> list[str]:
+        """Drop version databases beyond the retention window, oldest
         first, NEVER the pointed-at one (runs after the flip — a crash
-        strands extra versions, never the live one). External-table
-        files under ``external_root`` outlive the metadata drop and
-        fall to ``_prune_versions``/bucket lifecycle rules, same as
-        the per-table external mode."""
+        strands extra versions, never the live one). Returns the
+        surviving version-db names.
+
+        The window is ``max(keep_versions, 2)``: the just-superseded
+        version always survives ONE publish cycle as the grace window
+        for in-flight readers — a reader that resolved the pointer
+        moments before the flip is still executing against the old
+        version db, and dropping it mid-query is exactly the partial
+        state the versioned mode exists to prevent. (It is reclaimed
+        on the NEXT publish; a reader outliving a full publish cycle
+        is the documented residual risk.)"""
+        keep = max(self.keep_versions, 2)
         live = self.version_pointer.resolve(self.target_db)
         versions = sorted(
             d.name
             for d in self.spark.catalog.listDatabases()
             if parse_version_db(d.name) == self.target_db
         )
-        excess = (
-            versions[: -self.keep_versions]
-            if len(versions) > self.keep_versions
-            else []
-        )
+        excess = versions[:-keep] if len(versions) > keep else []
         for db in excess:
             if db != live:
                 self.drop_db(db)
+        dropped = {db for db in excess if db != live}
+        return [db for db in versions if db not in dropped]
 
     # -- whole-protocol convenience ---------------------------------------------
 

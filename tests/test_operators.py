@@ -2806,3 +2806,76 @@ class TestTokenBudgetMixture:
         # never an exchange of the corpus
         assert "BroadcastHashJoin" in plan
         assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan
+
+    def test_source_missing_from_shares_is_excluded(self, spark):
+        from nycdb_k8s_loader_spark.operators.sampling import (
+            token_budget_mixture,
+        )
+
+        # srcB has no target share: excluded from the mix entirely
+        # (share 0 -> rate 0), by definition rather than by NULL
+        out = token_budget_mixture(
+            self._corpus(spark),
+            {"srcA": 1_000_000},
+            budget_ppm_of_corpus=500_000,
+        )
+        assert out.filter("source = 'srcB'").count() == 0
+        assert out.filter("source = 'srcA'").count() > 0
+
+
+class TestRound7ReviewFixes:
+    """Regression pins for the round-7 review findings."""
+
+    def test_policy_banding_on_empty_corpus_returns_empty(self, spark):
+        from nycdb_k8s_loader_spark.operators.dedup import fuzzy_dedup
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        # pre-fix: bands_for(0) raised ValueError; the policy default
+        # must degrade to an empty result like the old fixed 8/4 did
+        assert fuzzy_dedup(empty, threshold=0.7).count() == 0
+
+    def test_pagerank_zero_iterations_collectable(self, spark):
+        from nycdb_k8s_loader_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3)], "src long, dst long"
+        )
+        # pre-fix: the post-loop release dropped the nodes checkpoint
+        # the returned (uniform) plan still referenced
+        out = pagerank(edges, iterations=0).collect()
+        assert len(out) == 3
+        assert all(abs(r["rank"] - 1 / 3) < 1e-6 for r in out)
+
+    def test_state_probe_rejects_contradicting_explicit_banding(
+        self, spark
+    ):
+        import pytest
+
+        from nycdb_k8s_loader_spark.operators.dedup import (
+            dedup_signature_state,
+            incremental_dedup_from_state,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon")],
+            "doc_id long, text string",
+        )
+        state = dedup_signature_state(
+            docs, num_hashes=8, bands=4, shingles=3
+        )
+        batch = spark.createDataFrame(
+            [(2, "alpha beta gamma delta epsilon")],
+            "doc_id long, text string",
+        )
+        # agreeing explicit values: fine (the catalog's pinned form)
+        assert (
+            incremental_dedup_from_state(
+                state, batch, num_hashes=8, bands=4, shingles=3
+            ).count()
+            == 1
+        )
+        # contradicting shingles: must raise, not silently find nothing
+        with pytest.raises(ValueError, match="contradicts"):
+            incremental_dedup_from_state(
+                state, batch, num_hashes=8, bands=4, shingles=5
+            )

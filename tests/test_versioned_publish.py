@@ -244,3 +244,71 @@ class TestResolverHonorsPointer:
         # exactly as before
         r = SearchPathResolver(spark, ["no_such_db_xyz"])
         assert r.rewrite("SELECT * FROM t") == "SELECT * FROM t"
+
+
+class TestGraceWindowAndFilePrune:
+    """Round-7 review fixes: (1) the just-superseded version survives
+    one publish cycle even at keep_versions=1 — the in-flight-reader
+    grace window; (2) external FILE versions of dropped version dbs
+    are deleted, and never ones a surviving db still references."""
+
+    def test_superseded_version_survives_one_cycle(self, spark):
+        pointer = VersionPointer(DictKVStore())
+        pub = Publisher(
+            spark, target_db="vgrace",
+            version_pointer=pointer, keep_versions=1,
+        )
+        try:
+            olds = []
+            for v in (1, 2, 3):
+                with pub.staging("ds") as db:
+                    _stage(pub, db, "ta", v)
+                    pub.publish_tables(db, ["ta"])
+                olds.append(pointer.current("vgrace"))
+            versions = [
+                d.name for d in spark.catalog.listDatabases()
+                if parse_version_db(d.name) == "vgrace"
+            ]
+            # effective window is max(keep_versions, 2): the v2 db an
+            # in-flight reader may still be executing against survives
+            assert sorted(versions) == sorted(olds[-2:])
+            # the superseded version is still QUERYABLE (all-old)
+            assert spark.table(
+                f"`{olds[-2]}`.`ta`"
+            ).collect()[0][0] == 2
+        finally:
+            for d in spark.catalog.listDatabases():
+                if d.name.startswith("vgrace"):
+                    spark.sql(f"DROP DATABASE IF EXISTS `{d.name}` CASCADE")
+
+    def test_external_file_versions_pruned_with_their_dbs(
+        self, spark, tmp_path
+    ):
+        import os
+
+        pointer = VersionPointer(DictKVStore())
+        root = str(tmp_path / "extroot")
+        pub = Publisher(
+            spark, target_db="vextprune", external_root=root,
+            version_pointer=pointer, keep_versions=1,
+        )
+        try:
+            for v in (1, 2, 3, 4):
+                with pub.staging("ds") as db:
+                    _stage(pub, db, "ta", v)
+                    pub.publish_tables(db, ["ta"])
+            vdirs = sorted(
+                d for d in os.listdir(f"{root}/vextprune/ta")
+                if d.startswith("v_")
+            )
+            # files track the surviving version dbs (grace window = 2),
+            # not one copy per publish
+            assert len(vdirs) == 2
+            # every surviving db's table still reads its files
+            for d in spark.catalog.listDatabases():
+                if parse_version_db(d.name) == "vextprune":
+                    assert spark.table(f"`{d.name}`.`ta`").count() == 1
+        finally:
+            for d in spark.catalog.listDatabases():
+                if d.name.startswith("vextprune"):
+                    spark.sql(f"DROP DATABASE IF EXISTS `{d.name}` CASCADE")
