@@ -2879,3 +2879,33 @@ class TestRound7ReviewFixes:
             incremental_dedup_from_state(
                 state, batch, num_hashes=8, bands=4, shingles=5
             )
+
+    def test_star_components_keep_only_result_frames(self, spark):
+        import time
+
+        from nycdb_k8s_loader_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        def n_persisted():
+            return len(spark._jsc.sc().getRDDStorageInfo())
+
+        # drain leftovers from earlier tests (py4j frees JVM refs
+        # asynchronously — same loop as TestCheckpointHygiene._drain)
+        deadline = time.time() + 15.0
+        base = n_persisted()
+        while base > 0 and time.time() < deadline:
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.5)
+            base = n_persisted()
+        rows = [
+            (c * 10 + i, c * 10 + i + 1) for c in range(3) for i in range(5)
+        ]
+        edges = spark.createDataFrame(rows, "src long, dst long")
+        out = connected_components_star(edges)
+        a = sorted(tuple(r) for r in out.collect())
+        # superseded edge generations released in-loop; the returned
+        # plan legitimately references TWO checkpoints (the converged
+        # edge set and the all-nodes frame)
+        assert n_persisted() <= base + 2
+        assert a == sorted(tuple(r) for r in out.collect())  # re-exec
