@@ -36,10 +36,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
-
-@register(
-    "t17_gopher_quality_rules",
-    f"""
+# shared by t17 (batch) and st11 (streaming twin): the SAME oracle
+# proves the funnel's verdicts are engine- AND mode-independent
+_GOPHER_SQL = f"""
     WITH s AS (
         SELECT doc_id,
                list_filter(string_split(lower(trim(text)), ' '),
@@ -70,7 +69,12 @@ _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
             AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
             AND (alpha_frac >= 0.8) AND (stop_hits >= 2)) AS keep
     FROM c
-    """,
+    """
+
+
+@register(
+    "t17_gopher_quality_rules",
+    _GOPHER_SQL,
     doc="Gopher/MassiveText document-level quality rules (Rae et al. "
         "2021 A1.1): word-count bounds, mean-word-length bounds, "
         "alphabetic-word fraction, >=2-stopword signal, composite "
@@ -409,4 +413,40 @@ def p07(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares = {f"src{i}": (120_000 if i < 5 else 26_666) for i in range(20)}
     return token_budget_mixture(
         _docs(spark, sf_dir), shares, budget_ppm_of_corpus=400_000
+    )
+
+
+@register(
+    "st11_streaming_quality_funnel",
+    _GOPHER_SQL,
+    doc="STREAMING twin of the t17 gopher quality funnel: the "
+        "documents table flows through a file-source stream and the "
+        "identical gopher_quality_rules projection, availableNow into "
+        "a memory sink — pinned per-row against the SAME DuckDB "
+        "oracle as the batch form, so the curation filter's verdicts "
+        "are proven engine- AND mode-independent. The funnel is a "
+        "pure codegen'd projection: STATELESS in a stream (append "
+        "mode, no watermark, no state store, no shuffle) — the shape "
+        "that lets quality filtering run inline in the ingestion "
+        "stream at any rate instead of as a nightly batch.",
+    tags=("streaming", "text", "quality"),
+)
+def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.textops import (
+        gopher_quality_rules,
+    )
+    from nycdb_k8s_loader_spark.plans.extended_queries import (
+        _run_memory_stream,
+    )
+
+    batch = _docs(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        # file-stream sources take a DIRECTORY (single-file paths fail
+        # basePath inference) — the events_stream convention
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    return _run_memory_stream(
+        spark, gopher_quality_rules(stream), "st11", "append"
     )
