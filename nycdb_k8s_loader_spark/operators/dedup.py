@@ -337,12 +337,21 @@ _MERSENNE31 = 2147483647
 # LCG (Knuth MMIX constants) whose high bits supply a (odd, 31-bit —
 # keeps (M-1)*a < 2^62 overflow-free) and b (mod M).
 def _extend_perms(perms: list[tuple[int, int]], upto: int = 128) -> None:
+    seen = set(perms)
     x = 0x9E3779B97F4A7C15
     while len(perms) < upto:
         x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
         a = ((x >> 33) % (1 << 31)) | 1
         x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
         b = (x >> 33) % _MERSENNE31
+        # a == 2^31-1 is odd yet ≡ 0 mod the Mersenne prime — a
+        # degenerate constant permutation (h = b for every input);
+        # also reject repeated (a, b) pairs. ~2^-31 per draw, but the
+        # family is pinned forever once shipped, so the guard is free
+        # insurance.
+        if a % _MERSENNE31 == 0 or (a, b) in seen:
+            continue
+        seen.add((a, b))
         perms.append((a, b))
 
 
@@ -965,10 +974,18 @@ def dedup_signature_state(
     """
     num_hashes, bands = _resolve_banding(df, num_hashes, bands, target_sim)
     spark = df.sparkSession
-    meta = spark.createDataFrame(
-        [(None, "meta", None,
-          f"num_hashes={num_hashes};bands={bands};shingles={shingles}")],
-        f"{id_col} long, kind string, band int, key string",
+    # build the meta row with the input's ACTUAL id type (not a
+    # hardcoded `long` DDL): string ids must not coerce every
+    # hash/band row's id through union type widening, non-atomic id
+    # types must not fail at analysis, and a select sidesteps DDL
+    # quoting for exotic column names
+    meta = spark.range(1).select(
+        F.lit(None).cast(df.schema[id_col].dataType).alias(id_col),
+        F.lit("meta").alias("kind"),
+        F.lit(None).cast("int").alias("band"),
+        F.lit(
+            f"num_hashes={num_hashes};bands={bands};shingles={shingles}"
+        ).alias("key"),
     )
     hashes = df.select(
         F.col(id_col),

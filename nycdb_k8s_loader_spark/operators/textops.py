@@ -624,17 +624,26 @@ def gopher_quality_rules(
         ),
     )
     n_words = F.size("__ws")
-    mean_wl = F.col("__nonspace") / n_words
+    # try_divide: empty / whitespace-only docs have n_words == 0, and a
+    # plain `/` under Spark 4's default ANSI mode raises a job-aborting
+    # SparkArithmeticException.  NULL ratios (matching DuckDB's x/0)
+    # with the ok_* verdicts coalesced to false keep the filter total:
+    # a quality funnel must survive junk docs, and junk docs must not
+    # pass it.
+    mean_wl = F.try_divide(F.col("__nonspace"), n_words)
     n_alpha = F.size(F.filter(F.col("__ws"), lambda w: w.rlike("[a-z]")))
-    alpha_frac = n_alpha / n_words
+    alpha_frac = F.try_divide(n_alpha, n_words)
     stop_hits = F.size(
         F.filter(
             F.array_distinct(F.col("__ws")), lambda w: w.isin(*STOPWORDS)
         )
     )
     ok_words = (n_words >= min_words) & (n_words <= max_words)
-    ok_mean = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
-    ok_alpha = alpha_frac >= min_alpha_frac
+    ok_mean = F.coalesce(
+        (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len),
+        F.lit(False),
+    )
+    ok_alpha = F.coalesce(alpha_frac >= min_alpha_frac, F.lit(False))
     ok_stop = stop_hits >= min_stopword_hits
     return staged.select(
         F.col(id_col),

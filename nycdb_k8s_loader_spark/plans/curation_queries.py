@@ -49,9 +49,12 @@ _GOPHER_SQL = f"""
     c AS (
         SELECT doc_id,
                len(ws) AS n_words,
-               nonspace / len(ws) AS mean_wl,
-               len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
-                   / len(ws) AS alpha_frac,
+               CASE WHEN len(ws) = 0 THEN NULL
+                    ELSE nonspace / len(ws) END AS mean_wl,
+               CASE WHEN len(ws) = 0 THEN NULL
+                    ELSE len(list_filter(ws,
+                             w -> regexp_matches(w, '[a-z]')))
+                         / len(ws) END AS alpha_frac,
                len(list_filter(list_distinct(ws),
                    w -> list_contains({_STOP_SQL}, w))) AS stop_hits
         FROM s
@@ -62,12 +65,14 @@ _GOPHER_SQL = f"""
            ROUND(alpha_frac, 4) AS alpha_word_frac,
            stop_hits::BIGINT AS stopword_hits,
            (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
-           (mean_wl >= 3.0 AND mean_wl <= 10.0) AS ok_mean_word_len,
-           (alpha_frac >= 0.8) AS ok_alpha_frac,
+           COALESCE(mean_wl >= 3.0 AND mean_wl <= 10.0, false)
+               AS ok_mean_word_len,
+           COALESCE(alpha_frac >= 0.8, false) AS ok_alpha_frac,
            (stop_hits >= 2) AS ok_stopwords,
            ((n_words >= 50 AND n_words <= 100000)
-            AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
-            AND (alpha_frac >= 0.8) AND (stop_hits >= 2)) AS keep
+            AND COALESCE(mean_wl >= 3.0 AND mean_wl <= 10.0, false)
+            AND COALESCE(alpha_frac >= 0.8, false)
+            AND (stop_hits >= 2)) AS keep
     FROM c
     """
 

@@ -1814,6 +1814,37 @@ class TestIncrementalDedupState:
         # bodies never enter the state
         assert "text" not in state.columns
 
+    def test_state_preserves_string_id_type(self, spark):
+        """The meta row is built with the input's actual id type — a
+        string-id corpus must not see every hash/band row's id coerced
+        through union widening (schema drift vs pre-meta states)."""
+        from nycdb_k8s_loader_spark.operators.dedup import (
+            dedup_signature_state,
+        )
+
+        corpus = spark.createDataFrame(
+            [("a", "one two three four"), ("b", "five six seven eight")],
+            "doc_id string, text string",
+        )
+        state = dedup_signature_state(corpus)
+        assert state.schema["doc_id"].dataType.simpleString() == "string"
+        ids = {r["doc_id"] for r in state.select("doc_id").collect()}
+        assert ids == {"a", "b", None}  # meta row carries a NULL id
+
+    def test_extend_perms_no_degenerate_or_duplicate(self):
+        """2^31-1 is odd yet ≡ 0 mod the Mersenne prime — a constant
+        permutation; the generator must also never emit a repeated
+        (a, b) pair."""
+        from nycdb_k8s_loader_spark.operators.dedup import (
+            _MERSENNE31,
+            _extend_perms,
+        )
+
+        perms: list[tuple[int, int]] = [(2, 1)]
+        _extend_perms(perms, upto=128)
+        assert len(perms) == len(set(perms)) == 128
+        assert all(a % _MERSENNE31 != 0 for a, _ in perms)
+
 
 class TestScaleSafeDefaults:
     """bands_for is the LIVE default of the banded dedup operators
@@ -2308,6 +2339,33 @@ class TestCurationPack:
         assert not r[4]["keep"] and not r[4]["ok_alpha_frac"]
         # 2 alpha words of 60 -> 0.0333
         assert r[4]["alpha_word_frac"] == 0.0333
+
+    def test_gopher_rules_empty_and_whitespace_docs(self, spark):
+        """A quality filter must survive junk docs: empty / blank text
+        has n_words == 0, and under Spark 4's default ANSI mode a bare
+        division would abort the whole job (DIVIDE_BY_ZERO).  Ratios
+        come back NULL (matching DuckDB's x/0) and every verdict is a
+        non-NULL false."""
+        from nycdb_k8s_loader_spark.operators.textops import (
+            gopher_quality_rules,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "\t\n  "), (4, "the a" + " word" * 58)],
+            "doc_id long, text string",
+        )
+        r = {x["doc_id"]: x for x in gopher_quality_rules(docs).collect()}
+        for i in (1, 2):
+            assert r[i]["n_words"] == 0
+            assert r[i]["mean_word_len"] is None
+            assert r[i]["alpha_word_frac"] is None
+            assert r[i]["keep"] is False
+            assert r[i]["ok_mean_word_len"] is False
+            assert r[i]["ok_alpha_frac"] is False
+        # trim strips spaces only (same as DuckDB), so "\t\n" is a
+        # 1-word doc — no zero division, verdicts all false
+        assert r[3]["n_words"] == 1 and r[3]["keep"] is False
+        assert r[4]["keep"] is True
 
     def test_lexical_diversity_hand_computed(self, spark):
         from nycdb_k8s_loader_spark.operators.textops import (
