@@ -347,9 +347,11 @@ class Engine:
         Source formats: CSV tables stream through the typed CSV file
         source; Excel/shapefile tables stream as OPAQUE FILES
         (binaryFile source — same checkpointed new-files-only
-        tracking) whose bytes each micro-batch parses with the exact
-        batch readers. A table mixing CSV and binary formats has no
-        single stream shape and fails loudly.
+        tracking) whose bytes each micro-batch parses ON THE
+        EXECUTORS via mapInPandas (same stdlib parser cores as the
+        batch readers; the driver never materializes file content). A
+        table mixing CSV and binary formats has no single stream shape
+        and fails loudly.
         """
         import os
 
@@ -361,7 +363,7 @@ class Engine:
             incremental_binary_source,
             incremental_csv_source,
             run_available_now_staged,
-            run_available_now_staged_binary,
+            run_available_now_staged_binary_distributed,
         )
 
         ds = self.registry.get(name)
@@ -407,9 +409,13 @@ class Engine:
                         self.spark, land,
                         max_files_per_trigger=max_files_per_trigger,
                     )
-                    run_available_now_staged_binary(
+                    # parse on the EXECUTORS (mapInPandas) — the
+                    # driver never materializes file bytes, so an
+                    # unbounded drop backlog can't OOM it
+                    run_available_now_staged_binary_distributed(
                         src, pending, ckpt,
-                        self._binary_parse_fn(fmt, table.schema),
+                        self._binary_row_parser(fmt, table.schema),
+                        table.schema,
                     )
                 # pending = this call's increment plus any batches a
                 # crashed/aborted earlier call staged but never
@@ -532,11 +538,12 @@ class Engine:
         return LoadResult(dataset=name, skipped=False, published=published)
 
     def _binary_parse_fn(self, fmt: str, schema):
-        """parse_fn for the binaryFile stream: materialize each file's
+        """parse_fn for the DRIVER-SIDE small-file fast path
+        (run_available_now_staged_binary): materialize each file's
         bytes to a temp path and hand it to the SAME reader the batch
-        load uses (both parse driver-side at call time, so the temp
-        file can be unlinked as soon as the reader returns). One
-        parser, two ingestion modes — no drift."""
+        load uses. load_streaming itself uses the executor-side
+        distributed form (_binary_row_parser); this stays for callers
+        with a handful of config-scale workbooks."""
         import os
         import tempfile
 
@@ -563,6 +570,40 @@ class Engine:
                 os.unlink(tmp)
 
         return parse
+
+    @staticmethod
+    def _binary_row_parser(fmt: str, schema):
+        """row_parser for the DISTRIBUTED binaryFile stage: a pure
+        picklable ``(path, content) -> list[string-row tuples]``
+        closing over nothing but the format tag and the (picklable)
+        schema, so it ships to executors under ``mapInPandas``. Routes
+        to the same stdlib parser cores as the batch readers
+        (sources/xlsx.read_xlsx_rows, sources/shapefile.parse_shp/
+        parse_dbf) — one parse rule, two execution sites."""
+        if fmt == "excel":
+            def parse(path: str, content: bytes) -> list:
+                from nycdb_k8s_loader_spark.sources.readers import (
+                    excel_string_rows,
+                )
+
+                return excel_string_rows(content, schema, label=path)
+
+            return parse
+        if fmt == "shapefile":
+            def parse(path: str, content: bytes) -> list:
+                import io
+
+                from nycdb_k8s_loader_spark.sources.shapefile import (
+                    shapefile_string_rows,
+                )
+
+                try:
+                    return shapefile_string_rows(io.BytesIO(content), schema)
+                except ValueError as e:
+                    raise ValueError(f"{path}: {e}") from e
+
+            return parse
+        raise ValueError(f"no streaming parser for source format {fmt!r}")
 
     @staticmethod
     def _commit_pending(store: str, batch_dirs: list[str]) -> None:

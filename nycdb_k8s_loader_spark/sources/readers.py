@@ -192,17 +192,32 @@ def read_excel(
         from nycdb_k8s_loader_spark.sources.xlsx import read_xlsx_rows
 
         header_and_rows = read_xlsx_rows(path, sheet_name)[skip_rows:]
+    str_rows = _stringify_sheet(header_and_rows, len(schema.fields), path)
+    names = [f.name for f in schema.fields]
+    raw = spark.createDataFrame(
+        str_rows, T.StructType([T.StructField(n, T.StringType()) for n in names])
+    )
+    return raw.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
+def _stringify_sheet(
+    header_and_rows: list[list], n_fields: int, label: str
+) -> list[list]:
+    """Header-count check + cell stringification shared by the batch
+    Excel reader and the executor-side streaming parser (one rule, two
+    ingestion modes — no drift)."""
     if not header_and_rows:
-        raise ValueError(f"{path}: empty sheet")
+        raise ValueError(f"{label}: empty sheet")
     header, rows = header_and_rows[0], header_and_rows[1:]
-    if len(header) != len(schema.fields):
+    if len(header) != n_fields:
         raise ValueError(
-            f"{path}: sheet has {len(header)} columns but the "
-            f"registry schema declares {len(schema.fields)} — schema "
+            f"{label}: sheet has {len(header)} columns but the "
+            f"registry schema declares {n_fields} — schema "
             "drift; update the registry or fix the workbook"
         )
-    names = [f.name for f in schema.fields]
-    str_rows = [
+    return [
         [
             None
             if v is None or (isinstance(v, float) and v != v)  # NaN
@@ -211,11 +226,28 @@ def read_excel(
         ]
         for r in rows
     ]
-    raw = spark.createDataFrame(
-        str_rows, T.StructType([T.StructField(n, T.StringType()) for n in names])
-    )
-    return raw.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+
+
+def excel_string_rows(
+    content: bytes,
+    schema: T.StructType,
+    sheet_name: int | str = 0,
+    skip_rows: int = 0,
+    label: str = "<workbook bytes>",
+) -> list[list]:
+    """Pure ``bytes → string rows`` Excel parser — the EXECUTOR-side
+    form of :func:`read_excel` (no SparkSession, no temp file), used by
+    the distributed binary streaming stage to parse workbooks inside
+    ``mapInPandas``. Same stdlib zip+XML core and the same
+    stringification rule as the batch reader, so the two modes cannot
+    drift."""
+    import io
+
+    from nycdb_k8s_loader_spark.sources.xlsx import read_xlsx_rows
+
+    header_and_rows = read_xlsx_rows(io.BytesIO(content), sheet_name)
+    return _stringify_sheet(
+        header_and_rows[skip_rows:], len(schema.fields), label
     )
 
 

@@ -270,6 +270,45 @@ def read_shapefile_zip(
     )
 
 
+def shapefile_string_rows(
+    source,
+    schema: T.StructType,
+    geom_col: str = "geom_wkt",
+) -> list[tuple]:
+    """Pure ``bytes → string rows`` shapefile parser — the
+    EXECUTOR-side form of :func:`read_shapefile_zip` (no SparkSession):
+    one tuple per record, values in ``schema.fields`` order, every cell
+    stringified (the permissive staging rule; casting to the typed
+    schema happens in the calling plan). ``source`` is anything
+    ``zipfile.ZipFile`` accepts (path or file-like over the zip
+    bytes). Attribute matching is by name exactly as in the batch
+    reader: missing schema columns → None, extra .dbf columns dropped."""
+    with zipfile.ZipFile(source) as zf:
+        shp_names = [n for n in zf.namelist() if n.lower().endswith(".shp")]
+        dbf_names = [n for n in zf.namelist() if n.lower().endswith(".dbf")]
+        if not shp_names or not dbf_names:
+            raise ValueError("need one .shp and one .dbf inside the zip")
+        geoms = parse_shp(zf.read(shp_names[0]))
+        names, records = parse_dbf(zf.read(dbf_names[0]))
+    if len(geoms) != len(records):
+        raise ValueError(
+            f".shp has {len(geoms)} records, .dbf has {len(records)}"
+        )
+    out = []
+    for rec, wkt in zip(records, geoms):
+        r = {**dict(zip(names, rec)), geom_col: wkt}
+        present = set(names) | {geom_col}
+        out.append(
+            tuple(
+                None
+                if f.name not in present or r.get(f.name) is None
+                else str(r[f.name])
+                for f in schema.fields
+            )
+        )
+    return out
+
+
 def write_shapefile_zip(
     fields: list[tuple[str, str, int, int]],
     records: list[tuple[list, list[list[tuple[float, float]]] | tuple[float, float] | None]],

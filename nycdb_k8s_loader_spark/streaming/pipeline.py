@@ -122,23 +122,103 @@ def run_available_now_staged_binary(
 ) -> None:
     """:func:`run_available_now_staged` for a binaryFile stream: each
     micro-batch's files are parsed DRIVER-side (``parse_fn(path,
-    content) -> DataFrame`` — workbooks/shapefiles are config-scale by
-    the batch readers' declared design) and the union lands as the
-    same plain-parquet ``batch-<id>`` staging dirs, so the
+    content) -> DataFrame``) and the union lands as the same
+    plain-parquet ``batch-<id>`` staging dirs, so the
     validate-then-commit / quarantine machinery downstream is format-
     agnostic. Overwrite-by-batch-id keeps replays idempotent exactly
-    as in the CSV form."""
+    as in the CSV form.
+
+    This is the documented SMALL-FILE FAST PATH (config-scale
+    workbooks, a handful per drop): files stream to the driver one at
+    a time via ``toLocalIterator`` — never a whole-batch ``collect``,
+    so an unbounded backlog cannot materialize in driver memory at
+    once — but the parse itself is still serial on the driver. The
+    production form is
+    :func:`run_available_now_staged_binary_distributed`, which parses
+    on the executors."""
     import os
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.select("path", "content").collect()
-        frames = [parse_fn(r["path"], bytes(r["content"])) for r in rows]
-        if not frames:
+        out = None
+        for r in batch_df.select("path", "content").toLocalIterator():
+            f = parse_fn(r["path"], bytes(r["content"]))
+            out = f if out is None else out.unionByName(f)
+        if out is None:
             return
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f)
         out.write.mode("overwrite").parquet(
+            os.path.join(staging_dir, f"batch-{batch_id}")
+        )
+
+    q = (
+        src.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_available_now_staged_binary_distributed(
+    src: DataFrame,
+    staging_dir: str,
+    checkpoint_dir: str,
+    row_parser,
+    schema: T.StructType,
+) -> None:
+    """EXECUTOR-side binary ingestion: each micro-batch's
+    (path, content) rows flow through ``mapInPandas`` where
+    ``row_parser(path, content) -> list[tuple[str|None, ...]]`` (pure
+    bytes → string rows, values in ``schema.fields`` order) parses the
+    file bytes Arrow-batched ON THE EXECUTORS; the string rows are
+    cast to ``schema`` and land as the same plain-parquet
+    ``batch-<id>`` staging dirs as the CSV form.
+
+    Why this is the production form: the driver never materializes
+    file CONTENT — a 10k-workbook backlog parses with executor
+    parallelism and per-task memory, not a driver loop (the
+    driver-collect form is a documented small-file fast path). The
+    parser must be a pure picklable function (no SparkSession, no
+    driver state); a parse failure fails its task and therefore the
+    batch LOUDLY, before anything is staged — the same
+    validate-then-commit contract downstream. Overwrite-by-batch-id
+    keeps checkpoint replays idempotent.
+
+    One binary file's rows are parsed by one task: parallelism is
+    across files, which matches the landing-zone shape (many
+    modest files). A single multi-GB archive would need a
+    splittable-format source instead — that ceiling is inherent to
+    whole-file formats, not this operator.
+    """
+    import os
+
+    names = [f.name for f in schema.fields]
+    str_schema = T.StructType(
+        [T.StructField(n, T.StringType()) for n in names]
+    )
+
+    def parse_partition(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(row_parser(path, bytes(content)))
+            if rows:
+                yield pd.DataFrame(rows, columns=names).astype(object)
+            else:
+                yield pd.DataFrame({n: pd.Series(dtype=object) for n in names})
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        staged = batch_df.select("path", "content").mapInPandas(
+            parse_partition, schema=str_schema
+        )
+        typed = staged.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+        typed.write.mode("overwrite").parquet(
             os.path.join(staging_dir, f"batch-{batch_id}")
         )
 

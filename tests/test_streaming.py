@@ -655,6 +655,140 @@ def test_load_streaming_shapefile_incremental(spark, tmp_path):
         spark.sql("DROP DATABASE IF EXISTS stream_shp_test CASCADE")
 
 
+def test_binary_stream_never_collects_content_on_driver(
+    spark, tmp_path, monkeypatch
+):
+    """The 100 TB pin for the distributed binary path (round-7 verdict
+    #3): during load_streaming of a binary-format dataset, NO frame
+    carrying the binaryFile `content` column is ever collected or
+    iterated on the driver — parsing happens executor-side in
+    mapInPandas. A regression back to the driver-collect form trips
+    the guard immediately."""
+    from pyspark.sql import DataFrame
+
+    from nycdb_k8s_loader_spark.datasets_catalog import catalog_defs
+    from nycdb_k8s_loader_spark.engine import Engine
+    from nycdb_k8s_loader_spark.registry import Registry
+    from nycdb_k8s_loader_spark.state.kvstore import DictKVStore
+    from nycdb_k8s_loader_spark.state.lastmod import FetchResult
+
+    def guard(name, orig):
+        def wrapped(self, *a, **kw):
+            if "content" in self.columns:
+                raise AssertionError(
+                    f"driver-side {name}() on a frame with file "
+                    "content — binary parsing must stay on executors"
+                )
+            return orig(self, *a, **kw)
+
+        return wrapped
+
+    monkeypatch.setattr(
+        DataFrame, "collect", guard("collect", DataFrame.collect)
+    )
+    monkeypatch.setattr(
+        DataFrame,
+        "toLocalIterator",
+        guard("toLocalIterator", DataFrame.toLocalIterator),
+    )
+
+    reg = Registry()
+    for d in catalog_defs():
+        reg.add(d)
+    eng = Engine(
+        spark, reg, DictKVStore(),
+        target_db="stream_noc_test",
+        landing_root=str(tmp_path / "landing"),
+        transport=lambda url, headers: FetchResult(200, etag='"f"'),
+        downloader=lambda url, dest: None,
+    )
+    land = (
+        tmp_path / "landing" / "dof_annual_sales" / "stream"
+        / "dof_annual_sales"
+    )
+    land.mkdir(parents=True)
+    try:
+        _write_xlsx(
+            str(land / "2020.xlsx"), _DOF_HEADER,
+            [_dof_row("1000010001", 100.0), _dof_row("1000020002", 200.0)],
+        )
+        eng.load_streaming("dof_annual_sales")
+        got = spark.table("stream_noc_test.dof_annual_sales").collect()
+        assert {r["bbl"] for r in got} == {"1000010001", "1000020002"}
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS stream_noc_test CASCADE")
+
+
+def test_executor_parsers_match_batch_readers(spark, tmp_path):
+    """The pure bytes→rows parsers behind the distributed stage
+    produce EXACTLY the batch readers' typed rows for both binary
+    formats — one parse rule, two execution sites."""
+    from pyspark.sql import functions as F
+
+    from nycdb_k8s_loader_spark.datasets_catalog import catalog_defs
+    from nycdb_k8s_loader_spark.engine import Engine
+    from nycdb_k8s_loader_spark.registry import Registry
+    from nycdb_k8s_loader_spark.sources.readers import read_excel
+    from nycdb_k8s_loader_spark.sources.shapefile import (
+        read_shapefile_zip,
+        write_shapefile_zip,
+    )
+
+    reg = Registry()
+    for d in catalog_defs():
+        reg.add(d)
+
+    def typed_rows(string_rows, schema):
+        names = [f.name for f in schema.fields]
+        staged = spark.createDataFrame(
+            [tuple(r) for r in string_rows],
+            ", ".join(f"`{n}` string" for n in names),
+        )
+        return staged.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        ).collect()
+
+    # excel
+    xschema = next(
+        t.schema for t in reg.get("dof_annual_sales").tables
+        if t.name == "dof_annual_sales"
+    )
+    xpath = str(tmp_path / "wb.xlsx")
+    _write_xlsx(
+        xpath, _DOF_HEADER,
+        [_dof_row("1000010001", 1250000.5), _dof_row("1000020002", 900.0)],
+    )
+    with open(xpath, "rb") as fh:
+        content = fh.read()
+    parse = Engine._binary_row_parser("excel", xschema)
+    assert sorted(typed_rows(parse(xpath, content), xschema)) == sorted(
+        read_excel(spark, xpath, xschema).collect()
+    )
+
+    # shapefile
+    sschema = next(
+        t.schema for t in reg.get("boundaries").tables
+        if t.name == "nta_boundaries"
+    )
+    fields = [("ntacode", "C", 8, 0), ("ntaname", "C", 30, 0),
+              ("boroname", "C", 16, 0), ("borocode", "N", 4, 0),
+              ("shape_area", "N", 16, 2)]
+    ring = [(0.0, 0.0), (0.0, 2.0), (2.0, 2.0), (2.0, 0.0), (0.0, 0.0)]
+    zbytes = write_shapefile_zip(
+        fields, [(["MN01", "Chelsea", "Manhattan", 1, 1.5], [ring])]
+    )
+    zpath = str(tmp_path / "b.zip")
+    with open(zpath, "wb") as fh:
+        fh.write(zbytes)
+    parse = Engine._binary_row_parser("shapefile", sschema)
+    assert sorted(typed_rows(parse(zpath, zbytes), sschema)) == sorted(
+        read_shapefile_zip(spark, zpath, sschema).collect()
+    )
+
+
 def test_load_streaming_versioned_publish(spark, tmp_path):
     """load_streaming composes with versioned publish: each call
     commits ALL tables (source + derived) with one pointer flip."""
