@@ -15,9 +15,16 @@ a quadratic one shows ~100x and fails the gate.
     python tools/gen_scale_data.py --sf 1.0 --out .scaledata/sf1
     python bench_scale.py --out BENCH_sf1.json
 
-The gate (``scales_linearly``) flags any query whose time ratio
-exceeds ``linear_gate`` (default 20 = 2x headroom on the 10x data
-step, absorbing fixed costs and noise on the small side).
+The gate (``scales_linearly``) is STRUCTURAL (round-7 verdict #2 —
+the old flat ``linear_gate 20`` let a ×8-on-×3 wall ratio print
+``"linear": true``): a query is linear only if its shuffle-byte ratio
+is within ``shuffle_gate_mult`` (default 1.5) of the data ratio AND —
+on clean-steal runs — its wall ratio is within ``wall_gate_mult``
+(default 2.0) of the data ratio. Shuffle bytes are the primary
+signal (they measure the PLAN, immune to co-tenant weather); a steal
+spike (> ``steal_clean_jiffies``) waives only the wall check and is
+recorded as ``steal_clean: false`` so contaminated rows are
+self-describing.
 
 d12 runs twice: once exactly as the catalog pins it (k=8 — at fixed k
 the within-cluster pair work is quadratic in corpus size; that is the
@@ -224,6 +231,45 @@ EXTRA = {
 }
 
 
+def gate_verdict(
+    time_ratio: float,
+    shuffle_write_ratio: float | None,
+    data_ratio: float,
+    big_steal_jiffies: int,
+    wall_gate_mult: float = 2.0,
+    shuffle_gate_mult: float = 1.5,
+    steal_clean_jiffies: int = 500,
+) -> dict:
+    """Structural linearity verdict for one query's scale step.
+
+    - ``shuffle_ok``: shuffle-byte growth tracks the data growth
+      (≤ shuffle_gate_mult × data_ratio). This is the plan-level
+      signal — a candidate set or join that grows superlinearly shows
+      up here regardless of machine weather. None (no shuffle) is ok.
+    - ``wall_ok``: wall growth ≤ wall_gate_mult × data_ratio.
+    - ``steal_clean``: the big-side measurement ran without a
+      hypervisor-steal spike; when false, wall time is untrustworthy
+      and only the shuffle channel gates.
+
+    ``linear`` = shuffle_ok AND (wall_ok OR not steal_clean): a ×8
+    wall on ×3 data with clean steal can never print linear again
+    (the committed r7 d11 row under this gate: shuffle_ok, wall 8.03
+    > 6.0, steal clean → linear False).
+    """
+    shuffle_ok = (
+        shuffle_write_ratio is None
+        or shuffle_write_ratio <= shuffle_gate_mult * data_ratio
+    )
+    wall_ok = time_ratio <= wall_gate_mult * data_ratio
+    steal_clean = big_steal_jiffies <= steal_clean_jiffies
+    return {
+        "shuffle_ok": shuffle_ok,
+        "wall_ok": wall_ok,
+        "steal_clean": steal_clean,
+        "linear": shuffle_ok and (wall_ok or not steal_clean),
+    }
+
+
 def _stage_totals(spark) -> dict[str, int]:
     ui = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
@@ -310,7 +356,9 @@ def main() -> None:
     ap.add_argument("--sf-small", type=float, default=0.1)
     ap.add_argument("--sf-big", type=float, default=1.0)
     ap.add_argument("--out", default=None)
-    ap.add_argument("--linear-gate", type=float, default=20.0)
+    ap.add_argument("--wall-gate-mult", type=float, default=2.0)
+    ap.add_argument("--shuffle-gate-mult", type=float, default=1.5)
+    ap.add_argument("--steal-clean-jiffies", type=int, default=500)
     ap.add_argument("--queries", default=None,
                     help="comma-separated subset")
     args = ap.parse_args()
@@ -344,7 +392,9 @@ def main() -> None:
         "sf_small": args.sf_small,
         "sf_big": args.sf_big,
         "data_ratio": data_ratio,
-        "linear_gate": args.linear_gate,
+        "wall_gate_mult": args.wall_gate_mult,
+        "shuffle_gate_mult": args.shuffle_gate_mult,
+        "steal_clean_jiffies": args.steal_clean_jiffies,
         "generator": "tools/gen_scale_data.py",
         "queries": {},
         **load_meta,
@@ -368,7 +418,11 @@ def main() -> None:
             "big": big,
             "time_ratio": ratio,
             "shuffle_write_ratio": sw_ratio,
-            "linear": ratio <= args.linear_gate,
+            **gate_verdict(
+                ratio, sw_ratio, data_ratio, big["steal_jiffies"],
+                args.wall_gate_mult, args.shuffle_gate_mult,
+                args.steal_clean_jiffies,
+            ),
         }
         out["queries"][name] = rec
         if not rec["linear"] and name in HEAVY:

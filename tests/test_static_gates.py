@@ -61,3 +61,49 @@ def test_module_compiles_and_imports_are_used(path, tmp_path):
         and "noqa" not in lines[ln - 1]
     ]
     assert unused == []
+
+
+class TestScaleGate:
+    """bench_scale's structural linearity gate (round-7 verdict #2):
+    shuffle-byte growth is the primary signal, wall growth gates only
+    on clean-steal runs, and the r7 d11 counter-example — ×8.03 wall
+    on ×3 data, clean steal — must never print linear again."""
+
+    def _gate(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "bench_scale",
+            os.path.join(os.path.dirname(PKG), "bench_scale.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.gate_verdict
+
+    def test_r7_d11_counterexample_fails(self):
+        gate = self._gate()
+        # the committed pre-fix BENCH_sf3_policy_r07 d11 row: wall
+        # x8.03 on x3 data, shuffle tracking data, no steal channel
+        v = gate(8.03, 2.9, 3.0, big_steal_jiffies=0)
+        assert v["shuffle_ok"] and not v["wall_ok"] and v["steal_clean"]
+        assert v["linear"] is False
+
+    def test_clean_linear_run_passes(self):
+        gate = self._gate()
+        v = gate(3.1, 2.9, 3.0, big_steal_jiffies=40)
+        assert v["linear"] is True
+
+    def test_steal_spike_waives_wall_only(self):
+        gate = self._gate()
+        # weather-contaminated wall with a linear plan: flagged
+        # not-clean but still linear (shuffle channel gates)
+        v = gate(8.0, 2.9, 3.0, big_steal_jiffies=2000)
+        assert v["steal_clean"] is False and v["linear"] is True
+        # superlinear SHUFFLE can never hide behind steal
+        v = gate(8.0, 9.0, 3.0, big_steal_jiffies=2000)
+        assert v["linear"] is False
+
+    def test_no_shuffle_query_gates_on_wall(self):
+        gate = self._gate()
+        assert gate(2.0, None, 3.0, 0)["linear"] is True
+        assert gate(9.0, None, 3.0, 0)["linear"] is False
