@@ -466,3 +466,89 @@ def geo04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag_points_with_polygons(points, polys).select(
         "c_custkey", "ntacode"
     )
+
+
+@register(
+    "geo05_polygon_intersection",
+    """
+    WITH rect AS (
+        SELECT 'NTA' || n_nationkey AS ntacode,
+               (n_nationkey % 5) * 10 AS x0,
+               (n_nationkey % 5) * 10 + 8 AS x1,
+               (n_nationkey // 5) * 10 AS y0,
+               (n_nationkey // 5) * 10 + 8 AS y1
+        FROM nation
+    ),
+    lot AS (
+        SELECT c_custkey,
+               (c_custkey % 50) + 0.25 AS x0,
+               (c_custkey % 50) + 1.75 AS x1,
+               ((c_custkey * 7) % 50) + 0.25 AS y0,
+               ((c_custkey * 7) % 50) + 1.75 AS y1
+        FROM customer
+    )
+    SELECT l.c_custkey, r.ntacode
+    FROM lot l
+    JOIN rect r
+      ON l.x0 < r.x1 AND r.x0 < l.x1 AND l.y0 < r.y1 AND r.y0 < l.y1
+    """,
+    doc="Polygon-POLYGON intersection join (the last §2 capability "
+        "the reference held over this repo: it answers these with "
+        "PostGIS ST_Intersects on the boundaries table). The Spark "
+        "side runs the fully general machinery — WKT parse, bbox "
+        "short-circuit, then edge proper-crossing (double-orientation "
+        "sign test) OR mutual-containment as ONE nested-HOF codegen'd "
+        "predicate (operators/geo.py::polygons_intersect); boundary "
+        "polygons broadcast, lot polygons never shuffle. The oracle "
+        "can't cross edges, so the fixture rings are axis-aligned "
+        "rectangles whose intersection the oracle states as bounds "
+        "arithmetic — agreement proves the general predicate on "
+        "geometry with an independent decision procedure. Lots are "
+        "1.5-unit squares at .25 offsets against integer-bounded "
+        "districts, so the fixture exercises all three branches "
+        "(edge-cross, containment, disjoint) and no boundaries ever "
+        "touch exactly (the predicate's measure-zero undefined "
+        "case).",
+    tags=("geo", "join"),
+)
+def geo05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.geo import (
+        polygon_intersection_join,
+    )
+
+    def rect_wkt(sx0, sy0, sx1, sy1):
+        return F.concat(
+            F.lit("POLYGON (("),
+            sx0, F.lit(" "), sy0, F.lit(", "),
+            sx1, F.lit(" "), sy0, F.lit(", "),
+            sx1, F.lit(" "), sy1, F.lit(", "),
+            sx0, F.lit(" "), sy1, F.lit(", "),
+            sx0, F.lit(" "), sy0,
+            F.lit("))"),
+        )
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nk = F.col("n_nationkey")
+    x0 = (nk % 5) * 10
+    y0 = (nk / 5).cast("int") * 10
+    districts = nation.select(
+        F.concat(F.lit("NTA"), nk.cast("string")).alias("ntacode"),
+        rect_wkt(
+            x0.cast("string"), y0.cast("string"),
+            (x0 + 8).cast("string"), (y0 + 8).cast("string"),
+        ).alias("district_wkt"),
+    )
+    ck = F.col("c_custkey")
+    lx0 = (ck % 50) + 0.25
+    ly0 = ((ck * 7) % 50) + 0.25
+    lots = customer.select(
+        "c_custkey",
+        rect_wkt(
+            lx0.cast("string"), ly0.cast("string"),
+            (lx0 + 1.5).cast("string"), (ly0 + 1.5).cast("string"),
+        ).alias("lot_wkt"),
+    )
+    return polygon_intersection_join(
+        districts, lots, wkt_a="district_wkt", wkt_b="lot_wkt"
+    ).select("c_custkey", "ntacode")
