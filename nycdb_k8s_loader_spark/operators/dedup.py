@@ -758,13 +758,32 @@ def url_dedup(
 # --- exact-substring (duplicated n-gram span) scrubbing ----------------------
 
 
+# corpus size at which the hashed-gram frequency pass overtakes the
+# string form: the string gram shuffle crosses the hashed form's fixed
+# re-verify overhead around the sf0.1 corpus (~50k docs — BENCH_sf3
+# measured string-form heap-thrash at sf3 where hashed ran ×1.92
+# cleaner). Mirrors the bands_for precedent: size-derived default,
+# explicit args pin.
+_HASHED_GRAMS_DOC_THRESHOLD = 50_000
+
+
+def _resolve_hashed_grams(df: DataFrame, hashed_grams: bool | None) -> bool:
+    """Explicit values pass through; None routes by corpus size (one
+    count job, parquet-metadata cheap) — ≥ ~50k docs selects the
+    hashed global-frequency pass, below it the string form (smaller
+    constants, and the cross-engine oracle pin)."""
+    if hashed_grams is not None:
+        return hashed_grams
+    return df.count() >= _HASHED_GRAMS_DOC_THRESHOLD
+
+
 def duplicated_span_starts(
     df: DataFrame,
     ngram: int = 5,
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
-    hashed_grams: bool = False,
+    hashed_grams: bool | None = None,
 ) -> DataFrame:
     """(doc, start_pos) of every length-``ngram`` token window whose
     exact text occurs ≥ min_count times ACROSS THE CORPUS (within-doc
@@ -789,7 +808,14 @@ def duplicated_span_starts(
     (~G²/2⁶⁵ colliding gram pairs ≈ tens of thousands at 10¹² grams).
     Same output by construction; the catalog entry keeps the string
     form as the oracle pin and TestHashedGramTwin pins equality.
+
+    ``hashed_grams=None`` (the default) resolves by CORPUS SIZE
+    (:func:`_resolve_hashed_grams`, the :func:`bands_for` precedent):
+    ≥ ~50k docs routes to the hashed pass automatically, so a bare
+    caller at deploy scale gets the scale-safe plan without knowing
+    the knob exists; explicit True/False pins a form.
     """
+    hashed_grams = _resolve_hashed_grams(df, hashed_grams)
     words = df.select(
         F.col(id_col),
         F.filter(
@@ -837,7 +863,7 @@ def exact_substring_scrub(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
-    hashed_grams: bool = False,
+    hashed_grams: bool | None = None,
 ) -> DataFrame:
     """Remove duplicated spans from every document: tokens covered by
     any duplicated ``ngram`` window are dropped, the rest re-joined in
@@ -845,7 +871,8 @@ def exact_substring_scrub(
     every input doc — including untouched ones (dup_tokens = 0).
     ``hashed_grams`` selects the hashed global-frequency pass (see
     :func:`duplicated_span_starts` — identical output, 8-byte shuffle
-    keys).
+    keys); None (default) resolves by corpus size — ≥ ~50k docs routes
+    hashed automatically.
 
     The cover set is computed token-wise (explode of the L-window over
     dup starts only, distinct) — interval merging as a set union, no

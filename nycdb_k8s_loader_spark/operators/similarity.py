@@ -1022,3 +1022,188 @@ def semdedup_agreement(
                   .cast("double")), 4
         ).alias("agreement"),
     )
+
+
+# --- incremental semantic dedup (d14): persisted centroid+member state ------
+
+
+def semantic_dedup_state(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 2,
+    train_per_centroid: int | None = None,
+    coarse_cells: int | None = None,
+) -> DataFrame:
+    """The persistable per-corpus SEMANTIC dedup state — the d12
+    analog of :func:`~nycdb_k8s_loader_spark.operators.dedup.
+    dedup_signature_state` (round-7 verdict #7): everything the
+    incremental embedding probe needs, with the raw corpus never
+    re-read. One tall frame ``(vid, kind, cid, u)``:
+
+    - ``kind='centroid'``: the k trained centroids (``cid``,
+      ``u`` = centroid coordinates; vid NULL, built with the input's
+      actual id type — the d11 meta-row lesson);
+    - ``kind='member'``: every corpus vector UNIT-NORMALIZED with its
+      cluster assignment — cosine against a member is then one dot
+      product.
+
+    ``train_per_centroid=None`` (default) trains exactly like the
+    oracle-pinned d12 (full-corpus Lloyd, rank seeds) so the
+    from-state probe is oracle-replayable; an int routes training
+    through the :func:`semantic_dedup_sampled` hash-sample policy —
+    the production form at scaled k. Write the state once per corpus
+    refresh (a published table like any other); each increment then
+    costs O(batch + candidates).
+    """
+    vecs = emb.select(
+        F.col(id_col).alias("vid"), as_double_vec(vec_col).alias("v")
+    )
+    if train_per_centroid is None:
+        train = vecs
+    else:
+        n = vecs.count()
+        if n == 0:
+            raise ValueError(
+                "semantic_dedup_state: embedding input is empty"
+            )
+        target = min(n, max(k * train_per_centroid, 2 * k))
+        mod = max(1, n // max(target, 1))
+        train = vecs.filter(F.pmod(F.xxhash64(F.col("vid")), mod) == 0)
+        if train.orderBy("vid").limit(k).count() < k:
+            train = vecs
+    seed_rows = train.orderBy("vid").limit(k).collect()
+    if not seed_rows:
+        raise ValueError("semantic_dedup_state: no centroid seeds")
+    cents = _lloyd_refine(
+        train, [list(r["v"]) for r in seed_rows], lloyd_iters
+    )
+    if coarse_cells and coarse_cells < k:
+        assigned = _assign_two_level(vecs, cents, coarse_cells)
+    else:
+        assigned = _assign_flat(vecs, cents)
+    members = assigned.select(
+        "vid",
+        F.lit("member").alias("kind"),
+        F.col("cid").cast("int").alias("cid"),
+        F.transform(
+            "v", lambda x: x / F.sqrt(dot(F.col("v"), F.col("v")))
+        ).alias("u"),
+    )
+    spark = emb.sparkSession
+    vid_type = emb.schema[id_col].dataType
+    cent_rows = spark.createDataFrame(
+        [(cid, [float(x) for x in c]) for cid, c in enumerate(cents)],
+        "cid int, u array<double>",
+    ).select(
+        F.lit(None).cast(vid_type).alias("vid"),
+        F.lit("centroid").alias("kind"),
+        "cid",
+        "u",
+    )
+    return members.unionByName(cent_rows)
+
+
+def incremental_semantic_dedup_from_state(
+    state: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_cells: int | None = None,
+) -> DataFrame:
+    """Probe an embedding batch against a PERSISTED semantic-dedup
+    state (:func:`semantic_dedup_state` output) without retraining —
+    the continuous-ingestion loop for embedding dedup. One row per
+    batch vector: ``(id_col, cluster_id, is_kept)`` with is_kept
+    false iff some corpus member of the batch vector's cluster has
+    cosine >= threshold. Intra-batch duplicates are out of scope
+    (mirror of incremental_dedup's contract — run semantic_dedup on
+    the batch for those); ids must be disjoint across sides.
+
+    100 TB shape: centroids come off the state as ONE metadata-scale
+    collect (k×dim doubles); batch assignment is the same map-side
+    broadcast argmin as d12 (``coarse_cells`` selects the two-level
+    IVF form for scaled k); the member probe is one shuffle_hash
+    equi-join on cluster id whose candidate count is
+    Σ_c n_batch_c · n_member_c — LINEAR in the batch at the constant
+    cluster size the scaled-k policy maintains. Per-candidate cosine
+    is one unit-vector dot. A pathologically hot cluster can be
+    sub-blocked exactly like _cluster_blocks before the join; corpus
+    vectors are never re-normalized, re-assigned, or re-read.
+    """
+    cent_rows = (
+        state.filter(F.col("kind") == "centroid")
+        .select("cid", "u")
+        .orderBy("cid")
+        .collect()
+    )
+    if not cent_rows:
+        raise ValueError(
+            "incremental_semantic_dedup_from_state: state has no "
+            "centroid rows — was it written by semantic_dedup_state?"
+        )
+    cents = [list(r["u"]) for r in cent_rows]
+    k = len(cents)
+    vecs = batch.select(
+        F.col(id_col).alias("vid"), as_double_vec(vec_col).alias("v")
+    )
+    if coarse_cells and coarse_cells < k:
+        assigned = _assign_two_level(vecs, cents, coarse_cells)
+    else:
+        assigned = _assign_flat(vecs, cents)
+    probe = assigned.select(
+        "vid",
+        "cid",
+        F.transform(
+            "v", lambda x: x / F.sqrt(dot(F.col("v"), F.col("v")))
+        ).alias("ub"),
+    )
+    members = state.filter(F.col("kind") == "member").select(
+        F.col("cid"), F.col("u").alias("um")
+    )
+    dup = (
+        probe.hint("shuffle_hash")
+        .join(members, "cid")
+        .filter(dot(F.col("ub"), F.col("um")) >= F.lit(threshold))
+        .select("vid")
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        probe.select("vid", "cid")
+        .join(dup.hint("shuffle_hash"), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cid").alias("cluster_id"),
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("is_kept"),
+        )
+    )
+
+
+def incremental_semantic_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    k: int = 8,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 2,
+    coarse_cells: int | None = None,
+) -> DataFrame:
+    """Dedup an embedding batch AGAINST an existing corpus — the
+    oracle-checkable inline form (d14): computes
+    :func:`semantic_dedup_state` on the corpus and delegates to
+    :func:`incremental_semantic_dedup_from_state`. A production loop
+    persists the state once per corpus refresh and calls the
+    from-state form directly (TestIncrementalSemanticState pins that
+    the two paths return identical verdicts)."""
+    st = semantic_dedup_state(
+        corpus, k=k, id_col=id_col, vec_col=vec_col,
+        lloyd_iters=lloyd_iters, coarse_cells=coarse_cells,
+    )
+    return incremental_semantic_dedup_from_state(
+        st, batch, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        coarse_cells=coarse_cells,
+    )

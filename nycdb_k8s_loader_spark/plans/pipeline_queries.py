@@ -1676,7 +1676,12 @@ def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_substring_scrub,
     )
 
-    return exact_substring_scrub(_docs(spark, sf_dir), ngram=8)
+    # hashed_grams pinned False: the oracle compares gram STRINGS, and
+    # the string form is the documented small-corpus side of the
+    # size-derived default (operators/dedup.py _resolve_hashed_grams)
+    return exact_substring_scrub(
+        _docs(spark, sf_dir), ngram=8, hashed_grams=False
+    )
 
 
 # --- round-4 additions: incremental dedup, length bucketing, mixtures -------
@@ -2352,3 +2357,109 @@ def t16(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return pii_scrub(aug)
+
+
+@register(
+    "d14_incremental_semantic_dedup",
+    f"""
+    WITH e AS ({_VEC}),
+    ec AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+    eb AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+    seed AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+        FROM ec ORDER BY vec_id LIMIT 8
+    ),
+    a0 AS (
+        SELECT vec_id, cid FROM (
+            SELECT ec.vec_id, s.cid,
+                   row_number() OVER (PARTITION BY ec.vec_id ORDER BY
+                       list_sum(list_transform(range(1, len(ec.v) + 1),
+                                i -> (ec.v[i] - s.c[i]) ^ 2)), s.cid) AS rn
+            FROM ec CROSS JOIN seed s
+        ) WHERE rn = 1
+    ),
+    m0 AS (
+        SELECT a.cid, j.i AS pos, ROUND(AVG(ec.v[j.i]), 4) AS m
+        FROM a0 a JOIN ec USING (vec_id),
+             unnest(range(1, len(ec.v) + 1)) j(i)
+        GROUP BY 1, 2
+    ),
+    c1 AS (
+        SELECT s.cid, COALESCE(mm.c, s.c) AS c
+        FROM seed s LEFT JOIN (
+            SELECT cid, list(m ORDER BY pos) AS c FROM m0 GROUP BY cid
+        ) mm USING (cid)
+    ),
+    a1 AS (
+        SELECT vec_id, cid FROM (
+            SELECT ec.vec_id, s.cid,
+                   row_number() OVER (PARTITION BY ec.vec_id ORDER BY
+                       list_sum(list_transform(range(1, len(ec.v) + 1),
+                                i -> (ec.v[i] - s.c[i]) ^ 2)), s.cid) AS rn
+            FROM ec CROSS JOIN c1 s
+        ) WHERE rn = 1
+    ),
+    m1 AS (
+        SELECT a.cid, j.i AS pos, ROUND(AVG(ec.v[j.i]), 4) AS m
+        FROM a1 a JOIN ec USING (vec_id),
+             unnest(range(1, len(ec.v) + 1)) j(i)
+        GROUP BY 1, 2
+    ),
+    c2 AS (
+        SELECT s.cid, COALESCE(mm.c, s.c) AS c
+        FROM c1 s LEFT JOIN (
+            SELECT cid, list(m ORDER BY pos) AS c FROM m1 GROUP BY cid
+        ) mm USING (cid)
+    ),
+    cm AS (
+        SELECT vec_id, cid, v FROM (
+            SELECT ec.vec_id, s.cid, ec.v,
+                   row_number() OVER (PARTITION BY ec.vec_id ORDER BY
+                       list_sum(list_transform(range(1, len(ec.v) + 1),
+                                i -> (ec.v[i] - s.c[i]) ^ 2)), s.cid) AS rn
+            FROM ec CROSS JOIN c2 s
+        ) WHERE rn = 1
+    ),
+    ba AS (
+        SELECT vec_id, cid, v FROM (
+            SELECT eb.vec_id, s.cid, eb.v,
+                   row_number() OVER (PARTITION BY eb.vec_id ORDER BY
+                       list_sum(list_transform(range(1, len(eb.v) + 1),
+                                i -> (eb.v[i] - s.c[i]) ^ 2)), s.cid) AS rn
+            FROM eb CROSS JOIN c2 s
+        ) WHERE rn = 1
+    ),
+    dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM ba b JOIN cm m ON m.cid = b.cid
+        WHERE list_cosine_similarity(b.v, m.v) >= 0.45
+    )
+    SELECT b.vec_id, b.cid AS cluster_id,
+           d.vec_id IS NULL AS is_kept
+    FROM ba b LEFT JOIN dup d ON d.vec_id = b.vec_id
+    """,
+    doc="Incremental SEMANTIC dedup (the d11/d13 pattern applied to "
+        "d12, round-7 verdict #7): even vec_ids form the standing "
+        "corpus, odd the incoming batch. The corpus trains centroids "
+        "(d12's exact Lloyd trajectory) ONCE into a persistable "
+        "state of centroid rows + unit-normalized member rows "
+        "(operators/similarity.py semantic_dedup_state); each batch "
+        "then assigns map-side against the k*dim centroid literal "
+        "and probes members through ONE shuffle_hash equi-join on "
+        "cluster id — candidate work linear in the batch at the "
+        "constant cluster size the scaled-k policy holds; corpus "
+        "embeddings are never re-read, re-normalized, or "
+        "re-clustered. TestIncrementalSemanticState pins "
+        "state==inline verdict equality. "
+        "operators/similarity.py incremental_semantic_dedup.",
+    tags=("dedup", "pipeline", "incremental", "embedding"),
+)
+def d14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.similarity import (
+        incremental_semantic_dedup,
+    )
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    return incremental_semantic_dedup(corpus, batch, k=8, threshold=0.45)

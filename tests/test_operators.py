@@ -3,6 +3,7 @@ components, multimodal plumbing, trigram similarity."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from nycdb_k8s_loader_spark.functions.text_similarity import (
@@ -1853,6 +1854,23 @@ class TestScaleSafeDefaults:
     signature width, candidates ≪ n²/2 — and (b) that the operator
     defaults actually route through it."""
 
+    def test_hashed_grams_default_routes_by_corpus_size(self, spark):
+        """t13 form selection mirrors the bands_for precedent (round-7
+        verdict #4): a bare caller gets the string form below ~50k
+        docs and the hashed global-frequency pass at/above it;
+        explicit args always pin."""
+        from nycdb_k8s_loader_spark.operators.dedup import (
+            _HASHED_GRAMS_DOC_THRESHOLD,
+            _resolve_hashed_grams,
+        )
+
+        small = spark.range(100)
+        big = spark.range(_HASHED_GRAMS_DOC_THRESHOLD)
+        assert _resolve_hashed_grams(small, None) is False
+        assert _resolve_hashed_grams(big, None) is True
+        assert _resolve_hashed_grams(big, False) is False
+        assert _resolve_hashed_grams(small, True) is True
+
     def test_policy_monotone_and_bounded(self):
         from nycdb_k8s_loader_spark.operators.dedup import (
             MINHASH_PERMS,
@@ -2967,3 +2985,183 @@ class TestRound7ReviewFixes:
         # edge set and the all-nodes frame)
         assert n_persisted() <= base + 2
         assert a == sorted(tuple(r) for r in out.collect())  # re-exec
+
+
+class TestPolygonIntersection:
+    """geo05's general predicate: proper edge crossing, mutual
+    containment, disjoint — hand-checked geometry, no oracle needed
+    (the catalog entry carries the rectangle-algebra oracle)."""
+
+    def _pairs(self, spark, a_wkts, b_wkts):
+        from nycdb_k8s_loader_spark.operators.geo import (
+            polygon_intersection_join,
+        )
+
+        a = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(a_wkts)], "aid int, wa string"
+        )
+        b = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(b_wkts)], "bid int, wb string"
+        )
+        out = polygon_intersection_join(a, b, wkt_a="wa", wkt_b="wb")
+        return {(r["aid"], r["bid"]) for r in out.collect()}
+
+    def test_cross_contain_disjoint(self, spark):
+        square = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+        crossing = "POLYGON ((8 4, 14 4, 14 6, 8 6, 8 4))"   # crosses x=10
+        inside = "POLYGON ((2 2, 3 2, 3 3, 2 3, 2 2))"       # contained
+        around = "POLYGON ((-5 -5, 15 -5, 15 15, -5 15, -5 -5))"  # contains
+        far = "POLYGON ((100 100, 101 100, 101 101, 100 101, 100 100))"
+        got = self._pairs(
+            spark, [square], [crossing, inside, around, far]
+        )
+        assert got == {(0, 0), (0, 1), (0, 2)}
+
+    def test_triangle_diamond_nonrect(self, spark):
+        """Non-axis-aligned rings: the predicate is general even
+        though the oracle fixture uses rectangles."""
+        tri = "POLYGON ((0 0, 10 0, 5 9, 0 0))"
+        diamond_hit = "POLYGON ((5 3, 8 6, 5 9, 2 6, 5 3))"
+        diamond_miss = "POLYGON ((20 0, 23 3, 20 6, 17 3, 20 0))"
+        got = self._pairs(spark, [tri], [diamond_hit, diamond_miss])
+        assert got == {(0, 0)}
+
+    def test_overlapping_columns_rejected(self, spark):
+        from nycdb_k8s_loader_spark.operators.geo import (
+            polygon_intersection_join,
+        )
+
+        a = spark.createDataFrame([(1, "w")], "id int, geom_wkt string")
+        with pytest.raises(ValueError, match="rename overlapping"):
+            polygon_intersection_join(a, a)
+
+    def test_broadcast_no_shuffle_plan(self, spark):
+        """The A side broadcasts: the physical plan must be a
+        broadcast nested-loop over the B scan — no exchange of B."""
+        from nycdb_k8s_loader_spark.operators.geo import (
+            polygon_intersection_join,
+        )
+
+        a = spark.createDataFrame(
+            [(1, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")],
+            "aid int, wa string",
+        )
+        b = spark.createDataFrame(
+            [(2, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")],
+            "bid int, wb string",
+        )
+        plan = (
+            polygon_intersection_join(a, b, wkt_a="wa", wkt_b="wb")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+
+
+class TestIncrementalSemanticState:
+    """d14 (round-7 verdict #7): batch verdicts identical whether the
+    corpus state is computed inline or read back from parquet, and
+    the probe finds planted near-duplicates."""
+
+    def _frames(self, spark):
+        import math
+
+        def unit(seed, dim=8):
+            # deterministic pseudo-vector, then L2-normalize
+            raw = [((seed * 31 + i * 17) % 97) / 97.0 - 0.5
+                   for i in range(dim)]
+            n = math.sqrt(sum(x * x for x in raw))
+            return [x / n for x in raw]
+
+        corpus_rows = [(i, unit(i)) for i in range(0, 40, 2)]
+        # batch: vec 101 = exact copy of corpus vec 2 (near-dup);
+        # 103/105 must be KEEPs, and the lattice generator's outputs
+        # are all >= 0.97 cosine to some corpus vector (measured), so
+        # keeps come from outside its span: a negated lattice vector
+        # (max corpus cosine 0.58) and an alternating-sign unit
+        # vector (0.50) — both far below the 0.95 threshold.
+        batch_rows = [
+            (101, unit(2)),
+            (103, [-x for x in unit(55)]),
+            (105, [((-1) ** i) / math.sqrt(8) for i in range(8)]),
+        ]
+        corpus = spark.createDataFrame(
+            corpus_rows, "vec_id long, embedding array<double>"
+        )
+        batch = spark.createDataFrame(
+            batch_rows, "vec_id long, embedding array<double>"
+        )
+        return corpus, batch
+
+    def test_state_roundtrip_equals_inline(self, spark, tmp_path):
+        from nycdb_k8s_loader_spark.operators.similarity import (
+            incremental_semantic_dedup,
+            incremental_semantic_dedup_from_state,
+            semantic_dedup_state,
+        )
+
+        corpus, batch = self._frames(spark)
+        inline = sorted(
+            map(tuple, incremental_semantic_dedup(
+                corpus, batch, k=4, threshold=0.95
+            ).collect())
+        )
+        path = str(tmp_path / "semstate")
+        semantic_dedup_state(corpus, k=4).write.parquet(path)
+        state = spark.read.parquet(path)
+        from_state = sorted(
+            map(tuple, incremental_semantic_dedup_from_state(
+                state, batch, threshold=0.95
+            ).collect())
+        )
+        assert inline == from_state
+        verdicts = {v[0]: v[2] for v in from_state}
+        assert verdicts[101] is False  # planted copy of corpus vec 2
+        assert verdicts[103] is True and verdicts[105] is True
+
+    def test_state_shape_and_id_type(self, spark):
+        from nycdb_k8s_loader_spark.operators.similarity import (
+            semantic_dedup_state,
+        )
+
+        corpus, _ = self._frames(spark)
+        st = semantic_dedup_state(corpus, k=4)
+        kinds = {
+            r["kind"]: r["count"]
+            for r in st.groupBy("kind").count().collect()
+        }
+        assert kinds == {"member": 20, "centroid": 4}
+        # members are unit-normalized
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.operators.similarity import dot
+
+        norms = (
+            st.filter("kind = 'member'")
+            .select(F.sqrt(dot(F.col("u"), F.col("u"))).alias("n"))
+            .collect()
+        )
+        assert all(abs(r["n"] - 1.0) < 1e-9 for r in norms)
+
+    def test_probe_never_reads_corpus_embeddings(self, spark, tmp_path):
+        """The from-state plan scans the STATE parquet only — corpus
+        embedding files stay untouched per increment."""
+        from nycdb_k8s_loader_spark.operators.similarity import (
+            incremental_semantic_dedup_from_state,
+            semantic_dedup_state,
+        )
+
+        corpus, batch = self._frames(spark)
+        cpath = str(tmp_path / "corpus_emb")
+        corpus.write.parquet(cpath)
+        spath = str(tmp_path / "semstate")
+        semantic_dedup_state(spark.read.parquet(cpath), k=4).write.parquet(
+            spath
+        )
+        plan = (
+            incremental_semantic_dedup_from_state(
+                spark.read.parquet(spath), batch, threshold=0.95
+            )
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "corpus_emb" not in plan
