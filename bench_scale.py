@@ -217,6 +217,55 @@ def _d11_policy_default(spark, sf_dir):
     return incremental_dedup(corpus, batch, threshold=0.7, shingles=3)
 
 
+def _d11_state_setup(spark, sf_dir):
+    """Build+persist the corpus signature state if missing. Runs as a
+    SETUP hook — OUTSIDE _run_one's timing and stage-delta windows.
+    The r08 first cut built it lazily inside the fn: the big side's
+    run-1 then carried a full state build (sec_cold 67 s vs the small
+    side's pre-existing state at 4.4 s), its shuffle bytes averaged
+    into the ratio, and its block-manager debris taxed run 2 — an
+    asymmetric contamination of exactly the measurement the entry
+    exists to make."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from nycdb_k8s_loader_spark.operators.dedup import dedup_signature_state
+
+    state_dir = _os.path.join(sf_dir, "_d11_state")
+    if not _os.path.exists(state_dir):
+        docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        dedup_signature_state(corpus).write.mode("overwrite").parquet(
+            state_dir
+        )
+
+
+def _d11_from_state_policy(spark, sf_dir):
+    """incremental_dedup_from_state at policy defaults (round-7 verdict
+    #1 follow-on): the corpus signature state is prebuilt and persisted
+    by the SETUP hook (production publishes it once per corpus
+    refresh), so the measurement is the batch probe alone — the cost a
+    continuous-ingestion loop actually pays per increment. Banding
+    resolves from the state's meta row. NOTE for the wall gate: the
+    probe's per-doc minhash work grows with the state's bands_for
+    parameterization (sf1 corpus → 9 hashes, sf3 → 16), so the
+    designed wall ratio on a ×3 step is ~×3·(16/9) ≈ ×5.3 — inside
+    the 2× gate (6.0) but by intent, not slack."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from nycdb_k8s_loader_spark.operators.dedup import (
+        incremental_dedup_from_state,
+    )
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    state = spark.read.parquet(_os.path.join(sf_dir, "_d11_state"))
+    return incremental_dedup_from_state(state, batch, threshold=0.7)
+
+
 EXTRA = {
     "d12_semantic_dedup_scaled_k": _d12_scaled_k,
     "d12_semantic_dedup_scaled_k_2level": _d12_scaled_k_two_level,
@@ -226,8 +275,16 @@ EXTRA = {
     "d03_policy_bands": _d03_policy_bands,
     "d09_policy_default": _d09_policy_default,
     "d11_policy_default": _d11_policy_default,
+    "d11_from_state_policy": _d11_from_state_policy,
     "d09_fuzzy_dedup_scaled_bands": _d09_scaled_bands,
     "d11_incremental_scaled_bands": _d11_scaled_bands,
+}
+
+# untimed per-query preparation (persisted states etc.) — runs before
+# _run_one for BOTH dirs so neither side's measurement carries a
+# one-time build
+SETUP = {
+    "d11_from_state_policy": _d11_state_setup,
 }
 
 
@@ -402,6 +459,9 @@ def main() -> None:
     nonlinear = []
     for name in names:
         fn = EXTRA.get(name) or qs[name]
+        if name in SETUP:
+            SETUP[name](spark, args.small)
+            SETUP[name](spark, args.big)
         small = _run_one(spark, fn, args.small)
         big = _run_one(spark, fn, args.big)
         ratio = round(big["sec"] / max(small["sec"], 1e-9), 2)
@@ -425,7 +485,11 @@ def main() -> None:
             ),
         }
         out["queries"][name] = rec
-        if not rec["linear"] and name in HEAVY:
+        # EVERY measured entry feeds the verdict — the r08 first cut
+        # let EXTRA policy probes fail `linear` while the top level
+        # still printed scales_linearly:true (evidence contradicting
+        # its own verdict, the exact r7-judge failure mode).
+        if not rec["linear"]:
             nonlinear.append(name)
         print(
             f"# {name}: {small['sec']}s -> {big['sec']}s "
