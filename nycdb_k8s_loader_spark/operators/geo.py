@@ -354,6 +354,170 @@ def polygon_intersection_join(
     return b.join(F.broadcast(a), cond, "inner").drop(*hidden)
 
 
+# --- polygon clipping + area: geometry ALGEBRA, still pure expressions -------
+
+
+def ring_area(verts: Column) -> Column:
+    """Unsigned shoelace area of a ring (closed — last vertex repeats
+    the first — or open; the wraparound edge is supplied explicitly so
+    a duplicated closing vertex just contributes a zero-length edge).
+    One zip_with + aggregate, codegen'd, O(vertices) per row. Rings
+    with fewer than 3 vertices have area 0."""
+    n = F.size(verts)
+    nxt = F.concat(F.slice(verts, 2, n - 1), F.slice(verts, 1, 1))
+    twice = F.aggregate(
+        F.zip_with(
+            verts, nxt,
+            lambda a, b: a["x"] * b["y"] - b["x"] * a["y"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(n < 3, F.lit(0.0)).otherwise(F.abs(twice) / 2.0)
+
+
+def _ccw(verts: Column) -> Column:
+    """Ring oriented counter-clockwise (signed shoelace > 0), else
+    reversed — WKT in the wild ships both windings and the clip's
+    inside-test assumes CCW."""
+    n = F.size(verts)
+    nxt = F.concat(F.slice(verts, 2, n - 1), F.slice(verts, 1, 1))
+    signed = F.aggregate(
+        F.zip_with(
+            verts, nxt,
+            lambda a, b: a["x"] * b["y"] - b["x"] * a["y"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(signed < 0, F.reverse(verts)).otherwise(verts)
+
+
+def convex_clip_ring(subject: Column, clip: Column) -> Column:
+    """Sutherland–Hodgman polygon clipping as ONE Catalyst expression:
+    the subject ring (any simple polygon) clipped to a CONVEX clip
+    ring, returning the intersection's vertex ring (open; empty array
+    when disjoint). The classic algorithm is a fold over the clip's
+    edges — expressed here as F.aggregate(clip_edges, subject, ...)
+    whose merge rebuilds the ring with one zip_with over
+    (prev-vertex, vertex) pairs emitting 0–2 points each (inside
+    vertex kept, boundary crossings add the intersection point) and a
+    flatten. Everything stays JVM-side codegen: no UDF, no shuffle,
+    no geometry library — the 100 TB shape is 'clip a billion parcels
+    by broadcast district rings' as a map-only stage.
+
+    Both rings may arrive closed (WKT duplicate last vertex) and in
+    either winding; they are opened and CCW-normalized here. Vertices
+    exactly ON a clip edge count as inside (>= 0), so shared
+    boundaries degrade to zero-area slivers rather than flipping
+    verdicts. Convexity of the CLIP side is the algorithm's standard
+    precondition (district/boundary rings in this domain are
+    rectangles or convex simplifications; general concave∩concave is
+    the documented Sedona path)."""
+
+    def open_ring(r):
+        n = F.size(r)
+        first, last = r[0], F.element_at(r, -1)
+        closed = (first["x"] == last["x"]) & (first["y"] == last["y"])
+        return F.when(closed, F.slice(r, 1, n - 1)).otherwise(r)
+
+    subj = _ccw(open_ring(subject))
+    clp = _ccw(open_ring(clip))
+    clip_edges = F.zip_with(
+        clp,
+        F.concat(F.slice(clp, 2, F.size(clp) - 1), F.slice(clp, 1, 1)),
+        lambda u, v: F.struct(
+            u["x"].alias("x1"), u["y"].alias("y1"),
+            v["x"].alias("x2"), v["y"].alias("y2"),
+        ),
+    )
+
+    def signed_dist(e, v):
+        # > 0 strictly left of directed edge (inside for CCW rings)
+        return (e["x2"] - e["x1"]) * (v["y"] - e["y1"]) - (
+            e["y2"] - e["y1"]
+        ) * (v["x"] - e["x1"])
+
+    def clip_one(acc, e):
+        n = F.size(acc)
+        prev = F.concat(F.slice(acc, n, 1), F.slice(acc, 1, n - 1))
+
+        def emit(s, p):
+            ds, dp = signed_dist(e, s), signed_dist(e, p)
+            t = ds / (ds - dp)  # only used when signs differ strictly
+            inter = F.struct(
+                (s["x"] + t * (p["x"] - s["x"])).alias("x"),
+                (s["y"] + t * (p["y"] - s["y"])).alias("y"),
+            )
+            return (
+                F.when(
+                    (dp >= 0) & (ds >= 0), F.array(p)
+                )
+                .when((dp >= 0) & (ds < 0), F.array(inter, p))
+                .when((dp < 0) & (ds >= 0), F.array(inter))
+                .otherwise(F.slice(acc, 1, 0))
+            )
+
+        return F.when(n < 3, F.slice(acc, 1, 0)).otherwise(
+            F.flatten(F.zip_with(prev, acc, emit))
+        )
+
+    return F.aggregate(clip_edges, subj, clip_one)
+
+
+def polygon_clip_area_join(
+    polys: DataFrame,
+    clips: DataFrame,
+    wkt_col: str = "geom_wkt",
+    clip_wkt_col: str = "clip_wkt",
+    area_col: str = "clip_area",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """For every (polygon, convex clip) pair with positive-area
+    overlap: all columns of both frames plus ``area_col`` = the
+    intersection area (Sutherland–Hodgman clip + shoelace). The clip
+    side broadcasts parsed; a strict bbox-overlap pregate keeps the
+    clip fold off non-candidates, and the area > 0 filter drops
+    touching-only pairs. Column sets must be disjoint. ``round_dp``
+    rounds the area (cross-engine float hygiene for oracle compares);
+    None keeps raw doubles."""
+    overlap = set(polys.columns) & set(clips.columns)
+    if overlap:
+        raise ValueError(f"rename overlapping columns first: {overlap}")
+
+    def with_parsed(df, wkt, vcol):
+        verts = parse_wkt_polygon(wkt)
+        xs = F.transform(verts, lambda p: p["x"])
+        ys = F.transform(verts, lambda p: p["y"])
+        return df.select(
+            "*",
+            verts.alias(vcol),
+            F.array_min(xs).alias(f"{vcol}_x0"),
+            F.array_max(xs).alias(f"{vcol}_x1"),
+            F.array_min(ys).alias(f"{vcol}_y0"),
+            F.array_max(ys).alias(f"{vcol}_y1"),
+        )
+
+    p = with_parsed(polys, wkt_col, "__vp")
+    c = with_parsed(clips, clip_wkt_col, "__vc")
+    bbox = (
+        (F.col("__vp_x0") < F.col("__vc_x1"))
+        & (F.col("__vc_x0") < F.col("__vp_x1"))
+        & (F.col("__vp_y0") < F.col("__vc_y1"))
+        & (F.col("__vc_y0") < F.col("__vp_y1"))
+    )
+    area = ring_area(convex_clip_ring(F.col("__vp"), F.col("__vc")))
+    if round_dp is not None:
+        area = F.round(area, round_dp)
+    hidden = [x for x in p.columns + c.columns if x.startswith("__v")]
+    return (
+        p.join(F.broadcast(c), bbox, "inner")
+        .withColumn(area_col, area)
+        .filter(F.col(area_col) > 0)
+        .drop(*hidden)
+    )
+
+
 def tag_points_with_polygons(
     points: DataFrame,
     polygons: DataFrame,

@@ -977,3 +977,102 @@ def bigram_fluency(
         F.count("*").alias("n_bigrams"),
         (F.round(F.avg("nlp"), 4) + F.lit(0.0)).alias("avg_neg_logprob"),
     )
+
+
+def url_domain_filter(
+    df: DataFrame,
+    blocked_domains: DataFrame | None = None,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    blocked_words: tuple[str, ...] = ("casino", "pills", "xxx"),
+    max_url_len: int = 160,
+    max_host_digit_frac: float = 0.30,
+    max_path_depth: int = 8,
+) -> DataFrame:
+    """URL/domain-level curation — the stage web pipelines (C4,
+    RefinedWeb §3.1) run BEFORE fetching or scoring any text: a page
+    is dropped on its address alone. Per row: the normalized host,
+    the registered domain (last two dot-labels — the blocklist key),
+    the URL-shape signals (length, path depth, digit fraction of the
+    host, blocked-word hit), each rule's verdict, and ``keep``.
+
+    100 TB shape: everything is a codegen'd projection over the scan
+    except the blocklist test — one BROADCAST left join on the
+    registered domain (blocklists are metadata-scale: even the
+    industry-size ~5M-domain lists are a few hundred MB, inside the
+    broadcast budget of any real executor; beyond that the same join
+    runs shuffle-hash). No Python, no shuffle of the corpus.
+
+    ``blocked_domains``: one-column (``domain``) frame of registered
+    domains; None means no blocklist (signal false). Word scan is a
+    substring test on the lowercased URL — RE2-safe, identical in the
+    DuckDB oracle.
+    """
+    url = F.lower(F.col(url_col))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1),
+            r"^www\.", "",
+        ),
+        r":[0-9]+$", "",
+    )
+    path = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    reg_domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    host_digits = F.length(F.regexp_replace(host, r"[^0-9]", ""))
+    digit_frac = F.try_divide(host_digits, F.length(host))
+    # path depth = non-empty segments
+    depth = F.size(
+        F.filter(F.split(path, "/"), lambda s: s != "")
+    )
+    word_hit = F.lit(False)
+    for w in blocked_words:
+        word_hit = word_hit | url.contains(w)
+
+    staged = df.select(
+        F.col(id_col),
+        F.col(url_col),
+        host.alias("host"),
+        reg_domain.alias("registered_domain"),
+        F.length(url).cast("long").alias("url_len"),
+        depth.cast("long").alias("path_depth"),
+        F.round(digit_frac, 4).alias("host_digit_frac"),
+        word_hit.alias("blocked_word"),
+    )
+    if blocked_domains is not None:
+        bl = blocked_domains.select(
+            F.lower(F.col("domain")).alias("registered_domain"),
+            F.lit(True).alias("__blocked"),
+        ).distinct()
+        staged = staged.join(
+            F.broadcast(bl), "registered_domain", "left"
+        ).withColumn("blocked_domain", F.coalesce("__blocked", F.lit(False))
+        ).drop("__blocked")
+    else:
+        staged = staged.withColumn("blocked_domain", F.lit(False))
+
+    ok_len = F.col("url_len") <= max_url_len
+    ok_depth = F.col("path_depth") <= max_path_depth
+    ok_digits = F.coalesce(
+        F.col("host_digit_frac") <= max_host_digit_frac, F.lit(False)
+    )
+    keep = (
+        ok_len
+        & ok_depth
+        & ok_digits
+        & ~F.col("blocked_word")
+        & ~F.col("blocked_domain")
+    )
+    return staged.select(
+        id_col,
+        "host",
+        "registered_domain",
+        "url_len",
+        "path_depth",
+        "host_digit_frac",
+        "blocked_word",
+        "blocked_domain",
+        ok_len.alias("ok_url_len"),
+        ok_depth.alias("ok_path_depth"),
+        ok_digits.alias("ok_host_digits"),
+        keep.alias("keep"),
+    )

@@ -455,3 +455,95 @@ def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_memory_stream(
         spark, gopher_quality_rules(stream), "st11", "append"
     )
+
+
+# t22: the URL expression is ONE shared SQL snippet evaluated by both
+# engines (Spark F.expr and the DuckDB oracle) so the fixture can't
+# drift; every rule of url_domain_filter has a doc_id residue class
+# that trips it, with wide margins off each threshold.
+_T22_URL_SQL = """
+    'https://' ||
+    CASE WHEN doc_id % 11 = 0 THEN 'cdn.badsite.example'
+         WHEN doc_id % 17 = 0
+             THEN 'u' || CAST(doc_id % 10 AS STRING)
+                      || '1234567.example.net'
+         ELSE 'www.site' || CAST(doc_id % 7 AS STRING)
+                  || '.example.org' END
+    || '/docs/' || CAST(doc_id % 31 AS STRING)
+    || CASE WHEN doc_id % 13 = 0 THEN '/casino/promo' ELSE '' END
+    || CASE WHEN doc_id % 19 = 0 THEN repeat('/sub', 12) ELSE '' END
+    || CASE WHEN doc_id % 29 = 0 THEN '?q=' || repeat('x', 150)
+            ELSE '' END
+"""
+
+
+@register(
+    "t22_url_domain_filter",
+    f"""
+    WITH urls AS (
+        SELECT doc_id, lower({_T22_URL_SQL}) AS url FROM documents
+    ),
+    parsed AS (
+        SELECT doc_id, url,
+               regexp_replace(regexp_replace(
+                   regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+                   '^www\\.', ''), ':[0-9]+$', '') AS host,
+               regexp_extract(url,
+                   '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path
+        FROM urls
+    ),
+    sig AS (
+        SELECT doc_id, host,
+               regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                   AS registered_domain,
+               length(url)::BIGINT AS url_len,
+               len(list_filter(string_split(path, '/'),
+                               s -> s <> ''))::BIGINT AS path_depth,
+               ROUND(length(regexp_replace(host, '[^0-9]', '', 'g'))
+                         ::DOUBLE / length(host), 4) AS host_digit_frac,
+               (url LIKE '%casino%' OR url LIKE '%pills%'
+                   OR url LIKE '%xxx%') AS blocked_word,
+               regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                   IN ('badsite.example') AS blocked_domain
+        FROM parsed
+    )
+    SELECT doc_id, host, registered_domain, url_len, path_depth,
+           host_digit_frac, blocked_word, blocked_domain,
+           url_len <= 160 AS ok_url_len,
+           path_depth <= 8 AS ok_path_depth,
+           host_digit_frac <= 0.30 AS ok_host_digits,
+           (url_len <= 160 AND path_depth <= 8
+               AND host_digit_frac <= 0.30
+               AND NOT blocked_word AND NOT blocked_domain) AS keep
+    FROM sig
+    """,
+    doc="URL/domain-level curation (C4, RefinedWeb §3.1) — the web- "
+        "pipeline stage that drops a page on its ADDRESS alone, "
+        "before any text is fetched or scored: normalized host, "
+        "registered domain, URL-shape signals (length, path depth, "
+        "host digit fraction, blocked-word substring), a broadcast "
+        "domain-blocklist join, per-rule verdicts and keep. "
+        "Everything is a codegen'd projection over the scan except "
+        "the blocklist test — one broadcast left join on the "
+        "registered domain (blocklists are metadata-scale); the "
+        "corpus never shuffles. The URL fixture is one shared SQL "
+        "snippet evaluated by BOTH engines, with a doc_id residue "
+        "class tripping each rule at wide margins. "
+        "operators/textops.py url_domain_filter.",
+    tags=("text", "quality", "pipeline"),
+)
+def t22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from nycdb_k8s_loader_spark.operators.textops import (
+        url_domain_filter,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_T22_URL_SQL).alias("url")
+    )
+    blocklist = spark.createDataFrame(
+        [("badsite.example",)], "domain string"
+    )
+    return url_domain_filter(docs, blocked_domains=blocklist)

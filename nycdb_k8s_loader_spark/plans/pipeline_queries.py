@@ -2241,18 +2241,30 @@ assert "d11_incremental_dedup" in _Q, "d13 reuses d11's oracle text"
     tags=("dedup", "pipeline", "incremental", "engine"),
 )
 def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.dedup import (
+        incremental_dedup_from_state,
+    )
+
+    batch = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 1)
+    state = _d11_pinned_state(spark, sf_dir)
+    return incremental_dedup_from_state(
+        state, batch, threshold=0.7, num_hashes=8, bands=4, shingles=3
+    )
+
+
+def _d11_pinned_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The even-doc_id corpus's dedup signature state at the pinned
+    8/4/3 oracle parameterization, persisted to a per-(sf_dir, mtime)
+    tmp table once and read back — shared by d13 (batch probe) and
+    st12 (streaming probe)."""
     import hashlib
     import os
     import re as _re
 
     from nycdb_k8s_loader_spark.operators.dedup import (
         dedup_signature_state,
-        incremental_dedup_from_state,
     )
 
-    docs = _docs(spark, sf_dir)
-    corpus = docs.filter(F.col("doc_id") % 2 == 0)
-    batch = docs.filter(F.col("doc_id") % 2 == 1)
     src = os.path.join(sf_dir, "documents.parquet")
     sig = hashlib.md5(
         f"{sf_dir}:{os.path.getmtime(src)}".encode()
@@ -2263,15 +2275,13 @@ def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
         + f"_{sig}"
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        corpus = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
         # explicit 8/4 pins the oracle parameterization (the operator
         # default is now the corpus-size-aware bands_for policy)
         dedup_signature_state(
             corpus, num_hashes=8, bands=4, shingles=3
         ).write.mode("overwrite").parquet(path)
-    state = spark.read.parquet(path)
-    return incremental_dedup_from_state(
-        state, batch, threshold=0.7, num_hashes=8, bands=4, shingles=3
-    )
+    return spark.read.parquet(path)
 
 
 @register(
@@ -2463,3 +2473,77 @@ def d14(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") % 2 == 0)
     batch = emb.filter(F.col("vec_id") % 2 == 1)
     return incremental_semantic_dedup(corpus, batch, k=8, threshold=0.45)
+
+
+@register(
+    "st12_streaming_incremental_dedup",
+    _Q["d11_incremental_dedup"].oracle,
+    doc="d13's persisted-state probe run as a STREAM — continuous-"
+        "ingestion dedup inline in the ingest path instead of a "
+        "nightly batch: incoming docs arrive as a file stream, each "
+        "micro-batch probes the published signature state through "
+        "incremental_dedup_from_state inside foreachBatch (a micro-"
+        "batch is a batch frame, so the probe's joins/distinct need "
+        "no streaming state store), and verdicts publish through the "
+        "idempotent versioned upsert sink keyed by doc_id — "
+        "checkpoint replays of an at-least-once stream can't "
+        "duplicate rows. Verdicts are split-invariant by "
+        "construction (the state is fixed and intra-batch dups are "
+        "out of the probe's contract), so the availableNow pass "
+        "equals the batch twin — hence d11's shared oracle. "
+        "streaming/pipeline.py foreach_batch_upsert + "
+        "operators/dedup.py incremental_dedup_from_state.",
+    tags=("streaming", "dedup", "incremental", "pipeline"),
+)
+def st12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    from nycdb_k8s_loader_spark.operators.dedup import (
+        incremental_dedup_from_state,
+    )
+    from nycdb_k8s_loader_spark.streaming.pipeline import (
+        foreach_batch_upsert,
+        read_upsert_sink,
+        state_sized_shuffle,
+    )
+
+    state = _d11_pinned_state(spark, sf_dir)
+    schema = _docs(spark, sf_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 2 == 1)
+    )
+    import os as _os
+
+    # mtime in the key: a regenerated source dir must not replay an
+    # old checkpoint/sink (the stream would consume zero files and
+    # hand back stale verdicts)
+    mtime = _os.path.getmtime(_os.path.join(sf_dir, "documents.parquet"))
+    digest = hashlib.md5(f"{sf_dir}:{mtime}".encode()).hexdigest()[:8]
+    tmp = f"{tempfile.gettempdir()}/spark_graft_st12_{digest}"
+    upsert = foreach_batch_upsert(f"{tmp}/sink", ["doc_id"])
+
+    def probe(mb, batch_id):
+        upsert(
+            incremental_dedup_from_state(
+                state, mb, threshold=0.7,
+                num_hashes=8, bands=4, shingles=3,
+            ),
+            batch_id,
+        )
+
+    with state_sized_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(probe)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return read_upsert_sink(spark, f"{tmp}/sink").select(
+        "doc_id", "verdict"
+    )

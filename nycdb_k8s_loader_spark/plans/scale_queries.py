@@ -516,6 +516,19 @@ def geo05(spark: SparkSession, sf_dir: str) -> DataFrame:
         polygon_intersection_join,
     )
 
+    districts, lots = _district_lot_fixture(spark, sf_dir)
+    return polygon_intersection_join(
+        districts, lots, wkt_a="district_wkt", wkt_b="lot_wkt"
+    ).select("c_custkey", "ntacode")
+
+
+def _district_lot_fixture(spark, sf_dir):
+    """Shared geo05/geo06 WKT fixture: nation → 8-unit integer-bound
+    district squares on a 10-unit grid; customer → 1.5-unit lot
+    squares at .25 offsets (quarter-aligned coordinates are exact in
+    binary floating point, so clip arithmetic is reproducible
+    cross-engine)."""
+
     def rect_wkt(sx0, sy0, sx1, sy1):
         return F.concat(
             F.lit("POLYGON (("),
@@ -549,6 +562,58 @@ def geo05(spark: SparkSession, sf_dir: str) -> DataFrame:
             (lx0 + 1.5).cast("string"), (ly0 + 1.5).cast("string"),
         ).alias("lot_wkt"),
     )
-    return polygon_intersection_join(
-        districts, lots, wkt_a="district_wkt", wkt_b="lot_wkt"
-    ).select("c_custkey", "ntacode")
+    return districts, lots
+
+
+@register(
+    "geo06_polygon_clip_area",
+    """
+    WITH rect AS (
+        SELECT 'NTA' || n_nationkey AS ntacode,
+               (n_nationkey % 5) * 10 AS x0,
+               (n_nationkey % 5) * 10 + 8 AS x1,
+               (n_nationkey // 5) * 10 AS y0,
+               (n_nationkey // 5) * 10 + 8 AS y1
+        FROM nation
+    ),
+    lot AS (
+        SELECT c_custkey,
+               (c_custkey % 50) + 0.25 AS x0,
+               (c_custkey % 50) + 1.75 AS x1,
+               ((c_custkey * 7) % 50) + 0.25 AS y0,
+               ((c_custkey * 7) % 50) + 1.75 AS y1
+        FROM customer
+    )
+    SELECT l.c_custkey, r.ntacode,
+           ROUND((LEAST(l.x1, r.x1) - GREATEST(l.x0, r.x0)) *
+                 (LEAST(l.y1, r.y1) - GREATEST(l.y0, r.y0)), 6)
+               AS clip_area
+    FROM lot l
+    JOIN rect r
+      ON l.x0 < r.x1 AND r.x0 < l.x1 AND l.y0 < r.y1 AND r.y0 < l.y1
+    """,
+    doc="Polygon intersection AREA — geometry algebra, not just the "
+        "geo05 predicate: every lot ring is CLIPPED to each "
+        "bbox-overlapping district ring with Sutherland–Hodgman "
+        "expressed as one Catalyst fold (F.aggregate over the convex "
+        "clip's edges; each step rebuilds the ring via zip_with + "
+        "flatten), then measured with a shoelace aggregate "
+        "(operators/geo.py convex_clip_ring/ring_area) — no UDF, no "
+        "geometry library, clip rings broadcast, the lot side never "
+        "shuffles (a billion-parcel clip is a map-only stage). The "
+        "oracle states rect∩rect area as bounds arithmetic — an "
+        "independent decision procedure for the general clip on "
+        "axis-aligned fixtures (the general path is unit-tested on "
+        "triangles/diamonds/CW rings); quarter-aligned coordinates "
+        "make both engines' doubles exact, area rounded 6dp.",
+    tags=("geo", "join"),
+)
+def geo06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.geo import (
+        polygon_clip_area_join,
+    )
+
+    districts, lots = _district_lot_fixture(spark, sf_dir)
+    return polygon_clip_area_join(
+        lots, districts, wkt_col="lot_wkt", clip_wkt_col="district_wkt"
+    ).select("c_custkey", "ntacode", "clip_area")

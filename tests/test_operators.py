@@ -3165,3 +3165,169 @@ class TestIncrementalSemanticState:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "corpus_emb" not in plan
+
+
+class TestConvexClipArea:
+    """geo06's machinery: Sutherland–Hodgman convex clip + shoelace
+    area as pure expressions. Hand-computed geometry; the catalog
+    entry carries the rectangle-algebra oracle."""
+
+    def _area(self, spark, subject_wkt, clip_wkt):
+        from nycdb_k8s_loader_spark.operators.geo import (
+            convex_clip_ring,
+            parse_wkt_polygon,
+            ring_area,
+        )
+
+        df = spark.createDataFrame(
+            [(subject_wkt, clip_wkt)], "ws string, wc string"
+        )
+        return df.select(
+            ring_area(
+                convex_clip_ring(
+                    parse_wkt_polygon("ws"), parse_wkt_polygon("wc")
+                )
+            ).alias("a")
+        ).collect()[0]["a"]
+
+    def test_rect_rect_overlap(self, spark):
+        a = self._area(
+            spark,
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+            "POLYGON ((8 4, 14 4, 14 6, 8 6, 8 4))",
+        )
+        assert abs(a - 4.0) < 1e-9  # [8,10] x [4,6]
+
+    def test_subject_inside_clip(self, spark):
+        a = self._area(
+            spark,
+            "POLYGON ((2 2, 3 2, 3 3, 2 3, 2 2))",
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+        )
+        assert abs(a - 1.0) < 1e-9
+
+    def test_clip_inside_subject(self, spark):
+        a = self._area(
+            spark,
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+            "POLYGON ((2 2, 3 2, 3 3, 2 3, 2 2))",
+        )
+        assert abs(a - 1.0) < 1e-9
+
+    def test_triangle_clipped_by_halfplane_rect(self, spark):
+        # triangle (0,0)(10,0)(5,9) ∩ [0,10]x[0,4.5] = trapezoid
+        # (0,0)(10,0)(7.5,4.5)(2.5,4.5), area (10+5)/2 * 4.5 = 33.75
+        a = self._area(
+            spark,
+            "POLYGON ((0 0, 10 0, 5 9, 0 0))",
+            "POLYGON ((0 0, 10 0, 10 4.5, 0 4.5, 0 0))",
+        )
+        assert abs(a - 33.75) < 1e-9
+
+    def test_disjoint_is_zero(self, spark):
+        a = self._area(
+            spark,
+            "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+            "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))",
+        )
+        assert a == 0.0
+
+    def test_winding_normalized(self, spark):
+        # both rings CLOCKWISE: same intersection as CCW
+        a = self._area(
+            spark,
+            "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0))",
+            "POLYGON ((8 4, 8 6, 14 6, 14 4, 8 4))",
+        )
+        assert abs(a - 4.0) < 1e-9
+
+    def test_join_filters_positive_and_broadcasts(self, spark):
+        from nycdb_k8s_loader_spark.operators.geo import (
+            polygon_clip_area_join,
+        )
+
+        polys = spark.createDataFrame(
+            [
+                (1, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+                (2, "POLYGON ((50 50, 51 50, 51 51, 50 51, 50 50))"),
+            ],
+            "pid int, geom_wkt string",
+        )
+        clips = spark.createDataFrame(
+            [(7, "POLYGON ((1 1, 5 1, 5 5, 1 5, 1 1))")],
+            "cid int, clip_wkt string",
+        )
+        out = polygon_clip_area_join(polys, clips)
+        rows = {(r["pid"], r["cid"]): r["clip_area"] for r in out.collect()}
+        assert rows == {(1, 7): 1.0}  # [1,2]^2 overlap; poly 2 dropped
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+
+
+class TestUrlDomainFilter:
+    def test_signals_and_blocklist(self, spark):
+        from nycdb_k8s_loader_spark.operators.textops import (
+            url_domain_filter,
+        )
+
+        rows = [
+            (1, "https://www.good.example.org/a/b"),
+            (2, "HTTPS://cdn.badsite.example:443/x"),       # blocked dom
+            (3, "https://u91234567.example.net/d"),          # digit host
+            (4, "https://ok.example.org/casino/x"),          # word
+            (5, "https://deep.example.org" + "/s" * 12),     # depth
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        bl = spark.createDataFrame([("badsite.example",)], "domain string")
+        out = {
+            r["doc_id"]: r
+            for r in url_domain_filter(df, blocked_domains=bl).collect()
+        }
+        assert out[1]["keep"] is True
+        assert out[1]["registered_domain"] == "example.org"
+        assert out[1]["host"] == "good.example.org"  # www stripped
+        assert out[2]["blocked_domain"] is True      # scheme-case + port
+        assert out[2]["host"] == "cdn.badsite.example"
+        assert out[3]["ok_host_digits"] is False
+        assert out[4]["blocked_word"] is True
+        assert out[5]["ok_path_depth"] is False
+        assert all(
+            not out[i]["keep"] for i in (2, 3, 4, 5)
+        )
+
+    def test_no_blocklist_means_signal_false(self, spark):
+        from nycdb_k8s_loader_spark.operators.textops import (
+            url_domain_filter,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "https://x.badsite.example/a")], "doc_id long, url string"
+        )
+        r = url_domain_filter(df).collect()[0]
+        assert r["blocked_domain"] is False and r["keep"] is True
+
+
+class TestStreamingIncrementalDedup:
+    def test_st12_equals_d13(self, spark):
+        """Mode-independence: the streaming probe's verdicts equal the
+        batch twin's at the same state and data."""
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        qs = queries()
+        sf = "/root/testdata/sf0.001"
+        batch = sorted(
+            map(tuple, qs["d13_incremental_dedup_from_state"](spark, sf)
+                .collect())
+        )
+        streamed = sorted(
+            map(tuple, qs["st12_streaming_incremental_dedup"](spark, sf)
+                .collect())
+        )
+        assert batch == streamed
+        # rerun replays nothing and returns the same published rows
+        again = sorted(
+            map(tuple, qs["st12_streaming_incremental_dedup"](spark, sf)
+                .collect())
+        )
+        assert again == streamed

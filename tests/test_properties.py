@@ -577,3 +577,56 @@ def test_hashed_gram_pass_matches_string_pass(spark, pairs, ngram):
         docs, ngram=ngram, min_count=2, hashed_grams=True
     ).collect()))
     assert a == b
+
+
+@given(
+    rects=st.lists(
+        st.tuples(
+            st.integers(0, 60), st.integers(0, 60),   # subject x0, y0 (quarters)
+            st.integers(1, 30), st.integers(1, 30),   # subject w, h
+            st.integers(0, 60), st.integers(0, 60),   # clip x0, y0
+            st.integers(1, 30), st.integers(1, 30),   # clip w, h
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_convex_clip_area_matches_rect_algebra(spark, rects):
+    """geo06's Sutherland–Hodgman fold, checked against an
+    independent decision procedure on arbitrary quarter-aligned
+    axis-aligned rectangles (exact in doubles): clip area ==
+    max(0, overlap_w) * max(0, overlap_h) — including touching
+    edges (zero area), containment, and identity."""
+    from nycdb_k8s_loader_spark.operators.geo import (
+        convex_clip_ring,
+        parse_wkt_polygon,
+        ring_area,
+    )
+
+    def wkt(x0, y0, w, h):
+        x0, y0, w, h = x0 / 4, y0 / 4, w / 4, h / 4
+        x1, y1 = x0 + w, y0 + h
+        return (f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, "
+                f"{x0} {y1}, {x0} {y0}))")
+
+    rows, want = [], []
+    for i, (sx, sy, sw, sh, cx, cy, cw, ch) in enumerate(rects):
+        rows.append((i, wkt(sx, sy, sw, sh), wkt(cx, cy, cw, ch)))
+        ow = max(0.0, min(sx + sw, cx + cw) / 4 - max(sx, cx) / 4)
+        oh = max(0.0, min(sy + sh, cy + ch) / 4 - max(sy, cy) / 4)
+        want.append((i, ow * oh))
+    df = spark.createDataFrame(rows, "i long, ws string, wc string")
+    got = sorted(
+        (r["i"], r["a"])
+        for r in df.select(
+            "i",
+            ring_area(
+                convex_clip_ring(
+                    parse_wkt_polygon("ws"), parse_wkt_polygon("wc")
+                )
+            ).alias("a"),
+        ).collect()
+    )
+    assert [(i, round(a, 9)) for i, a in got] == sorted(want)
