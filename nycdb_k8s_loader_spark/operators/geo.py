@@ -509,10 +509,22 @@ def polygon_clip_area_join(
     area = ring_area(convex_clip_ring(F.col("__vp"), F.col("__vc")))
     if round_dp is not None:
         area = F.round(area, round_dp)
+    # Pushdown BARRIER, load-bearing: without it Catalyst pushes the
+    # `area > 0` filter into the nested-loop join condition and
+    # PREPENDS it, so the (interpreted-HOF, ~10³-node) clip fold runs
+    # for EVERY (poly, clip) pair BEFORE the bbox test prunes —
+    # measured as a full-CPU stall at sf3 (11M folds instead of
+    # ~600k). spark_partition_id() is marked non-deterministic, which
+    # (a) stops PushPredicateThroughJoin from moving the filter below
+    # this projection and (b) stops CollapseProject from inlining the
+    # fold into the condition — the join stays bbox-only and the fold
+    # evaluates once per bbox-surviving row. The value is always
+    # `area` (partition ids are never negative).
+    fenced_area = F.when(F.spark_partition_id() >= 0, area)
     hidden = [x for x in p.columns + c.columns if x.startswith("__v")]
     return (
         p.join(F.broadcast(c), bbox, "inner")
-        .withColumn(area_col, area)
+        .withColumn(area_col, fenced_area)
         .filter(F.col(area_col) > 0)
         .drop(*hidden)
     )
