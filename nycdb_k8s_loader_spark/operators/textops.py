@@ -1076,3 +1076,64 @@ def url_domain_filter(
         ok_digits.alias("ok_host_digits"),
         keep.alias("keep"),
     )
+
+
+def linear_quality_scores(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText-style LINEAR quality-classifier inference — the
+    model-based filter stage of web pipelines (CCNet/LLaMA wiki-ref
+    classifiers, RefinedWeb quality heads): score every document with
+    a published bag-of-words linear model and keep positives. This is
+    the inference half; training happens offline — the model arrives
+    as a table, like any other published artifact.
+
+    ``weights``: (word string, weight int) — integer weights (tenths)
+    keep the whole chain exact: score = Σ weight over the doc's
+    tokens (with repetition, out-of-vocab = 0) is an int64 SUM —
+    order-independent, map-side combinable, bit-identical
+    cross-engine (the s11 fixed-point rule; a float dot product here
+    would be sum-order lottery). keep = score > 0 on docs with
+    tokens; zero-token docs keep=false (the t17 junk-doc lesson).
+
+    100 TB shape: ONE explode + broadcast weight join + one
+    map-side-combined SUM shuffle keyed by doc id — vocab tables are
+    metadata-scale (even 1M-word models are a few MB). Docs that
+    explode to nothing re-enter via the left join from the id spine,
+    so the filter is total. For web-scale vocab, hash words to
+    buckets first (the t19 hashed-feature pattern) and key weights by
+    bucket — same plan, 8-byte join keys.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), " "),
+                lambda w: w != "",
+            )
+        ).alias("word"),
+    )
+    w = weights.select("word", F.col("weight").cast("long").alias("__wt"))
+    agg = (
+        toks.join(F.broadcast(w), "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce("__wt", F.lit(0))).alias("score_tenths"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("score_tenths", F.lit(0)).alias("score_tenths"),
+            (
+                F.coalesce(F.col("score_tenths") > 0, F.lit(False))
+            ).alias("keep"),
+        )
+    )

@@ -547,3 +547,72 @@ def t22(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("badsite.example",)], "domain string"
     )
     return url_domain_filter(docs, blocked_domains=blocklist)
+
+
+@register(
+    "t23_linear_quality_classifier",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(trim(text)), ' '),
+                                  x -> x <> '')) AS word
+        FROM documents
+    ),
+    w AS (
+        SELECT word,
+               (length(word) * 7 + ascii(substring(word, 1, 1))) % 21
+                   - 10 AS weight
+        FROM (SELECT DISTINCT word FROM tok)
+    ),
+    agg AS (
+        SELECT t.doc_id,
+               COUNT(*)::BIGINT AS n_tokens,
+               SUM(COALESCE(w.weight, 0))::BIGINT AS score_tenths
+        FROM tok t LEFT JOIN w USING (word)
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens,
+           COALESCE(a.score_tenths, 0)::BIGINT AS score_tenths,
+           COALESCE(a.score_tenths > 0, false) AS keep
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="Model-based quality filtering — fastText-style linear "
+        "classifier INFERENCE (the CCNet/LLaMA wiki-ref stage): each "
+        "doc scored by a published bag-of-words weight table, keep = "
+        "positive score. Integer weights make the score an exact "
+        "int64 SUM (order-independent, map-side combinable — the s11 "
+        "fixed-point rule; a float dot product would be sum-order "
+        "lottery); one explode + broadcast vocab join + one combined "
+        "SUM shuffle; zero-token docs re-enter via the id spine with "
+        "keep=false. The fixture 'model' derives each word's weight "
+        "from its own characters ((len*7 + ascii(first)) % 21 - 10) "
+        "so BOTH engines materialize identical weights without "
+        "shipping a file. operators/textops.py linear_quality_scores.",
+    tags=("text", "quality", "pipeline"),
+)
+def t23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from nycdb_k8s_loader_spark.operators.textops import (
+        linear_quality_scores,
+    )
+
+    docs = _docs(spark, sf_dir)
+    vocab = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), " "),
+                lambda w: w != "",
+            )
+        ).alias("word")
+    ).distinct()
+    weights = vocab.select(
+        "word",
+        (
+            (F.length("word") * 7 + F.ascii(F.substring("word", 1, 1)))
+            % 21
+            - 10
+        ).alias("weight"),
+    )
+    return linear_quality_scores(docs, weights)

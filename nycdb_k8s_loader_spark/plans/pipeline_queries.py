@@ -2547,3 +2547,98 @@ def st12(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_upsert_sink(spark, f"{tmp}/sink").select(
         "doc_id", "verdict"
     )
+
+
+def _d14_pinned_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The even-vec_id corpus's SEMANTIC dedup state (k=8, full-corpus
+    Lloyd — d14's oracle-replayable parameterization), persisted per
+    (sf_dir, mtime) and read back — shared by st13's streaming probe."""
+    import hashlib
+    import os
+    import re as _re
+
+    from nycdb_k8s_loader_spark.operators.similarity import (
+        semantic_dedup_state,
+    )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    sig = hashlib.md5(
+        f"{sf_dir}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    path = (
+        "/tmp/semdedup_state_"
+        + _re.sub(r"\W+", "_", sf_dir).strip("_")
+        + f"_{sig}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        corpus = _emb(spark, sf_dir).filter(F.col("vec_id") % 2 == 0)
+        semantic_dedup_state(corpus, k=8).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
+@register(
+    "st13_streaming_semantic_dedup",
+    _Q["d14_incremental_semantic_dedup"].oracle,
+    doc="d14's persisted-centroid probe run as a STREAM — embedding "
+        "near-dup filtering inline in the ingest path: incoming "
+        "vectors arrive as a file stream, each micro-batch assigns "
+        "against the published centroid table and probes members "
+        "through incremental_semantic_dedup_from_state inside "
+        "foreachBatch, verdicts publishing through the idempotent "
+        "versioned upsert sink keyed by vec_id. Verdicts are "
+        "split-invariant (fixed state, intra-batch dups out of "
+        "contract) so the availableNow pass equals the batch twin — "
+        "d14's shared oracle. With st12 this closes the symmetry: "
+        "BOTH dedup planes (lexical signatures, embedding clusters) "
+        "run batch or streaming off the same published state.",
+    tags=("streaming", "dedup", "incremental", "embedding"),
+)
+def st13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os as _os
+    import tempfile
+
+    from nycdb_k8s_loader_spark.operators.similarity import (
+        incremental_semantic_dedup_from_state,
+    )
+    from nycdb_k8s_loader_spark.streaming.pipeline import (
+        foreach_batch_upsert,
+        read_upsert_sink,
+        state_sized_shuffle,
+    )
+
+    state = _d14_pinned_state(spark, sf_dir)
+    schema = _emb(spark, sf_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("vec_id") % 2 == 1)
+    )
+    mtime = _os.path.getmtime(_os.path.join(sf_dir, "embeddings.parquet"))
+    digest = hashlib.md5(f"{sf_dir}:{mtime}".encode()).hexdigest()[:8]
+    tmp = f"{tempfile.gettempdir()}/spark_graft_st13_{digest}"
+    upsert = foreach_batch_upsert(f"{tmp}/sink", ["vec_id"])
+
+    def probe(mb, batch_id):
+        upsert(
+            incremental_semantic_dedup_from_state(
+                state, mb, threshold=0.45
+            ),
+            batch_id,
+        )
+
+    with state_sized_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(probe)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return read_upsert_sink(spark, f"{tmp}/sink").select(
+        "vec_id", "cluster_id", "is_kept"
+    )

@@ -3331,3 +3331,32 @@ class TestStreamingIncrementalDedup:
                 .collect())
         )
         assert again == streamed
+
+
+class TestLinearQualityScores:
+    def test_scores_and_zero_token_docs(self, spark):
+        from nycdb_k8s_loader_spark.operators.textops import (
+            linear_quality_scores,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "good good text"),
+                (2, ""),            # zero tokens -> keep false, not crash
+                (3, "   "),
+                (4, "bad unknownword"),
+            ],
+            "doc_id long, text string",
+        )
+        weights = spark.createDataFrame(
+            [("good", 5), ("text", 1), ("bad", -7)],
+            "word string, weight int",
+        )
+        out = {r["doc_id"]: r for r in
+               linear_quality_scores(docs, weights).collect()}
+        assert out[1]["score_tenths"] == 11 and out[1]["keep"] is True
+        assert out[1]["n_tokens"] == 3
+        assert out[2]["n_tokens"] == 0 and out[2]["keep"] is False
+        assert out[3]["n_tokens"] == 0 and out[3]["keep"] is False
+        # out-of-vocab contributes 0, doc sinks on the negative weight
+        assert out[4]["score_tenths"] == -7 and out[4]["keep"] is False
