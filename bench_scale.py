@@ -266,6 +266,59 @@ def _d11_from_state_policy(spark, sf_dir):
     return incremental_dedup_from_state(state, batch, threshold=0.7)
 
 
+def _d14_state_setup(spark, sf_dir):
+    """Build+persist the SEMANTIC dedup state (d14) at the scaled-k
+    policy (k = n/EXPECTED_CLUSTER, sampled train, two-level IVF
+    assignment) — outside the timed window, like _d11_state_setup."""
+    import math as _math
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from nycdb_k8s_loader_spark.operators.similarity import (
+        semantic_dedup_state,
+    )
+
+    state_dir = _os.path.join(sf_dir, "_d14_state")
+    if not _os.path.exists(state_dir):
+        emb = spark.read.parquet(
+            _os.path.join(sf_dir, "embeddings.parquet")
+        )
+        corpus = emb.filter(F.col("vec_id") % 2 == 0)
+        n = corpus.count()
+        k = max(8, n // _D12_CLUSTER_ROWS)
+        semantic_dedup_state(
+            corpus, k=k, train_per_centroid=32,
+            coarse_cells=(int(_math.isqrt(k)) if k >= 16 else None),
+        ).write.mode("overwrite").parquet(state_dir)
+
+
+def _d14_from_state_policy(spark, sf_dir):
+    """incremental_semantic_dedup_from_state at the scaled-k policy:
+    the batch probe alone against the prebuilt persisted state
+    (SETUP hook) — the embedding plane's continuous-ingestion cost
+    per increment. Two-level assignment at scaled k keeps the
+    assign stage O(batch * sqrt(k) * dim); the member probe is one
+    shuffle_hash equi-join at ~constant cluster size."""
+    import math as _math
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from nycdb_k8s_loader_spark.operators.similarity import (
+        incremental_semantic_dedup_from_state,
+    )
+
+    emb = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    state = spark.read.parquet(_os.path.join(sf_dir, "_d14_state"))
+    k = state.filter(F.col("kind") == "centroid").count()
+    return incremental_semantic_dedup_from_state(
+        state, batch, threshold=0.45,
+        coarse_cells=(int(_math.isqrt(k)) if k >= 16 else None),
+    )
+
+
 EXTRA = {
     "d12_semantic_dedup_scaled_k": _d12_scaled_k,
     "d12_semantic_dedup_scaled_k_2level": _d12_scaled_k_two_level,
@@ -276,6 +329,7 @@ EXTRA = {
     "d09_policy_default": _d09_policy_default,
     "d11_policy_default": _d11_policy_default,
     "d11_from_state_policy": _d11_from_state_policy,
+    "d14_from_state_policy": _d14_from_state_policy,
     "d09_fuzzy_dedup_scaled_bands": _d09_scaled_bands,
     "d11_incremental_scaled_bands": _d11_scaled_bands,
 }
@@ -285,6 +339,7 @@ EXTRA = {
 # one-time build
 SETUP = {
     "d11_from_state_policy": _d11_state_setup,
+    "d14_from_state_policy": _d14_state_setup,
 }
 
 
@@ -440,7 +495,15 @@ def main() -> None:
     qs = queries()
     names = list(HEAVY) + list(EXTRA)
     if args.queries:
-        names = [n for n in names if n in set(args.queries.split(","))]
+        # take requested names verbatim: any catalog entry or EXTRA
+        # probe is measurable, not just the default set (the first
+        # geo06 run silently measured NOTHING because the filter
+        # intersected with HEAVY+EXTRA only)
+        requested = args.queries.split(",")
+        unknown = [n for n in requested if n not in EXTRA and n not in qs]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        names = requested
 
     data_ratio = args.sf_big / args.sf_small
     out: dict = {
