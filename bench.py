@@ -107,6 +107,18 @@ def _await_idle(threshold: float = 1.0, max_wait: float = 120.0) -> dict:
     return meta
 
 
+def _steal_jiffies() -> int:
+    """Hypervisor steal (summed across CPUs) from /proc/stat — the
+    bench_scale channel, recorded per headline query so a divergent
+    two-run pair is self-diagnosing (this box gusts: four same-tree
+    totals in one hour measured 6.36/6.75/7.63/8.09 s; the per-query
+    steal deltas localize which measurements the gust hit)."""
+    try:
+        return int(open("/proc/stat").readline().split()[8])
+    except Exception:  # noqa: BLE001 - non-Linux or unreadable
+        return 0
+
+
 def _calibrate(spark, rounds: int = 5) -> float:
     """Fixed CPU-bound reference job (median of ``rounds``): a
     whole-stage-codegen xxhash64 fold over range(4B), ~1.2 s per
@@ -147,6 +159,10 @@ def _raw_agreement(timings: dict[str, float], against_path: str) -> dict:
     trusted for regression calls."""
     with open(against_path) as f:
         prev = json.load(f)
+    if "queries" not in prev and isinstance(prev.get("parsed"), dict):
+        # the external driver's BENCH_r{N}.json wraps the bench line
+        # in {n, rc, sf, tail, parsed: {...}} — unwrap it
+        prev = prev["parsed"]
     shared = sorted(k for k in timings if k in prev.get("queries", {}))
     if not shared:
         return {"against": against_path, "shared_queries": 0}
@@ -182,13 +198,16 @@ def main(against: str | None = None) -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    steal: dict[str, int] = {}
     for name in HEADLINE:
         runs = []
+        s0 = _steal_jiffies()
         for _ in range(n_runs):
             df = qs[name](spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+        steal[name] = _steal_jiffies() - s0
         cold[name] = round(runs[0], 3)
         steady = runs[1:] if len(runs) > 1 else runs
         timings[name] = round(statistics.median(steady), 3)
@@ -204,6 +223,7 @@ def main(against: str | None = None) -> None:
         "runs_per_query": n_runs,
         "estimator": "median_of_warm_runs",
         "calibration_sec": calibration,
+        "steal_jiffies_per_query": steal,
         "normalized_value": round(total / calibration, 3),
         **load_meta,
     }
