@@ -217,6 +217,19 @@ def _d11_policy_default(spark, sf_dir):
     return incremental_dedup(corpus, batch, threshold=0.7, shingles=3)
 
 
+def _policy_state_dir(sf_dir, table, tag):
+    """State dir keyed by the SOURCE table's mtime, validity gated on
+    _SUCCESS (review finding: a bare exists() check silently measured
+    partial states after a killed setup, and stale states after the
+    data dir was regenerated in place)."""
+    import hashlib as _hashlib
+    import os as _os
+
+    mtime = _os.path.getmtime(_os.path.join(sf_dir, table))
+    sig = _hashlib.md5(f"{mtime}".encode()).hexdigest()[:10]
+    return _os.path.join(sf_dir, f"_{tag}_state_{sig}")
+
+
 def _d11_state_setup(spark, sf_dir):
     """Build+persist the corpus signature state if missing. Runs as a
     SETUP hook — OUTSIDE _run_one's timing and stage-delta windows.
@@ -232,8 +245,8 @@ def _d11_state_setup(spark, sf_dir):
 
     from nycdb_k8s_loader_spark.operators.dedup import dedup_signature_state
 
-    state_dir = _os.path.join(sf_dir, "_d11_state")
-    if not _os.path.exists(state_dir):
+    state_dir = _policy_state_dir(sf_dir, "documents.parquet", "d11")
+    if not _os.path.exists(_os.path.join(state_dir, "_SUCCESS")):
         docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
         corpus = docs.filter(F.col("doc_id") % 2 == 0)
         dedup_signature_state(corpus).write.mode("overwrite").parquet(
@@ -262,7 +275,9 @@ def _d11_from_state_policy(spark, sf_dir):
 
     docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
     batch = docs.filter(F.col("doc_id") % 2 == 1)
-    state = spark.read.parquet(_os.path.join(sf_dir, "_d11_state"))
+    state = spark.read.parquet(
+        _policy_state_dir(sf_dir, "documents.parquet", "d11")
+    )
     return incremental_dedup_from_state(state, batch, threshold=0.7)
 
 
@@ -279,8 +294,8 @@ def _d14_state_setup(spark, sf_dir):
         semantic_dedup_state,
     )
 
-    state_dir = _os.path.join(sf_dir, "_d14_state")
-    if not _os.path.exists(state_dir):
+    state_dir = _policy_state_dir(sf_dir, "embeddings.parquet", "d14")
+    if not _os.path.exists(_os.path.join(state_dir, "_SUCCESS")):
         emb = spark.read.parquet(
             _os.path.join(sf_dir, "embeddings.parquet")
         )
@@ -311,7 +326,9 @@ def _d14_from_state_policy(spark, sf_dir):
 
     emb = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
     batch = emb.filter(F.col("vec_id") % 2 == 1)
-    state = spark.read.parquet(_os.path.join(sf_dir, "_d14_state"))
+    state = spark.read.parquet(
+        _policy_state_dir(sf_dir, "embeddings.parquet", "d14")
+    )
     k = state.filter(F.col("kind") == "centroid").count()
     return incremental_semantic_dedup_from_state(
         state, batch, threshold=0.45,
@@ -351,29 +368,45 @@ def gate_verdict(
     wall_gate_mult: float = 2.0,
     shuffle_gate_mult: float = 1.5,
     steal_clean_jiffies: int = 500,
+    small_steal_jiffies: int = 0,
+    small_shuffle_mb: float | None = None,
+    shuffle_floor_mb: float = 1.0,
 ) -> dict:
     """Structural linearity verdict for one query's scale step.
 
     - ``shuffle_ok``: shuffle-byte growth tracks the data growth
       (≤ shuffle_gate_mult × data_ratio). This is the plan-level
       signal — a candidate set or join that grows superlinearly shows
-      up here regardless of machine weather. None (no shuffle) is ok.
+      up here regardless of machine weather. None (no shuffle) is ok,
+      and so is a small side under ``shuffle_floor_mb`` (a KB-scale
+      constant shuffle's ratio is rounding noise, not a plan signal —
+      review finding: 4 KB→120 KB printed ×12 and failed the run).
     - ``wall_ok``: wall growth ≤ wall_gate_mult × data_ratio.
-    - ``steal_clean``: the big-side measurement ran without a
-      hypervisor-steal spike; when false, wall time is untrustworthy
-      and only the shuffle channel gates.
+    - ``steal_clean``: NEITHER side's measurement hit a hypervisor-
+      steal spike (review finding: a small-side gust deflates
+      time_ratio and can hide a real wall regression just as a
+      big-side gust inflates it); when false, wall time is
+      untrustworthy in an unknown direction and only the shuffle
+      channel gates.
 
     ``linear`` = shuffle_ok AND (wall_ok OR not steal_clean): a ×8
     wall on ×3 data with clean steal can never print linear again
     (the committed r7 d11 row under this gate: shuffle_ok, wall 8.03
     > 6.0, steal clean → linear False).
     """
+    shuffle_measurable = (
+        shuffle_write_ratio is not None
+        and (small_shuffle_mb is None or small_shuffle_mb >= shuffle_floor_mb)
+    )
     shuffle_ok = (
-        shuffle_write_ratio is None
+        not shuffle_measurable
         or shuffle_write_ratio <= shuffle_gate_mult * data_ratio
     )
     wall_ok = time_ratio <= wall_gate_mult * data_ratio
-    steal_clean = big_steal_jiffies <= steal_clean_jiffies
+    steal_clean = (
+        big_steal_jiffies <= steal_clean_jiffies
+        and small_steal_jiffies <= steal_clean_jiffies
+    )
     return {
         "shuffle_ok": shuffle_ok,
         "wall_ok": wall_ok,
@@ -545,6 +578,8 @@ def main() -> None:
                 ratio, sw_ratio, data_ratio, big["steal_jiffies"],
                 args.wall_gate_mult, args.shuffle_gate_mult,
                 args.steal_clean_jiffies,
+                small_steal_jiffies=small["steal_jiffies"],
+                small_shuffle_mb=small["shuffle_write_mb"],
             ),
         }
         out["queries"][name] = rec

@@ -537,40 +537,6 @@ class Engine:
                 )
         return LoadResult(dataset=name, skipped=False, published=published)
 
-    def _binary_parse_fn(self, fmt: str, schema):
-        """parse_fn for the DRIVER-SIDE small-file fast path
-        (run_available_now_staged_binary): materialize each file's
-        bytes to a temp path and hand it to the SAME reader the batch
-        load uses. load_streaming itself uses the executor-side
-        distributed form (_binary_row_parser); this stays for callers
-        with a handful of config-scale workbooks."""
-        import os
-        import tempfile
-
-        from nycdb_k8s_loader_spark.sources.readers import read_excel
-
-        def parse(path: str, content: bytes):
-            suffix = os.path.splitext(path)[1] or ".bin"
-            fd, tmp = tempfile.mkstemp(suffix=suffix)
-            try:
-                with os.fdopen(fd, "wb") as fh:
-                    fh.write(content)
-                if fmt == "excel":
-                    return read_excel(self.spark, tmp, schema)
-                if fmt == "shapefile":
-                    from nycdb_k8s_loader_spark.sources.shapefile import (
-                        read_shapefile_zip,
-                    )
-
-                    return read_shapefile_zip(self.spark, tmp, schema)
-                raise ValueError(
-                    f"no streaming parser for source format {fmt!r}"
-                )
-            finally:
-                os.unlink(tmp)
-
-        return parse
-
     @staticmethod
     def _binary_row_parser(fmt: str, schema):
         """row_parser for the DISTRIBUTED binaryFile stage: a pure

@@ -768,13 +768,20 @@ _HASHED_GRAMS_DOC_THRESHOLD = 50_000
 
 
 def _resolve_hashed_grams(df: DataFrame, hashed_grams: bool | None) -> bool:
-    """Explicit values pass through; None routes by corpus size (one
-    count job, parquet-metadata cheap) — ≥ ~50k docs selects the
-    hashed global-frequency pass, below it the string form (smaller
-    constants, and the cross-engine oracle pin)."""
+    """Explicit values pass through; None routes by corpus size:
+    ≥ ~50k docs selects the hashed global-frequency pass, below it
+    the string form (smaller constants, and the cross-engine oracle
+    pin). The probe asks only "are there ≥ threshold rows?" via a
+    LIMIT-bounded count, never a full count — LocalLimit stops a
+    bare scan at parquet speed, and for DERIVED inputs (filter/join
+    pipelines, where a full count would re-execute the whole upstream
+    plan) it stops as soon as the threshold is reached (review
+    finding: the first cut's df.count() doubled wall time for
+    pipelines whose dominant cost is upstream of the scrub)."""
     if hashed_grams is not None:
         return hashed_grams
-    return df.count() >= _HASHED_GRAMS_DOC_THRESHOLD
+    n = _HASHED_GRAMS_DOC_THRESHOLD
+    return df.limit(n).count() >= n
 
 
 def duplicated_span_starts(

@@ -213,9 +213,9 @@ def point_in_polygon(px: Column, py: Column, verts: Column) -> Column:
     Points exactly ON an edge are boundary-undefined (standard for
     ray casting); callers comparing against an independent oracle must
     keep test points off edges, as geo04 does by construction."""
-    n = F.size(verts)
-    a = F.slice(verts, 1, n - 1)
-    b = F.slice(verts, 2, n - 1)
+    r = _open_ring(verts)
+    a = r
+    b = _rotated(r)
     crossings = F.zip_with(
         a,
         b,
@@ -236,13 +236,46 @@ def point_in_polygon(px: Column, py: Column, verts: Column) -> Column:
     return (total % 2) == 1
 
 
+def _open_ring(r: Column) -> Column:
+    """Strip the WKT duplicate closing vertex if present — every ring
+    consumer here is wraparound-inclusive, so open and closed inputs
+    behave identically (review finding: the first cut silently
+    dropped the last→first edge of an UNclosed ring)."""
+    n = F.size(r)
+    first, last = r[0], F.element_at(r, -1)
+    closed = (first["x"] == last["x"]) & (first["y"] == last["y"])
+    return F.when(closed, F.slice(r, 1, n - 1)).otherwise(r)
+
+
+def _rotated(r: Column) -> Column:
+    """r shifted left by one with wraparound: element i holds r[i+1],
+    last holds r[0] — zip_with(r, _rotated(r)) enumerates every edge
+    of an OPEN ring including the closing edge."""
+    return F.concat(F.slice(r, 2, F.size(r) - 1), F.slice(r, 1, 1))
+
+
+def _signed_shoelace(verts: Column) -> Column:
+    """Signed shoelace sum (2× signed area), wraparound-inclusive —
+    correct for open rings; a closed ring's duplicate vertex only
+    adds a zero term."""
+    return F.aggregate(
+        F.zip_with(
+            verts, _rotated(verts),
+            lambda a, b: a["x"] * b["y"] - b["x"] * a["y"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def _ring_edges(verts: Column) -> Column:
-    """Vertex ring → edge array (struct<x1,y1,x2,y2>) via the
-    shifted-slice zip (same construction as point_in_polygon)."""
-    n = F.size(verts)
+    """Vertex ring → edge array (struct<x1,y1,x2,y2>), wraparound
+    edge included; accepts closed or open rings (opened first, so a
+    closed ring yields the same edge set as before)."""
+    r = _open_ring(verts)
     return F.zip_with(
-        F.slice(verts, 1, n - 1),
-        F.slice(verts, 2, n - 1),
+        r,
+        _rotated(r),
         lambda u, v: F.struct(
             u["x"].alias("x1"),
             u["y"].alias("y1"),
@@ -307,6 +340,34 @@ def polygons_intersect(verts_a: Column, verts_b: Column) -> Column:
     )
 
 
+def _with_bbox(df: DataFrame, wkt: str, vcol: str) -> DataFrame:
+    """Parse a WKT column into a vertex ring plus its bounding box —
+    the shared pregate frame of every polygon join here (the bbox
+    comparisons are the cheap conjunct that must run before any
+    edge/containment/clip expression)."""
+    verts = parse_wkt_polygon(wkt)
+    xs = F.transform(verts, lambda p: p["x"])
+    ys = F.transform(verts, lambda p: p["y"])
+    return df.select(
+        "*",
+        verts.alias(vcol),
+        F.array_min(xs).alias(f"{vcol}_x0"),
+        F.array_max(xs).alias(f"{vcol}_x1"),
+        F.array_min(ys).alias(f"{vcol}_y0"),
+        F.array_max(ys).alias(f"{vcol}_y1"),
+    )
+
+
+def _bbox_overlap(a: str, b: str) -> Column:
+    """Strict bbox overlap between two _with_bbox prefixes."""
+    return (
+        (F.col(f"{a}_x0") < F.col(f"{b}_x1"))
+        & (F.col(f"{b}_x0") < F.col(f"{a}_x1"))
+        & (F.col(f"{a}_y0") < F.col(f"{b}_y1"))
+        & (F.col(f"{b}_y0") < F.col(f"{a}_y1"))
+    )
+
+
 def polygon_intersection_join(
     polys_a: DataFrame,
     polys_b: DataFrame,
@@ -328,27 +389,9 @@ def polygon_intersection_join(
     if overlap:
         raise ValueError(f"rename overlapping columns first: {overlap}")
 
-    def with_parsed(df, wkt, vcol):
-        verts = parse_wkt_polygon(wkt)
-        xs = F.transform(verts, lambda p: p["x"])
-        ys = F.transform(verts, lambda p: p["y"])
-        return df.select(
-            "*",
-            verts.alias(vcol),
-            F.array_min(xs).alias(f"{vcol}_x0"),
-            F.array_max(xs).alias(f"{vcol}_x1"),
-            F.array_min(ys).alias(f"{vcol}_y0"),
-            F.array_max(ys).alias(f"{vcol}_y1"),
-        )
-
-    a = with_parsed(polys_a, wkt_a, "__va")
-    b = with_parsed(polys_b, wkt_b, "__vb")
-    bbox = (
-        (F.col("__va_x0") < F.col("__vb_x1"))
-        & (F.col("__vb_x0") < F.col("__va_x1"))
-        & (F.col("__va_y0") < F.col("__vb_y1"))
-        & (F.col("__vb_y0") < F.col("__va_y1"))
-    )
+    a = _with_bbox(polys_a, wkt_a, "__va")
+    b = _with_bbox(polys_b, wkt_b, "__vb")
+    bbox = _bbox_overlap("__va", "__vb")
     cond = bbox & polygons_intersect(F.col("__va"), F.col("__vb"))
     hidden = [c for c in a.columns + b.columns if c.startswith("__v")]
     return b.join(F.broadcast(a), cond, "inner").drop(*hidden)
@@ -363,34 +406,18 @@ def ring_area(verts: Column) -> Column:
     a duplicated closing vertex just contributes a zero-length edge).
     One zip_with + aggregate, codegen'd, O(vertices) per row. Rings
     with fewer than 3 vertices have area 0."""
-    n = F.size(verts)
-    nxt = F.concat(F.slice(verts, 2, n - 1), F.slice(verts, 1, 1))
-    twice = F.aggregate(
-        F.zip_with(
-            verts, nxt,
-            lambda a, b: a["x"] * b["y"] - b["x"] * a["y"],
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    return F.when(F.size(verts) < 3, F.lit(0.0)).otherwise(
+        F.abs(_signed_shoelace(verts)) / 2.0
     )
-    return F.when(n < 3, F.lit(0.0)).otherwise(F.abs(twice) / 2.0)
 
 
 def _ccw(verts: Column) -> Column:
     """Ring oriented counter-clockwise (signed shoelace > 0), else
     reversed — WKT in the wild ships both windings and the clip's
     inside-test assumes CCW."""
-    n = F.size(verts)
-    nxt = F.concat(F.slice(verts, 2, n - 1), F.slice(verts, 1, 1))
-    signed = F.aggregate(
-        F.zip_with(
-            verts, nxt,
-            lambda a, b: a["x"] * b["y"] - b["x"] * a["y"],
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return F.when(signed < 0, F.reverse(verts)).otherwise(verts)
+    return F.when(
+        _signed_shoelace(verts) < 0, F.reverse(verts)
+    ).otherwise(verts)
 
 
 def convex_clip_ring(subject: Column, clip: Column) -> Column:
@@ -415,22 +442,8 @@ def convex_clip_ring(subject: Column, clip: Column) -> Column:
     rectangles or convex simplifications; general concave∩concave is
     the documented Sedona path)."""
 
-    def open_ring(r):
-        n = F.size(r)
-        first, last = r[0], F.element_at(r, -1)
-        closed = (first["x"] == last["x"]) & (first["y"] == last["y"])
-        return F.when(closed, F.slice(r, 1, n - 1)).otherwise(r)
-
-    subj = _ccw(open_ring(subject))
-    clp = _ccw(open_ring(clip))
-    clip_edges = F.zip_with(
-        clp,
-        F.concat(F.slice(clp, 2, F.size(clp) - 1), F.slice(clp, 1, 1)),
-        lambda u, v: F.struct(
-            u["x"].alias("x1"), u["y"].alias("y1"),
-            v["x"].alias("x2"), v["y"].alias("y2"),
-        ),
-    )
+    subj = _ccw(_open_ring(subject))
+    clip_edges = _ring_edges(_ccw(_open_ring(clip)))
 
     def signed_dist(e, v):
         # > 0 strictly left of directed edge (inside for CCW rings)
@@ -485,27 +498,9 @@ def polygon_clip_area_join(
     if overlap:
         raise ValueError(f"rename overlapping columns first: {overlap}")
 
-    def with_parsed(df, wkt, vcol):
-        verts = parse_wkt_polygon(wkt)
-        xs = F.transform(verts, lambda p: p["x"])
-        ys = F.transform(verts, lambda p: p["y"])
-        return df.select(
-            "*",
-            verts.alias(vcol),
-            F.array_min(xs).alias(f"{vcol}_x0"),
-            F.array_max(xs).alias(f"{vcol}_x1"),
-            F.array_min(ys).alias(f"{vcol}_y0"),
-            F.array_max(ys).alias(f"{vcol}_y1"),
-        )
-
-    p = with_parsed(polys, wkt_col, "__vp")
-    c = with_parsed(clips, clip_wkt_col, "__vc")
-    bbox = (
-        (F.col("__vp_x0") < F.col("__vc_x1"))
-        & (F.col("__vc_x0") < F.col("__vp_x1"))
-        & (F.col("__vp_y0") < F.col("__vc_y1"))
-        & (F.col("__vc_y0") < F.col("__vp_y1"))
-    )
+    p = _with_bbox(polys, wkt_col, "__vp")
+    c = _with_bbox(clips, clip_wkt_col, "__vc")
+    bbox = _bbox_overlap("__vp", "__vc")
     area = ring_area(convex_clip_ring(F.col("__vp"), F.col("__vc")))
     if round_dp is not None:
         area = F.round(area, round_dp)

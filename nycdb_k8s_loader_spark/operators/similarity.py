@@ -38,7 +38,20 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    # try_divide: an all-zero vector has no direction — NULL cosine
+    # (comparisons false, never a match) instead of Spark 4 ANSI's
+    # job-aborting DIVIDE_BY_ZERO (the gopher zero-word lesson).
+    return F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def unit_vec(v: Column) -> Column:
+    """L2-normalize a vector column. All-zero vectors yield an
+    all-NULL array (no direction) via try_divide — downstream dots
+    against NULL compare false, so zero vectors simply never match;
+    a plain `/` would abort the whole job under Spark 4's default
+    ANSI mode (DIVIDE_BY_ZERO), which is fatal for a dedup pass
+    whose input may contain junk embeddings."""
+    return F.transform(v, lambda x: F.try_divide(x, F.sqrt(dot(v, v))))
 
 
 def sign_bucket(vec: Column, n_bits: int = 6) -> Column:
@@ -137,7 +150,8 @@ def cosine_topk(
 
     joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
     cos_r = F.round(
-        dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+        F.try_divide(dot(F.col("qv"), F.col("nv")),
+                     F.col("qn") * F.col("nn")), 6
     )
     scored = joined.select("query_id", "neighbor_id", cos_r.alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(
@@ -189,7 +203,9 @@ def embedding_neardup_pairs(
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = F.try_divide(
+        dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
@@ -392,9 +408,7 @@ def embedding_neardup_pairs_blocked(
     vecs = emb.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
     unit = vecs.select(
         "id",
-        F.transform(
-            "v", lambda x: x / F.sqrt(dot(F.col("v"), F.col("v")))
-        ).alias("u"),
+        unit_vec(F.col("v")).alias("u"),
         F.pmod(F.col("id"), F.lit(n_blocks)).alias("blk"),
     )
     packed = unit.groupBy("blk").agg(
@@ -456,9 +470,7 @@ def embedding_neardup_pairs_bucketed(
     vecs = emb.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
     unit = vecs.select(
         "id",
-        F.transform(
-            "v", lambda x: x / F.sqrt(dot(F.col("v"), F.col("v")))
-        ).alias("u"),
+        unit_vec(F.col("v")).alias("u"),
         sign_bucket(F.col("v"), n_bits).alias("bucket"),
         F.pmod(F.col("id"), F.lit(n_blocks)).alias("blk"),
     )
@@ -706,9 +718,7 @@ def _cluster_blocks(assigned: DataFrame, max_block_rows: int) -> DataFrame:
         .select(
             "cid",
             F.col("vid").alias("id"),
-            F.transform(
-                "v", lambda x: x / F.sqrt(dot(F.col("v"), F.col("v")))
-            ).alias("u"),
+            unit_vec(F.col("v")).alias("u"),
             F.ceil(F.col("n_c") / F.lit(max_block_rows))
             .cast("int")
             .alias("nb"),
@@ -1087,9 +1097,7 @@ def semantic_dedup_state(
         "vid",
         F.lit("member").alias("kind"),
         F.col("cid").cast("int").alias("cid"),
-        F.transform(
-            "v", lambda x: x / F.sqrt(dot(F.col("v"), F.col("v")))
-        ).alias("u"),
+        unit_vec(F.col("v")).alias("u"),
     )
     spark = emb.sparkSession
     vid_type = emb.schema[id_col].dataType
@@ -1156,9 +1164,7 @@ def incremental_semantic_dedup_from_state(
     probe = assigned.select(
         "vid",
         "cid",
-        F.transform(
-            "v", lambda x: x / F.sqrt(dot(F.col("v"), F.col("v")))
-        ).alias("ub"),
+        unit_vec(F.col("v")).alias("ub"),
     )
     members = state.filter(F.col("kind") == "member").select(
         F.col("cid"), F.col("u").alias("um")

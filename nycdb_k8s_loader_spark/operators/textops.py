@@ -1036,7 +1036,11 @@ def url_domain_filter(
         F.length(url).cast("long").alias("url_len"),
         depth.cast("long").alias("path_depth"),
         F.round(digit_frac, 4).alias("host_digit_frac"),
-        word_hit.alias("blocked_word"),
+        # coalesce: a NULL url must yield a total false signal, not a
+        # NULL that silently vanishes from BOTH sides of a downstream
+        # filter(blocked_word) / filter(~blocked_word) split — the
+        # gopher junk-doc rule applied to junk rows
+        F.coalesce(word_hit, F.lit(False)).alias("blocked_word"),
     )
     if blocked_domains is not None:
         bl = blocked_domains.select(
@@ -1050,8 +1054,12 @@ def url_domain_filter(
     else:
         staged = staged.withColumn("blocked_domain", F.lit(False))
 
-    ok_len = F.col("url_len") <= max_url_len
-    ok_depth = F.col("path_depth") <= max_path_depth
+    # every verdict total (NULL url → false, never NULL): see the
+    # blocked_word coalesce above
+    ok_len = F.coalesce(F.col("url_len") <= max_url_len, F.lit(False))
+    ok_depth = F.coalesce(
+        F.col("path_depth") <= max_path_depth, F.lit(False)
+    )
     ok_digits = F.coalesce(
         F.col("host_digit_frac") <= max_host_digit_frac, F.lit(False)
     )

@@ -114,50 +114,6 @@ def incremental_binary_source(
     return reader.load(landing_dir)
 
 
-def run_available_now_staged_binary(
-    src: DataFrame,
-    staging_dir: str,
-    checkpoint_dir: str,
-    parse_fn,
-) -> None:
-    """:func:`run_available_now_staged` for a binaryFile stream: each
-    micro-batch's files are parsed DRIVER-side (``parse_fn(path,
-    content) -> DataFrame``) and the union lands as the same
-    plain-parquet ``batch-<id>`` staging dirs, so the
-    validate-then-commit / quarantine machinery downstream is format-
-    agnostic. Overwrite-by-batch-id keeps replays idempotent exactly
-    as in the CSV form.
-
-    This is the documented SMALL-FILE FAST PATH (config-scale
-    workbooks, a handful per drop): files stream to the driver one at
-    a time via ``toLocalIterator`` — never a whole-batch ``collect``,
-    so an unbounded backlog cannot materialize in driver memory at
-    once — but the parse itself is still serial on the driver. The
-    production form is
-    :func:`run_available_now_staged_binary_distributed`, which parses
-    on the executors."""
-    import os
-
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = None
-        for r in batch_df.select("path", "content").toLocalIterator():
-            f = parse_fn(r["path"], bytes(r["content"]))
-            out = f if out is None else out.unionByName(f)
-        if out is None:
-            return
-        out.write.mode("overwrite").parquet(
-            os.path.join(staging_dir, f"batch-{batch_id}")
-        )
-
-    q = (
-        src.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-
-
 def run_available_now_staged_binary_distributed(
     src: DataFrame,
     staging_dir: str,

@@ -3277,6 +3277,7 @@ class TestUrlDomainFilter:
             (3, "https://u91234567.example.net/d"),          # digit host
             (4, "https://ok.example.org/casino/x"),          # word
             (5, "https://deep.example.org" + "/s" * 12),     # depth
+            (6, None),                                       # junk row
         ]
         df = spark.createDataFrame(rows, "doc_id long, url string")
         bl = spark.createDataFrame([("badsite.example",)], "domain string")
@@ -3292,8 +3293,13 @@ class TestUrlDomainFilter:
         assert out[3]["ok_host_digits"] is False
         assert out[4]["blocked_word"] is True
         assert out[5]["ok_path_depth"] is False
+        # NULL url: every verdict a total false, never NULL (the
+        # gopher junk-doc rule applied to junk rows)
+        assert out[6]["keep"] is False
+        assert out[6]["blocked_word"] is False
+        assert out[6]["ok_url_len"] is False
         assert all(
-            not out[i]["keep"] for i in (2, 3, 4, 5)
+            not out[i]["keep"] for i in (2, 3, 4, 5, 6)
         )
 
     def test_no_blocklist_means_signal_false(self, spark):
@@ -3360,3 +3366,88 @@ class TestLinearQualityScores:
         assert out[3]["n_tokens"] == 0 and out[3]["keep"] is False
         # out-of-vocab contributes 0, doc sinks on the negative weight
         assert out[4]["score_tenths"] == -7 and out[4]["keep"] is False
+
+
+class TestZeroVectorSafety:
+    def test_zero_embedding_never_aborts_or_matches(self, spark):
+        """Spark 4 ANSI turns x/0 into a job-aborting exception even
+        for doubles; a dedup pass must survive junk (all-zero)
+        embeddings — they normalize to NULL direction and never
+        match anything (review finding, round 8)."""
+        import math
+
+        from nycdb_k8s_loader_spark.operators.similarity import (
+            cosine_topk,
+            incremental_semantic_dedup,
+        )
+
+        def unit(seed, dim=8):
+            raw = [((seed * 31 + i * 17) % 97) / 97.0 - 0.5
+                   for i in range(dim)]
+            n = math.sqrt(sum(x * x for x in raw))
+            return [x / n for x in raw]
+
+        corpus = spark.createDataFrame(
+            [(i, unit(i)) for i in range(0, 20, 2)]
+            + [(98, [0.0] * 8)],                      # junk in corpus
+            "vec_id long, embedding array<double>",
+        )
+        batch = spark.createDataFrame(
+            [(101, unit(2)), (103, [0.0] * 8)],       # junk in batch
+            "vec_id long, embedding array<double>",
+        )
+        out = {r["vec_id"]: r["is_kept"]
+               for r in incremental_semantic_dedup(
+                   corpus, batch, k=4, threshold=0.95
+               ).collect()}
+        assert out[101] is False       # planted dup still caught
+        assert out[103] is True        # zero vector matches nothing
+        # brute-force top-k with a zero query/candidate must not abort
+        tk = cosine_topk(corpus, query_ids=[0, 98], k=3)
+        assert tk.count() > 0
+
+
+class TestUnclosedRings:
+    def test_unclosed_rings_behave_like_closed(self, spark):
+        """Every ring consumer is wraparound-inclusive (review
+        finding): WKT without the duplicate closing vertex must give
+        the same intersection verdicts, containment, and areas."""
+        from nycdb_k8s_loader_spark.operators.geo import (
+            convex_clip_ring,
+            parse_wkt_polygon,
+            point_in_polygon,
+            polygons_intersect,
+            ring_area,
+        )
+
+        tri_closed = "POLYGON ((0 0, 10 0, 5 9, 0 0))"
+        tri_open = "POLYGON ((0 0, 10 0, 5 9))"
+        # crosses ONLY the closing (5 9)->(0 0) edge of the triangle
+        # and contains neither first vertex
+        crosser = "POLYGON ((1 4, 3 4, 3 6, 1 6, 1 4))"
+        df = spark.createDataFrame(
+            [(tri_closed, tri_open, crosser)],
+            "wc string, wo string, wx string",
+        )
+        row = df.select(
+            polygons_intersect(
+                parse_wkt_polygon("wc"), parse_wkt_polygon("wx")
+            ).alias("closed_hit"),
+            polygons_intersect(
+                parse_wkt_polygon("wo"), parse_wkt_polygon("wx")
+            ).alias("open_hit"),
+            point_in_polygon(
+                F.lit(5.0), F.lit(3.0), parse_wkt_polygon("wo")
+            ).alias("open_contains"),
+            ring_area(parse_wkt_polygon("wo")).alias("open_area"),
+            ring_area(
+                convex_clip_ring(
+                    parse_wkt_polygon("wo"), parse_wkt_polygon("wx")
+                )
+            ).alias("open_clip_area"),
+        ).collect()[0]
+        assert row["closed_hit"] is True
+        assert row["open_hit"] is True          # was False pre-fix
+        assert row["open_contains"] is True
+        assert abs(row["open_area"] - 45.0) < 1e-9
+        assert row["open_clip_area"] > 0.0
