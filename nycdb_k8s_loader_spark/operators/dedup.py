@@ -773,11 +773,15 @@ def _resolve_hashed_grams(df: DataFrame, hashed_grams: bool | None) -> bool:
     the string form (smaller constants, and the cross-engine oracle
     pin). The probe asks only "are there ≥ threshold rows?" via a
     LIMIT-bounded count, never a full count — LocalLimit stops a
-    bare scan at parquet speed, and for DERIVED inputs (filter/join
-    pipelines, where a full count would re-execute the whole upstream
-    plan) it stops as soon as the threshold is reached (review
-    finding: the first cut's df.count() doubled wall time for
-    pipelines whose dominant cost is upstream of the scrub)."""
+    bare scan at parquet speed (review finding: the first cut's
+    df.count() doubled wall time for pipelines whose dominant cost
+    is upstream of the scrub). CAVEAT (round-8 ADVICE): the
+    early-stop only prunes the FINAL stage — if the input plan
+    contains a shuffle (join/aggregate upstream), its map stages
+    still run in full before LocalLimit can stop anything, so the
+    default-None path pays one extra execution of the upstream plan.
+    Pipelines with heavy derived inputs should pin ``hashed_grams``
+    explicitly or probe a cached/checkpointed input."""
     if hashed_grams is not None:
         return hashed_grams
     n = _HASHED_GRAMS_DOC_THRESHOLD

@@ -250,8 +250,19 @@ def _open_ring(r: Column) -> Column:
 def _rotated(r: Column) -> Column:
     """r shifted left by one with wraparound: element i holds r[i+1],
     last holds r[0] — zip_with(r, _rotated(r)) enumerates every edge
-    of an OPEN ring including the closing edge."""
-    return F.concat(F.slice(r, 2, F.size(r) - 1), F.slice(r, 1, 1))
+    of an OPEN ring including the closing edge.
+
+    Rings with fewer than 2 vertices return unchanged: a 1-vertex
+    'closed' junk ring collapses to EMPTY in _open_ring and the
+    slice length would go negative — a runtime abort on junk WKT,
+    against the repo's junk-row philosophy (round-8 ADVICE). The
+    when-guard keeps every consumer (parity, shoelace, edge lists)
+    a degenerate no-op instead: empty zip_with → 0 crossings / 0
+    area / no edges."""
+    n = F.size(r)
+    return F.when(n < 2, r).otherwise(
+        F.concat(F.slice(r, 2, n - 1), F.slice(r, 1, 1))
+    )
 
 
 def _signed_shoelace(verts: Column) -> Column:

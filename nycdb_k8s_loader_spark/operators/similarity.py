@@ -1057,7 +1057,17 @@ def semantic_dedup_state(
       actual id type — the d11 meta-row lesson);
     - ``kind='member'``: every corpus vector UNIT-NORMALIZED with its
       cluster assignment — cosine against a member is then one dot
-      product.
+      product;
+    - ``kind='meta'``: ONE self-description row (``u`` = ``[k,
+      coarse_cells, train_per_centroid]`` as doubles, -1 for None;
+      vid/cid NULL) recording the parameterization the state was
+      built with — the d11 ``dedup_signature_state`` lesson. A probe
+      that assigns a batch through a DIFFERENT coarse/flat path than
+      the stored members can land boundary vectors in different
+      cluster ids and silently miss near-duplicates, so
+      :func:`incremental_semantic_dedup_from_state` resolves
+      ``coarse_cells`` from this row and validates any explicit
+      argument against it.
 
     ``train_per_centroid=None`` (default) trains exactly like the
     oracle-pinned d12 (full-corpus Lloyd, rank seeds) so the
@@ -1110,7 +1120,19 @@ def semantic_dedup_state(
         "cid",
         "u",
     )
-    return members.unionByName(cent_rows)
+    meta = spark.range(1).select(
+        F.lit(None).cast(vid_type).alias("vid"),
+        F.lit("meta").alias("kind"),
+        F.lit(None).cast("int").alias("cid"),
+        F.array(
+            F.lit(float(k)),
+            F.lit(float(coarse_cells if coarse_cells is not None else -1)),
+            F.lit(float(
+                train_per_centroid if train_per_centroid is not None else -1
+            )),
+        ).alias("u"),
+    )
+    return members.unionByName(cent_rows).unionByName(meta)
 
 
 def incremental_semantic_dedup_from_state(
@@ -1129,6 +1151,15 @@ def incremental_semantic_dedup_from_state(
     cosine >= threshold. Intra-batch duplicates are out of scope
     (mirror of incremental_dedup's contract — run semantic_dedup on
     the batch for those); ids must be disjoint across sides.
+
+    ``coarse_cells`` is resolved from the state's own ``kind='meta'``
+    self-description row (one tiny collect): the batch MUST assign
+    through the same flat/two-level path the stored members did, or
+    boundary vectors land in different cluster ids than their stored
+    near-duplicates and the probe silently under-reports. An explicit
+    argument on a meta-bearing state is VALIDATED against the
+    recorded value (contradiction raises); meta-less legacy states
+    fall back to the explicit argument as before.
 
     100 TB shape: centroids come off the state as ONE metadata-scale
     collect (k×dim doubles); batch assignment is the same map-side
@@ -1154,6 +1185,22 @@ def incremental_semantic_dedup_from_state(
         )
     cents = [list(r["u"]) for r in cent_rows]
     k = len(cents)
+    meta_rows = (
+        state.filter(F.col("kind") == "meta").select("u").limit(2).collect()
+    )
+    if len(meta_rows) == 1:
+        rec = int(meta_rows[0]["u"][1])
+        recorded = None if rec < 0 else rec
+        if coarse_cells is not None and coarse_cells != recorded:
+            raise ValueError(
+                "incremental_semantic_dedup_from_state: explicit "
+                f"coarse_cells={coarse_cells} contradicts the state's "
+                f"recorded coarse_cells={recorded} — assigning the "
+                "batch through a different flat/two-level path than "
+                "the stored members silently misses near-duplicates; "
+                "drop the argument or rebuild the state"
+            )
+        coarse_cells = recorded
     vecs = batch.select(
         F.col(id_col).alias("vid"), as_double_vec(vec_col).alias("v")
     )

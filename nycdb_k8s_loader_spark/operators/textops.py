@@ -979,6 +979,28 @@ def bigram_fluency(
     )
 
 
+# Common MULTI-PART public suffixes: a host ending in one of these
+# needs THREE labels to name a registrant (example.co.uk), so the
+# naive last-two-labels rule would key the blocklist on the suffix
+# itself — a 'co.uk' entry blocking every UK company (round-8
+# ADVICE). This is the high-traffic subset of the Mozilla Public
+# Suffix List, inlined as a literal so the extraction stays a pure
+# codegen'd expression (no join); pass the FULL PSL via
+# ``multi_part_suffixes`` for exhaustive ccTLD coverage — it is a
+# ~5k-entry IN-list, still expression-sized.
+COMMON_MULTI_PART_SUFFIXES: tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "sch.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "net.nz", "org.nz",
+    "co.in", "net.in", "org.in", "ac.in", "gov.in",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+    "co.za", "co.kr", "or.kr", "com.my", "com.sa", "com.eg",
+)
+
+
 def url_domain_filter(
     df: DataFrame,
     blocked_domains: DataFrame | None = None,
@@ -988,13 +1010,18 @@ def url_domain_filter(
     max_url_len: int = 160,
     max_host_digit_frac: float = 0.30,
     max_path_depth: int = 8,
+    multi_part_suffixes: tuple[str, ...] = COMMON_MULTI_PART_SUFFIXES,
 ) -> DataFrame:
     """URL/domain-level curation — the stage web pipelines (C4,
     RefinedWeb §3.1) run BEFORE fetching or scoring any text: a page
     is dropped on its address alone. Per row: the normalized host,
-    the registered domain (last two dot-labels — the blocklist key),
-    the URL-shape signals (length, path depth, digit fraction of the
-    host, blocked-word hit), each rule's verdict, and ``keep``.
+    the registered domain (the blocklist key: last two dot-labels,
+    or last THREE when the two-label tail is a known multi-part
+    public suffix — example.co.uk keys as 'example.co.uk', not
+    'co.uk'; see :data:`COMMON_MULTI_PART_SUFFIXES` and pass the
+    full PSL for exhaustive ccTLD coverage), the URL-shape signals
+    (length, path depth, digit fraction of the host, blocked-word
+    hit), each rule's verdict, and ``keep``.
 
     100 TB shape: everything is a codegen'd projection over the scan
     except the blocklist test — one BROADCAST left join on the
@@ -1017,7 +1044,14 @@ def url_domain_filter(
         r":[0-9]+$", "",
     )
     path = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
-    reg_domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    if multi_part_suffixes:
+        reg_domain = F.when(
+            last2.isin(*multi_part_suffixes) & (last3 != ""), last3
+        ).otherwise(last2)
+    else:
+        reg_domain = last2
     host_digits = F.length(F.regexp_replace(host, r"[^0-9]", ""))
     digit_frac = F.try_divide(host_digits, F.length(host))
     # path depth = non-empty segments
@@ -1124,7 +1158,15 @@ def linear_quality_scores(
             )
         ).alias("word"),
     )
-    w = weights.select("word", F.col("weight").cast("long").alias("__wt"))
+    # aggregate weights per word BEFORE the join: a repeated word in
+    # a published weights frame would otherwise fan out the left join,
+    # double-counting that word's score AND inflating n_tokens
+    # (round-8 ADVICE; url_domain_filter .distinct()s its blocklist
+    # for the same reason). SUM is the deterministic merge a linear
+    # model with duplicated feature rows means mathematically.
+    w = weights.groupBy("word").agg(
+        F.sum(F.col("weight").cast("long")).alias("__wt")
+    )
     agg = (
         toks.join(F.broadcast(w), "word", "left")
         .groupBy(id_col)

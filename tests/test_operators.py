@@ -1203,6 +1203,53 @@ class TestWktPointInPolygon:
             (0.0, 0.0), (10.0, 0.0), (10.0, 5.0), (0.0, 5.0), (0.0, 0.0),
         ]
 
+    def test_degenerate_rings_are_false_not_abort(self, spark):
+        """Junk WKT (1- or 2-vertex 'rings') must yield containment
+        false and area 0, never a negative-slice runtime abort: a
+        1-vertex ring is trivially 'closed' so _open_ring collapses
+        it to EMPTY and the old rotate slice went length -1
+        (round-8 ADVICE). Junk rows degrade, jobs never die."""
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.operators.geo import (
+            parse_wkt_polygon,
+            point_in_polygon,
+            polygons_intersect,
+            ring_area,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "POLYGON ((2 2, 2 2))"),       # 1 distinct vertex
+                (2, "POLYGON ((0 0, 4 4))"),        # 2-vertex segment
+                (3, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),  # real
+            ],
+            "pid long, wkt string",
+        )
+        square = parse_wkt_polygon(
+            F.lit("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")
+        )
+        out = {
+            r["pid"]: r
+            for r in df.select(
+                "pid",
+                point_in_polygon(
+                    F.lit(2.0), F.lit(2.0), parse_wkt_polygon("wkt")
+                ).alias("contains"),
+                ring_area(parse_wkt_polygon("wkt")).alias("area"),
+                polygons_intersect(
+                    parse_wkt_polygon("wkt"), square
+                ).alias("isect"),
+            ).collect()
+        }
+        assert out[1]["contains"] is False and out[1]["area"] == 0.0
+        assert out[2]["contains"] is False and out[2]["area"] == 0.0
+        assert out[3]["contains"] is True and out[3]["area"] == 16.0
+        assert out[3]["isect"] is True
+        # degenerate vs real: the predicate degrades to the
+        # containment test of the surviving representative vertex
+        assert out[1]["isect"] is True   # point (2,2) inside square
+
 
 class TestFilteredAnn:
     def test_candidate_filter_semantics_and_pushdown(self, spark):
@@ -3130,7 +3177,11 @@ class TestIncrementalSemanticState:
             r["kind"]: r["count"]
             for r in st.groupBy("kind").count().collect()
         }
-        assert kinds == {"member": 20, "centroid": 4}
+        assert kinds == {"member": 20, "centroid": 4, "meta": 1}
+        meta_u = (
+            st.filter("kind = 'meta'").select("u").collect()[0]["u"]
+        )
+        assert meta_u == [4.0, -1.0, -1.0]  # k, coarse_cells, train
         # members are unit-normalized
         from pyspark.sql import functions as F
 
@@ -3165,6 +3216,38 @@ class TestIncrementalSemanticState:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "corpus_emb" not in plan
+
+    def test_meta_resolves_and_validates_coarse_cells(self, spark):
+        """The probe assigns through the SAME flat/two-level path the
+        state was built with (resolved from the kind='meta' row); an
+        explicit contradiction raises instead of silently missing
+        boundary near-duplicates (round-8 ADVICE, similarity.py)."""
+        import pytest as _pytest
+
+        from nycdb_k8s_loader_spark.operators.similarity import (
+            incremental_semantic_dedup_from_state,
+            semantic_dedup_state,
+        )
+
+        corpus, batch = self._frames(spark)
+        st2 = semantic_dedup_state(corpus, k=4, coarse_cells=2)
+        meta_u = (
+            st2.filter("kind = 'meta'").select("u").collect()[0]["u"]
+        )
+        assert meta_u[1] == 2.0
+        # default None resolves to the recorded 2 (no raise, verdicts
+        # match an explicit agreeing probe)
+        v_default = sorted(map(tuple, incremental_semantic_dedup_from_state(
+            st2, batch, threshold=0.95
+        ).collect()))
+        v_explicit = sorted(map(tuple, incremental_semantic_dedup_from_state(
+            st2, batch, threshold=0.95, coarse_cells=2
+        ).collect()))
+        assert v_default == v_explicit
+        with _pytest.raises(ValueError, match="contradicts"):
+            incremental_semantic_dedup_from_state(
+                st2, batch, threshold=0.95, coarse_cells=3
+            ).collect()
 
 
 class TestConvexClipArea:
@@ -3313,6 +3396,38 @@ class TestUrlDomainFilter:
         r = url_domain_filter(df).collect()[0]
         assert r["blocked_domain"] is False and r["keep"] is True
 
+    def test_multi_part_public_suffix(self, spark):
+        """example.co.uk keys as 'example.co.uk', not 'co.uk' — a
+        blocklist entry can target the site, and listing a bare
+        suffix no longer blanket-blocks a ccTLD (round-8 ADVICE)."""
+        from nycdb_k8s_loader_spark.operators.textops import (
+            url_domain_filter,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://www.example.co.uk/a"),
+                (2, "https://shop.other.co.uk/b"),
+                (3, "https://plain.example.org/c"),
+                (4, "https://co.uk/d"),  # bare suffix host: last3 empty
+            ],
+            "doc_id long, url string",
+        )
+        bl = spark.createDataFrame(
+            [("example.co.uk",), ("co.uk",)], "domain string"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in url_domain_filter(df, blocked_domains=bl).collect()
+        }
+        assert out[1]["registered_domain"] == "example.co.uk"
+        assert out[1]["blocked_domain"] is True
+        assert out[2]["registered_domain"] == "other.co.uk"
+        assert out[2]["blocked_domain"] is False  # suffix entry inert
+        assert out[3]["registered_domain"] == "example.org"
+        # a host that IS the bare suffix falls back to last-2
+        assert out[4]["registered_domain"] == "co.uk"
+
 
 class TestStreamingIncrementalDedup:
     def test_st12_equals_d13(self, spark):
@@ -3366,6 +3481,25 @@ class TestLinearQualityScores:
         assert out[3]["n_tokens"] == 0 and out[3]["keep"] is False
         # out-of-vocab contributes 0, doc sinks on the negative weight
         assert out[4]["score_tenths"] == -7 and out[4]["keep"] is False
+
+    def test_duplicate_weight_rows_never_fan_out(self, spark):
+        """A repeated word in the published weights frame must not
+        fan out the token join — n_tokens stays the true token count
+        and the duplicate weights merge additively (round-8 ADVICE)."""
+        from nycdb_k8s_loader_spark.operators.textops import (
+            linear_quality_scores,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "good good text")], "doc_id long, text string"
+        )
+        weights = spark.createDataFrame(
+            [("good", 5), ("good", 2), ("text", 1)],
+            "word string, weight int",
+        )
+        r = linear_quality_scores(docs, weights).collect()[0]
+        assert r["n_tokens"] == 3            # not 5 (no fan-out)
+        assert r["score_tenths"] == 15       # (5+2)*2 + 1
 
 
 class TestZeroVectorSafety:
