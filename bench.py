@@ -68,6 +68,9 @@ HEADLINE = [
     "s09_filtered_ann",
     "t13_exact_substring_scrub",
     "c06_corpus_shuffle",
+    # round-9: the composed end-to-end curation pipeline — the one
+    # entry that exercises stage-boundary materialization cost
+    "c07_curation_pipeline_e2e",
 ]
 
 
@@ -203,8 +206,14 @@ def main(against: str | None = None) -> None:
         runs = []
         s0 = _steal_jiffies()
         for _ in range(n_runs):
-            df = qs[name](spark, sf_dir)
+            # t0 BEFORE the builder: operators with eager build-time
+            # work (iterative CC's convergence loop, c07's stage-
+            # boundary checkpoints) must be measured, not just their
+            # final-join replay — the old post-build t0 undercounted
+            # d09-class entries (round-9 honesty fix; lazy entries
+            # gain only plan-construction ms)
             t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         steal[name] = _steal_jiffies() - s0

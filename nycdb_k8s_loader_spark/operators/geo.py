@@ -194,11 +194,18 @@ def parse_wkt_polygon(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     inner = F.regexp_extract(c, r"\(\(\s*([^()]*?)\s*\)\)", 1)
     pairs = F.split(inner, r"\s*,\s*")
+    # try_cast + get(): junk WKT (no ring match → empty extract → ''
+    # tokens, or a pair with one token) must parse to NULL
+    # coordinates, not abort the job under Spark 4's default ANSI
+    # cast/index semantics (the junk-row philosophy; downstream bbox
+    # NULLs then drop the row from every join)
     return F.transform(
         pairs,
         lambda p: F.struct(
-            F.split(F.trim(p), r"\s+")[0].cast("double").alias("x"),
-            F.split(F.trim(p), r"\s+")[1].cast("double").alias("y"),
+            F.get(F.split(F.trim(p), r"\s+"), 0)
+            .try_cast("double").alias("x"),
+            F.get(F.split(F.trim(p), r"\s+"), 1)
+            .try_cast("double").alias("y"),
         ),
     )
 
@@ -408,6 +415,128 @@ def polygon_intersection_join(
     return b.join(F.broadcast(a), cond, "inner").drop(*hidden)
 
 
+def polygon_intersection_join_binned(
+    polys_a: DataFrame,
+    polys_b: DataFrame,
+    wkt_a: str = "geom_wkt",
+    wkt_b: str = "geom_wkt",
+    cell_deg: float | None = None,
+) -> DataFrame:
+    """Inner-join TWO DATA-SCALE polygon sets on spatial intersection
+    — the join :func:`polygon_intersection_join` refuses (it requires
+    a broadcastable side). The grid-cell-residual pattern its
+    docstring promised, packaged:
+
+    1. each ring explodes to every grid cell its BBOX overlaps
+       (``explode(sequence(floor(x0/cell), floor(x1/cell)))`` twice —
+       pure expressions, ≤ ``ceil(bbox/cell + 1)²`` rows per ring);
+    2. the join is an EQUI-join on ``(cell_x, cell_y)`` — one shuffle
+       of each side keyed by cell, explicitly ``shuffle_hash``-hinted
+       (both frames are derived from scans, so Catalyst's inherited
+       sizeInBytes would happily broadcast a billion-ring side — the
+       d11 derived-size trap);
+    3. candidates pass the strict bbox overlap AND the CANONICAL-CELL
+       rule — a pair is evaluated only in the single cell containing
+       the top-left corner of its bbox intersection
+       (``floor(greatest(ax0, bx0)/cell)``), so cross-cell duplicate
+       hits are impossible BY CONSTRUCTION: no distinct, no second
+       shuffle (the standard PBSM/Sedona dedup trick);
+    4. the exact :func:`polygons_intersect` predicate runs residually
+       behind a ``spark_partition_id()`` pushdown barrier, so the
+       expensive nested-HOF fold can never be prepended ahead of the
+       cheap bbox/canonical conjuncts (the geo06 lesson).
+
+    ``cell_deg=None`` derives the cell edge as the LARGEST bbox
+    dimension across both sides (two metadata-scale aggregates): with
+    edge ≥ every bbox, a ring lands in at most 4 cells and candidate
+    volume tracks local density. One continent-sized outlier ring
+    inflates every cell — pass an explicit ``cell_deg`` sized to the
+    TYPICAL ring instead (outliers then fan out to more cells, which
+    is linear in their bbox area, the right trade). Skewed hot cells
+    (a dense city) salt exactly like radius_self_join documents.
+
+    Column sets must be disjoint (rename first). Junk WKT that parses
+    to a NULL bbox never enters the join (sequence(NULL) explodes to
+    nothing) — inner-join semantics for unparseable rings.
+    """
+    overlap = set(polys_a.columns) & set(polys_b.columns)
+    if overlap:
+        raise ValueError(f"rename overlapping columns first: {overlap}")
+
+    a = _with_bbox(polys_a, wkt_a, "__va")
+    b = _with_bbox(polys_b, wkt_b, "__vb")
+
+    if cell_deg is None:
+        def max_dim(df: DataFrame, p: str) -> float | None:
+            return df.agg(
+                F.max(
+                    F.greatest(
+                        F.col(f"{p}_x1") - F.col(f"{p}_x0"),
+                        F.col(f"{p}_y1") - F.col(f"{p}_y0"),
+                    )
+                )
+            ).collect()[0][0]
+
+        dims = [d for d in (max_dim(a, "__va"), max_dim(b, "__vb"))
+                if d is not None]
+        if not dims:
+            raise ValueError(
+                "polygon_intersection_join_binned: no parseable rings "
+                "on either side — cannot derive cell_deg"
+            )
+        cell_deg = max(max(dims), 1e-9)
+    cell = F.lit(float(cell_deg))
+
+    def binned(df: DataFrame, p: str) -> DataFrame:
+        return df.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"{p}_x0") / cell),
+                    F.floor(F.col(f"{p}_x1") / cell),
+                )
+            ).alias(f"{p}_cx"),
+        ).select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"{p}_y0") / cell),
+                    F.floor(F.col(f"{p}_y1") / cell),
+                )
+            ).alias(f"{p}_cy"),
+        )
+
+    ab, bb = binned(a, "__va"), binned(b, "__vb")
+    joined = ab.hint("shuffle_hash").join(
+        bb,
+        (F.col("__va_cx") == F.col("__vb_cx"))
+        & (F.col("__va_cy") == F.col("__vb_cy")),
+        "inner",
+    )
+    canonical = (
+        F.col("__va_cx")
+        == F.floor(F.greatest("__va_x0", "__vb_x0") / cell)
+    ) & (
+        F.col("__va_cy")
+        == F.floor(F.greatest("__va_y0", "__vb_y0") / cell)
+    )
+    isect = F.when(
+        F.spark_partition_id() >= 0,
+        polygons_intersect(F.col("__va"), F.col("__vb")),
+    )
+    hidden = [
+        c
+        for c in joined.columns
+        if c.startswith("__va") or c.startswith("__vb")
+    ]
+    return (
+        joined.filter(_bbox_overlap("__va", "__vb") & canonical)
+        .withColumn("__isect", isect)
+        .filter(F.col("__isect"))
+        .drop("__isect", *hidden)
+    )
+
+
 # --- polygon clipping + area: geometry ALGEBRA, still pure expressions -------
 
 
@@ -512,27 +641,33 @@ def polygon_clip_area_join(
     p = _with_bbox(polys, wkt_col, "__vp")
     c = _with_bbox(clips, clip_wkt_col, "__vc")
     bbox = _bbox_overlap("__vp", "__vc")
-    area = ring_area(convex_clip_ring(F.col("__vp"), F.col("__vc")))
+    # Pushdown BARRIER, load-bearing twice over. (1) Without it
+    # Catalyst pushes the `area > 0` filter into the nested-loop join
+    # condition and PREPENDS it, so the (interpreted-HOF, ~10³-node)
+    # clip fold runs for EVERY (poly, clip) pair BEFORE the bbox test
+    # prunes — measured as a full-CPU stall at sf3 (11M folds instead
+    # of ~600k). (2) Fencing the FOLD ITSELF into its own `__clipped`
+    # column stops CollapseProject from inlining ~8 copies of the
+    # whole fold tree into ring_area's structural references — the
+    # inlined form cost ~16 s of fixed plan/codegen work per query
+    # (round-9 finding; the multipolygon twin paid ~110 s and OOM'd a
+    # 1 GiB driver). spark_partition_id() is non-deterministic, which
+    # blocks both PushPredicateThroughJoin and CollapseProject; the
+    # value is always the fold (partition ids are never negative).
+    fenced_clip = F.when(
+        F.spark_partition_id() >= 0,
+        convex_clip_ring(F.col("__vp"), F.col("__vc")),
+    )
+    area = ring_area(F.col("__clipped"))
     if round_dp is not None:
         area = F.round(area, round_dp)
-    # Pushdown BARRIER, load-bearing: without it Catalyst pushes the
-    # `area > 0` filter into the nested-loop join condition and
-    # PREPENDS it, so the (interpreted-HOF, ~10³-node) clip fold runs
-    # for EVERY (poly, clip) pair BEFORE the bbox test prunes —
-    # measured as a full-CPU stall at sf3 (11M folds instead of
-    # ~600k). spark_partition_id() is marked non-deterministic, which
-    # (a) stops PushPredicateThroughJoin from moving the filter below
-    # this projection and (b) stops CollapseProject from inlining the
-    # fold into the condition — the join stays bbox-only and the fold
-    # evaluates once per bbox-surviving row. The value is always
-    # `area` (partition ids are never negative).
-    fenced_area = F.when(F.spark_partition_id() >= 0, area)
     hidden = [x for x in p.columns + c.columns if x.startswith("__v")]
     return (
         p.join(F.broadcast(c), bbox, "inner")
-        .withColumn(area_col, fenced_area)
+        .withColumn("__clipped", fenced_clip)
+        .withColumn(area_col, area)
         .filter(F.col(area_col) > 0)
-        .drop(*hidden)
+        .drop("__clipped", *hidden)
     )
 
 
@@ -560,3 +695,337 @@ def tag_points_with_polygons(
         "left",
     )
     return joined.drop("__verts")
+
+
+# --- MULTIPOLYGON + interior rings (holes): the geometry tail ----------------
+#
+# Real district/NTA boundaries ship as MULTIPOLYGON with holes (the
+# reference's PostGIS handles them natively via ST_* over the
+# boundaries table, /root/reference/tests/test_load_dataset.py:46-51).
+# Everything below stays pure Catalyst expressions over the parsed
+# geometry type `array<array<array<struct<x,y>>>>` — an array of
+# polygons, each an array of rings with ring[0] the OUTER and the
+# rest interior HOLES. Composition rules (valid geometry: holes lie
+# inside their outer, polygons are disjoint):
+#   containment  = in outer AND NOT in any hole, for ANY polygon
+#   area         = Σ_p (area(outer_p) − Σ_h area(hole_h))
+#   intersection = any ring-edge of A properly crosses any ring-edge
+#                  of B (crossing a hole boundary enters A's interior
+#                  on one side), OR a representative vertex of one is
+#                  contained in the other (the geo05 rule, holed)
+#   clip area against CONVEX rings
+#                = Σ_p (clip_area(outer_p) − Σ_h clip_area(hole_h))
+
+
+def parse_wkt_geometry(col: Column | str) -> Column:
+    """``POLYGON ((outer), (hole)...)`` or ``MULTIPOLYGON (((outer),
+    (hole)...), ...)`` → ``array<array<array<struct<x,y>>>>``
+    (polygons → rings → vertices), pure string expressions.
+
+    The parse is separator-driven: strip the keyword and ONE paren
+    level, split polygons on ``)),((``, rings on ``),(``, then strip
+    residual parens per ring — so a plain single-ring POLYGON, a
+    holed POLYGON, and any MULTIPOLYGON all land in the same shape
+    (a geo04-era single-ring WKT parses as one polygon with one
+    ring). Junk tokens become NULL coordinates (try_cast), never an
+    ANSI abort; fully junk strings yield rings whose NULL bbox drops
+    them from every join."""
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    body = F.regexp_replace(c, r"^(MULTIPOLYGON|POLYGON)\s*\(", "")
+    body = F.regexp_replace(body, r"\)\s*$", "")
+    polys = F.split(body, r"\)\s*\)\s*,\s*\(\s*\(")
+
+    def ring_of(rs: Column) -> Column:
+        cleaned = F.regexp_replace(rs, r"^[\s(]+|[\s)]+$", "")
+        prs = F.split(cleaned, r"\s*,\s*")
+        return F.transform(
+            prs,
+            lambda p: F.struct(
+                F.get(F.split(F.trim(p), r"\s+"), 0)
+                .try_cast("double").alias("x"),
+                F.get(F.split(F.trim(p), r"\s+"), 1)
+                .try_cast("double").alias("y"),
+            ),
+        )
+
+    return F.transform(
+        polys,
+        lambda ps: F.transform(F.split(ps, r"\)\s*,\s*\("), ring_of),
+    )
+
+
+def _holes(rings: Column) -> Column:
+    """rings[1:] — the interior rings; empty for a 1-ring polygon."""
+    return F.slice(rings, 2, F.greatest(F.size(rings) - 1, F.lit(0)))
+
+
+def multipolygon_contains(px: Column, py: Column, polys: Column) -> Column:
+    """Point containment in a holed multipolygon: inside SOME
+    polygon's outer ring and not inside any of that polygon's holes.
+    Nested exists over the ray-cast primitive — one codegen'd
+    expression, O(total vertices) per row, no shuffle."""
+    return F.exists(
+        polys,
+        lambda rings: point_in_polygon(px, py, rings[0])
+        & ~F.exists(
+            _holes(rings), lambda h: point_in_polygon(px, py, h)
+        ),
+    )
+
+
+def multipolygon_area(polys: Column) -> Column:
+    """Unsigned area of a holed multipolygon: Σ over polygons of
+    (outer area − Σ hole areas). Valid-geometry contract: holes lie
+    inside their outer ring and polygons are disjoint."""
+    return F.aggregate(
+        polys,
+        F.lit(0.0),
+        lambda acc, rings: acc
+        + ring_area(rings[0])
+        - F.aggregate(
+            _holes(rings), F.lit(0.0), lambda a, h: a + ring_area(h)
+        ),
+    )
+
+
+def multipolygons_intersect(polys_a: Column, polys_b: Column) -> Column:
+    """Intersection predicate between two holed multipolygons as ONE
+    expression — geo05's rule generalized: (a) any edge of ANY ring
+    of A properly crosses any edge of ANY ring of B (for valid
+    geometry, crossing a hole boundary enters the polygon's interior
+    on one side, so a crossing always witnesses interior overlap), or
+    (b) no edges cross, in which case each shape is entirely inside
+    or outside each region of the other and a single representative
+    vertex decides: A's first outer vertex holed-contained in B, or
+    B's in A."""
+    ea = F.flatten(
+        F.transform(F.flatten(polys_a), lambda r: _ring_edges(r))
+    )
+    eb = F.flatten(
+        F.transform(F.flatten(polys_b), lambda r: _ring_edges(r))
+    )
+
+    def orient(ax, ay, bx, by, cx, cy):
+        return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+    def proper_cross(e1, e2):
+        d1 = orient(
+            e1["x1"], e1["y1"], e1["x2"], e1["y2"], e2["x1"], e2["y1"]
+        )
+        d2 = orient(
+            e1["x1"], e1["y1"], e1["x2"], e1["y2"], e2["x2"], e2["y2"]
+        )
+        d3 = orient(
+            e2["x1"], e2["y1"], e2["x2"], e2["y2"], e1["x1"], e1["y1"]
+        )
+        d4 = orient(
+            e2["x1"], e2["y1"], e2["x2"], e2["y2"], e1["x2"], e1["y2"]
+        )
+        return ((d1 * d2) < 0) & ((d3 * d4) < 0)
+
+    edge_cross = F.exists(
+        ea, lambda e1: F.exists(eb, lambda e2: proper_cross(e1, e2))
+    )
+    a0 = polys_a[0][0][0]
+    b0 = polys_b[0][0][0]
+    return (
+        edge_cross
+        | multipolygon_contains(b0["x"], b0["y"], polys_a)
+        | multipolygon_contains(a0["x"], a0["y"], polys_b)
+    )
+
+
+def _signed_clip_rings(geom: Column) -> Column:
+    """Holed multipolygon → flat ``array<struct<ring, sign>>``:
+    each outer ring with sign +1, each hole with sign −1 — the
+    inclusion–exclusion decomposition behind every multipolygon area:
+    area(S ∩ multi) = Σ sign · area(S ∩ ring), exact because a hole
+    lies inside its outer (S∩hole ⊆ S∩outer)."""
+    return F.flatten(
+        F.transform(
+            geom,
+            lambda rings: F.concat(
+                F.array(
+                    F.struct(
+                        rings[0].alias("ring"), F.lit(1).alias("sign")
+                    )
+                ),
+                F.transform(
+                    _holes(rings),
+                    lambda h: F.struct(
+                        h.alias("ring"), F.lit(-1).alias("sign")
+                    ),
+                ),
+            ),
+        )
+    )
+
+
+def multipolygon_clip_area(subject: Column, polys: Column) -> Column:
+    """Area of (subject ring ∩ holed multipolygon) where every RING
+    of the multipolygon is CONVEX (Sutherland–Hodgman's standard
+    precondition, as geo06): one fold over the signed-ring
+    decomposition, ``Σ sign · area(subject clipped to ring)``.
+
+    SCALE WARNING: this is an expression-level fold whose every step
+    runs the (interpreted-HOF) clip fold — measured allocation-heavy
+    enough to exhaust a 1 GiB executor around ~10⁴ rows × 3 rings.
+    It exists for row-at-a-time geometry math on SMALL frames; any
+    data-scale workload must use :func:`multipolygon_clip_area_join`,
+    which moves the inclusion–exclusion into the relational layer
+    (explode + groupBy) and runs only the proven single-level geo06
+    expression per candidate."""
+    signed = _signed_clip_rings(polys)
+    return F.aggregate(
+        signed,
+        F.lit(0.0),
+        lambda acc, sr: acc
+        + sr["sign"].cast("double")
+        * ring_area(convex_clip_ring(subject, sr["ring"])),
+    )
+
+
+def _with_geom_bbox(df: DataFrame, wkt: str, gcol: str) -> DataFrame:
+    """Parse a (MULTI)POLYGON WKT column into the geometry type plus
+    its GLOBAL bounding box — the multipolygon twin of _with_bbox."""
+    geom = parse_wkt_geometry(wkt)
+    verts = F.flatten(F.flatten(geom))
+    xs = F.transform(verts, lambda p: p["x"])
+    ys = F.transform(verts, lambda p: p["y"])
+    return df.select(
+        "*",
+        geom.alias(gcol),
+        F.array_min(xs).alias(f"{gcol}_x0"),
+        F.array_max(xs).alias(f"{gcol}_x1"),
+        F.array_min(ys).alias(f"{gcol}_y0"),
+        F.array_max(ys).alias(f"{gcol}_y1"),
+    )
+
+
+def tag_points_with_multipolygons(
+    points: DataFrame,
+    polygons: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    wkt_col: str = "geom_wkt",
+    tag_cols: tuple = ("ntacode",),
+) -> DataFrame:
+    """tag_points_with_polygons for holed/multi geometry: left-tag
+    each point with the containing multipolygon (NULL when none).
+    Boundary sets broadcast parsed; containment evaluates inside the
+    points' scan stage — zero shuffle of the point side."""
+    polys = polygons.select(
+        *tag_cols, parse_wkt_geometry(wkt_col).alias("__geom")
+    )
+    joined = points.join(
+        F.broadcast(polys),
+        multipolygon_contains(
+            F.col(x_col), F.col(y_col), F.col("__geom")
+        ),
+        "left",
+    )
+    return joined.drop("__geom")
+
+
+def multipolygon_intersection_join(
+    polys_a: DataFrame,
+    polys_b: DataFrame,
+    wkt_a: str = "geom_wkt",
+    wkt_b: str = "geom_wkt",
+) -> DataFrame:
+    """polygon_intersection_join for holed/multi geometry: the A side
+    (boundary sets) BROADCASTS parsed; B streams through with the
+    global-bbox short-circuit ANDed before the full predicate.
+    Column sets must be disjoint."""
+    overlap = set(polys_a.columns) & set(polys_b.columns)
+    if overlap:
+        raise ValueError(f"rename overlapping columns first: {overlap}")
+
+    a = _with_geom_bbox(polys_a, wkt_a, "__ga")
+    b = _with_geom_bbox(polys_b, wkt_b, "__gb")
+    bbox = _bbox_overlap("__ga", "__gb")
+    cond = bbox & multipolygons_intersect(F.col("__ga"), F.col("__gb"))
+    hidden = [c for c in a.columns + b.columns if c.startswith("__g")]
+    return b.join(F.broadcast(a), cond, "inner").drop(*hidden)
+
+
+def multipolygon_clip_area_join(
+    polys: DataFrame,
+    clips: DataFrame,
+    wkt_col: str = "geom_wkt",
+    clip_wkt_col: str = "clip_wkt",
+    area_col: str = "clip_area",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """polygon_clip_area_join for holed/multi CLIP geometry (every
+    clip ring convex — rectangles/convex district cells): all columns
+    of both frames plus ``area_col`` = area(subject ∩ multipolygon),
+    positive-overlap pairs only.
+
+    Spark-first decomposition: instead of folding polygons → holes →
+    clip inside ONE expression (measured: the triple-nested
+    interpreted HOF exhausts a 1 GiB executor around 10⁴ rows), the
+    inclusion–exclusion moves into the RELATIONAL layer — the clip
+    side explodes to its signed rings (outer +1, hole −1; clips are
+    boundary sets, so the broadcast just grows by the ring count),
+    each (subject, ring) candidate evaluates the proven single-level
+    geo06 clip expression behind the same pushdown barrier, and one
+    map-side-combinable groupBy sums ``sign · area`` back to the
+    pair. Per-ring bboxes pregate (tighter than the multipolygon's
+    global bbox); a ring dropped by its bbox contributes exactly 0,
+    so the pregate never changes the sum.
+
+    Determinism: each term is quantized to int64 micro-units
+    (``sign · round(area·10⁶)`` — the s11 fixed-point rule) before
+    the SUM, so the result is independent of aggregation order;
+    ``area_col`` therefore carries 6 dp resolution regardless of
+    ``round_dp``. The subject side groups by ALL its visible columns
+    — at data scale pass a narrow (id, wkt) frame and join attributes
+    back after."""
+    overlap = set(polys.columns) & set(clips.columns)
+    if overlap:
+        raise ValueError(f"rename overlapping columns first: {overlap}")
+
+    p = _with_bbox(polys, wkt_col, "__vp")
+    signed = _signed_clip_rings(parse_wkt_geometry(clip_wkt_col))
+    c0 = clips.select("*", F.explode(signed).alias("__cr"))
+    ring = F.col("__cr").getField("ring")
+    xs = F.transform(ring, lambda pt: pt["x"])
+    ys = F.transform(ring, lambda pt: pt["y"])
+    c = c0.select(
+        "*",
+        F.array_min(xs).alias("__cr_x0"),
+        F.array_max(xs).alias("__cr_x1"),
+        F.array_min(ys).alias("__cr_y0"),
+        F.array_max(ys).alias("__cr_y1"),
+    )
+    bbox = _bbox_overlap("__vp", "__cr")
+    # TWO fenced projection steps, deliberately: the barrier (a) keeps
+    # the clip fold out of the join condition (the geo06 prepend trap)
+    # and (b) BLOCKS CollapseProject, so ring_area's ~8 structural
+    # references to its input bind to the `__clipped` ATTRIBUTE
+    # instead of inlining 8 copies of the whole fold tree — measured:
+    # the inlined form cost ~110 s of fixed plan/codegen work per
+    # query (7x geo06) and OOM'd a 1 GiB driver at 8 threads.
+    fenced_clip = F.when(
+        F.spark_partition_id() >= 0,
+        convex_clip_ring(F.col("__vp"), ring),
+    )
+    term = (
+        F.col("__cr").getField("sign").cast("long")
+        * F.round(ring_area(F.col("__clipped")) * 1e6).cast("long")
+    )
+    group_cols = list(polys.columns) + list(clips.columns)
+    area = F.col("__sum_micro") / F.lit(1e6)
+    if round_dp is not None:
+        area = F.round(area, round_dp)
+    return (
+        p.join(F.broadcast(c), bbox, "inner")
+        .withColumn("__clipped", fenced_clip)
+        .withColumn("__term", term)
+        .groupBy(*group_cols)  # hidden __vp/__cr cols fall away here
+        .agg(F.sum("__term").alias("__sum_micro"))
+        .withColumn(area_col, area)
+        .filter(F.col(area_col) > 0)
+        .drop("__sum_micro")
+    )

@@ -247,6 +247,32 @@ def t19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pseudo_sentence_docs(docs: DataFrame) -> DataFrame:
+    """Segment a punctuation-free whitespace corpus into aligned
+    8-word pseudo-sentences joined by '. ' — the deterministic
+    segmentation t20 pins (identical transform on both engines), now
+    shared by the composed pipeline (c07). One codegen'd projection."""
+    import pyspark.sql.functions as F
+
+    ws = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), " "), lambda w: w != ""
+    )
+    staged = docs.select("doc_id", ws.alias("ws"))
+    return staged.select(
+        "doc_id",
+        F.concat_ws(
+            ". ",
+            F.transform(
+                F.when(
+                    F.size("ws") > 0,
+                    F.sequence(F.lit(1), F.size("ws"), F.lit(8)),
+                ).otherwise(F.array().cast("array<int>")),
+                lambda i: F.array_join(F.slice("ws", i, 8), " "),
+            ),
+        ).alias("text"),
+    )
+
+
 @register(
     "t20_sentence_dedup",
     """
@@ -300,27 +326,9 @@ def t19(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "text", "dedup"),
 )
 def t20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pyspark.sql.functions as F
-
     from nycdb_k8s_loader_spark.operators.textops import sentence_dedup
 
-    ws = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), " "), lambda w: w != ""
-    )
-    staged = _docs(spark, sf_dir).select("doc_id", ws.alias("ws"))
-    pre = staged.select(
-        "doc_id",
-        F.concat_ws(
-            ". ",
-            F.transform(
-                F.when(
-                    F.size("ws") > 0,
-                    F.sequence(F.lit(1), F.size("ws"), F.lit(8)),
-                ).otherwise(F.array().cast("array<int>")),
-                lambda i: F.array_join(F.slice("ws", i, 8), " "),
-            ),
-        ).alias("text"),
-    )
+    pre = _pseudo_sentence_docs(_docs(spark, sf_dir))
     return sentence_dedup(pre, min_docs=2, min_words=3)
 
 
@@ -616,3 +624,436 @@ def t23(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("weight"),
     )
     return linear_quality_scores(docs, weights)
+
+
+# --- c07: the FULL curation pipeline, end to end ------------------------------
+#
+# The composed oracle reuses each stage's published oracle logic as a
+# staged CTE (the s10 precedent), with every stage reading the
+# PREVIOUS stage's CTE instead of `documents`:
+#   g  = t17 gopher verdicts          (per-row, over documents)
+#   u  = t22 url verdicts             (per-row, over the shared URL fixture)
+#   c3 = t20 sentence dedup           (over gopher+url survivors)
+#   c4 = t13 exact-substring scrub    (over sentence-cleaned text)
+#   k5 = d09 fuzzy dedup              (over scrub-cleaned, non-empty text)
+#   m6 = p07 token-budget mixture     (over fuzzy-kept docs, CLEAN tokens)
+_C07_SQL = f"""
+    WITH RECURSIVE
+    g0 AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS ws,
+               length(replace(trim(text), ' ', '')) AS nonspace
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               len(ws)::BIGINT AS n_tokens_raw,
+               ((len(ws) >= 50 AND len(ws) <= 100000)
+                AND COALESCE(
+                    (CASE WHEN len(ws) = 0 THEN NULL
+                          ELSE nonspace / len(ws) END) >= 3.0
+                    AND (CASE WHEN len(ws) = 0 THEN NULL
+                              ELSE nonspace / len(ws) END) <= 10.0, false)
+                AND COALESCE(
+                    (CASE WHEN len(ws) = 0 THEN NULL
+                          ELSE len(list_filter(ws,
+                                   w -> regexp_matches(w, '[a-z]')))
+                               / len(ws) END) >= 0.8, false)
+                AND (len(list_filter(list_distinct(ws),
+                         w -> list_contains({_STOP_SQL}, w))) >= 2)
+               ) AS keep_g
+        FROM g0
+    ),
+    u0 AS (SELECT doc_id, lower({_T22_URL_SQL}) AS url FROM documents),
+    u1 AS (
+        SELECT doc_id, url,
+               regexp_replace(regexp_replace(
+                   regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+                   '^www\\.', ''), ':[0-9]+$', '') AS host,
+               regexp_extract(url,
+                   '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path
+        FROM u0
+    ),
+    u AS (
+        SELECT doc_id,
+               (length(url) <= 160
+                AND len(list_filter(string_split(path, '/'),
+                                    s -> s <> '')) <= 8
+                AND ROUND(length(regexp_replace(host, '[^0-9]', '', 'g'))
+                              ::DOUBLE / length(host), 4) <= 0.30
+                AND NOT (url LIKE '%casino%' OR url LIKE '%pills%'
+                         OR url LIKE '%xxx%')
+                AND NOT (regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                         IN ('badsite.example'))) AS keep_u
+        FROM u1
+    ),
+    s2 AS MATERIALIZED (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN g USING (doc_id) JOIN u USING (doc_id)
+        WHERE g.keep_g AND u.keep_u
+    ),
+    ws3 AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS ws
+        FROM s2
+    ),
+    pre3 AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(ws), 8),
+                              i -> array_to_string(
+                                       list_slice(ws, i, i + 7), ' ')) AS ss
+        FROM ws3
+    ),
+    inst3 AS (
+        SELECT doc_id, i - 1 AS pos, ss[i] AS k
+        FROM pre3, unnest(generate_series(1, len(ss))) AS t(i)
+        WHERE len(string_split_regex(ss[i], ' +')) >= 3
+    ),
+    dup3 AS (SELECT k FROM inst3
+             GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 2),
+    rem3 AS (
+        SELECT doc_id, list_sort(list(pos)) AS rp
+        FROM inst3 JOIN dup3 USING (k) GROUP BY doc_id
+    ),
+    c3 AS MATERIALIZED (
+        SELECT p.doc_id,
+               COALESCE(len(r.rp), 0)::BIGINT AS sentences_removed,
+               COALESCE(array_to_string(
+                   list_filter(p.ss, (x, i) -> r.rp IS NULL
+                                      OR NOT list_contains(r.rp, i - 1)),
+                   '. '), '') AS text3
+        FROM pre3 p LEFT JOIN rem3 r USING (doc_id)
+    ),
+    w4 AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text3)), ' '),
+                           w -> w <> '') AS ws
+        FROM c3
+    ),
+    g4 AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(list_slice(ws, i, i + 7), ' ') AS gram
+        FROM w4, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+        WHERE len(ws) >= 8
+    ),
+    dupg4 AS (SELECT gram FROM g4 GROUP BY gram HAVING COUNT(*) >= 2),
+    st4 AS (SELECT g4.doc_id, g4.pos FROM g4 JOIN dupg4 USING (gram)),
+    cov4p AS (
+        SELECT DISTINCT doc_id,
+               unnest(generate_series(pos, pos + 7)) AS t
+        FROM st4
+    ),
+    cov4 AS (SELECT doc_id, list_sort(list(t)) AS cov
+             FROM cov4p GROUP BY doc_id),
+    c4 AS MATERIALIZED (
+        SELECT w.doc_id,
+               len(w.ws)::BIGINT AS n_tokens3,
+               COALESCE(len(c.cov), 0)::BIGINT AS dup_tokens,
+               COALESCE(array_to_string(
+                   list_filter(w.ws, (x, i) -> c.cov IS NULL
+                                     OR NOT list_contains(c.cov, i - 1)),
+                   ' '), '') AS text4
+        FROM w4 w LEFT JOIN cov4 c USING (doc_id)
+    ),
+    s5 AS MATERIALIZED (SELECT doc_id, text4 AS text FROM c4
+           WHERE n_tokens3 - dup_tokens > 0),
+    toks5 AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS l
+        FROM s5
+    ),
+    shingles5 AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(l) >= 3
+                    THEN l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                    ELSE array_to_string(l, ' ') END AS w
+        FROM toks5,
+             unnest(CASE WHEN len(l) >= 3 THEN range(1, len(l) - 1)
+                         ELSE [CAST(1 AS BIGINT)] END) AS t(i)
+    ),
+    base5 AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)
+                   % 2147483647 AS x
+        FROM shingles5
+    ),
+    sigs5 AS (
+        SELECT doc_id,
+               MIN((x * 1000000007 + 337)   % 2147483647) AS h0,
+               MIN((x * 998244353  + 7331)  % 2147483647) AS h1,
+               MIN((x * 774856531  + 12345) % 2147483647) AS h2,
+               MIN((x * 602398169  + 54321) % 2147483647) AS h3,
+               MIN((x * 516688307  + 2468)  % 2147483647) AS h4,
+               MIN((x * 402653189  + 13579) % 2147483647) AS h5,
+               MIN((x * 268435459  + 97531) % 2147483647) AS h6,
+               MIN((x * 160481183  + 86420) % 2147483647) AS h7
+        FROM base5 GROUP BY doc_id
+    ),
+    bands5 AS (
+        SELECT doc_id, 0 AS band, md5(h0 || '' || h1) AS band_key FROM sigs5
+        UNION ALL SELECT doc_id, 1, md5(h2 || '' || h3) FROM sigs5
+        UNION ALL SELECT doc_id, 2, md5(h4 || '' || h5) FROM sigs5
+        UNION ALL SELECT doc_id, 3, md5(h6 || '' || h7) FROM sigs5
+    ),
+    cand5 AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands5 a JOIN bands5 b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    sizes5 AS (SELECT doc_id, COUNT(*) AS n FROM shingles5 GROUP BY doc_id),
+    common5 AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand5 c
+        JOIN shingles5 sa ON sa.doc_id = c.doc_a
+        JOIN shingles5 sb ON sb.doc_id = c.doc_b AND sb.w = sa.w
+        GROUP BY 1, 2
+    ),
+    edges5 AS (
+        SELECT doc_a, doc_b
+        FROM common5
+        JOIN sizes5 za ON za.doc_id = doc_a
+        JOIN sizes5 zb ON zb.doc_id = doc_b
+        WHERE n_common * 1.0 / (za.n + zb.n - n_common) >= 0.7
+    ),
+    sym5 AS MATERIALIZED (
+        SELECT doc_a AS a, doc_b AS b FROM edges5
+        UNION SELECT doc_b, doc_a FROM edges5
+    ),
+    reach5(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym5)
+        UNION
+        SELECT reach5.a, sym5.b FROM reach5 JOIN sym5 ON reach5.b = sym5.a
+    ),
+    clus5 AS (SELECT a AS doc_id, MIN(b) AS cl FROM reach5 GROUP BY a),
+    k5 AS MATERIALIZED (
+        SELECT s.doc_id,
+               COALESCE(c.cl, s.doc_id) = s.doc_id AS kept5
+        FROM s5 s LEFT JOIN clus5 c ON c.doc_id = s.doc_id
+    ),
+    b6 AS MATERIALIZED (
+        SELECT k.doc_id, d.source,
+               (c4.n_tokens3 - c4.dup_tokens) AS n_tokens
+        FROM k5 k JOIN c4 USING (doc_id) JOIN documents d USING (doc_id)
+        WHERE k.kept5
+    ),
+    tot6 AS (SELECT source, SUM(n_tokens)::BIGINT AS t_s
+             FROM b6 GROUP BY 1),
+    corp6 AS (SELECT SUM(n_tokens)::BIGINT AS ct FROM b6),
+    rates6 AS (
+        SELECT source,
+               LEAST(1000000,
+                     (((CASE WHEN source IN
+                             ('src0','src1','src2','src3','src4')
+                        THEN 120000 ELSE 26666 END)
+                       * ((ct * 400000) // 1000000)) // 1000000)
+                     * 1000000 // t_s)::BIGINT AS rate_ppm
+        FROM tot6 CROSS JOIN corp6
+    ),
+    m6 AS (
+        SELECT b.doc_id FROM b6 b JOIN rates6 r USING (source)
+        WHERE (b.doc_id * 9973 + 7919) % 1000000 < r.rate_ppm
+    )
+    SELECT g.doc_id,
+           CASE WHEN NOT g.keep_g THEN 'gopher'
+                WHEN NOT u.keep_u THEN 'url'
+                WHEN c4.n_tokens3 - c4.dup_tokens = 0 THEN 'scrubbed_empty'
+                WHEN NOT k5.kept5 THEN 'fuzzy_dup'
+                WHEN m6.doc_id IS NULL THEN 'mixture'
+                ELSE 'kept' END AS stage,
+           g.n_tokens_raw,
+           COALESCE(c3.sentences_removed, 0)::BIGINT AS sentences_removed,
+           COALESCE(c4.dup_tokens, 0)::BIGINT AS dup_tokens,
+           COALESCE(c4.n_tokens3 - c4.dup_tokens, 0)::BIGINT
+               AS n_tokens_clean
+    FROM g JOIN u USING (doc_id)
+    LEFT JOIN c3 USING (doc_id)
+    LEFT JOIN c4 USING (doc_id)
+    LEFT JOIN k5 USING (doc_id)
+    LEFT JOIN m6 USING (doc_id)
+    """
+
+
+@register(
+    "c07_curation_pipeline_e2e",
+    _C07_SQL,
+    doc="The FULL LLM-data curation pipeline composed end to end over "
+        "one corpus — the artifact that proves the stage operators "
+        "compose: t17 gopher rules -> t22 url/domain filter -> t20 "
+        "sentence (boilerplate) dedup -> t13 exact-substring scrub -> "
+        "d09 fuzzy dedup -> p07 token-budget mixture, each stage "
+        "consuming the PREVIOUS stage's survivors/cleaned text, with "
+        "per-doc attribution (first rejecting stage or 'kept') and "
+        "per-stage removal stats like t12's funnel. Stage boundaries "
+        "are eager localCheckpoints — the in-session analog of the "
+        "published stage tables a production run writes, so no stage "
+        "is ever recomputed by a downstream consumer (the classic "
+        "composition bug: N consumers of a lazy stage frame re-run "
+        "the whole upstream pipeline N times). Corpus scans: 2 of "
+        "documents.parquet (the gopher/url verdict pass + the "
+        "survivor text fetch) + 1 two-column scan for mixture "
+        "sources; stages 3/4/5 each read the previous checkpoint "
+        "exactly once — at 100 TB each checkpoint is a published "
+        "parquet stage table and the shuffle set is exactly the "
+        "union of each stage's own documented shuffles. Oracle: the "
+        "six published stage oracles composed as one staged-CTE "
+        "chain (the s10 precedent).",
+    tags=("pipeline", "text", "quality", "dedup", "sampling"),
+)
+def c07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # oracle-pinned form: string gram/sentence keys (DuckDB has no
+    # xxhash64), pinned d09 banding
+    return curation_pipeline(spark, sf_dir, hashed=False)
+
+
+def curation_pipeline(
+    spark: SparkSession, sf_dir: str, hashed: bool = False
+) -> DataFrame:
+    """The c07 builder, parameterized for scale: ``hashed=True`` is
+    the production form — the sentence-dedup count pass and the
+    span-scrub frequency pass shuffle 8-byte xxhash64 keys instead of
+    raw strings, and fuzzy dedup's banding resolves by the bands_for
+    corpus-size policy instead of the oracle's pinned (8, 4). The
+    key-form switch is verdict-identical by construction
+    (TestHashedGramTwin pins it per operator); the banding policy is
+    the documented LSH recall/FP trade at scale. bench_scale measures
+    this form (``c07_policy_hashed``)."""
+    import pyspark.sql.functions as F
+
+    from nycdb_k8s_loader_spark.operators.dedup import (
+        exact_substring_scrub,
+        fuzzy_dedup,
+    )
+    from nycdb_k8s_loader_spark.operators.sampling import (
+        token_budget_mixture,
+    )
+    from nycdb_k8s_loader_spark.operators.textops import (
+        gopher_quality_rules,
+        sentence_dedup,
+        url_domain_filter,
+    )
+
+    docs = _docs(spark, sf_dir)
+
+    # stages 1+2: per-row verdicts. The url fixture derives from
+    # doc_id alone, so the url stage runs on the gopher-survivor ID
+    # frame — no second corpus scan, no join back to documents.
+    g = gopher_quality_rules(docs).select(
+        "doc_id",
+        F.col("n_words").alias("n_tokens_raw"),
+        F.col("keep").alias("keep_g"),
+    )
+    urls = g.filter("keep_g").select(
+        "doc_id", F.expr(_T22_URL_SQL).alias("url")
+    )
+    blocklist = spark.createDataFrame(
+        [("badsite.example",)], "domain string"
+    )
+    u = url_domain_filter(urls, blocked_domains=blocklist).select(
+        "doc_id", F.col("keep").alias("keep_u")
+    )
+    # the attribution spine: one narrow row per input doc. Checkpoint
+    # it — it is consumed by BOTH the survivor fetch and the final
+    # attribution join.
+    spine = g.join(u, "doc_id", "left").localCheckpoint(eager=True)
+
+    surv2 = spine.filter(F.col("keep_g") & F.col("keep_u")).select(
+        "doc_id"
+    )
+    s2 = docs.join(surv2.hint("shuffle_hash"), "doc_id").select(
+        "doc_id", "text"
+    )
+
+    # stage 3: sentence dedup among survivors (t20's segmentation)
+    c3 = sentence_dedup(
+        _pseudo_sentence_docs(s2), min_docs=2, min_words=3,
+        hashed_keys=hashed,
+    ).localCheckpoint(eager=True)
+
+    # stage 4: exact-substring scrub of the boilerplate-cleaned text
+    # (string grams are the oracle pin; the hashed production form
+    # shuffles 8-byte gram keys — the t13 sf3 lesson)
+    c4 = exact_substring_scrub(
+        c3.select("doc_id", F.col("cleaned_text").alias("text")),
+        ngram=8,
+        hashed_grams=hashed,
+    ).localCheckpoint(eager=True)
+
+    # stage 5: fuzzy dedup of non-empty cleaned docs (oracle pins
+    # d09's banding; production resolves by the bands_for policy);
+    # docs scrubbed to nothing exit as 'scrubbed_empty' instead of
+    # forming a giant all-empty near-dup cluster
+    s5 = c4.filter(F.col("n_tokens") - F.col("dup_tokens") > 0).select(
+        "doc_id", F.col("cleaned_text").alias("text")
+    )
+    banding = {} if hashed else dict(num_hashes=8, bands=4)
+    f5 = (
+        fuzzy_dedup(s5, threshold=0.7, shingles=3, **banding)
+        .select("doc_id", "is_kept")
+        .localCheckpoint(eager=True)
+    )
+
+    # stage 6: token-budget mixture over fuzzy-kept docs, budgeted in
+    # CLEAN tokens (p07's shares; sources fetched via one 2-col scan)
+    shares = {f"src{i}": (120_000 if i < 5 else 26_666) for i in range(20)}
+    # checkpoint the mixture INPUT too: token_budget_mixture reads its
+    # base frame three times (per-source totals, corpus total, final
+    # filter) — lazy, that would re-run the source fetch (and at 100 TB
+    # re-scan the corpus) three times
+    s6 = (
+        s5.join(f5.filter("is_kept").hint("shuffle_hash"), "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    m6 = token_budget_mixture(
+        s6, shares, budget_ppm_of_corpus=400_000
+    ).select("doc_id", F.lit(True).alias("__in_mix"))
+
+    # attribution: first rejecting stage, or 'kept'
+    return (
+        spine
+        .join(
+            c3.select(
+                "doc_id", F.col("n_removed").alias("sentences_removed")
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(
+            c4.select(
+                "doc_id",
+                "dup_tokens",
+                (F.col("n_tokens") - F.col("dup_tokens")).alias(
+                    "n_tokens_clean"
+                ),
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(f5, "doc_id", "left")
+        .join(m6, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(~F.col("keep_g"), "gopher")
+            .when(~F.col("keep_u"), "url")
+            .when(F.col("n_tokens_clean") == 0, "scrubbed_empty")
+            .when(~F.col("is_kept"), "fuzzy_dup")
+            .when(F.col("__in_mix").isNull(), "mixture")
+            .otherwise("kept")
+            .alias("stage"),
+            F.col("n_tokens_raw").cast("long").alias("n_tokens_raw"),
+            F.coalesce("sentences_removed", F.lit(0))
+            .cast("long")
+            .alias("sentences_removed"),
+            F.coalesce("dup_tokens", F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.coalesce("n_tokens_clean", F.lit(0))
+            .cast("long")
+            .alias("n_tokens_clean"),
+        )
+    )

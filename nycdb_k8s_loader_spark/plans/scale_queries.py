@@ -617,3 +617,311 @@ def geo06(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polygon_clip_area_join(
         lots, districts, wkt_col="lot_wkt", clip_wkt_col="district_wkt"
     ).select("c_custkey", "ntacode", "clip_area")
+
+
+def _parcel_fixture(spark, sf_dir):
+    """orders → 0.75-unit parcel squares at EIGHTH offsets on a
+    500-unit axis: fractional edge parts {0.125, 0.875} are disjoint
+    from the lot fixture's {0.25, 0.75}, so no parcel edge ever
+    exactly touches a lot edge (the predicate's measure-zero
+    undefined case), and eighths are exact in binary floating point.
+    The 500-unit domain keeps the pair count sweep-sized: only
+    parcels landing in the lots' [0, 52]² corner can intersect."""
+
+    def rect_wkt(sx0, sy0, sx1, sy1):
+        return F.concat(
+            F.lit("POLYGON (("),
+            sx0, F.lit(" "), sy0, F.lit(", "),
+            sx1, F.lit(" "), sy0, F.lit(", "),
+            sx1, F.lit(" "), sy1, F.lit(", "),
+            sx0, F.lit(" "), sy1, F.lit(", "),
+            sx0, F.lit(" "), sy0,
+            F.lit("))"),
+        )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ok = F.col("o_orderkey")
+    px0 = (ok % 500) + 0.125
+    py0 = ((ok * 11) % 500) + 0.125
+    return orders.select(
+        "o_orderkey",
+        rect_wkt(
+            px0.cast("string"), py0.cast("string"),
+            (px0 + 0.75).cast("string"), (py0 + 0.75).cast("string"),
+        ).alias("parcel_wkt"),
+    )
+
+
+@register(
+    "geo07_binned_polygon_join",
+    """
+    WITH lot AS (
+        SELECT c_custkey,
+               (c_custkey % 50) + 0.25 AS x0,
+               (c_custkey % 50) + 1.75 AS x1,
+               ((c_custkey * 7) % 50) + 0.25 AS y0,
+               ((c_custkey * 7) % 50) + 1.75 AS y1
+        FROM customer
+    ),
+    par AS (
+        SELECT o_orderkey,
+               (o_orderkey % 500) + 0.125 AS x0,
+               (o_orderkey % 500) + 0.875 AS x1,
+               ((o_orderkey * 11) % 500) + 0.125 AS y0,
+               ((o_orderkey * 11) % 500) + 0.875 AS y1
+        FROM orders
+    )
+    SELECT l.c_custkey, p.o_orderkey
+    FROM lot l
+    JOIN par p
+      ON l.x0 < p.x1 AND p.x0 < l.x1 AND l.y0 < p.y1 AND p.y0 < l.y1
+    """,
+    doc="DATA-SCALE x DATA-SCALE polygon intersection join — the "
+        "spatial ask polygon_intersection_join refuses (it requires "
+        "a broadcastable side): customer lot rings against orders "
+        "parcel rings, both corpus-sized. Both ring sets bin into "
+        "bbox grid cells (cell edge auto-derived as the largest bbox "
+        "dimension), the join is ONE shuffle_hash-hinted equi-join "
+        "on the cell key — NO broadcast of either side, no "
+        "cartesian, candidate volume tracks local density — and "
+        "cross-cell duplicate hits are impossible by construction "
+        "(a pair is evaluated only in the canonical cell holding its "
+        "bbox-intersection corner: no distinct, no second shuffle). "
+        "The exact edge-cross/containment predicate runs residually "
+        "behind the geo06 pushdown barrier. Oracle: rectangle bounds "
+        "arithmetic (geo05's independent-decision-procedure "
+        "pattern); eighth-offset parcels never exactly touch "
+        "quarter-offset lots. "
+        "operators/geo.py polygon_intersection_join_binned.",
+    tags=("geo", "join"),
+)
+def geo07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.geo import (
+        polygon_intersection_join_binned,
+    )
+
+    _, lots = _district_lot_fixture(spark, sf_dir)
+    parcels = _parcel_fixture(spark, sf_dir)
+    return polygon_intersection_join_binned(
+        lots, parcels, wkt_a="lot_wkt", wkt_b="parcel_wkt"
+    ).select("c_custkey", "o_orderkey")
+
+
+def _donut_district_fixture(spark, sf_dir):
+    """nation → MULTIPOLYGON districts with a HOLE and an EXCLAVE:
+    outer 8-unit square on the 10-grid, hole = the central 2-unit
+    square (3..5), plus a detached 1.25-unit square at EIGHTH offsets
+    in the inter-district gap — real NTA/borough geometry's shape
+    (multi-ring, holed), with every ring an axis-aligned rectangle so
+    the DuckDB oracle can state containment/intersection/area as
+    bounds arithmetic (the geo04/05/06 independent-decision-procedure
+    pattern). Eighth offsets never exactly touch the quarter-offset
+    lots or the half-offset points."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nk = F.col("n_nationkey")
+    x0 = (nk % 5) * 10
+    y0 = (nk / 5).cast("int") * 10
+
+    def ring(ax0, ay0, ax1, ay1):
+        s = [c.cast("string") for c in (ax0, ay0, ax1, ay1)]
+        return F.concat(
+            F.lit("("),
+            s[0], F.lit(" "), s[1], F.lit(", "),
+            s[2], F.lit(" "), s[1], F.lit(", "),
+            s[2], F.lit(" "), s[3], F.lit(", "),
+            s[0], F.lit(" "), s[3], F.lit(", "),
+            s[0], F.lit(" "), s[1],
+            F.lit(")"),
+        )
+
+    wkt = F.concat(
+        F.lit("MULTIPOLYGON (("),
+        ring(x0, y0, x0 + 8, y0 + 8),
+        F.lit(", "),
+        ring(x0 + 3, y0 + 3, x0 + 5, y0 + 5),
+        F.lit("), ("),
+        ring(x0 + 8.125, y0 + 0.125, x0 + 9.375, y0 + 1.375),
+        F.lit("))"),
+    )
+    return nation.select(
+        F.concat(F.lit("NTA"), nk.cast("string")).alias("ntacode"),
+        wkt.alias("district_wkt"),
+    )
+
+
+# shared donut-district bounds for the geo08/09/10 oracles
+_DONUT_SQL = """
+    rect AS (
+        SELECT 'NTA' || n_nationkey AS ntacode,
+               (n_nationkey % 5) * 10 AS ox0,
+               (n_nationkey % 5) * 10 + 8 AS ox1,
+               (n_nationkey // 5) * 10 AS oy0,
+               (n_nationkey // 5) * 10 + 8 AS oy1,
+               (n_nationkey % 5) * 10 + 3 AS hx0,
+               (n_nationkey % 5) * 10 + 5 AS hx1,
+               (n_nationkey // 5) * 10 + 3 AS hy0,
+               (n_nationkey // 5) * 10 + 5 AS hy1,
+               (n_nationkey % 5) * 10 + 8.125 AS ex0,
+               (n_nationkey % 5) * 10 + 9.375 AS ex1,
+               (n_nationkey // 5) * 10 + 0.125 AS ey0,
+               (n_nationkey // 5) * 10 + 1.375 AS ey1
+        FROM nation
+    )
+"""
+
+
+@register(
+    "geo08_multipolygon_containment",
+    f"""
+    WITH {_DONUT_SQL},
+    pts AS (
+        SELECT c_custkey,
+               (c_custkey % 50) + 0.5 AS px,
+               ((c_custkey * 7) % 50) + 0.5 AS py
+        FROM customer
+    )
+    SELECT p.c_custkey, r.ntacode
+    FROM pts p
+    LEFT JOIN rect r
+      ON ((p.px > r.ox0 AND p.px < r.ox1 AND p.py > r.oy0
+           AND p.py < r.oy1)
+          AND NOT (p.px > r.hx0 AND p.px < r.hx1 AND p.py > r.hy0
+                   AND p.py < r.hy1))
+         OR (p.px > r.ex0 AND p.px < r.ex1 AND p.py > r.ey0
+             AND p.py < r.ey1)
+    """,
+    doc="Point containment in HOLED MULTIPOLYGON districts — geo04 "
+        "on real-world boundary geometry (NTA/borough rings ship as "
+        "MULTIPOLYGON with interior rings; the reference's PostGIS "
+        "handles them natively): containment = inside some outer "
+        "ring AND NOT inside that polygon's holes, as one nested-"
+        "exists codegen'd expression over the parsed "
+        "polygons→rings→vertices geometry "
+        "(operators/geo.py parse_wkt_geometry/multipolygon_contains). "
+        "Boundaries broadcast; points never shuffle. Oracle: donut "
+        "bounds arithmetic (in-outer AND NOT in-hole, OR in-exclave) "
+        "— an independent decision procedure on rectangle rings for "
+        "the fully general ray-cast machinery.",
+    tags=("geo", "join"),
+)
+def geo08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.geo import (
+        tag_points_with_multipolygons,
+    )
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    ck = F.col("c_custkey")
+    points = customer.select(
+        "c_custkey",
+        ((ck % 50) + 0.5).alias("x"),
+        (((ck * 7) % 50) + 0.5).alias("y"),
+    )
+    polys = _donut_district_fixture(spark, sf_dir)
+    return tag_points_with_multipolygons(
+        points, polys, wkt_col="district_wkt"
+    ).select("c_custkey", "ntacode")
+
+
+@register(
+    "geo09_multipolygon_intersection",
+    f"""
+    WITH {_DONUT_SQL},
+    lot AS (
+        SELECT c_custkey,
+               (c_custkey % 50) + 0.25 AS x0,
+               (c_custkey % 50) + 1.75 AS x1,
+               ((c_custkey * 7) % 50) + 0.25 AS y0,
+               ((c_custkey * 7) % 50) + 1.75 AS y1
+        FROM customer
+    )
+    SELECT l.c_custkey, r.ntacode
+    FROM lot l
+    JOIN rect r
+      ON ((l.x0 < r.ox1 AND r.ox0 < l.x1 AND l.y0 < r.oy1
+           AND r.oy0 < l.y1)
+          AND NOT (r.hx0 < l.x0 AND l.x1 < r.hx1 AND r.hy0 < l.y0
+                   AND l.y1 < r.hy1))
+         OR (l.x0 < r.ex1 AND r.ex0 < l.x1 AND l.y0 < r.ey1
+             AND r.ey0 < l.y1)
+    """,
+    doc="Polygon–MULTIPOLYGON intersection with holes — geo05 on "
+        "real boundary geometry: lots wholly inside a district's "
+        "hole do NOT intersect it; lots crossing the hole's boundary "
+        "or its exclave do. One predicate: any ring edge of A "
+        "properly crosses any ring edge of B (crossing a hole "
+        "boundary enters the interior on one side), else a "
+        "representative vertex decides by holed containment "
+        "(operators/geo.py multipolygons_intersect). Boundary side "
+        "broadcasts; lots never shuffle. Oracle: donut bounds "
+        "algebra — overlap(outer) AND NOT contained-in(hole), OR "
+        "overlap(exclave); the fixture places lots fully inside "
+        "holes (hole branch), straddling hole edges (cross branch) "
+        "and over the exclave (multi-part branch).",
+    tags=("geo", "join"),
+)
+def geo09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.geo import (
+        multipolygon_intersection_join,
+    )
+
+    _, lots = _district_lot_fixture(spark, sf_dir)
+    districts = _donut_district_fixture(spark, sf_dir)
+    return multipolygon_intersection_join(
+        districts, lots, wkt_a="district_wkt", wkt_b="lot_wkt"
+    ).select("c_custkey", "ntacode")
+
+
+@register(
+    "geo10_multipolygon_clip_area",
+    f"""
+    WITH {_DONUT_SQL},
+    lot AS (
+        SELECT c_custkey,
+               (c_custkey % 50) + 0.25 AS x0,
+               (c_custkey % 50) + 1.75 AS x1,
+               ((c_custkey * 7) % 50) + 0.25 AS y0,
+               ((c_custkey * 7) % 50) + 1.75 AS y1
+        FROM customer
+    ),
+    terms AS (
+        SELECT l.c_custkey, r.ntacode,
+               GREATEST(0, LEAST(l.x1, r.ox1) - GREATEST(l.x0, r.ox0))
+                 * GREATEST(0, LEAST(l.y1, r.oy1) - GREATEST(l.y0, r.oy0))
+               - GREATEST(0, LEAST(l.x1, r.hx1) - GREATEST(l.x0, r.hx0))
+                 * GREATEST(0, LEAST(l.y1, r.hy1) - GREATEST(l.y0, r.hy0))
+               + GREATEST(0, LEAST(l.x1, r.ex1) - GREATEST(l.x0, r.ex0))
+                 * GREATEST(0, LEAST(l.y1, r.ey1) - GREATEST(l.y0, r.ey0))
+                   AS area
+        FROM lot l CROSS JOIN rect r
+    )
+    SELECT c_custkey, ntacode, ROUND(area, 6) AS clip_area
+    FROM terms WHERE area > 0
+    """,
+    doc="Intersection AREA against HOLED MULTIPOLYGON clips — geo06 "
+        "on real boundary geometry, and a deliberately RELATIONAL "
+        "decomposition: folding polygons→holes→clip inside one "
+        "Catalyst expression measured ~110 s of fixed plan/codegen "
+        "cost and OOM'd a 1 GiB driver, so the inclusion–exclusion "
+        "moves into the relational layer — the broadcast clip side "
+        "explodes to signed rings (outer +1, hole −1), each "
+        "candidate runs the proven single-level Sutherland–Hodgman "
+        "fold (fenced into its own column so CollapseProject cannot "
+        "inline ~8 copies of it), and one map-side-combinable "
+        "groupBy sums sign*area as int64 micro-units (the s11 "
+        "fixed-point rule — aggregation-order independent). Oracle: "
+        "rect∩rect bounds algebra, area(outer) − area(hole) + "
+        "area(exclave). operators/geo.py multipolygon_clip_area_join.",
+    tags=("geo", "join"),
+)
+def geo10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.geo import (
+        multipolygon_clip_area_join,
+    )
+
+    _, lots = _district_lot_fixture(spark, sf_dir)
+    districts = _donut_district_fixture(spark, sf_dir).select(
+        "ntacode", F.col("district_wkt").alias("clip_wkt")
+    )
+    return multipolygon_clip_area_join(
+        lots, districts, wkt_col="lot_wkt"
+    ).select("c_custkey", "ntacode", "clip_area")

@@ -1152,6 +1152,38 @@ class TestPipelinePlanShapes:
         plan = self._plan(df)
         assert "Exchange" not in plan  # pure map-side row generation
 
+    def test_c07_stage_boundaries_never_recompute(self, spark):
+        """The composed curation pipeline materializes each stage
+        boundary ONCE (eager localCheckpoint — the in-session analog
+        of a published stage table). The RETURNED attribution plan
+        must therefore read checkpointed stage RDDs plus at most ONE
+        parquet scan (the 2-column mixture source fetch) — if any
+        upstream stage leaked into the final plan as lineage, a
+        downstream consumer would re-run the whole pipeline and the
+        scan count betrays it. Also pins attribution totality."""
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        df = queries()["c07_curation_pipeline_e2e"](
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = self._plan(df)
+        assert plan.count("FileScan parquet") == 0
+        assert plan.count("Scan ExistingRDD") >= 5  # spine+c3+c4+f5+s6
+        rows = df.collect()
+        assert len(rows) == 500  # one attribution row per input doc
+        stages = {r["stage"] for r in rows}
+        assert stages <= {
+            "gopher", "url", "scrubbed_empty", "fuzzy_dup",
+            "mixture", "kept",
+        }
+        for r in rows:
+            if r["stage"] == "kept":
+                assert r["n_tokens_clean"] > 0
+            if r["stage"] == "gopher":
+                # rejected before any cleaning: stats must be zeros
+                assert r["sentences_removed"] == 0
+                assert r["dup_tokens"] == 0 and r["n_tokens_clean"] == 0
+
 
 class TestWktPointInPolygon:
     def test_parse_and_nonconvex_containment(self, spark):
@@ -3248,6 +3280,239 @@ class TestIncrementalSemanticState:
             incremental_semantic_dedup_from_state(
                 st2, batch, threshold=0.95, coarse_cells=3
             ).collect()
+
+
+class TestMultipolygonGeometry:
+    """geo08/09/10's machinery: holed MULTIPOLYGON parse, containment,
+    area, intersection, and the relational clip-area decomposition.
+    Hand-computed geometry; catalog entries carry the donut-bounds
+    oracles."""
+
+    DONUT = (
+        "MULTIPOLYGON (((0 0, 8 0, 8 8, 0 8, 0 0), "
+        "(3 3, 5 3, 5 5, 3 5, 3 3)), "
+        "((9 0, 10 0, 10 1, 9 1, 9 0)))"
+    )
+
+    def test_parse_contains_area(self, spark):
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.operators.geo import (
+            multipolygon_area,
+            multipolygon_contains,
+            parse_wkt_geometry,
+        )
+
+        holed = (
+            "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), "
+            "(3 3, 5 3, 5 5, 3 5, 3 3))"
+        )
+        plain = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+        df = spark.createDataFrame(
+            [(1, self.DONUT), (2, holed), (3, plain)], "gid long, w string"
+        )
+        g = parse_wkt_geometry("w")
+        out = {
+            r["gid"]: r
+            for r in df.select(
+                "gid",
+                F.size(g).alias("n_polys"),
+                F.round(multipolygon_area(g), 6).alias("area"),
+                multipolygon_contains(
+                    F.lit(4.0), F.lit(4.0), g
+                ).alias("at_hole_center"),
+                multipolygon_contains(
+                    F.lit(1.0), F.lit(1.0), g
+                ).alias("in_outer"),
+                multipolygon_contains(
+                    F.lit(9.5), F.lit(0.5), g
+                ).alias("in_exclave"),
+            ).collect()
+        }
+        assert out[1]["n_polys"] == 2 and out[1]["area"] == 61.0
+        assert out[1]["at_hole_center"] is False
+        assert out[1]["in_outer"] is True
+        assert out[1]["in_exclave"] is True
+        assert out[2]["n_polys"] == 1 and out[2]["area"] == 60.0
+        assert out[2]["at_hole_center"] is False
+        assert out[3]["n_polys"] == 1 and out[3]["area"] == 16.0
+        # plain single-ring POLYGON parses into the same shape: one
+        # polygon, one ring — geo04-era WKT keeps working
+        assert out[3]["at_hole_center"] is False  # (4,4) on edge-free pt
+
+    def test_intersection_hole_semantics(self, spark):
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.operators.geo import (
+            multipolygons_intersect,
+            parse_wkt_geometry,
+        )
+
+        cases = [
+            # fully inside the hole: NOT an intersection
+            (1, "POLYGON ((3.5 3.5, 4.5 3.5, 4.5 4.5, 3.5 4.5, 3.5 3.5))",
+             False),
+            # straddles the hole boundary: intersects
+            (2, "POLYGON ((2.5 2.5, 4.5 2.5, 4.5 4.5, 2.5 4.5, 2.5 2.5))",
+             True),
+            # overlaps the exclave only
+            (3, "POLYGON ((9.25 0.25, 9.75 0.25, 9.75 0.75, 9.25 0.75, "
+                "9.25 0.25))", True),
+            # far away
+            (4, "POLYGON ((20 20, 21 20, 21 21, 20 21, 20 20))", False),
+            # donut wholly inside a big ring (containment branch)
+            (5, "POLYGON ((-1 -1, 11 -1, 11 11, -1 11, -1 -1))", True),
+        ]
+        df = spark.createDataFrame(
+            [(i, w) for i, w, _ in cases], "cid long, w string"
+        ).withColumn("donut", F.lit(self.DONUT))
+        got = {
+            r["cid"]: r["v"]
+            for r in df.select(
+                "cid",
+                multipolygons_intersect(
+                    parse_wkt_geometry("donut"), parse_wkt_geometry("w")
+                ).alias("v"),
+            ).collect()
+        }
+        for cid, _, want in cases:
+            assert got[cid] == want, cid
+
+    def test_clip_area_join_inclusion_exclusion(self, spark):
+        from nycdb_k8s_loader_spark.operators.geo import (
+            multipolygon_clip_area_join,
+        )
+
+        clips = spark.createDataFrame(
+            [("D1", self.DONUT)], "cid string, clip_wkt string"
+        )
+        subs = spark.createDataFrame(
+            [
+                (1, "POLYGON ((3.5 3.5, 4.5 3.5, 4.5 4.5, 3.5 4.5, "
+                    "3.5 3.5))"),               # in hole -> 0, filtered
+                (2, "POLYGON ((2.5 2.5, 4.5 2.5, 4.5 4.5, 2.5 4.5, "
+                    "2.5 2.5))"),               # 4 - 2.25 = 1.75
+                (3, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),  # 16 - 1 = 15
+                (4, "POLYGON ((8.5 0.25, 9.5 0.25, 9.5 0.75, 8.5 0.75, "
+                    "8.5 0.25))"),              # exclave 0.5x0.5 = 0.25
+            ],
+            "pid long, geom_wkt string",
+        )
+        got = {
+            r["pid"]: r["clip_area"]
+            for r in multipolygon_clip_area_join(subs, clips).collect()
+        }
+        assert got == {2: 1.75, 3: 15.0, 4: 0.25}
+
+    def test_shapefile_to_operators_e2e(self, spark):
+        """The source and the consumers finally meet: a type-5 shape
+        with a hole and an island round-trips through parse_shp's
+        MULTIPOLYGON WKT into parse_wkt_geometry, and containment/
+        area agree with hand values — the geometry class the
+        reference needs PostGIS for, end to end in this repo."""
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.operators.geo import (
+            multipolygon_area,
+            multipolygon_contains,
+            parse_wkt_geometry,
+        )
+        from nycdb_k8s_loader_spark.sources.shapefile import parse_shp
+
+        import zipfile
+        import io
+
+        from nycdb_k8s_loader_spark.sources.shapefile import (
+            write_shapefile_zip,
+        )
+
+        outer = [(0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0),
+                 (0.0, 0.0)]                      # CW outer
+        hole = [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0),
+                (1.0, 1.0)]                       # CCW hole
+        island = [(10.0, 0.0), (10.0, 2.0), (12.0, 2.0), (12.0, 0.0),
+                  (10.0, 0.0)]                    # CW island
+        blob = write_shapefile_zip(
+            [("name", "C", 10, 0)], [(["m"], [outer, hole, island])]
+        )
+        with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+            wkt = parse_shp(zf.read("layer.shp"))[0]
+        assert wkt.startswith("MULTIPOLYGON")
+        df = spark.createDataFrame([(wkt,)], "w string")
+        g = parse_wkt_geometry("w")
+        r = df.select(
+            F.round(multipolygon_area(g), 6).alias("area"),
+            multipolygon_contains(
+                F.lit(1.5), F.lit(1.5), g
+            ).alias("in_hole"),
+            multipolygon_contains(
+                F.lit(3.0), F.lit(3.0), g
+            ).alias("in_outer"),
+            multipolygon_contains(
+                F.lit(11.0), F.lit(1.0), g
+            ).alias("in_island"),
+        ).collect()[0]
+        assert r["area"] == 19.0  # 16 - 1 + 4
+        assert r["in_hole"] is False
+        assert r["in_outer"] is True
+        assert r["in_island"] is True
+
+
+class TestBinnedPolygonJoin:
+    """geo07's machinery: data-scale x data-scale spatial join via
+    bbox grid binning + canonical-cell dedup + residual exact
+    predicate — no broadcast of either side, no distinct."""
+
+    def _join(self, spark, rows_a, rows_b, **kw):
+        from nycdb_k8s_loader_spark.operators.geo import (
+            polygon_intersection_join_binned,
+        )
+
+        a = spark.createDataFrame(rows_a, "aid long, wa string")
+        b = spark.createDataFrame(rows_b, "bid long, wb string")
+        out = polygon_intersection_join_binned(
+            a, b, wkt_a="wa", wkt_b="wb", **kw
+        )
+        return sorted((r["aid"], r["bid"]) for r in out.collect())
+
+    def test_pairs_dedup_across_cells_and_shapes(self, spark):
+        # big ring spanning MANY cells at cell_deg=1: every pair must
+        # still appear exactly once (canonical-cell rule)
+        big = (1, "POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0))")
+        tri = (2, "POLYGON ((2.2 2.2, 3.8 2.2, 3.0 3.8, 2.2 2.2))")
+        far = (3, "POLYGON ((20 20, 21 20, 21 21, 20 21, 20 20))")
+        bs = [
+            (10, "POLYGON ((1.5 1.5, 4.5 1.5, 4.5 4.5, 1.5 4.5, 1.5 1.5))"),
+            (11, "POLYGON ((5.5 5.5, 7.5 5.5, 7.5 7.5, 5.5 7.5, 5.5 5.5))"),
+            (12, "POLYGON ((8.5 0.5, 9.5 0.5, 9.5 1.5, 8.5 1.5, 8.5 0.5))"),
+        ]
+        got = self._join(spark, [big, tri, far], bs, cell_deg=1.0)
+        # big ∩ 10 (contains it), big ∩ 11 (corner cross),
+        # tri ∩ 10 (tri inside 10); 12 and far match nothing
+        assert got == [(1, 10), (1, 11), (2, 10)]
+
+    def test_auto_cell_and_junk_wkt(self, spark):
+        # cell_deg derived from the largest bbox; junk ring drops out
+        got = self._join(
+            spark,
+            [(1, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+             (2, "not a polygon")],
+            [(10, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"),
+             (11, "POLYGON ((9 9, 10 9, 10 10, 9 10, 9 9))")],
+        )
+        assert got == [(1, 10)]
+
+    def test_plan_no_broadcast_no_cartesian(self, spark):
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        df = queries()["geo07_binned_polygon_join"](
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "Cartesian" not in plan
 
 
 class TestConvexClipArea:
