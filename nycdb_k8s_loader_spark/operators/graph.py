@@ -474,3 +474,120 @@ def pagerank(
             for invariant in (e, nodes, e_deg):
                 release_local_checkpoint(invariant)
         return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+# --- incremental connected components (g04): persisted CC state --------------
+
+
+def components_state(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """The persistable connected-components state — the graph plane's
+    :func:`~..dedup.dedup_signature_state` (round-8 verdict #4): just
+    the converged ``(node, component)`` assignment from
+    :func:`connected_components_star`, written once per corpus
+    refresh as a published table like any other. The reference
+    rebuilds its landlord-portfolio graph from scratch every run
+    (/root/reference/wowutil.py:74-85, driver-side networkx);
+    persisting the assignment makes each increment
+    O(batch + touched components) instead of O(graph)."""
+    return connected_components_star(
+        edges, src, dst, max_rounds, shuffle_partitions
+    )
+
+
+def incremental_components_from_state(
+    state: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Fold a batch of NEW edges into a PERSISTED components state
+    without re-running contraction over the old graph: the UPDATED
+    full assignment ``(node, component)`` over state nodes ∪ batch
+    endpoints — verdict-identical to recomputing
+    :func:`connected_components_star` over old ∪ new edges (pinned by
+    TestIncrementalComponents), because each old component is already
+    contracted: treating components as SUPER-NODES, a new edge merges
+    exactly the supers its endpoints map to, and min-id labels
+    compose (min over merged supers = min over the merged component's
+    nodes).
+
+    Physical shape, 100 TB: batch endpoints resolve to their supers
+    via two shuffle_hash lookups into the state (linear in batch —
+    the state never re-shuffles for this); star-contraction runs on
+    the SUPER-edge graph only (≤ 2·|batch| nodes, O(log²) rounds on
+    batch-scale frames); the resulting relabel map (old root → new
+    root, ≤ touched components) BROADCASTS back over one state scan
+    — no shuffle of the state, ever. A production loop publishes the
+    relabel map as the increment and rewrites only affected
+    partitions; this operator returns the fully refreshed table.
+    """
+    st = state.select("node", "component")
+    e = new_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    looked = (
+        e.join(
+            st.select(
+                F.col("node").alias("u"), F.col("component").alias("cu")
+            ).hint("shuffle_hash"),
+            "u",
+            "left",
+        ).join(
+            st.select(
+                F.col("node").alias("v"), F.col("component").alias("cv")
+            ).hint("shuffle_hash"),
+            "v",
+            "left",
+        )
+    )
+    super_edges = (
+        looked.select(
+            F.coalesce("cu", F.col("u")).alias("su"),
+            F.coalesce("cv", F.col("v")).alias("sv"),
+        )
+        .filter(F.col("su") != F.col("sv"))
+        .distinct()
+    )
+    merged = connected_components_star(
+        super_edges, "su", "sv", max_rounds
+    )
+    delta = merged.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("__old_root"),
+        F.col("component").alias("__new_root"),
+    )
+    upd_old = (
+        st.join(
+            F.broadcast(delta),
+            st["component"] == F.col("__old_root"),
+            "left",
+        ).select(
+            "node",
+            F.coalesce("__new_root", F.col("component")).alias(
+                "component"
+            ),
+        )
+    )
+    batch_nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    new_nodes = batch_nodes.join(
+        st.select("node").hint("shuffle_hash"), "node", "left_anti"
+    )
+    upd_new = (
+        new_nodes.join(
+            F.broadcast(delta),
+            new_nodes["node"] == F.col("__old_root"),
+            "left",
+        ).select(
+            "node",
+            F.coalesce("__new_root", F.col("node")).alias("component"),
+        )
+    )
+    return upd_old.unionByName(upd_new)

@@ -1260,3 +1260,282 @@ def incremental_semantic_dedup(
         st, batch, threshold=threshold, id_col=id_col, vec_col=vec_col,
         coarse_cells=coarse_cells,
     )
+
+
+# --- product quantization (s12): ADC scoring over PQ codes -------------------
+
+
+def _pq_sub_frame(emb: DataFrame, m: int, d: int, id_col: str,
+                  vec_col: str) -> DataFrame:
+    """(vid, m, sv): every vector cut into its m subvectors of d dims
+    — one posexplode over a transform, map-side."""
+    v = as_double_vec(vec_col)
+    return emb.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda i: F.slice(v, i * d + 1, d),
+            )
+        ).alias("m", "sv"),
+    )
+
+
+def _pq_sq_dist(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance (deterministic order —
+    the oracle's list_transform sum is the same chain)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
+def _pq_assign(sub: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vid, m, cid): nearest codeword per subvector — broadcast
+    codebook join + struct-min argmin (ties → smallest cid, the d12
+    convention)."""
+    joined = sub.join(F.broadcast(cents), "m")
+    return (
+        joined.select(
+            "vid",
+            "m",
+            F.struct(
+                _pq_sq_dist(F.col("sv"), F.col("c")).alias("d"),
+                F.col("cid"),
+            ).alias("dc"),
+        )
+        .groupBy("vid", "m")
+        .agg(F.min("dc").alias("dc"))
+        .select("vid", "m", F.col("dc").getField("cid").alias("cid"))
+    )
+
+
+def pq_train_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    codebook: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 1,
+) -> DataFrame:
+    """Train product-quantization codebooks — k-means per SUBSPACE,
+    all m subspaces in the SAME distributed pass (the subspace index
+    is just a grouping key): seeds are the ``codebook`` smallest ids'
+    subvectors (rank seeds, the d12 determinism convention), each
+    Lloyd round is ONE broadcast-argmin assignment + ONE per-
+    (m, cid, dim) mean aggregate rounded to 4 dp (the cross-engine
+    replay convention), and codewords live as a broadcastable
+    (m, cid, c) frame of m×codebook rows — metadata-scale, like
+    d12's centroid literals. Empty cells keep their previous
+    codeword. Faiss trains PQ on samples; compose with the
+    semantic_dedup_sampled hash-sample for that at scale."""
+    spark = emb.sparkSession
+    first = emb.select(as_double_vec(vec_col).alias("v")).first()
+    if first is None:
+        raise ValueError("pq_train_codebooks: embedding input is empty")
+    dim = len(first["v"])
+    if dim % m != 0:
+        raise ValueError(
+            f"pq_train_codebooks: dim {dim} not divisible by m={m}"
+        )
+    d = dim // m
+    sub = _pq_sub_frame(emb, m, d, id_col, vec_col)
+    seed_rows = (
+        emb.select(F.col(id_col).alias("vid"),
+                   as_double_vec(vec_col).alias("v"))
+        .orderBy("vid")
+        .limit(codebook)
+        .collect()
+    )
+    cents_py = [
+        (mm, cid, [float(x) for x in r["v"][mm * d:(mm + 1) * d]])
+        for mm in range(m)
+        for cid, r in enumerate(seed_rows)
+    ]
+    cents = spark.createDataFrame(
+        cents_py, "m int, cid int, c array<double>"
+    )
+    for _ in range(lloyd_iters):
+        assigned = _pq_assign(sub, cents)
+        means = (
+            sub.join(assigned.hint("shuffle_hash"), ["vid", "m"])
+            .select("m", "cid", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("m", "cid", "pos")
+            .agg(F.round(F.avg("x"), 4).alias("mx"))
+            .groupBy("m", "cid")
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "mx"))
+                    ),
+                    lambda s: s["mx"],
+                ).alias("c")
+            )
+            .collect()
+        )
+        new_py = {(r["m"], r["cid"]): [float(x) for x in r["c"]]
+                  for r in means}
+        cents_py = [
+            (mm, cid, new_py.get((mm, cid), c0))
+            for mm, cid, c0 in cents_py
+        ]
+        cents = spark.createDataFrame(
+            cents_py, "m int, cid int, c array<double>"
+        )
+    return cents
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list,
+    k: int = 10,
+    m: int = 8,
+    codebook: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 1,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """Product-quantization ANN with ASYMMETRIC distance scoring —
+    the standard ring after IVF when the float corpus no longer fits
+    the probe budget (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search"): database vectors compress to m
+    one-byte codes; a query is never quantized — per subspace it
+    precomputes distances to all ``codebook`` codewords, and a
+    database vector's score is the SUM of m table lookups. Returns
+    ``(query_id, neighbor_id, rank, adc_dist)`` for the k nearest by
+    ADC distance (ascending; id tiebreak).
+
+    100 TB shape: ENCODE is one broadcast-codebook argmin over the
+    exploded subvectors — map-side, one groupBy keyed (vid, m), no
+    raw-vector shuffle after it (8 bytes/vector/subspace flow on);
+    QUERY TABLES are Q×m×codebook rows (metadata) built from the
+    same broadcast codebooks; SCORING is one broadcast equi-join of
+    the code stream against the query tables on (m, cid) plus a
+    map-side-combinable SUM keyed (query, vid) — per-candidate work
+    is m int64 adds, the whole point of ADC. Distances quantize to
+    int64 micro-units via floor(x·10⁶ + 0.5) (the s05 tie-safe
+    form), so the SUM is aggregation-order independent and the
+    oracle hash-matches; ``adc_dist`` carries 6 dp.
+
+    Determinism: rank-seed + 4 dp-rounded-mean Lloyd per subspace
+    (d12's replayable trajectory), struct-min argmin (ties →
+    smallest cid), floor-plus-half quantization, (dist, id) rank
+    tiebreak. ``codebooks`` accepts a pre-trained/persisted (m, cid,
+    c) frame — the production path trains once on a sample and
+    reuses."""
+    first = emb.select(as_double_vec(vec_col).alias("v")).first()
+    if first is None:
+        raise ValueError("pq_topk: embedding input is empty")
+    dim = len(first["v"])
+    d = dim // m
+    if codebooks is None:
+        codebooks = pq_train_codebooks(
+            emb, m=m, codebook=codebook, id_col=id_col,
+            vec_col=vec_col, lloyd_iters=lloyd_iters,
+        )
+    sub = _pq_sub_frame(emb, m, d, id_col, vec_col)
+    enc = _pq_assign(sub, codebooks).withColumnRenamed("cid", "code")
+
+    qsub = sub.filter(F.col("vid").isin(query_ids))
+    qt = (
+        qsub.join(F.broadcast(codebooks), "m")
+        .select(
+            F.col("vid").alias("query_id"),
+            "m",
+            "cid",
+            F.floor(
+                _pq_sq_dist(F.col("sv"), F.col("c")) * 1e6 + F.lit(0.5)
+            ).cast("long").alias("dq"),
+        )
+    )
+    scored = (
+        enc.join(
+            F.broadcast(qt),
+            (enc["m"] == qt["m"]) & (enc["code"] == qt["cid"]),
+        )
+        .filter(F.col("vid") != F.col("query_id"))
+        .groupBy("query_id", "vid")
+        .agg(F.sum("dq").alias("__micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__micro").asc(), F.col("vid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            (F.col("__micro") / F.lit(1e6)).alias("adc_dist"),
+        )
+    )
+
+
+def pq_rerank_topk(
+    emb: DataFrame,
+    query_ids: list,
+    k: int = 10,
+    rerank_from: int = 50,
+    m: int = 8,
+    codebook: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 1,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """PQ-ADC as a CANDIDATE GENERATOR + exact re-rank — the
+    IVFADC+refine deployment shape (8-byte codes are lossy by
+    design; recall@10 of raw ADC on 64-dim unit vectors measures
+    ~0.3-0.4 here, exactly the published PQ trade): take the ADC
+    top-``rerank_from`` per query, score ONLY those candidates with
+    the exact sequential-fold cosine, return the exact top-k.
+    ``(query_id, neighbor_id, rank, cos_sim)`` — rank by (rounded
+    cosine DESC, id ASC), s01's contract.
+
+    100 TB shape: the corpus-wide pass stays the 8-bytes-per-vector
+    ADC stream; exact math touches Q×rerank_from rows — the
+    candidate frame is metadata-scale, so the refine join broadcasts
+    it against the embedding table and only candidate vectors are
+    ever read back (predicate pushdown on the id join). The recall
+    dial is ``rerank_from`` — TestProductQuantization pins the
+    floors for both the raw and reranked paths."""
+    cand = pq_topk(
+        emb, query_ids, k=rerank_from, m=m, codebook=codebook,
+        id_col=id_col, vec_col=vec_col, lloyd_iters=lloyd_iters,
+        codebooks=codebooks,
+    ).select("query_id", "neighbor_id")
+    vecs = emb.select(
+        F.col(id_col).alias("__id"), as_double_vec(vec_col).alias("__v")
+    )
+    qv = vecs.withColumnRenamed("__id", "__qid").withColumnRenamed(
+        "__v", "__qv"
+    ).filter(F.col("__qid").isin(query_ids))
+    scored = (
+        vecs.join(
+            F.broadcast(cand), vecs["__id"] == cand["neighbor_id"]
+        )
+        .join(F.broadcast(qv), F.col("query_id") == F.col("__qid"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__v")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cos_sim",
+        )
+    )

@@ -1215,3 +1215,69 @@ def m07(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return image_neardup_pairs(synthetic_media(spark), max_hamming=6)
+
+
+@register(
+    "g04_incremental_components",
+    """
+    WITH RECURSIVE pp AS (SELECT 4 * COUNT(*) AS p FROM orders),
+    e AS (
+        SELECT DISTINCT (o_orderkey % p) AS a,
+               ((o_orderkey * 7 + 3) % p) AS b
+        FROM orders CROSS JOIN pp
+        WHERE (o_orderkey % p) <> ((o_orderkey * 7 + 3) % p)
+    ),
+    sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT reach.a, sym.b FROM reach JOIN sym ON reach.b = sym.a
+    )
+    SELECT a AS node, MIN(b)::BIGINT AS component
+    FROM reach GROUP BY a
+    """,
+    doc="INCREMENTAL connected components from persisted state — the "
+        "d11/d13/d14 pattern applied to the graph plane (round-8 "
+        "verdict #4): even-orderkey edges form the standing graph, "
+        "whose converged (node, component) assignment is the "
+        "persistable state (operators/graph.py components_state); "
+        "odd-orderkey edges arrive as the batch and fold in WITHOUT "
+        "re-contracting the old graph — each old component is "
+        "already contracted, so batch endpoints resolve to SUPER-"
+        "nodes via two shuffle_hash lookups, star-contraction runs "
+        "on the batch-scale super-edge graph only, and the relabel "
+        "map (<= touched components) broadcasts back over ONE state "
+        "scan — the state never re-shuffles. The reference rebuilds "
+        "its portfolio graph from scratch every run (wowutil.py:"
+        "74-85, driver-side networkx). Verdicts equal the full "
+        "recompute by construction (min-id labels compose across "
+        "super-nodes; TestIncrementalComponents pins state==inline=="
+        "recompute). Oracle: recursive-CTE closure over ALL edges. "
+        "Fixture: sparse functional-graph edges (k, 7k+3 mod 4n) — "
+        "sub-critical density, components <= ~10 nodes, so the "
+        "closure stays polynomial at every sf. "
+        "operators/graph.py incremental_components_from_state.",
+    tags=("graph", "incremental", "pipeline"),
+)
+def g04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.graph import (
+        components_state,
+        incremental_components_from_state,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    p = 4 * orders.count()
+    ok = F.col("o_orderkey")
+    edges = (
+        orders.select(
+            (ok % p).alias("a"),
+            ((ok * 7 + 3) % p).alias("b"),
+            (ok % 2).alias("par"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    old = edges.filter("par = 0").select("a", "b").distinct()
+    batch = edges.filter("par = 1").select("a", "b").distinct()
+    state = components_state(old, src="a", dst="b")
+    out = incremental_components_from_state(state, batch, src="a", dst="b")
+    return out.select("node", F.col("component").cast("long").alias("component"))

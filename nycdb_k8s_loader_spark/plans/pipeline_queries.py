@@ -2642,3 +2642,163 @@ def st13(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_upsert_sink(spark, f"{tmp}/sink").select(
         "vec_id", "cluster_id", "is_kept"
     )
+
+
+@register(
+    "s12_pq_adc_topk",
+    f"""
+    WITH e AS ({_VEC}),
+    sub AS (
+        SELECT vec_id, m, v[m*8+1 : m*8+8] AS sv
+        FROM e, unnest(generate_series(0, 7)) AS t(m)
+    ),
+    seedids AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)
+    ),
+    c0 AS (
+        SELECT s.m, si.cid, s.sv AS c
+        FROM sub s JOIN seedids si USING (vec_id)
+    ),
+    a1 AS (
+        SELECT vec_id, m, cid FROM (
+            SELECT s.vec_id, s.m, c.cid,
+                   row_number() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY list_sum(list_transform(
+                           range(1, len(s.sv) + 1),
+                           i -> (s.sv[i] - c.c[i]) ^ 2)), c.cid) AS rn
+            FROM sub s JOIN c0 c ON c.m = s.m
+        ) WHERE rn = 1
+    ),
+    dims AS (
+        SELECT vec_id, m, generate_subscripts(sv, 1) AS pos,
+               unnest(sv) AS val
+        FROM sub
+    ),
+    m1 AS (
+        SELECT a.m, a.cid, d.pos, ROUND(AVG(d.val), 4) AS mx
+        FROM a1 a JOIN dims d ON d.vec_id = a.vec_id AND d.m = a.m
+        GROUP BY 1, 2, 3
+    ),
+    c1 AS (
+        SELECT c0.m, c0.cid, COALESCE(l.c, c0.c) AS c
+        FROM c0 LEFT JOIN (
+            SELECT m, cid, list(mx ORDER BY pos) AS c
+            FROM m1 GROUP BY 1, 2
+        ) l ON l.m = c0.m AND l.cid = c0.cid
+    ),
+    enc AS (
+        SELECT vec_id, m, cid AS code FROM (
+            SELECT s.vec_id, s.m, c.cid,
+                   row_number() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY list_sum(list_transform(
+                           range(1, len(s.sv) + 1),
+                           i -> (s.sv[i] - c.c[i]) ^ 2)), c.cid) AS rn
+            FROM sub s JOIN c1 c ON c.m = s.m
+        ) WHERE rn = 1
+    ),
+    qt AS (
+        SELECT s.vec_id AS query_id, c.m, c.cid,
+               CAST(floor(list_sum(list_transform(
+                   range(1, len(s.sv) + 1),
+                   i -> (s.sv[i] - c.c[i]) ^ 2)) * 1000000 + 0.5)
+                   AS BIGINT) AS dq
+        FROM sub s JOIN c1 c ON c.m = s.m
+        WHERE s.vec_id < 10
+    ),
+    scored AS (
+        SELECT q.query_id, enc.vec_id AS neighbor_id,
+               SUM(q.dq)::BIGINT AS micro
+        FROM enc JOIN qt q ON q.m = enc.m AND q.cid = enc.code
+        WHERE enc.vec_id <> q.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rank, micro / 1000000.0 AS adc_dist
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY micro ASC, neighbor_id ASC)::BIGINT AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="Product-quantization ANN with asymmetric-distance scoring "
+        "(Jégou et al.) — the standard ring after IVF (s04/s06) when "
+        "the float corpus exceeds the probe budget: 64-dim vectors "
+        "compress to 8 one-byte codes (per-subspace k-means, trained "
+        "in ONE distributed pass for all subspaces — the subspace "
+        "index is just a grouping key); queries are never quantized "
+        "— per subspace they precompute distances to all 16 "
+        "codewords and each database vector scores as the SUM of 8 "
+        "int64 table lookups (distances quantized via the s05 "
+        "floor-plus-half rule, so the sum is aggregation-order "
+        "independent and bit-identical cross-engine). Encode is one "
+        "broadcast-codebook argmin; scoring is one broadcast "
+        "equi-join on (subspace, code) + a map-side-combinable SUM — "
+        "raw vectors never shuffle after encoding. Determinism: rank "
+        "seeds + 4dp-rounded Lloyd means (d12's replayable "
+        "trajectory), struct-min argmin ties to the smallest code. "
+        "TestProductQuantization pins recall@10 vs the s01 "
+        "brute-force truth. operators/similarity.py pq_topk.",
+    tags=("similarity", "quantization", "pipeline"),
+)
+def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.similarity import pq_topk
+
+    return pq_topk(
+        _emb(spark, sf_dir), query_ids=list(range(10)), k=10,
+        m=8, codebook=16, lloyd_iters=1,
+    )
+
+
+# s13: the deployment form of s12 — ADC as candidate generator, exact
+# re-rank on the candidates. The oracle REUSES s12's CTE chain (the
+# s10 composition precedent): everything up to `scored` is identical,
+# then candidates = ADC top-100, refined by exact cosine.
+_S13_ORACLE = _Q["s12_pq_adc_topk"].oracle.split("SELECT query_id,")[0] + """,
+    cand AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY micro ASC, neighbor_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 100
+    ),
+    refined AS (
+        SELECT c.query_id, c.neighbor_id,
+               ROUND(list_cosine_similarity(q.v, n.v), 6) AS cos_sim
+        FROM cand c
+        JOIN e q ON q.vec_id = c.query_id
+        JOIN e n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id ASC)::BIGINT AS rank
+        FROM refined
+    ) WHERE rank <= 10
+    """
+
+
+@register(
+    "s13_pq_rerank_topk",
+    _S13_ORACLE,
+    doc="PQ-ADC + exact re-rank — the IVFADC-refine deployment form "
+        "of s12 (8-byte codes are lossy by design: raw ADC recall@10 "
+        "measures ~0.34 on this fixture, the published PQ trade): "
+        "the corpus-wide pass stays the ADC code stream, the exact "
+        "cosine touches only the ADC top-100 candidates per query "
+        "(metadata-scale — the candidate frame broadcasts against "
+        "the embedding table, so only candidate vectors are read "
+        "back), and recall@10 recovers to ~0.85 (pinned floor 0.7, "
+        "TestProductQuantization). rerank_from is the recall dial, "
+        "s10-style. Oracle: s12's CTE chain verbatim + candidate cut "
+        "+ exact-cosine refine. operators/similarity.py "
+        "pq_rerank_topk.",
+    tags=("similarity", "quantization", "pipeline"),
+)
+def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.similarity import (
+        pq_rerank_topk,
+    )
+
+    return pq_rerank_topk(
+        _emb(spark, sf_dir), query_ids=list(range(10)), k=10,
+        rerank_from=100, m=8, codebook=16, lloyd_iters=1,
+    )

@@ -3282,6 +3282,130 @@ class TestIncrementalSemanticState:
             ).collect()
 
 
+class TestProductQuantization:
+    """s12's machinery: PQ codebooks + ADC scoring. The recall floor
+    is the s10-style measure-don't-guess gate a PQ rollout needs."""
+
+    def test_recall_floor_vs_bruteforce(self, spark):
+        from nycdb_k8s_loader_spark.operators.similarity import (
+            cosine_topk,
+            pq_topk,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.01/embeddings.parquet"
+        )
+        qids = list(range(10))
+        truth = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk(emb, query_ids=qids, k=10).collect()
+        }
+        from nycdb_k8s_loader_spark.operators.similarity import (
+            pq_rerank_topk,
+        )
+
+        pq = {
+            (r["query_id"], r["neighbor_id"])
+            for r in pq_topk(emb, query_ids=qids, k=10).collect()
+        }
+        raw = len(truth & pq) / len(truth)
+        # raw ADC at 8 bytes/vector is lossy by design (the published
+        # PQ trade); measured 0.34 here — well above chance
+        # (10/499 ~ 0.02). The deployment path is rerank.
+        assert raw >= 0.25, raw
+        rr = {
+            (r["query_id"], r["neighbor_id"])
+            for r in pq_rerank_topk(
+                emb, qids, k=10, rerank_from=100
+            ).collect()
+        }
+        reranked = len(truth & rr) / len(truth)
+        # measured 0.85 at rerank_from=100 (0.71 at 50) — the recall
+        # dial works; pin with margin
+        assert reranked >= 0.7, reranked
+        assert reranked > raw
+
+    def test_persisted_codebooks_reused(self, spark, tmp_path):
+        """The production path: train once, persist the (m, cid, c)
+        codebook table, reuse for every query batch — results equal
+        the train-inline form."""
+        from nycdb_k8s_loader_spark.operators.similarity import (
+            pq_topk,
+            pq_train_codebooks,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        path = str(tmp_path / "pq_codebooks")
+        pq_train_codebooks(emb, m=8, codebook=16).write.parquet(path)
+        cb = spark.read.parquet(path)
+        inline = sorted(map(tuple, pq_topk(
+            emb, query_ids=[0, 1, 2], k=5
+        ).collect()))
+        reused = sorted(map(tuple, pq_topk(
+            emb, query_ids=[0, 1, 2], k=5, codebooks=cb
+        ).collect()))
+        assert inline == reused
+
+
+class TestIncrementalComponents:
+    """g04's machinery: persisted CC state + batch-edge probe equals
+    the full recompute — min-id labels compose across super-nodes."""
+
+    def _cc(self, df):
+        return sorted(map(tuple, df.collect()))
+
+    def test_state_probe_equals_recompute(self, spark, tmp_path):
+        from nycdb_k8s_loader_spark.operators.graph import (
+            components_state,
+            connected_components_star,
+            incremental_components_from_state,
+        )
+
+        # old graph: {1,2,3} (root 1), {10,11} (root 10), isolated 20
+        old = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 20)], "src long, dst long"
+        )
+        # batch: merges the two comps via a chain through NEW node 5,
+        # introduces a smaller-than-root id 0 into {10,11}, a fresh
+        # pair {30,31}, and an edge internal to an old comp (no-op)
+        batch = spark.createDataFrame(
+            [(3, 5), (5, 10), (0, 11), (30, 31), (1, 3)],
+            "src long, dst long",
+        )
+        path = str(tmp_path / "ccstate")
+        components_state(old).write.parquet(path)
+        state = spark.read.parquet(path)
+        got = self._cc(
+            incremental_components_from_state(state, batch)
+        )
+        want = self._cc(
+            connected_components_star(
+                old.unionByName(batch), src="src", dst="dst"
+            )
+        )
+        assert got == want
+        comp = dict(got)
+        # chain-merge + smaller new id: everything roots at 0
+        assert comp[1] == comp[3] == comp[5] == comp[10] == comp[0] == 0
+        assert comp[20] == 20          # untouched isolated node kept
+        assert comp[30] == comp[31] == 30  # fresh batch-only comp
+
+    def test_empty_batch_and_no_merges(self, spark):
+        from nycdb_k8s_loader_spark.operators.graph import (
+            components_state,
+            incremental_components_from_state,
+        )
+
+        old = spark.createDataFrame([(1, 2)], "src long, dst long")
+        state = components_state(old)
+        # batch whose edges are all internal: state returned unchanged
+        internal = spark.createDataFrame([(2, 1)], "src long, dst long")
+        got = self._cc(incremental_components_from_state(state, internal))
+        assert got == [(1, 1), (2, 1)]
+
+
 class TestMultipolygonGeometry:
     """geo08/09/10's machinery: holed MULTIPOLYGON parse, containment,
     area, intersection, and the relational clip-area decomposition.
