@@ -385,6 +385,57 @@ def _g04_from_state_policy(spark, sf_dir):
     )
 
 
+def _geo07_scaled(spark, sf_dir):
+    """polygon_intersection_join_binned on a DENSITY-INVARIANT
+    fixture: both ring sets spread over a domain of area ∝ row count
+    (D = isqrt(n_customers)), so per-cell density and per-ring
+    candidate counts stay constant across scale steps and the row
+    measures the OPERATOR, not workload drift — the catalog fixture's
+    fixed 50/500-unit domains grow denser with sf, which would read
+    as superlinear no matter how the join scales. Output ids only
+    (the noop write should not serialize WKT bodies)."""
+    import math as _math
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from nycdb_k8s_loader_spark.operators.geo import (
+        polygon_intersection_join_binned,
+    )
+
+    customer = spark.read.parquet(_os.path.join(sf_dir, "customer.parquet"))
+    orders = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    dom = max(50, _math.isqrt(customer.count()))
+
+    def rect_wkt(x0, y0, size):
+        x1, y1 = x0 + size, y0 + size
+        s = [c.cast("string") for c in (x0, y0, x1, y1)]
+        return F.concat(
+            F.lit("POLYGON (("),
+            s[0], F.lit(" "), s[1], F.lit(", "),
+            s[2], F.lit(" "), s[1], F.lit(", "),
+            s[2], F.lit(" "), s[3], F.lit(", "),
+            s[0], F.lit(" "), s[3], F.lit(", "),
+            s[0], F.lit(" "), s[1],
+            F.lit("))"),
+        )
+
+    ck, ok = F.col("c_custkey"), F.col("o_orderkey")
+    lots = customer.select(
+        "c_custkey",
+        rect_wkt((ck % dom) + 0.25, ((ck * 7) % dom) + 0.25, 1.5)
+        .alias("lot_wkt"),
+    )
+    parcels = orders.select(
+        "o_orderkey",
+        rect_wkt((ok % dom) + 0.125, ((ok * 11) % dom) + 0.125, 0.75)
+        .alias("parcel_wkt"),
+    )
+    return polygon_intersection_join_binned(
+        lots, parcels, wkt_a="lot_wkt", wkt_b="parcel_wkt"
+    ).select("c_custkey", "o_orderkey")
+
+
 def _c07_policy_hashed(spark, sf_dir):
     """The composed curation pipeline (c07) at PRODUCTION defaults:
     hashed sentence/gram shuffle keys and bands_for policy banding —
@@ -413,6 +464,7 @@ EXTRA = {
     "d11_incremental_scaled_bands": _d11_scaled_bands,
     "c07_policy_hashed": _c07_policy_hashed,
     "g04_from_state_policy": _g04_from_state_policy,
+    "geo07_scaled": _geo07_scaled,
 }
 
 # untimed per-query preparation (persisted states etc.) — runs before
