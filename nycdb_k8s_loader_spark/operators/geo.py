@@ -981,7 +981,10 @@ def multipolygon_clip_area_join(
     ``area_col`` therefore carries 6 dp resolution regardless of
     ``round_dp``. The subject side groups by ALL its visible columns
     — at data scale pass a narrow (id, wkt) frame and join attributes
-    back after."""
+    back after. Corollary of the groupBy: two IDENTICAL subject rows
+    merge into one output row with their areas SUMMED (the geo06
+    join would emit two rows) — keep a unique id column in the
+    subject frame."""
     overlap = set(polys.columns) & set(clips.columns)
     if overlap:
         raise ValueError(f"rename overlapping columns first: {overlap}")

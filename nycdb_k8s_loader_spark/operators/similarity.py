@@ -1429,6 +1429,11 @@ def pq_topk(
     if first is None:
         raise ValueError("pq_topk: embedding input is empty")
     dim = len(first["v"])
+    if dim % m != 0:
+        # must raise HERE too: with explicit `codebooks` the training
+        # path (which checks) never runs, and a silent dim//m would
+        # drop the trailing dimensions from every distance
+        raise ValueError(f"pq_topk: dim {dim} not divisible by m={m}")
     d = dim // m
     if codebooks is None:
         codebooks = pq_train_codebooks(
