@@ -385,6 +385,53 @@ def _g04_from_state_policy(spark, sf_dir):
     )
 
 
+def _c08_state_setup(spark, sf_dir):
+    """Persist the four curation state tables from the corpus half at
+    PRODUCTION key forms (hashed sentence keys; the gram state's
+    hashed frequency pass re-verifies exact strings) — SETUP hook,
+    outside the timed window."""
+    import os as _os
+
+    from nycdb_k8s_loader_spark.plans.curation_queries import _c08_states
+
+    root = _policy_state_dir(sf_dir, "documents.parquet", "c08")
+    names = ("st3", "st4", "st5", "rates")
+    if not all(
+        _os.path.exists(_os.path.join(root, n, "_SUCCESS"))
+        for n in names
+    ):
+        built = _c08_states(spark, sf_dir, hashed=True)
+        for n in names:
+            built[n].write.mode("overwrite").parquet(
+                _os.path.join(root, n)
+            )
+
+
+def _c08_from_state_policy(spark, sf_dir):
+    """The incremental curation funnel probing prebuilt PERSISTED
+    states — the continuous-ingestion cost of the WHOLE pipeline per
+    batch: per-row verdicts plus three from-state equi-joins and a
+    broadcast rate filter; the corpus is never re-read."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from nycdb_k8s_loader_spark.operators.sampling import sample_bucket
+    from nycdb_k8s_loader_spark.plans.curation_queries import (
+        _incremental_curation,
+    )
+
+    root = _policy_state_dir(sf_dir, "documents.parquet", "c08")
+    states = {
+        n: spark.read.parquet(_os.path.join(root, n))
+        for n in ("st3", "st4", "st5", "rates")
+    }
+    batch = spark.read.parquet(
+        _os.path.join(sf_dir, "documents.parquet")
+    ).filter(sample_bucket(F.col("doc_id")) >= 500_000)
+    return _incremental_curation(spark, batch, states, hashed=True)
+
+
 def _geo07_scaled(spark, sf_dir):
     """polygon_intersection_join_binned on a DENSITY-INVARIANT
     fixture: both ring sets spread over a domain of area ∝ row count
@@ -465,6 +512,7 @@ EXTRA = {
     "c07_policy_hashed": _c07_policy_hashed,
     "g04_from_state_policy": _g04_from_state_policy,
     "geo07_scaled": _geo07_scaled,
+    "c08_from_state_policy": _c08_from_state_policy,
 }
 
 # untimed per-query preparation (persisted states etc.) — runs before
@@ -474,6 +522,7 @@ SETUP = {
     "d11_from_state_policy": _d11_state_setup,
     "d14_from_state_policy": _d14_state_setup,
     "g04_from_state_policy": _g04_state_setup,
+    "c08_from_state_policy": _c08_state_setup,
 }
 
 

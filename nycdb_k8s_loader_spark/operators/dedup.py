@@ -900,6 +900,14 @@ def exact_substring_scrub(
     starts = duplicated_span_starts(
         df, ngram, min_count, id_col, text_col, hashed_grams=hashed_grams
     )
+    return _scrub_rebuild(words, starts, ngram, id_col)
+
+
+def _scrub_rebuild(
+    words: DataFrame, starts: DataFrame, ngram: int, id_col: str
+) -> DataFrame:
+    """Token cover set + index-lambda rebuild, shared by the inline
+    and from-state scrub forms."""
     covered = (
         starts.select(
             F.col(id_col),
@@ -911,7 +919,7 @@ def exact_substring_scrub(
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("t")).alias("cov"))
     )
-    out = words.join(covered.hint("shuffle_hash"), id_col, "left").select(
+    return words.join(covered.hint("shuffle_hash"), id_col, "left").select(
         F.col(id_col),
         F.size("ws").alias("n_tokens"),
         F.coalesce(F.size("cov"), F.lit(0)).alias("dup_tokens"),
@@ -925,7 +933,96 @@ def exact_substring_scrub(
             ),
         ).alias("cleaned_text"),
     )
-    return out
+
+
+def duplicated_gram_state(
+    df: DataFrame,
+    ngram: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashed_grams: bool | None = None,
+) -> DataFrame:
+    """The persistable DUPLICATED-GRAM state for incremental span
+    scrubbing: one ``(gram)`` row per exact ``ngram``-token window
+    occurring ≥ ``min_count`` times corpus-wide — published once per
+    corpus refresh like dedup_signature_state. The state stores EXACT
+    gram strings even when the frequency pass ran hashed (the inline
+    discipline: candidates are re-verified on strings, so a persisted
+    hash collision can never scrub an innocent span later); its size
+    is the DUPLICATED-gram set only, far smaller than the corpus."""
+    hashed_grams = _resolve_hashed_grams(df, hashed_grams)
+    words = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(normalized_text(text_col), " "), lambda w: w != ""
+        ).alias("ws"),
+    ).filter(F.size("ws") >= ngram)
+    grams = words.select(
+        F.col(id_col),
+        F.posexplode(shingle_array(F.col("ws"), ngram)).alias("pos", "gram"),
+    )
+    if hashed_grams:
+        hgrams = grams.select("gram", F.xxhash64("gram").alias("gh"))
+        dup_h = (
+            hgrams.groupBy("gh")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= min_count)
+            .select("gh")
+        )
+        return (
+            hgrams.join(dup_h.hint("shuffle_hash"), "gh")
+            .groupBy("gram")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= min_count)
+            .select("gram")
+        )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("gram")
+    )
+
+
+def exact_substring_scrub_from_state(
+    state: DataFrame,
+    batch: DataFrame,
+    ngram: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Scrub an incoming batch of spans duplicated IN THE CORPUS,
+    using a PERSISTED :func:`duplicated_gram_state` — the continuous-
+    ingestion form of :func:`exact_substring_scrub` (the Lee et al.
+    removal criterion against a fixed reference corpus): a batch
+    token is dropped iff covered by an ``ngram`` window whose exact
+    text is in the published dup-gram set. Intra-batch repetition is
+    out of scope (the incremental_dedup contract), so verdicts are
+    split-invariant — the streaming twin shares the batch oracle.
+    Same output contract as :func:`exact_substring_scrub`; ``ngram``
+    MUST match how the state was built (a mismatch makes every
+    window miss — pin it where you pin the state).
+
+    100 TB shape: batch windows equi-join the state gram set
+    (shuffle_hash — the state inherits a scan-size estimate and must
+    never broadcast by it), then the shared cover-set rebuild; per-
+    increment work is linear in the batch plus its hits. Corpus text
+    never enters the plan."""
+    words = batch.select(
+        F.col(id_col),
+        F.filter(
+            F.split(normalized_text(text_col), " "), lambda w: w != ""
+        ).alias("ws"),
+    )
+    grams = words.filter(F.size("ws") >= ngram).select(
+        F.col(id_col),
+        F.posexplode(shingle_array(F.col("ws"), ngram)).alias("pos", "gram"),
+    )
+    starts = grams.join(
+        state.select("gram").hint("shuffle_hash"), "gram"
+    ).select(id_col, "pos")
+    return _scrub_rebuild(words, starts, ngram, id_col)
 
 
 def benchmark_contamination(

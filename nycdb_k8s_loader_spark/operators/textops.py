@@ -855,6 +855,29 @@ def sentence_dedup(
     strings (the t13 hashed-gram precedent; the catalog's oracle
     entry pins the exact-string twin — DuckDB has no xxhash64).
     """
+    sents, inst = _sentence_frames(
+        df, id_col, text_col, sep, min_words, hashed_keys
+    )
+    dup_keys = (
+        inst.groupBy("k")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("k")
+    )
+    return _sentence_rebuild(sents, inst, dup_keys, id_col, sep)
+
+
+def _sentence_frames(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str,
+    min_words: int,
+    hashed_keys: bool,
+):
+    """(sents, inst) shared by the inline and from-state forms —
+    segmented sentence arrays plus the removal-eligible normalized
+    (id, pos, key) instances."""
     import re
 
     sents = df.select(
@@ -878,12 +901,16 @@ def sentence_dedup(
     )
     if hashed_keys:
         inst = inst.select(F.col(id_col), "pos", F.xxhash64("k").alias("k"))
-    dup_keys = (
-        inst.groupBy("k")
-        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("k")
-    )
+    return sents, inst
+
+
+def _sentence_rebuild(
+    sents: DataFrame,
+    inst: DataFrame,
+    dup_keys: DataFrame,
+    id_col: str,
+    sep: str,
+) -> DataFrame:
     removed = (
         inst.join(dup_keys.hint("shuffle_hash"), "k")
         .groupBy(id_col)
@@ -903,6 +930,61 @@ def sentence_dedup(
             ),
         ).alias("cleaned_text"),
     )
+
+
+def sentence_dedup_state(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = ". ",
+    min_docs: int = 2,
+    min_words: int = 3,
+    hashed_keys: bool = False,
+) -> DataFrame:
+    """The persistable BOILERPLATE-KEY state for incremental sentence
+    dedup: one ``(k)`` row per normalized sentence key appearing in
+    ``min_docs``+ distinct corpus documents — the cookie banners and
+    license footers of the standing corpus, published once per corpus
+    refresh like dedup_signature_state. Sentence bodies for
+    ``hashed_keys=False``, 8-byte xxhash64 keys for the production
+    form (state size then ~8 bytes per distinct boilerplate
+    sentence)."""
+    _, inst = _sentence_frames(
+        df, id_col, text_col, sep, min_words, hashed_keys
+    )
+    return (
+        inst.groupBy("k")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("k")
+    )
+
+
+def sentence_dedup_from_state(
+    state: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = ". ",
+    min_words: int = 3,
+    hashed_keys: bool = False,
+) -> DataFrame:
+    """Strip CORPUS boilerplate from an incoming batch using a
+    PERSISTED :func:`sentence_dedup_state` — the continuous-ingestion
+    form: a batch sentence is removed iff its key is in the published
+    dup-key set; intra-batch repetition is out of scope (the
+    incremental_dedup contract — verdicts are then split-invariant,
+    which is what lets the streaming twin share the batch oracle).
+    Same output contract as :func:`sentence_dedup`.
+
+    100 TB shape: batch instances equi-join the state key set
+    (shuffle_hash — corpus-scale state must never broadcast by a
+    derived-size estimate) and the rebuild is the shared per-doc
+    position-set groupBy — per-increment work linear in the batch."""
+    sents, inst = _sentence_frames(
+        batch, id_col, text_col, sep, min_words, hashed_keys
+    )
+    return _sentence_rebuild(sents, inst, state.select("k"), id_col, sep)
 
 
 def bigram_fluency(

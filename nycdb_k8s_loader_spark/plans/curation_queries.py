@@ -1057,3 +1057,678 @@ def curation_pipeline(
             .alias("n_tokens_clean"),
         )
     )
+
+
+# --- c08: INCREMENTAL curation — the batch probes PUBLISHED states -----------
+#
+# The continuous-ingestion twin of c07 (the d11→d13 move applied to
+# the whole curation funnel): the standing corpus (even doc_ids)
+# publishes one state table per corpus-dependent stage — boilerplate
+# sentence keys (sentence_dedup_state), duplicated 8-grams
+# (duplicated_gram_state), dedup signatures (dedup_signature_state),
+# frozen per-source mixture rates — and an incoming batch (odd ids)
+# flows through the funnel probing those states, never re-reading or
+# re-aggregating the corpus. Intra-batch repetition is out of every
+# probe's contract (the incremental_dedup rule), so verdicts are
+# split-invariant — which is exactly what lets st14 run the same
+# funnel as a STREAM against the same states with the same oracle.
+_C08_SQL = f"""
+    WITH
+    cws AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS ws
+        FROM documents WHERE (doc_id * 9973 + 7919) % 1000000 < 500000
+    ),
+    cpre AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(ws), 8),
+                              i -> array_to_string(
+                                       list_slice(ws, i, i + 7), ' ')) AS ss
+        FROM cws
+    ),
+    ctext AS MATERIALIZED (
+        SELECT doc_id, array_to_string(ss, '. ') AS text FROM cpre
+    ),
+    cinst AS (
+        SELECT doc_id, ss[i] AS k
+        FROM cpre, unnest(generate_series(1, len(ss))) AS t(i)
+        WHERE len(string_split_regex(ss[i], ' +')) >= 3
+    ),
+    st3 AS MATERIALIZED (
+        SELECT k FROM cinst GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    cw4 AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS ws
+        FROM ctext
+    ),
+    cg4 AS (
+        SELECT array_to_string(list_slice(ws, i, i + 7), ' ') AS gram
+        FROM cw4, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+        WHERE len(ws) >= 8
+    ),
+    st4 AS MATERIALIZED (
+        SELECT gram FROM cg4 GROUP BY gram HAVING COUNT(*) >= 2
+    ),
+    chash AS MATERIALIZED (
+        SELECT md5(lower(trim(text))) AS h FROM ctext
+    ),
+    ctoks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS l
+        FROM ctext
+    ),
+    cshing AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(l) >= 3
+                    THEN l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                    ELSE array_to_string(l, ' ') END AS w
+        FROM ctoks,
+             unnest(CASE WHEN len(l) >= 3 THEN range(1, len(l) - 1)
+                         ELSE [CAST(1 AS BIGINT)] END) AS t(i)
+    ),
+    cbase AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)
+                   % 2147483647 AS x
+        FROM cshing
+    ),
+    csigs AS (
+        SELECT doc_id,
+               MIN((x * 1000000007 + 337)   % 2147483647) AS h0,
+               MIN((x * 998244353  + 7331)  % 2147483647) AS h1,
+               MIN((x * 774856531  + 12345) % 2147483647) AS h2,
+               MIN((x * 602398169  + 54321) % 2147483647) AS h3,
+               MIN((x * 516688307  + 2468)  % 2147483647) AS h4,
+               MIN((x * 402653189  + 13579) % 2147483647) AS h5,
+               MIN((x * 268435459  + 97531) % 2147483647) AS h6,
+               MIN((x * 160481183  + 86420) % 2147483647) AS h7
+        FROM cbase GROUP BY doc_id
+    ),
+    cbands AS MATERIALIZED (
+        SELECT doc_id, 0 AS band, md5(h0 || '' || h1) AS band_key FROM csigs
+        UNION ALL SELECT doc_id, 1, md5(h2 || '' || h3) FROM csigs
+        UNION ALL SELECT doc_id, 2, md5(h4 || '' || h5) FROM csigs
+        UNION ALL SELECT doc_id, 3, md5(h6 || '' || h7) FROM csigs
+    ),
+    csizes AS MATERIALIZED (
+        SELECT doc_id, COUNT(*) AS n FROM cshing GROUP BY doc_id
+    ),
+    cbase6 AS (
+        SELECT doc_id, source,
+               (length(trim(text))
+                - length(replace(trim(text), ' ', '')) + 1)::BIGINT
+                   AS n_tokens
+        FROM documents WHERE (doc_id * 9973 + 7919) % 1000000 < 500000
+    ),
+    tot6 AS (SELECT source, SUM(n_tokens)::BIGINT AS t_s
+             FROM cbase6 GROUP BY 1),
+    corp6 AS (SELECT SUM(n_tokens)::BIGINT AS ct FROM cbase6),
+    rates6 AS MATERIALIZED (
+        SELECT source,
+               LEAST(1000000,
+                     (((CASE WHEN source IN
+                             ('src0','src1','src2','src3','src4')
+                        THEN 120000 ELSE 26666 END)
+                       * ((ct * 400000) // 1000000)) // 1000000)
+                     * 1000000 // t_s)::BIGINT AS rate_ppm
+        FROM tot6 CROSS JOIN corp6
+    ),
+    bg0 AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS ws,
+               length(replace(trim(text), ' ', '')) AS nonspace
+        FROM documents WHERE (doc_id * 9973 + 7919) % 1000000 >= 500000
+    ),
+    g AS (
+        SELECT doc_id,
+               len(ws)::BIGINT AS n_tokens_raw,
+               ((len(ws) >= 50 AND len(ws) <= 100000)
+                AND COALESCE(
+                    (CASE WHEN len(ws) = 0 THEN NULL
+                          ELSE nonspace / len(ws) END) >= 3.0
+                    AND (CASE WHEN len(ws) = 0 THEN NULL
+                              ELSE nonspace / len(ws) END) <= 10.0, false)
+                AND COALESCE(
+                    (CASE WHEN len(ws) = 0 THEN NULL
+                          ELSE len(list_filter(ws,
+                                   w -> regexp_matches(w, '[a-z]')))
+                               / len(ws) END) >= 0.8, false)
+                AND (len(list_filter(list_distinct(ws),
+                         w -> list_contains({_STOP_SQL}, w))) >= 2)
+               ) AS keep_g
+        FROM bg0
+    ),
+    u0 AS (SELECT doc_id, lower({_T22_URL_SQL}) AS url
+           FROM documents WHERE (doc_id * 9973 + 7919) % 1000000 >= 500000),
+    u1 AS (
+        SELECT doc_id, url,
+               regexp_replace(regexp_replace(
+                   regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+                   '^www\\.', ''), ':[0-9]+$', '') AS host,
+               regexp_extract(url,
+                   '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path
+        FROM u0
+    ),
+    u AS (
+        SELECT doc_id,
+               (length(url) <= 160
+                AND len(list_filter(string_split(path, '/'),
+                                    s -> s <> '')) <= 8
+                AND ROUND(length(regexp_replace(host, '[^0-9]', '', 'g'))
+                              ::DOUBLE / length(host), 4) <= 0.30
+                AND NOT (url LIKE '%casino%' OR url LIKE '%pills%'
+                         OR url LIKE '%xxx%')
+                AND NOT (regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                         IN ('badsite.example'))) AS keep_u
+        FROM u1
+    ),
+    s2 AS (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN g USING (doc_id) JOIN u USING (doc_id)
+        WHERE (d.doc_id * 9973 + 7919) % 1000000 >= 500000
+          AND g.keep_g AND u.keep_u
+    ),
+    bws AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS ws
+        FROM s2
+    ),
+    bpre AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(ws), 8),
+                              i -> array_to_string(
+                                       list_slice(ws, i, i + 7), ' ')) AS ss
+        FROM bws
+    ),
+    binst AS (
+        SELECT doc_id, i - 1 AS pos, ss[i] AS k
+        FROM bpre, unnest(generate_series(1, len(ss))) AS t(i)
+        WHERE len(string_split_regex(ss[i], ' +')) >= 3
+    ),
+    rem3 AS (
+        SELECT doc_id, list_sort(list(pos)) AS rp
+        FROM binst JOIN st3 USING (k) GROUP BY doc_id
+    ),
+    c3 AS MATERIALIZED (
+        SELECT p.doc_id,
+               COALESCE(len(r.rp), 0)::BIGINT AS sentences_removed,
+               COALESCE(array_to_string(
+                   list_filter(p.ss, (x, i) -> r.rp IS NULL
+                                      OR NOT list_contains(r.rp, i - 1)),
+                   '. '), '') AS text3
+        FROM bpre p LEFT JOIN rem3 r USING (doc_id)
+    ),
+    w4 AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text3)), ' '),
+                           w -> w <> '') AS ws
+        FROM c3
+    ),
+    g4 AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(list_slice(ws, i, i + 7), ' ') AS gram
+        FROM w4, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+        WHERE len(ws) >= 8
+    ),
+    starts4 AS (SELECT g4.doc_id, g4.pos FROM g4 JOIN st4 USING (gram)),
+    cov4p AS (
+        SELECT DISTINCT doc_id,
+               unnest(generate_series(pos, pos + 7)) AS t
+        FROM starts4
+    ),
+    cov4 AS (SELECT doc_id, list_sort(list(t)) AS cov
+             FROM cov4p GROUP BY doc_id),
+    c4 AS MATERIALIZED (
+        SELECT w.doc_id,
+               len(w.ws)::BIGINT AS n_tokens3,
+               COALESCE(len(c.cov), 0)::BIGINT AS dup_tokens,
+               COALESCE(array_to_string(
+                   list_filter(w.ws, (x, i) -> c.cov IS NULL
+                                     OR NOT list_contains(c.cov, i - 1)),
+                   ' '), '') AS text4
+        FROM w4 w LEFT JOIN cov4 c USING (doc_id)
+    ),
+    s5 AS MATERIALIZED (SELECT doc_id, text4 AS text FROM c4
+           WHERE n_tokens3 - dup_tokens > 0),
+    bex AS (
+        SELECT DISTINCT s.doc_id FROM s5 s
+        JOIN chash ch ON ch.h = md5(lower(trim(s.text)))
+    ),
+    btoks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS l
+        FROM s5
+    ),
+    bshing AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(l) >= 3
+                    THEN l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                    ELSE array_to_string(l, ' ') END AS w
+        FROM btoks,
+             unnest(CASE WHEN len(l) >= 3 THEN range(1, len(l) - 1)
+                         ELSE [CAST(1 AS BIGINT)] END) AS t(i)
+    ),
+    bbase AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)
+                   % 2147483647 AS x
+        FROM bshing
+    ),
+    bsigs AS (
+        SELECT doc_id,
+               MIN((x * 1000000007 + 337)   % 2147483647) AS h0,
+               MIN((x * 998244353  + 7331)  % 2147483647) AS h1,
+               MIN((x * 774856531  + 12345) % 2147483647) AS h2,
+               MIN((x * 602398169  + 54321) % 2147483647) AS h3,
+               MIN((x * 516688307  + 2468)  % 2147483647) AS h4,
+               MIN((x * 402653189  + 13579) % 2147483647) AS h5,
+               MIN((x * 268435459  + 97531) % 2147483647) AS h6,
+               MIN((x * 160481183  + 86420) % 2147483647) AS h7
+        FROM bbase GROUP BY doc_id
+    ),
+    bbands AS (
+        SELECT doc_id, 0 AS band, md5(h0 || '' || h1) AS band_key FROM bsigs
+        UNION ALL SELECT doc_id, 1, md5(h2 || '' || h3) FROM bsigs
+        UNION ALL SELECT doc_id, 2, md5(h4 || '' || h5) FROM bsigs
+        UNION ALL SELECT doc_id, 3, md5(h6 || '' || h7) FROM bsigs
+    ),
+    cand5 AS (
+        SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+        FROM bbands b JOIN cbands c
+          ON b.band = c.band AND b.band_key = c.band_key
+    ),
+    bsizes AS (SELECT doc_id, COUNT(*) AS n FROM bshing GROUP BY doc_id),
+    common5 AS (
+        SELECT c.bid, c.cid, COUNT(*) AS n_common
+        FROM cand5 c
+        JOIN bshing sb ON sb.doc_id = c.bid
+        JOIN cshing sc ON sc.doc_id = c.cid AND sc.w = sb.w
+        GROUP BY 1, 2
+    ),
+    bnear AS (
+        SELECT DISTINCT bid AS doc_id
+        FROM common5
+        JOIN bsizes zb ON zb.doc_id = bid
+        JOIN csizes zc ON zc.doc_id = cid
+        WHERE n_common * 1.0 / (zb.n + zc.n - n_common) >= 0.7
+    ),
+    dup5 AS (SELECT doc_id FROM bex UNION SELECT doc_id FROM bnear),
+    kept5 AS (
+        SELECT s.doc_id FROM s5 s
+        WHERE s.doc_id NOT IN (SELECT doc_id FROM dup5)
+    ),
+    m6 AS (
+        SELECT k.doc_id
+        FROM kept5 k JOIN documents d USING (doc_id)
+        JOIN rates6 r USING (source)
+        WHERE (k.doc_id * 9973 + 7919) % 1000000 < r.rate_ppm
+    )
+    SELECT g.doc_id,
+           CASE WHEN NOT g.keep_g THEN 'gopher'
+                WHEN NOT u.keep_u THEN 'url'
+                WHEN c4.n_tokens3 - c4.dup_tokens = 0 THEN 'scrubbed_empty'
+                WHEN d5.doc_id IS NOT NULL THEN 'corpus_dup'
+                WHEN m6.doc_id IS NULL THEN 'mixture'
+                ELSE 'kept' END AS stage,
+           g.n_tokens_raw,
+           COALESCE(c3.sentences_removed, 0)::BIGINT AS sentences_removed,
+           COALESCE(c4.dup_tokens, 0)::BIGINT AS dup_tokens,
+           COALESCE(c4.n_tokens3 - c4.dup_tokens, 0)::BIGINT
+               AS n_tokens_clean
+    FROM g JOIN u USING (doc_id)
+    LEFT JOIN c3 USING (doc_id)
+    LEFT JOIN c4 USING (doc_id)
+    LEFT JOIN dup5 d5 USING (doc_id)
+    LEFT JOIN m6 USING (doc_id)
+    """
+
+
+@register(
+    "c08_incremental_curation",
+    _C08_SQL,
+    doc="INCREMENTAL curation — c07's funnel as a continuous-"
+        "ingestion probe (the d11→d13 move applied to the whole "
+        "pipeline): the standing corpus (a deterministic hash-bucket "
+        "half — doc_id PARITY would be confounded with the fixture's "
+        "source = src(id mod 20)) publishes one "
+        "state per corpus-dependent stage — boilerplate sentence "
+        "keys, duplicated 8-grams, dedup signatures, frozen "
+        "per-source mixture rates — and the incoming batch (the "
+        "complement bucket) "
+        "flows gopher → url → sentence-scrub-from-state → span-"
+        "scrub-from-state → incremental-dedup-from-state → frozen-"
+        "rate mixture, probing published tables only: the corpus is "
+        "never re-read, re-counted, or re-aggregated per increment, "
+        "so per-batch cost is O(batch + hits) at any corpus size. "
+        "Intra-batch repetition is out of every probe's contract "
+        "(the incremental_dedup rule) — verdicts are split-"
+        "invariant, which is what lets st14 run the same funnel as a "
+        "stream against the same states with the same oracle. "
+        "Attribution output matches c07 (first rejecting stage or "
+        "'kept', with 'corpus_dup' where c07 has 'fuzzy_dup'). "
+        "operators: textops.sentence_dedup_from_state, "
+        "dedup.exact_substring_scrub_from_state, "
+        "dedup.incremental_dedup_from_state.",
+    tags=("pipeline", "text", "quality", "dedup", "incremental"),
+)
+def c08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from nycdb_k8s_loader_spark.operators.sampling import sample_bucket
+
+    states = _c08_states(spark, sf_dir)
+    # hash-bucket split, NOT doc_id parity: source = src{id % 20} in
+    # the fixture, so a parity split is perfectly confounded with
+    # source (the corpus would publish rates for only half the
+    # sources and the mixture join would drop every batch doc)
+    batch = _docs(spark, sf_dir).filter(
+        sample_bucket(F.col("doc_id")) >= 500_000
+    )
+    return _incremental_curation(spark, batch, states)
+
+
+def _c08_states(
+    spark: SparkSession, sf_dir: str, hashed: bool = False
+) -> dict:
+    """Build (eagerly, as checkpoints) the four published state
+    frames from the hash-bucket corpus half — the in-session analog of the
+    published state tables a production corpus refresh writes.
+    st14 persists these same frames to parquet and probes them from
+    the stream."""
+    import pyspark.sql.functions as F
+
+    from nycdb_k8s_loader_spark.operators.dedup import (
+        dedup_signature_state,
+        duplicated_gram_state,
+    )
+    from nycdb_k8s_loader_spark.operators.sampling import (
+        token_budget_mixture,
+    )
+    from nycdb_k8s_loader_spark.operators.textops import (
+        sentence_dedup_state,
+    )
+
+    from nycdb_k8s_loader_spark.operators.sampling import sample_bucket
+
+    corpus = _docs(spark, sf_dir).filter(
+        sample_bucket(F.col("doc_id")) < 500_000
+    )
+    cpre = _pseudo_sentence_docs(corpus).localCheckpoint(eager=True)
+    # hashed=True is the production key form (8-byte sentence keys;
+    # the gram state is string-identical either way — the hashed
+    # frequency pass re-verifies exact strings); the catalog pins
+    # False for the DuckDB oracle
+    st3 = sentence_dedup_state(
+        cpre, min_docs=2, min_words=3, hashed_keys=hashed
+    ).localCheckpoint(eager=True)
+    st4 = duplicated_gram_state(
+        cpre, ngram=8, hashed_grams=hashed
+    ).localCheckpoint(eager=True)
+    st5 = dedup_signature_state(
+        cpre, num_hashes=8, bands=4, shingles=3
+    ).localCheckpoint(eager=True)
+    # frozen mixture rates, rebuilt from corpus totals with p07's
+    # exact int64 ppm chain (taking DISTINCT (source, rate_ppm) off
+    # token_budget_mixture's KEPT output would silently lose any
+    # source whose every doc sampled out)
+    shares = {f"src{i}": (120_000 if i < 5 else 26_666) for i in range(20)}
+    base = corpus.select(
+        "source",
+        (F.length(F.trim("text"))
+         - F.length(F.replace(F.trim("text"), F.lit(" "), F.lit("")))
+         + 1).cast("long").alias("n_tokens"),
+    )
+    share = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for kv in shares.items() for x in kv]
+        )[F.col("source")].cast("long"),
+        F.lit(0).cast("long"),
+    )
+    rates = (
+        base.groupBy("source")
+        .agg(F.sum("n_tokens").alias("t_s"))
+        .crossJoin(
+            F.broadcast(base.agg(F.sum("n_tokens").alias("ct")))
+        )
+        .withColumn("__share", share)
+        .select(
+            "source",
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.expr(
+                    "((__share * ((ct * 400000) div 1000000)) "
+                    "div 1000000) * 1000000 div t_s"
+                ),
+            ).alias("rate_ppm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return {"st3": st3, "st4": st4, "st5": st5, "rates": rates}
+
+
+def _incremental_curation(
+    spark: SparkSession, batch: DataFrame, states: dict,
+    hashed: bool = False,
+) -> DataFrame:
+    """The batch-side funnel shared by c08 (batch) and st14 (inside
+    foreachBatch): per-row gopher/url verdicts, then from-state
+    probes of the published sentence-key / dup-gram / signature /
+    rate tables."""
+    import pyspark.sql.functions as F
+
+    from nycdb_k8s_loader_spark.operators.dedup import (
+        exact_substring_scrub_from_state,
+        incremental_dedup_from_state,
+    )
+    from nycdb_k8s_loader_spark.operators.sampling import sample_bucket
+    from nycdb_k8s_loader_spark.operators.textops import (
+        gopher_quality_rules,
+        sentence_dedup_from_state,
+        url_domain_filter,
+    )
+
+    g = gopher_quality_rules(batch).select(
+        "doc_id",
+        F.col("n_words").alias("n_tokens_raw"),
+        F.col("keep").alias("keep_g"),
+    )
+    urls = g.filter("keep_g").select(
+        "doc_id", F.expr(_T22_URL_SQL).alias("url")
+    )
+    blocklist = spark.createDataFrame(
+        [("badsite.example",)], "domain string"
+    )
+    u = url_domain_filter(urls, blocked_domains=blocklist).select(
+        "doc_id", F.col("keep").alias("keep_u")
+    )
+    spine = g.join(u, "doc_id", "left").localCheckpoint(eager=True)
+
+    surv2 = spine.filter(F.col("keep_g") & F.col("keep_u")).select(
+        "doc_id"
+    )
+    s2 = batch.join(surv2.hint("shuffle_hash"), "doc_id").select(
+        "doc_id", "text", "source"
+    )
+
+    c3 = sentence_dedup_from_state(
+        states["st3"],
+        _pseudo_sentence_docs(s2),
+        min_words=3,
+        hashed_keys=hashed,
+    ).localCheckpoint(eager=True)
+
+    c4 = exact_substring_scrub_from_state(
+        states["st4"],
+        c3.select("doc_id", F.col("cleaned_text").alias("text")),
+        ngram=8,
+    ).localCheckpoint(eager=True)
+
+    s5 = c4.filter(F.col("n_tokens") - F.col("dup_tokens") > 0).select(
+        "doc_id", F.col("cleaned_text").alias("text")
+    )
+    v5 = incremental_dedup_from_state(
+        states["st5"], s5, threshold=0.7
+    ).localCheckpoint(eager=True)
+
+    kept5 = v5.filter(F.col("verdict") == "keep").select("doc_id")
+    m6 = (
+        kept5.join(batch.select("doc_id", "source"), "doc_id")
+        .join(F.broadcast(states["rates"]), "source")
+        .filter(sample_bucket(F.col("doc_id")) < F.col("rate_ppm"))
+        .select("doc_id", F.lit(True).alias("__in_mix"))
+    )
+
+    return (
+        spine
+        .join(
+            c3.select(
+                "doc_id", F.col("n_removed").alias("sentences_removed")
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(
+            c4.select(
+                "doc_id",
+                "dup_tokens",
+                (F.col("n_tokens") - F.col("dup_tokens")).alias(
+                    "n_tokens_clean"
+                ),
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(
+            v5.select(
+                "doc_id",
+                (F.col("verdict") != "keep").alias("__is_dup"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(m6, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(~F.col("keep_g"), "gopher")
+            .when(~F.col("keep_u"), "url")
+            .when(F.col("n_tokens_clean") == 0, "scrubbed_empty")
+            .when(F.col("__is_dup"), "corpus_dup")
+            .when(F.col("__in_mix").isNull(), "mixture")
+            .otherwise("kept")
+            .alias("stage"),
+            F.col("n_tokens_raw").cast("long").alias("n_tokens_raw"),
+            F.coalesce("sentences_removed", F.lit(0))
+            .cast("long")
+            .alias("sentences_removed"),
+            F.coalesce("dup_tokens", F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.coalesce("n_tokens_clean", F.lit(0))
+            .cast("long")
+            .alias("n_tokens_clean"),
+        )
+    )
+
+
+def _c08_pinned_states(spark: SparkSession, sf_dir: str) -> dict:
+    """The four c08 state tables PERSISTED per (sf_dir, mtime) and
+    read back — what a production corpus refresh publishes; st14's
+    stream probes these exact parquet tables."""
+    import hashlib
+    import os
+    import re as _re
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    sig = hashlib.md5(
+        f"{sf_dir}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    root = (
+        "/tmp/curation_states_"
+        + _re.sub(r"\W+", "_", sf_dir).strip("_")
+        + f"_{sig}"
+    )
+    names = ("st3", "st4", "st5", "rates")
+    if not all(
+        os.path.exists(os.path.join(root, n, "_SUCCESS")) for n in names
+    ):
+        built = _c08_states(spark, sf_dir)
+        for n in names:
+            built[n].write.mode("overwrite").parquet(
+                os.path.join(root, n)
+            )
+    return {n: spark.read.parquet(os.path.join(root, n)) for n in names}
+
+
+@register(
+    "st14_streaming_curation",
+    _C08_SQL,
+    doc="c08's incremental curation run as a STREAM — the full "
+        "funnel inline in the ingest path instead of a nightly "
+        "batch: incoming docs arrive as a file stream, each micro-"
+        "batch flows gopher → url → the three from-state probes → "
+        "frozen-rate mixture against the PUBLISHED corpus state "
+        "tables inside foreachBatch (a micro-batch is a batch frame, "
+        "so the probes' joins need no streaming state store), and "
+        "per-doc attributions publish through the idempotent "
+        "versioned upsert sink keyed by doc_id. Every stage verdict "
+        "depends only on the doc and the fixed states (intra-batch "
+        "effects are out of every probe's contract), so the "
+        "availableNow pass is split-invariant and equals the batch "
+        "twin — hence c08's shared oracle. With st11 (quality "
+        "funnel), st12 (lexical dedup) and st13 (semantic dedup) "
+        "this completes the batch/streaming symmetry: the WHOLE "
+        "curation pipeline now runs in either mode off one set of "
+        "published states.",
+    tags=("streaming", "pipeline", "text", "quality", "incremental"),
+)
+def st14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os as _os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from nycdb_k8s_loader_spark.operators.sampling import sample_bucket
+    from nycdb_k8s_loader_spark.streaming.pipeline import (
+        foreach_batch_upsert,
+        read_upsert_sink,
+        state_sized_shuffle,
+    )
+
+    states = _c08_pinned_states(spark, sf_dir)
+    schema = _docs(spark, sf_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(sample_bucket(F.col("doc_id")) >= 500_000)
+    )
+    mtime = _os.path.getmtime(_os.path.join(sf_dir, "documents.parquet"))
+    digest = hashlib.md5(f"{sf_dir}:{mtime}".encode()).hexdigest()[:8]
+    tmp = f"{tempfile.gettempdir()}/spark_graft_st14_{digest}"
+    upsert = foreach_batch_upsert(f"{tmp}/sink", ["doc_id"])
+
+    def probe(mb, batch_id):
+        upsert(_incremental_curation(spark, mb, states), batch_id)
+
+    with state_sized_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(probe)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return read_upsert_sink(spark, f"{tmp}/sink").select(
+        "doc_id", "stage", "n_tokens_raw", "sentences_removed",
+        "dup_tokens", "n_tokens_clean",
+    )

@@ -3282,6 +3282,150 @@ class TestIncrementalSemanticState:
             ).collect()
 
 
+class TestCurationFromState:
+    """The curation plane's persisted-state probes (c08/st14):
+    sentence boilerplate keys and duplicated grams published from a
+    standing corpus, applied to incoming batches — corpus-driven
+    removals only, intra-batch repetition out of contract (the
+    incremental_dedup split-invariance rule)."""
+
+    def test_sentence_dedup_from_state(self, spark):
+        from nycdb_k8s_loader_spark.operators.textops import (
+            sentence_dedup_from_state,
+            sentence_dedup_state,
+        )
+
+        corpus = spark.createDataFrame(
+            [
+                (1, "all rights reserved here. unique alpha text one"),
+                (2, "all rights reserved here. unique beta text two"),
+            ],
+            "doc_id long, text string",
+        )
+        state = sentence_dedup_state(corpus, min_docs=2, min_words=3)
+        assert [r["k"] for r in state.collect()] == [
+            "all rights reserved here"
+        ]
+        batch = spark.createDataFrame(
+            [
+                (10, "fresh words. all rights reserved here. tail bit"),
+                # batch-internal dup ('batch only banner') in 11+12:
+                # NOT in the corpus state -> kept
+                (11, "batch only banner. some content eleven"),
+                (12, "batch only banner. some content twelve"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in sentence_dedup_from_state(state, batch).collect()
+        }
+        assert out[10]["n_removed"] == 1
+        assert out[10]["cleaned_text"] == "fresh words. tail bit"
+        assert out[11]["n_removed"] == 0 and out[12]["n_removed"] == 0
+
+    def test_scrub_from_state(self, spark):
+        from nycdb_k8s_loader_spark.operators.dedup import (
+            duplicated_gram_state,
+            exact_substring_scrub,
+            exact_substring_scrub_from_state,
+        )
+
+        lic = "licensed under the apache license"
+        corpus = spark.createDataFrame(
+            [(1, f"alpha one {lic} aa bb"),
+             (2, f"beta cc {lic} dd ee")],
+            "doc_id long, text string",
+        )
+        state = duplicated_gram_state(corpus, ngram=5, hashed_grams=False)
+        assert {r["gram"] for r in state.collect()} == {lic}
+        batch = spark.createDataFrame(
+            [
+                (10, f"start {lic} end"),
+                # batch-internal dup gram in 11+12: kept (not in state)
+                (11, "shared five token run here once"),
+                (12, "shared five token run here twice"),
+                (13, "wholly unique little document"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in exact_substring_scrub_from_state(
+                state, batch, ngram=5
+            ).collect()
+        }
+        assert out[10]["dup_tokens"] == 5
+        assert out[10]["cleaned_text"] == "start end"
+        assert out[11]["dup_tokens"] == 0 and out[12]["dup_tokens"] == 0
+        assert out[13]["dup_tokens"] == 0
+        # hashed state stores EXACT strings (collision discipline)
+        from nycdb_k8s_loader_spark.operators.dedup import (
+            duplicated_gram_state as dgs,
+        )
+        hs = dgs(corpus, ngram=5, hashed_grams=True)
+        assert {r["gram"] for r in hs.collect()} == {lic}
+        # inline scrub on the same batch WOULD also kill the
+        # batch-internal dup — pin the contract difference
+        inline = {
+            r["doc_id"]: r["dup_tokens"]
+            for r in exact_substring_scrub(
+                batch, ngram=5, hashed_grams=False
+            ).collect()
+        }
+        assert inline[11] == 5 and inline[12] == 5
+
+
+class TestIncrementalCuration:
+    """c08/st14: the whole curation funnel as a from-state probe —
+    batch == stream (mode-independence) and string == hashed key
+    forms (the production-key twin rule)."""
+
+    def test_stream_equals_batch(self, spark):
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+
+        qs = queries()
+        sf = "/root/testdata/sf0.001"
+        batch = sorted(map(tuple, qs["c08_incremental_curation"](
+            spark, sf
+        ).collect()))
+        streamed = sorted(map(tuple, qs["st14_streaming_curation"](
+            spark, sf
+        ).collect()))
+        assert batch == streamed
+        # rerun replays nothing and returns the same published rows
+        again = sorted(map(tuple, qs["st14_streaming_curation"](
+            spark, sf
+        ).collect()))
+        assert again == streamed
+
+    def test_hashed_key_form_is_verdict_identical(self, spark):
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.operators.sampling import (
+            sample_bucket,
+        )
+        from nycdb_k8s_loader_spark.plans.curation_queries import (
+            _c08_states,
+            _incremental_curation,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        batch = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(sample_bucket(F.col("doc_id")) >= 500_000)
+        )
+        a = sorted(map(tuple, _incremental_curation(
+            spark, batch, _c08_states(spark, sf, hashed=False),
+            hashed=False,
+        ).collect()))
+        b = sorted(map(tuple, _incremental_curation(
+            spark, batch, _c08_states(spark, sf, hashed=True),
+            hashed=True,
+        ).collect()))
+        assert a == b
+
+
 class TestProductQuantization:
     """s12's machinery: PQ codebooks + ADC scoring. The recall floor
     is the s10-style measure-don't-guess gate a PQ rollout needs."""
