@@ -1449,14 +1449,10 @@ def _c08_states(
         dedup_signature_state,
         duplicated_gram_state,
     )
-    from nycdb_k8s_loader_spark.operators.sampling import (
-        token_budget_mixture,
-    )
+    from nycdb_k8s_loader_spark.operators.sampling import sample_bucket
     from nycdb_k8s_loader_spark.operators.textops import (
         sentence_dedup_state,
     )
-
-    from nycdb_k8s_loader_spark.operators.sampling import sample_bucket
 
     corpus = _docs(spark, sf_dir).filter(
         sample_bucket(F.col("doc_id")) < 500_000
