@@ -151,7 +151,11 @@ def _calibrate(spark, rounds: int = 5) -> float:
     return round(statistics.median(times), 3)
 
 
-def _raw_agreement(timings: dict[str, float], against_path: str) -> dict:
+def _raw_agreement(
+    timings: dict[str, float],
+    against_path: str,
+    exec_timings: dict[str, float] | None = None,
+) -> dict:
     """Two-run reproducibility protocol, encoded (round-7 verdict #3/#6
     — it lived only in PERFORMANCE.md prose): compare THIS run's raw
     per-query seconds to a prior run's JSON over the shared query set.
@@ -159,22 +163,38 @@ def _raw_agreement(timings: dict[str, float], against_path: str) -> dict:
     calibration job's own jitter amplified 'normalized' divergence to
     15% while raw totals agreed to 0.4%); ``raw_agreement_pct`` > 5
     means the machine state differed enough that neither run should be
-    trusted for regression calls."""
+    trusted for regression calls.
+
+    Like-for-like channels (round-9 verdict #5): the r9 honesty fix
+    moved t0 before the query builder, which made ``queries`` totals
+    structurally incomparable with r8-and-earlier files.  When BOTH
+    sides carry the split ``exec_queries`` channel, agreement compares
+    exec seconds (the channel whose semantics never changed: the noop
+    write of the built plan); otherwise it falls back to the combined
+    totals and says so in ``agreement_channel``."""
     with open(against_path) as f:
         prev = json.load(f)
     if "queries" not in prev and isinstance(prev.get("parsed"), dict):
         # the external driver's BENCH_r{N}.json wraps the bench line
         # in {n, rc, sf, tail, parsed: {...}} — unwrap it
         prev = prev["parsed"]
-    shared = sorted(k for k in timings if k in prev.get("queries", {}))
+    channel = "total"
+    ours, theirs = timings, prev.get("queries", {})
+    if exec_timings is not None and isinstance(
+        prev.get("exec_queries"), dict
+    ):
+        channel = "exec"
+        ours, theirs = exec_timings, prev["exec_queries"]
+    shared = sorted(k for k in ours if k in theirs)
     if not shared:
         return {"against": against_path, "shared_queries": 0}
-    cur = sum(timings[k] for k in shared)
-    old = sum(prev["queries"][k] for k in shared)
+    cur = sum(ours[k] for k in shared)
+    old = sum(theirs[k] for k in shared)
     pct = round(abs(cur - old) / max(old, 1e-9) * 100.0, 2)
     return {
         "against": against_path,
         "shared_queries": len(shared),
+        "agreement_channel": channel,
         "raw_shared_total_sec": round(cur, 3),
         "against_shared_total_sec": round(old, 3),
         "raw_agreement_pct": pct,
@@ -200,10 +220,12 @@ def main(against: str | None = None) -> None:
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
+    build: dict[str, float] = {}
+    execs: dict[str, float] = {}
     cold: dict[str, float] = {}
     steal: dict[str, int] = {}
     for name in HEADLINE:
-        runs = []
+        runs, b_runs, e_runs = [], [], []
         s0 = _steal_jiffies()
         for _ in range(n_runs):
             # t0 BEFORE the builder: operators with eager build-time
@@ -211,15 +233,24 @@ def main(against: str | None = None) -> None:
             # boundary checkpoints) must be measured, not just their
             # final-join replay — the old post-build t0 undercounted
             # d09-class entries (round-9 honesty fix; lazy entries
-            # gain only plan-construction ms)
+            # gain only plan-construction ms).  The two phases are
+            # ALSO recorded separately (round-9 verdict #5):
+            # ``exec`` keeps its pre-r9 semantics, so round-over-round
+            # comparability survives the honesty fix.
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
+            t1 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+            t2 = time.perf_counter()
+            runs.append(t2 - t0)
+            b_runs.append(t1 - t0)
+            e_runs.append(t2 - t1)
         steal[name] = _steal_jiffies() - s0
         cold[name] = round(runs[0], 3)
-        steady = runs[1:] if len(runs) > 1 else runs
-        timings[name] = round(statistics.median(steady), 3)
+        steady = slice(1, None) if len(runs) > 1 else slice(None)
+        timings[name] = round(statistics.median(runs[steady]), 3)
+        build[name] = round(statistics.median(b_runs[steady]), 3)
+        execs[name] = round(statistics.median(e_runs[steady]), 3)
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -227,6 +258,10 @@ def main(against: str | None = None) -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "build_queries": build,
+        "exec_queries": execs,
+        "build_total_sec": round(sum(build.values()), 3),
+        "exec_total_sec": round(sum(execs.values()), 3),
         "sf": sf,
         "cold_total_sec": round(sum(cold.values()), 3),
         "runs_per_query": n_runs,
@@ -252,7 +287,7 @@ def main(against: str | None = None) -> None:
         if prior:
             against = prior[-1]
     if against:
-        agreement = _raw_agreement(timings, against)
+        agreement = _raw_agreement(timings, against, exec_timings=execs)
         payload.update(agreement)
     print(json.dumps(payload))
     if hard_gate and agreement and agreement.get("raw_agreement_ok") is False:

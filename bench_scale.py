@@ -634,7 +634,7 @@ def _steal_jiffies() -> int:
 
 def _run_one(spark, fn, sf_dir: str, runs: int = 2) -> dict:
     leftover = _settle_block_manager(spark)
-    times = []
+    times, b_times, e_times = [], [], []
     before = _stage_totals(spark)
     steal0 = _steal_jiffies()
     for _ in range(runs):
@@ -643,15 +643,24 @@ def _run_one(spark, fn, sf_dir: str, runs: int = 2) -> dict:
         # inside the wall window — the old post-build t0 undercounted
         # them (round-9 honesty fix). Shuffle deltas already covered
         # the build (the before/after bracket spans fn), so only the
-        # wall channel changes.
+        # wall channel changes. build/exec are ALSO recorded split
+        # (round-9 verdict #5) so the exec channel stays comparable
+        # with pre-r9 scale files.
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
+        t1 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
-        times.append(time.perf_counter() - t0)
+        t2 = time.perf_counter()
+        times.append(t2 - t0)
+        b_times.append(t1 - t0)
+        e_times.append(t2 - t1)
     after = _stage_totals(spark)
     mb = 1024.0 * 1024.0
+    best = min(range(len(times)), key=times.__getitem__)
     return {
         "sec": round(min(times), 3),
+        "build_sec": round(b_times[best], 3),
+        "exec_sec": round(e_times[best], 3),
         "sec_cold": round(times[0], 3),
         "steal_jiffies": _steal_jiffies() - steal0,
         "leftover_persisted_rdds": leftover,

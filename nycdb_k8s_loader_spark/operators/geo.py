@@ -794,10 +794,15 @@ def multipolygons_intersect(polys_a: Column, polys_b: Column) -> Column:
     of A properly crosses any edge of ANY ring of B (for valid
     geometry, crossing a hole boundary enters the polygon's interior
     on one side, so a crossing always witnesses interior overlap), or
-    (b) no edges cross, in which case each shape is entirely inside
-    or outside each region of the other and a single representative
-    vertex decides: A's first outer vertex holed-contained in B, or
-    B's in A."""
+    (b) no edges cross, in which case EVERY component polygon of
+    each side is entirely inside or outside each region of the other,
+    so one representative vertex PER COMPONENT decides: some
+    component of A has its first outer vertex holed-contained in B,
+    or some component of B in A.  Per-component (not the first
+    component only) is load-bearing: a multipolygon whose SECOND
+    component lies inside the other shape — a donut-with-exclave vs
+    a square around only the exclave — has no edge crossings and its
+    first component outside (ADVICE r9)."""
     ea = F.flatten(
         F.transform(F.flatten(polys_a), lambda r: _ring_edges(r))
     )
@@ -826,12 +831,19 @@ def multipolygons_intersect(polys_a: Column, polys_b: Column) -> Column:
     edge_cross = F.exists(
         ea, lambda e1: F.exists(eb, lambda e2: proper_cross(e1, e2))
     )
-    a0 = polys_a[0][0][0]
-    b0 = polys_b[0][0][0]
+
+    def any_component_inside(polys: Column, other: Column) -> Column:
+        return F.exists(
+            polys,
+            lambda rings: multipolygon_contains(
+                rings[0][0]["x"], rings[0][0]["y"], other
+            ),
+        )
+
     return (
         edge_cross
-        | multipolygon_contains(b0["x"], b0["y"], polys_a)
-        | multipolygon_contains(a0["x"], a0["y"], polys_b)
+        | any_component_inside(polys_b, polys_a)
+        | any_component_inside(polys_a, polys_b)
     )
 
 

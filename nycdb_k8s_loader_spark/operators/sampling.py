@@ -24,20 +24,75 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # key * _MIX_PRIME must stay < 2^63 for the largest key in the data:
-# safe for keys < ~9.3e14 — far beyond any synthetic or housing id.
+# safe for keys < ~9.2e14 — far beyond any synthetic or housing id.
 _MIX_PRIME = 9973
 _MIX_OFFSET = 7919
+# Salted channel (salt != 0): a Lehmer-RNG step through an
+# intermediate 2^31-1 modulus with a PER-SALT multiplier A^salt.
+# Both pieces matter.  The intermediate modulus: a plain (P', O')
+# change would leave the salted bucket a fixed BIJECTION of the
+# unsalted one (b' = b*c1 + c2 mod n), so a threshold decision on one
+# would still deterministically constrain the other — the exact
+# confound that biased c08's frozen-rate mixture (VERDICT r9 #1).
+# The per-salt multiplier: with one shared multiplier, two salts
+# differ only ADDITIVELY mod M, which survives the final % n as a
+# near-rotation (measured: salt1/salt2 realized 0.44 where 0.30 was
+# nominal); A^salt makes any two channels differ MULTIPLICATIVELY
+# mod M, which the % n reduction scrambles (measured: every
+# cross-channel conditional rate within 0.3% of nominal).
+_SALT_STEP = 1_000_003     # prime; salt*step stays ~1e9 for salt<1e3
+_LEHMER_M = 2_147_483_647  # 2^31 - 1 (prime)
+_LEHMER_A = 48_271         # MINSTD multiplier; (M-1)^2 < 2^63
 
 
-def sample_bucket(key: Column, n_buckets: int = 1_000_000) -> Column:
+def sample_bucket(
+    key: Column, n_buckets: int = 1_000_000, salt: int = 0
+) -> Column:
     """Deterministic bucket in [0, n_buckets) from an integer key.
 
-    pmod((key * P + O), n_buckets) — pure int64 arithmetic, identical
-    in Spark and DuckDB (``(key * P + O) % n`` on non-negative keys).
+    ``salt=0`` (default): pmod((key * P + O), n_buckets) — pure int64
+    arithmetic, identical in Spark and DuckDB
+    (``(key * P + O) % n`` on non-negative keys).
+
+    ``salt!=0``: an INDEPENDENT sampling channel.  Two sampling
+    decisions on the same key (a corpus/batch split and a mixture
+    keep, a holdout carve-out and an ablation sample) MUST use
+    distinct salts — with one channel, the second decision is a
+    deterministic function of the first and its realized rate among
+    the first's survivors is arbitrarily biased (in c08's fixture it
+    was exactly 0% for 15 of 20 sources).  Oracles mirror via
+    :func:`sample_bucket_sql` — never hand-copy the arithmetic.
     """
+    mixed = (
+        key.cast("bigint") * F.lit(_MIX_PRIME)
+        + F.lit(_MIX_OFFSET + salt * _SALT_STEP)
+    )
+    if salt == 0:
+        return F.pmod(mixed, F.lit(n_buckets))
+    mult = pow(_LEHMER_A, salt, _LEHMER_M)
     return F.pmod(
-        key.cast("bigint") * F.lit(_MIX_PRIME) + F.lit(_MIX_OFFSET),
+        F.pmod(
+            F.pmod(mixed, F.lit(_LEHMER_M)) * F.lit(mult),
+            F.lit(_LEHMER_M),
+        ),
         F.lit(n_buckets),
+    )
+
+
+def sample_bucket_sql(expr: str, n_buckets: int = 1_000_000,
+                      salt: int = 0) -> str:
+    """The DuckDB/ANSI twin of :func:`sample_bucket` as a SQL string
+    — keep oracle arithmetic in ONE place so a salt change can never
+    drift between the Spark plan and its oracle."""
+    if salt == 0:
+        return (
+            f"(({expr}) * {_MIX_PRIME} + {_MIX_OFFSET}) % {n_buckets}"
+        )
+    off = _MIX_OFFSET + salt * _SALT_STEP
+    mult = pow(_LEHMER_A, salt, _LEHMER_M)
+    return (
+        f"(((({expr}) * {_MIX_PRIME} + {off}) % {_LEHMER_M})"
+        f" * {mult}) % {_LEHMER_M} % {n_buckets}"
     )
 
 
@@ -45,6 +100,7 @@ def hash_sample(
     df: DataFrame,
     key_col: str,
     fraction_ppm: int,
+    salt: int = 0,
 ) -> DataFrame:
     """Keep rows whose hash bucket falls below ``fraction_ppm`` parts
     per million: a deterministic ~fraction Bernoulli sample.
@@ -53,9 +109,15 @@ def hash_sample(
     pushable ahead of any downstream join/agg.  Growing the sample
     (e.g. 10% -> 20%) is a superset by construction, so ablation
     curves nest — the property random sampling can't give you.
+
+    COMPOSITION CONTRACT: if the input ``df`` was itself carved out
+    of a larger set by a hash decision on the same key (a split,
+    another hash_sample, a token_budget_mixture), pass a ``salt``
+    distinct from that decision's — same-salt compositions are
+    deterministically correlated, not independent samples.
     """
     return df.filter(
-        sample_bucket(F.col(key_col)) < F.lit(fraction_ppm)
+        sample_bucket(F.col(key_col), salt=salt) < F.lit(fraction_ppm)
     )
 
 
@@ -207,6 +269,7 @@ def token_budget_mixture(
     id_col: str = "doc_id",
     source_col: str = "source",
     text_col: str = "text",
+    salt: int = 0,
 ) -> DataFrame:
     """Downsample each source so the kept mix hits target TOKEN shares
     under a total token budget — the Pile/DoReMi-style mixing step
@@ -224,6 +287,13 @@ def token_budget_mixture(
     engines derive bit-identical rates; selection is the repo's
     deterministic ``sample_bucket`` filter — rerun-stable, and nested:
     raising the budget keeps a superset.
+
+    COMPOSITION CONTRACT: if ``df`` is itself the survivor set of a
+    hash decision on ``id_col`` (a corpus/batch split, a
+    hash_sample), pass a distinct ``salt`` — the mixture's realized
+    per-source keep rate is otherwise a deterministic artifact of the
+    upstream decision, not ``rate_ppm`` (c08's r9 bug: 15/20 sources
+    kept exactly 0%).
 
     Returns the KEPT docs as ``(id, source, n_tokens, rate_ppm)``.
 
@@ -277,6 +347,8 @@ def token_budget_mixture(
     )
     return (
         base.join(F.broadcast(rates), source_col)
-        .filter(sample_bucket(F.col(id_col)) < F.col("rate_ppm"))
+        .filter(
+            sample_bucket(F.col(id_col), salt=salt) < F.col("rate_ppm")
+        )
         .select(id_col, source_col, "n_tokens", "rate_ppm")
     )

@@ -1188,6 +1188,17 @@ def incremental_semantic_dedup_from_state(
     meta_rows = (
         state.filter(F.col("kind") == "meta").select("u").limit(2).collect()
     )
+    if len(meta_rows) > 1:
+        # a double-built or unioned state is NOT "legacy/meta-less":
+        # silently skipping resolution here would reintroduce the
+        # boundary-miss the meta row exists to prevent (ADVICE r9)
+        raise ValueError(
+            "incremental_semantic_dedup_from_state: state carries "
+            f"{len(meta_rows)}+ meta rows — it looks like two states "
+            "unioned or one built twice; rebuild it with "
+            "semantic_dedup_state so exactly one self-description "
+            "row records the assignment path"
+        )
     if len(meta_rows) == 1:
         rec = int(meta_rows[0]["u"][1])
         recorded = None if rec < 0 else rec

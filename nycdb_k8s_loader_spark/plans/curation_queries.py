@@ -26,8 +26,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from nycdb_k8s_loader_spark.operators.sampling import sample_bucket_sql
 from nycdb_k8s_loader_spark.operators.textops import STOPWORDS
 from nycdb_k8s_loader_spark.plans.catalog import register
+
+# c08/st14 sampling channels: the corpus/batch split stays on the
+# default channel (salt 0); the frozen-rate mixture keep MUST be an
+# independent channel (salt 1) — on the shared channel the split
+# constrains the mixture bucket to >= 500000, so every source whose
+# rate_ppm < 500000 kept exactly ZERO batch docs (VERDICT r9 #1).
+_C08_MIXTURE_SALT = 1
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1369,7 +1377,8 @@ _C08_SQL = f"""
         SELECT k.doc_id
         FROM kept5 k JOIN documents d USING (doc_id)
         JOIN rates6 r USING (source)
-        WHERE (k.doc_id * 9973 + 7919) % 1000000 < r.rate_ppm
+        WHERE {sample_bucket_sql("k.doc_id", salt=_C08_MIXTURE_SALT)}
+              < r.rate_ppm
     )
     SELECT g.doc_id,
            CASE WHEN NOT g.keep_g THEN 'gopher'
@@ -1575,10 +1584,17 @@ def _incremental_curation(
     ).localCheckpoint(eager=True)
 
     kept5 = v5.filter(F.col("verdict") == "keep").select("doc_id")
+    # mixture keep on an INDEPENDENT channel from the corpus/batch
+    # split (salt=0 there): same-channel composition deterministically
+    # confines batch buckets to [500000, 1M), zeroing out every
+    # source with rate_ppm < 500000 (VERDICT r9 #1)
     m6 = (
         kept5.join(batch.select("doc_id", "source"), "doc_id")
         .join(F.broadcast(states["rates"]), "source")
-        .filter(sample_bucket(F.col("doc_id")) < F.col("rate_ppm"))
+        .filter(
+            sample_bucket(F.col("doc_id"), salt=_C08_MIXTURE_SALT)
+            < F.col("rate_ppm")
+        )
         .select("doc_id", F.lit(True).alias("__in_mix"))
     )
 
@@ -1634,23 +1650,45 @@ def _incremental_curation(
     )
 
 
-def _c08_pinned_states(spark: SparkSession, sf_dir: str) -> dict:
-    """The four c08 state tables PERSISTED per (sf_dir, mtime) and
-    read back — what a production corpus refresh publishes; st14's
-    stream probes these exact parquet tables."""
+# bump when c08/st14 semantics change — invalidates persisted state
+# and stream sink/checkpoint caches that would otherwise replay stale
+# results (availableNow + an existing checkpoint processes zero rows)
+_C08_CACHE_VERSION = "v2-mixsalt1"
+
+
+def _c08_cache_root(sf_dir: str, kind: str) -> str:
+    """Per-user temp root keyed on fixture CONTENT identity (path +
+    size + mtime) and the funnel semantics version.  Size+mtime (not
+    mtime alone) so a regenerated fixture that happens to preserve
+    mtime still misses; a per-user path component so two users on a
+    shared host never collide on a world-writable first-writer-wins
+    directory (ADVICE r9)."""
+    import getpass
     import hashlib
     import os
-    import re as _re
+    import tempfile
 
     src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
     sig = hashlib.md5(
-        f"{sf_dir}:{os.path.getmtime(src)}".encode()
-    ).hexdigest()[:10]
-    root = (
-        "/tmp/curation_states_"
-        + _re.sub(r"\W+", "_", sf_dir).strip("_")
-        + f"_{sig}"
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:{_C08_CACHE_VERSION}"
+        .encode()
+    ).hexdigest()[:12]
+    user = getpass.getuser()
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_{user}",
+        f"{kind}_{sig}",
     )
+
+
+def _c08_pinned_states(spark: SparkSession, sf_dir: str) -> dict:
+    """The four c08 state tables PERSISTED per fixture identity and
+    read back — what a production corpus refresh publishes; st14's
+    stream probes these exact parquet tables."""
+    import os
+
+    root = _c08_cache_root(sf_dir, "curation_states")
     names = ("st3", "st4", "st5", "rates")
     if not all(
         os.path.exists(os.path.join(root, n, "_SUCCESS")) for n in names
@@ -1686,10 +1724,6 @@ def _c08_pinned_states(spark: SparkSession, sf_dir: str) -> dict:
     tags=("streaming", "pipeline", "text", "quality", "incremental"),
 )
 def st14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os as _os
-    import tempfile
-
     import pyspark.sql.functions as F
 
     from nycdb_k8s_loader_spark.operators.sampling import sample_bucket
@@ -1707,9 +1741,7 @@ def st14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
         .filter(sample_bucket(F.col("doc_id")) >= 500_000)
     )
-    mtime = _os.path.getmtime(_os.path.join(sf_dir, "documents.parquet"))
-    digest = hashlib.md5(f"{sf_dir}:{mtime}".encode()).hexdigest()[:8]
-    tmp = f"{tempfile.gettempdir()}/spark_graft_st14_{digest}"
+    tmp = _c08_cache_root(sf_dir, "st14")
     upsert = foreach_batch_upsert(f"{tmp}/sink", ["doc_id"])
 
     def probe(mb, batch_id):

@@ -3280,6 +3280,13 @@ class TestIncrementalSemanticState:
             incremental_semantic_dedup_from_state(
                 st2, batch, threshold=0.95, coarse_cells=3
             ).collect()
+        # a unioned/double-built state (2+ meta rows) is ambiguous,
+        # not "legacy" — raising beats silently skipping resolution
+        # AND validation (round-9 ADVICE, similarity.py)
+        with _pytest.raises(ValueError, match="meta rows"):
+            incremental_semantic_dedup_from_state(
+                st2.union(st2), batch, threshold=0.95
+            ).collect()
 
 
 class TestCurationFromState:
@@ -3424,6 +3431,100 @@ class TestIncrementalCuration:
             hashed=True,
         ).collect()))
         assert a == b
+
+    def test_mixture_keep_rate_matches_rate_ppm(self, spark):
+        """The r9-impossible pin: among batch docs that REACH the
+        mixture stage, each source's realized keep rate must sit
+        within binomial tolerance of its frozen rate_ppm.  Before the
+        salt fix the split (bucket >= 500k) and the mixture keep
+        (bucket < rate_ppm) shared one hash channel, so every source
+        with rate_ppm < 500000 — 15 of 20 in this fixture — kept
+        exactly ZERO batch docs (VERDICT r9 #1)."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.plans.catalog import queries
+        from nycdb_k8s_loader_spark.plans.curation_queries import (
+            _c08_states,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        out = queries()["c08_incremental_curation"](spark, sf)
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "source"
+        )
+        per = (
+            out.filter(F.col("stage").isin("mixture", "kept"))
+            .join(docs, "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    (F.col("stage") == "kept").cast("long")
+                ).alias("kept"),
+            )
+            .collect()
+        )
+        rates = {
+            r["source"]: r["rate_ppm"] / 1e6
+            for r in _c08_states(spark, sf)["rates"].collect()
+        }
+        assert per, "no docs reached the mixture stage"
+        low_n = low_kept = 0.0
+        pool_dev2 = pool_var = 0.0
+        for row in per:
+            p = rates[row["source"]]
+            n, kept = row["n"], row["kept"]
+            # 4-sigma + 1 per source (small n), pooled 4-sigma below
+            tol = 4 * math.sqrt(max(n * p * (1 - p), 0.0)) + 1
+            assert abs(kept - n * p) <= tol, (
+                row["source"], n, kept, p
+            )
+            pool_dev2 += kept - n * p
+            pool_var += n * p * (1 - p)
+            if p < 0.5:
+                low_n += n
+                low_kept += kept
+        # sources whose rate is below the split threshold kept 0
+        # batch docs before the fix — this line cannot pass unsalted
+        assert low_n > 0 and low_kept > 0
+        assert abs(pool_dev2) <= 4 * math.sqrt(pool_var) + 1
+
+    def test_salted_channels_are_independent(self, spark):
+        """Property pin for the defect class itself: conditioned on
+        the DEFAULT-channel split (bucket >= 500k), a salted channel's
+        threshold decisions still realize their nominal fractions —
+        and the unsalted channel provably does not (the regression
+        guard is exact: unsalted keep-below-450k among splits
+        survivors is ZERO)."""
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.operators.sampling import (
+            sample_bucket,
+        )
+
+        keys = spark.range(0, 100_000).withColumnRenamed("id", "k")
+        surv = keys.filter(sample_bucket(F.col("k")) >= 500_000)
+        n = surv.count()
+        for thresh in (158_000, 445_000, 865_000):
+            got = surv.filter(
+                sample_bucket(F.col("k"), salt=1) < thresh
+            ).count()
+            assert abs(got / n - thresh / 1e6) < 0.01, (thresh, got, n)
+        # the unsalted composition is deterministically empty below
+        # the split threshold — the bug this whole fix removes
+        assert (
+            surv.filter(sample_bucket(F.col("k")) < 450_000).count()
+            == 0
+        )
+        # distinct salts are themselves mutually decorrelated
+        s1 = surv.filter(sample_bucket(F.col("k"), salt=1) < 300_000)
+        n1 = s1.count()
+        got12 = s1.filter(
+            sample_bucket(F.col("k"), salt=2) < 300_000
+        ).count()
+        assert abs(got12 / n1 - 0.3) < 0.02
 
 
 class TestProductQuantization:
@@ -3630,6 +3731,13 @@ class TestMultipolygonGeometry:
             (4, "POLYGON ((20 20, 21 20, 21 21, 20 21, 20 20))", False),
             # donut wholly inside a big ring (containment branch)
             (5, "POLYGON ((-1 -1, 11 -1, 11 11, -1 11, -1 -1))", True),
+            # square strictly containing ONLY the exclave — the
+            # non-FIRST component of the donut side, no edge
+            # crossings: the r9 single-representative-vertex fallback
+            # returned False here (ADVICE r9); per-component exists
+            # must say True
+            (6, "POLYGON ((8.5 -0.5, 10.5 -0.5, 10.5 1.5, 8.5 1.5, "
+                "8.5 -0.5))", True),
         ]
         df = spark.createDataFrame(
             [(i, w) for i, w, _ in cases], "cid long, w string"
