@@ -496,6 +496,76 @@ def _c07_policy_hashed(spark, sf_dir):
     return curation_pipeline(spark, sf_dir, hashed=True)
 
 
+def _s14_state_setup(spark, sf_dir):
+    """Persist the three IVFADC artifacts — PQ codebooks, the 8-byte
+    code stream, and the coarse-cell centroid table — the published
+    state an ANN service refreshes with the corpus, not per query
+    batch. SETUP hook: outside the timed window."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from nycdb_k8s_loader_spark.operators.similarity import (
+        _pq_assign,
+        _pq_sub_frame,
+        label_centroids,
+        pq_train_codebooks,
+    )
+
+    root = _policy_state_dir(sf_dir, "embeddings.parquet", "s14")
+    names = ("codebooks", "codes", "centroids")
+    if all(
+        _os.path.exists(_os.path.join(root, n, "_SUCCESS"))
+        for n in names
+    ):
+        return
+    emb = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()["embedding"])
+    cb = pq_train_codebooks(emb, m=8, codebook=16)
+    cb.write.mode("overwrite").parquet(_os.path.join(root, "codebooks"))
+    cb = spark.read.parquet(_os.path.join(root, "codebooks"))
+    sub = _pq_sub_frame(emb, 8, dim // 8, "vec_id", "embedding")
+    _pq_assign(sub, cb).withColumnRenamed("cid", "code").write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(root, "codes"))
+    (
+        label_centroids(emb)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "avg_val"))),
+                lambda s: s["avg_val"],
+            ).alias("cv")
+        )
+        .write.mode("overwrite")
+        .parquet(_os.path.join(root, "centroids"))
+    )
+
+
+def _s14_from_state_policy(spark, sf_dir):
+    """IVFADC query-batch cost against PUBLISHED artifacts — what a
+    query actually pays at 100 TB: the coarse probe against a
+    broadcast centroid table, the membership×probe candidate join,
+    and the ADC sum over candidate code rows ONLY (Q·nprobe·N/C of
+    the corpus — the s12 full-scan gap this operator closes). Raw
+    vectors are read for the 10 query rows alone."""
+    import os as _os
+
+    from nycdb_k8s_loader_spark.operators.similarity import ivf_pq_topk
+
+    root = _policy_state_dir(sf_dir, "embeddings.parquet", "s14")
+    emb = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    return ivf_pq_topk(
+        emb,
+        query_ids=list(range(10)),
+        k=10,
+        nprobe=2,
+        codebooks=spark.read.parquet(_os.path.join(root, "codebooks")),
+        codes=spark.read.parquet(_os.path.join(root, "codes")),
+        centroids=spark.read.parquet(_os.path.join(root, "centroids")),
+    )
+
+
 EXTRA = {
     "d12_semantic_dedup_scaled_k": _d12_scaled_k,
     "d12_semantic_dedup_scaled_k_2level": _d12_scaled_k_two_level,
@@ -513,6 +583,7 @@ EXTRA = {
     "g04_from_state_policy": _g04_from_state_policy,
     "geo07_scaled": _geo07_scaled,
     "c08_from_state_policy": _c08_from_state_policy,
+    "s14_from_state_policy": _s14_from_state_policy,
 }
 
 # untimed per-query preparation (persisted states etc.) — runs before
@@ -523,6 +594,7 @@ SETUP = {
     "d14_from_state_policy": _d14_state_setup,
     "g04_from_state_policy": _g04_state_setup,
     "c08_from_state_policy": _c08_state_setup,
+    "s14_from_state_policy": _s14_state_setup,
 }
 
 

@@ -1555,3 +1555,142 @@ def pq_rerank_topk(
             "cos_sim",
         )
     )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_ids: list,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 8,
+    codebook: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    lloyd_iters: int = 1,
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVFADC — the composed deployment form (Jégou et al. §IV):
+    IVF cell pruning (:func:`ivf_topk`'s coarse quantizer) feeds PQ
+    asymmetric-distance scoring (:func:`pq_topk`'s ADC stream), so
+    the ADC sum runs over ``nprobe`` cells' members per query instead
+    of the whole corpus — the round-9 gap where s12 scanned every
+    code row per query batch. Returns ``(query_id, neighbor_id,
+    rank, adc_dist)``, ADC-ascending with id tiebreak (s12's
+    contract; recall dials are ``nprobe`` and downstream
+    ``pq_rerank_topk``-style refinement).
+
+    100 TB shape: every corpus-scale artifact is PERSISTABLE and
+    injectable — ``codebooks`` (m×codebook codewords), ``codes``
+    (the (vid, m, code) stream, 8 bytes/vector), ``centroids`` (the
+    (label, cv) C×dim table) — so the per-batch query cost touches
+    (1) the broadcast centroid table for the probe argmax, (2) the
+    candidate id list — cell membership joined to the Q×nprobe probe
+    frame, broadcast both, and (3) ONLY the candidate rows of the
+    code stream via one shuffle_hash equi-join on vid — candidate
+    rows ≈ Q·nprobe·N/C ≪ N, the whole point. Raw vectors are
+    touched only for the Q query rows. Every arithmetic step reuses
+    s04/s12 primitives, so the DuckDB oracle is their CTE chains
+    composed."""
+    first = emb.select(as_double_vec(vec_col).alias("v")).first()
+    if first is None:
+        raise ValueError("ivf_pq_topk: embedding input is empty")
+    dim = len(first["v"])
+    if dim % m != 0:
+        raise ValueError(
+            f"ivf_pq_topk: dim {dim} not divisible by m={m}"
+        )
+    d = dim // m
+    if codebooks is None:
+        codebooks = pq_train_codebooks(
+            emb, m=m, codebook=codebook, id_col=id_col,
+            vec_col=vec_col, lloyd_iters=lloyd_iters,
+        )
+
+    # coarse quantizer: label cells + their centroids (s04's shape)
+    cents = centroids
+    if cents is None:
+        cents = (
+            label_centroids(
+                emb, id_col=id_col, vec_col=vec_col,
+                label_col=label_col,
+            )
+            .groupBy(label_col)
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "avg_val"))
+                    ),
+                    lambda s: s["avg_val"],
+                ).alias("cv")
+            )
+        )
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        as_double_vec(vec_col).alias("qv"),
+    )
+    probe_score = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    wq = Window.partitionBy("query_id").orderBy(
+        probe_score.desc(), F.col(label_col).asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", F.col(label_col).alias("cell"))
+    )
+
+    # candidate ids: cell membership × probes — Q·nprobe·(N/C) rows,
+    # the pruning step; probes is query-scale, broadcast EXPLICITLY
+    # (the derived-size broadcast trap, PERFORMANCE.md round-7)
+    cellmap = emb.select(
+        F.col(id_col).alias("vid"), F.col(label_col).alias("cell")
+    )
+    cands = cellmap.join(F.broadcast(probes), "cell").filter(
+        F.col("vid") != F.col("query_id")
+    ).select("query_id", "vid")
+
+    # ADC scoring over candidates only: codes enter through ONE
+    # shuffle_hash equi-join on vid (both sides corpus-key-partitioned
+    # — bucketable/co-locatable when codes are a persisted table)
+    enc = codes
+    if enc is None:
+        sub = _pq_sub_frame(emb, m, d, id_col, vec_col)
+        enc = _pq_assign(sub, codebooks).withColumnRenamed(
+            "cid", "code"
+        )
+    qsub = _pq_sub_frame(
+        emb.filter(F.col(id_col).isin(query_ids)), m, d, id_col, vec_col
+    )
+    qt = (
+        qsub.join(F.broadcast(codebooks), "m")
+        .select(
+            F.col("vid").alias("query_id"),
+            "m",
+            F.col("cid").alias("code"),
+            F.floor(
+                _pq_sq_dist(F.col("sv"), F.col("c")) * 1e6 + F.lit(0.5)
+            ).cast("long").alias("dq"),
+        )
+    )
+    scored = (
+        enc.join(cands.hint("shuffle_hash"), "vid")
+        .join(F.broadcast(qt), ["query_id", "m", "code"])
+        .groupBy("query_id", "vid")
+        .agg(F.sum("dq").alias("__micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__micro").asc(), F.col("vid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            (F.col("__micro") / F.lit(1e6)).alias("adc_dist"),
+        )
+    )

@@ -2802,3 +2802,92 @@ def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb(spark, sf_dir), query_ids=list(range(10)), k=10,
         rerank_from=100, m=8, codebook=16, lloyd_iters=1,
     )
+
+
+# s14: IVF×PQ composed (IVFADC). The oracle reuses s12's CTE chain up
+# to the code stream (training + encode verbatim), swaps the
+# full-corpus scored CTE for s04's coarse-quantizer probe (cells →
+# top-nprobe per query) and a membership-pruned ADC sum.
+_S14_ORACLE = _Q["s12_pq_adc_topk"].oracle.split("qt AS")[0] + """
+    qt AS (
+        SELECT s.vec_id AS query_id, c.m, c.cid AS code,
+               CAST(floor(list_sum(list_transform(
+                   range(1, len(s.sv) + 1),
+                   i -> (s.sv[i] - c.c[i]) ^ 2)) * 1000000 + 0.5)
+                   AS BIGINT) AS dq
+        FROM sub s JOIN c1 c ON c.m = s.m
+        WHERE s.vec_id < 10
+    ),
+    el AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           FROM embeddings),
+    cent_dims AS (
+        SELECT label, pos, ROUND(AVG(val), 6) AS avg_val
+        FROM (
+            SELECT label, generate_subscripts(v, 1) AS pos,
+                   unnest(v) AS val
+            FROM el
+        ) GROUP BY label, pos
+    ),
+    cents AS (
+        SELECT label, list(avg_val ORDER BY pos) AS cv
+        FROM cent_dims GROUP BY label
+    ),
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.vec_id AS query_id, c.label AS cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(q.v, c.cv),
+                                      6) DESC, c.label ASC
+                   ) AS rn
+            FROM el q CROSS JOIN cents c
+            WHERE q.vec_id < 10
+        ) WHERE rn <= 2
+    ),
+    scored AS (
+        SELECT p.query_id, enc.vec_id AS neighbor_id,
+               SUM(q.dq)::BIGINT AS micro
+        FROM enc
+        JOIN el cm ON cm.vec_id = enc.vec_id
+        JOIN probes p ON p.cell = cm.label
+        JOIN qt q ON q.query_id = p.query_id AND q.m = enc.m
+                 AND q.code = enc.code
+        WHERE enc.vec_id <> p.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rank, micro / 1000000.0 AS adc_dist
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY micro ASC, neighbor_id ASC)::BIGINT AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@register(
+    "s14_ivf_pq_topk",
+    _S14_ORACLE,
+    doc="IVFADC — IVF cell pruning composed with PQ asymmetric-"
+        "distance scoring (Jégou et al. §IV), closing round-9's gap "
+        "where s12's ADC stream scanned EVERY code row per query "
+        "batch: each query probes its top-nprobe coarse cells "
+        "(s04's broadcast centroid argmax), candidate ids come from "
+        "ONE membership×probe broadcast join (Q·nprobe·N/C rows), "
+        "and only those candidates' codes enter the ADC sum via a "
+        "shuffle_hash equi-join on vec_id — at 1000 cells and "
+        "nprobe=2 the scored stream is ~0.2% of the corpus. "
+        "Codebooks, codes, and centroids are all persistable "
+        "artifacts (pass codebooks= to skip training). Recall floor "
+        "vs s01 brute force pinned in TestProductQuantization; "
+        "candidate-count ≪ corpus pinned there too. Oracle: s12's "
+        "training/encode CTEs verbatim + s04's probe chain + the "
+        "pruned ADC sum. operators/similarity.py ivf_pq_topk.",
+    tags=("similarity", "quantization", "ivf", "pipeline"),
+)
+def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(
+        _emb(spark, sf_dir), query_ids=list(range(10)), k=10,
+        nprobe=2, m=8, codebook=16, lloyd_iters=1,
+    )
