@@ -496,6 +496,29 @@ def _c07_policy_hashed(spark, sf_dir):
     return curation_pipeline(spark, sf_dir, hashed=True)
 
 
+def _d11_state_compact(spark, sf_dir):
+    """Compaction cost on the PERSISTED signature state: retire every
+    10th corpus doc (ids derived from the state itself — retirement
+    needs no corpus read) and emit the compacted state. The claim
+    under measurement is linearity in STATE size: one left-anti
+    shuffle_hash join over the state rows, nothing proportional to
+    the corpus text."""
+    import os as _os
+
+    from nycdb_k8s_loader_spark.operators.state_lifecycle import (
+        dedup_signature_state_compact,
+    )
+
+    state = spark.read.parquet(
+        _policy_state_dir(sf_dir, "documents.parquet", "d11")
+    )
+    retired = (
+        state.filter("kind = 'hash' and doc_id % 10 = 0")
+        .select("doc_id")
+    )
+    return dedup_signature_state_compact(state, retired)
+
+
 def _s14_state_setup(spark, sf_dir):
     """Persist the three IVFADC artifacts — PQ codebooks, the 8-byte
     code stream, and the coarse-cell centroid table — the published
@@ -584,6 +607,7 @@ EXTRA = {
     "geo07_scaled": _geo07_scaled,
     "c08_from_state_policy": _c08_from_state_policy,
     "s14_from_state_policy": _s14_from_state_policy,
+    "d11_state_compact": _d11_state_compact,
 }
 
 # untimed per-query preparation (persisted states etc.) — runs before
@@ -595,6 +619,7 @@ SETUP = {
     "g04_from_state_policy": _g04_state_setup,
     "c08_from_state_policy": _c08_state_setup,
     "s14_from_state_policy": _s14_state_setup,
+    "d11_state_compact": _d11_state_setup,
 }
 
 
@@ -654,12 +679,23 @@ def gate_verdict(
 
 
 def _stage_totals(spark) -> dict[str, int]:
+    """Cumulative stage metrics via the status-store REST API.
+
+    EVICTION HAZARD (round-10 finding): these are sums over the
+    RETAINED completed stages — once a long multi-query run exceeds
+    ``spark.ui.retainedStages``, old stages evict and the 'cumulative'
+    total SHRINKS, producing negative before/after deltas (the first
+    9-query r10 run measured shuffle_write_mb = −183 on geo07).  The
+    bench session now pins retention high (main()), and _run_one
+    flags any negative delta as ``stage_eviction`` instead of
+    reporting a garbage ratio."""
     ui = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
     url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
     with urllib.request.urlopen(url) as r:
         stages = json.load(r)
     return {
+        "n_stages": len(stages),
         "shuffle_write": sum(s.get("shuffleWriteBytes", 0) for s in stages),
         "shuffle_read": sum(s.get("shuffleReadBytes", 0) for s in stages),
         "input": sum(s.get("inputBytes", 0) for s in stages),
@@ -729,7 +765,7 @@ def _run_one(spark, fn, sf_dir: str, runs: int = 2) -> dict:
     after = _stage_totals(spark)
     mb = 1024.0 * 1024.0
     best = min(range(len(times)), key=times.__getitem__)
-    return {
+    out = {
         "sec": round(min(times), 3),
         "build_sec": round(b_times[best], 3),
         "exec_sec": round(e_times[best], 3),
@@ -745,6 +781,14 @@ def _run_one(spark, fn, sf_dir: str, runs: int = 2) -> dict:
         ),
         "input_mb": round((after["input"] - before["input"]) / runs / mb, 2),
     }
+    if any(after[k] < before[k] for k in ("shuffle_write",
+                                          "shuffle_read", "input")):
+        # status store evicted stages mid-bracket: the deltas are
+        # garbage — say so rather than print a negative 'ratio'
+        out["stage_eviction"] = True
+        for k in ("shuffle_write_mb", "shuffle_read_mb", "input_mb"):
+            out[k] = None
+    return out
 
 
 def main() -> None:
@@ -772,6 +816,13 @@ def main() -> None:
             "spark.driver.memory": os.environ.get(
                 "SPARK_GRAFT_DRIVER_MEM", "48g"
             ),
+            # _stage_totals sums the status store's RETAINED stages:
+            # the defaults (1000 stages) evict mid-run on a long
+            # multi-query session and the cumulative totals go
+            # BACKWARDS (round-10: geo07 printed −183 MB shuffle).
+            # Retention is cheap driver memory next to the 48g heap.
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "50000",
         },
     )
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -819,7 +870,9 @@ def main() -> None:
                 big["shuffle_write_mb"] / max(small["shuffle_write_mb"], 0.01),
                 2,
             )
-            if big["shuffle_write_mb"] > 0
+            if small["shuffle_write_mb"] is not None
+            and big["shuffle_write_mb"] is not None
+            and big["shuffle_write_mb"] > 0
             else None
         )
         rec = {

@@ -942,6 +942,7 @@ def duplicated_gram_state(
     id_col: str = "doc_id",
     text_col: str = "text",
     hashed_grams: bool | None = None,
+    with_counts: bool = False,
 ) -> DataFrame:
     """The persistable DUPLICATED-GRAM state for incremental span
     scrubbing: one ``(gram)`` row per exact ``ngram``-token window
@@ -950,7 +951,12 @@ def duplicated_gram_state(
     gram strings even when the frequency pass ran hashed (the inline
     discipline: candidates are re-verified on strings, so a persisted
     hash collision can never scrub an innocent span later); its size
-    is the DUPLICATED-gram set only, far smaller than the corpus."""
+    is the DUPLICATED-gram set only, far smaller than the corpus.
+
+    ``with_counts=True`` keeps the corpus occurrence count ``n`` per
+    gram — the LIFECYCLE form enabling decrement-on-retire
+    (:func:`~nycdb_k8s_loader_spark.operators.state_lifecycle.
+    duplicated_gram_state_compact`) instead of a full rebuild."""
     hashed_grams = _resolve_hashed_grams(df, hashed_grams)
     words = df.select(
         F.col(id_col),
@@ -970,19 +976,19 @@ def duplicated_gram_state(
             .filter(F.col("n") >= min_count)
             .select("gh")
         )
-        return (
+        counted = (
             hgrams.join(dup_h.hint("shuffle_hash"), "gh")
             .groupBy("gram")
             .agg(F.count("*").alias("n"))
             .filter(F.col("n") >= min_count)
-            .select("gram")
         )
-    return (
-        grams.groupBy("gram")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= min_count)
-        .select("gram")
-    )
+    else:
+        counted = (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= min_count)
+        )
+    return counted if with_counts else counted.select("gram")
 
 
 def exact_substring_scrub_from_state(

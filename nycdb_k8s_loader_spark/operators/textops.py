@@ -940,6 +940,7 @@ def sentence_dedup_state(
     min_docs: int = 2,
     min_words: int = 3,
     hashed_keys: bool = False,
+    with_counts: bool = False,
 ) -> DataFrame:
     """The persistable BOILERPLATE-KEY state for incremental sentence
     dedup: one ``(k)`` row per normalized sentence key appearing in
@@ -948,16 +949,23 @@ def sentence_dedup_state(
     refresh like dedup_signature_state. Sentence bodies for
     ``hashed_keys=False``, 8-byte xxhash64 keys for the production
     form (state size then ~8 bytes per distinct boilerplate
-    sentence)."""
+    sentence).
+
+    ``with_counts=True`` keeps the distinct-doc count ``nd`` per key
+    — the LIFECYCLE form: retiring corpus documents can then
+    DECREMENT instead of rebuild
+    (:func:`~nycdb_k8s_loader_spark.operators.state_lifecycle.
+    sentence_dedup_state_compact`); a count-less state cannot answer
+    'does this key still clear min_docs without the retired docs'."""
     _, inst = _sentence_frames(
         df, id_col, text_col, sep, min_words, hashed_keys
     )
-    return (
+    counted = (
         inst.groupBy("k")
         .agg(F.count_distinct(F.col(id_col)).alias("nd"))
         .filter(F.col("nd") >= min_docs)
-        .select("k")
     )
+    return counted if with_counts else counted.select("k")
 
 
 def sentence_dedup_from_state(

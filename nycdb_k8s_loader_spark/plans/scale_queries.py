@@ -925,3 +925,184 @@ def geo10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multipolygon_clip_area_join(
         lots, districts, wkt_col="lot_wkt"
     ).select("c_custkey", "ntacode", "clip_area")
+
+
+def _l_shape_fixture(spark, sf_dir):
+    """CONCAVE fixture for geo11: both sides are L-shapes (a square
+    with its top-right quadrant notched out) — districts: 8-unit
+    squares on the 10-grid minus a 4×4 notch (integer bounds); lots:
+    1.5-unit squares at quarter offsets minus a 1×1 notch (notch
+    edges land on .75 offsets, so no lot edge ever coincides with a
+    district edge — the measure-zero undefined case stays out, and
+    quarter-aligned coordinates are exact in binary floating
+    point). Lots spread over a 150-unit domain (the geo07
+    density-invariance move): only the [0, 52]² corner overlaps the
+    districts, so the candidate-pair count stays sweep-sized — pair
+    density is a fixture choice, not an operator property."""
+    def l_wkt(sx0, sy0, size, notch):
+        # CCW: (x0,y0) (x1,y0) (x1,ym) (xm,ym) (xm,y1) (x0,y1)
+        x0, y0 = sx0, sy0
+        x1, y1 = sx0 + size, sy0 + size
+        xm, ym = sx0 + (size - notch), sy0 + (size - notch)
+        s = [c.cast("string") for c in (x0, y0, x1, y1, xm, ym)]
+        return F.concat(
+            F.lit("POLYGON (("),
+            s[0], F.lit(" "), s[1], F.lit(", "),
+            s[2], F.lit(" "), s[1], F.lit(", "),
+            s[2], F.lit(" "), s[5], F.lit(", "),
+            s[4], F.lit(" "), s[5], F.lit(", "),
+            s[4], F.lit(" "), s[3], F.lit(", "),
+            s[0], F.lit(" "), s[3], F.lit(", "),
+            s[0], F.lit(" "), s[1],
+            F.lit("))"),
+        )
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nk = F.col("n_nationkey")
+    x0 = (nk % 5) * 10
+    y0 = (nk / 5).cast("int") * 10
+    districts = nation.select(
+        F.concat(F.lit("NTA"), nk.cast("string")).alias("ntacode"),
+        l_wkt(x0, y0, F.lit(8), F.lit(4)).alias("clip_wkt"),
+    )
+    ck = F.col("c_custkey")
+    lx0 = (ck % 150) + 0.25
+    ly0 = ((ck * 7) % 150) + 0.25
+    lots = customer.select(
+        "c_custkey",
+        l_wkt(lx0, ly0, F.lit(1.5), F.lit(1.0)).alias("lot_wkt"),
+    )
+    return districts, lots
+
+
+@register(
+    "geo11_concave_clip_area",
+    """
+    WITH dist AS (
+        SELECT 'NTA' || n_nationkey AS ntacode,
+               (n_nationkey % 5) * 10 AS x0,
+               (n_nationkey % 5) * 10 + 8 AS x1,
+               (n_nationkey // 5) * 10 AS y0,
+               (n_nationkey // 5) * 10 + 8 AS y1,
+               (n_nationkey % 5) * 10 + 4 AS nx0,
+               (n_nationkey // 5) * 10 + 4 AS ny0
+        FROM nation
+    ),
+    lot AS (
+        SELECT c_custkey,
+               (c_custkey % 150) + 0.25 AS x0,
+               (c_custkey % 150) + 1.75 AS x1,
+               ((c_custkey * 7) % 150) + 0.25 AS y0,
+               ((c_custkey * 7) % 150) + 1.75 AS y1,
+               (c_custkey % 150) + 0.75 AS nx0,
+               ((c_custkey * 7) % 150) + 0.75 AS ny0
+        FROM customer
+    ),
+    terms AS (
+        SELECT l.c_custkey, d.ntacode,
+            GREATEST(0, LEAST(l.x1, d.x1) - GREATEST(l.x0, d.x0))
+              * GREATEST(0, LEAST(l.y1, d.y1) - GREATEST(l.y0, d.y0))
+          - GREATEST(0, LEAST(l.x1, d.x1) - GREATEST(l.x0, d.nx0))
+              * GREATEST(0, LEAST(l.y1, d.y1) - GREATEST(l.y0, d.ny0))
+          - GREATEST(0, LEAST(l.x1, d.x1) - GREATEST(l.nx0, d.x0))
+              * GREATEST(0, LEAST(l.y1, d.y1) - GREATEST(l.ny0, d.y0))
+          + GREATEST(0, LEAST(l.x1, d.x1) - GREATEST(l.nx0, d.nx0))
+              * GREATEST(0, LEAST(l.y1, d.y1) - GREATEST(l.ny0, d.ny0))
+              AS area
+        FROM lot l CROSS JOIN dist d
+    )
+    SELECT c_custkey, ntacode, ROUND(area, 6) AS clip_area
+    FROM terms WHERE area > 0
+    """,
+    doc="CONCAVE ∩ CONCAVE intersection area — the last PostGIS-"
+        "parity geometry gap (geo06/geo10 require a convex clip "
+        "side): L-shaped lots clipped by L-shaped districts. "
+        "Spark-first algebra instead of a Weiler–Atherton vertex "
+        "walk: each side's indicator expands into SIGNED origin-fan "
+        "triangles (1_poly = Σ w·1_tri, the winding-number fan "
+        "identity — works for holes and multiparts via the signed-"
+        "ring decomposition), so area(A∩B) = Σ wᵃwᵇ·area(triᵃ∩triᵇ) "
+        "where every term is convex∩convex — the proven geo06 "
+        "Sutherland–Hodgman fold, fenced from CollapseProject; "
+        "terms quantize to int64 at 1e-8 so the ± cancellation is "
+        "exact and order-independent. Clip side broadcasts; two "
+        "explodes give |Ea|·|Eb| rows per bbox candidate; one "
+        "map-side-combinable groupBy. Oracle: rect inclusion–"
+        "exclusion — (R−N)∩(R−N) expands to four rect∩rect bounds "
+        "terms, an independent decision procedure on the L fixtures "
+        "(the general path is unit-tested on U-shapes, donuts, CW "
+        "windings). operators/geo.py concave_clip_area_join.",
+    tags=("geo", "join"),
+)
+def geo11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.geo import (
+        concave_clip_area_join,
+    )
+
+    districts, lots = _l_shape_fixture(spark, sf_dir)
+    return concave_clip_area_join(
+        lots, districts, wkt_col="lot_wkt"
+    ).select("c_custkey", "ntacode", "clip_area")
+
+
+@register(
+    "geo12_concave_union_area",
+    """
+    WITH dist AS (
+        SELECT 'NTA' || n_nationkey AS ntacode,
+               (n_nationkey % 5) * 10 AS x0,
+               (n_nationkey % 5) * 10 + 8 AS x1,
+               (n_nationkey // 5) * 10 AS y0,
+               (n_nationkey // 5) * 10 + 8 AS y1,
+               (n_nationkey % 5) * 10 + 4 AS nx0,
+               (n_nationkey // 5) * 10 + 4 AS ny0
+        FROM nation
+    ),
+    lot AS (
+        SELECT c_custkey,
+               (c_custkey % 150) + 0.25 AS x0,
+               (c_custkey % 150) + 1.75 AS x1,
+               ((c_custkey * 7) % 150) + 0.25 AS y0,
+               ((c_custkey * 7) % 150) + 0.75 AS ny0,
+               ((c_custkey * 7) % 150) + 1.75 AS y1,
+               (c_custkey % 150) + 0.75 AS nx0
+        FROM customer
+    ),
+    pairs AS (
+        SELECT l.c_custkey, d.ntacode,
+            GREATEST(0, LEAST(l.x1, d.x1) - GREATEST(l.x0, d.x0))
+              * GREATEST(0, LEAST(l.y1, d.y1) - GREATEST(l.y0, d.y0))
+          - GREATEST(0, LEAST(l.x1, d.x1) - GREATEST(l.x0, d.nx0))
+              * GREATEST(0, LEAST(l.y1, d.y1) - GREATEST(l.y0, d.ny0))
+          - GREATEST(0, LEAST(l.x1, d.x1) - GREATEST(l.nx0, d.x0))
+              * GREATEST(0, LEAST(l.y1, d.y1) - GREATEST(l.ny0, d.y0))
+          + GREATEST(0, LEAST(l.x1, d.x1) - GREATEST(l.nx0, d.nx0))
+              * GREATEST(0, LEAST(l.y1, d.y1) - GREATEST(l.ny0, d.ny0))
+              AS inter
+        FROM lot l JOIN dist d
+          ON l.x0 < d.x1 AND d.x0 < l.x1 AND l.y0 < d.y1 AND d.y0 < l.y1
+    )
+    SELECT c_custkey, ntacode,
+           ROUND(1.25 + 48.0 - inter, 6) AS union_area
+    FROM pairs
+    """,
+    doc="Pairwise UNION area over concave pairs — the ST_Union-area "
+        "analog by inclusion–exclusion: area(A) + area(B) − "
+        "area(A∩B), the areas from the signed-ring shoelace fold and "
+        "the intersection from geo11's fan-triangle machinery; all "
+        "bbox-candidate pairs emitted (disjoint candidates get the "
+        "plain sum). Oracle: L areas are closed form (2.25−1 and "
+        "64−16) and the intersection is geo11's four-term rect "
+        "algebra. operators/geo.py concave_union_area_join.",
+    tags=("geo", "join"),
+)
+def geo12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.geo import (
+        concave_union_area_join,
+    )
+
+    districts, lots = _l_shape_fixture(spark, sf_dir)
+    return concave_union_area_join(
+        lots, districts, wkt_col="lot_wkt"
+    ).select("c_custkey", "ntacode", "union_area")

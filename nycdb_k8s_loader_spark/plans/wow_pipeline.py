@@ -385,3 +385,391 @@ def w01(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lastsale_docid", "lastsale_date", "lastsale_amount",
         "rsunits2007", "rsunitslatest",
     )
+
+
+# --- w03: the reference's WIDEST real SQL, byte-for-byte, as a -------
+# --- perpetually-verified catalog row (round-9 verdict #8) -----------
+
+# the ONE documented upstream patch (tests/test_transpile.py carries
+# the same pair and asserts the broken fragment is still present):
+# the complaints subquery reads `from hpd_complaints_and_problems
+# using(complaintid)` yet filters on an `h.receiveddate` alias no
+# engine could resolve — the unabridged upstream query joins
+# hpd_complaints h to hpd_complaint_problems; the patch restores
+# exactly that join and nothing else.
+_W03_BROKEN = "from hpd_complaints_and_problems using(complaintid)"
+_W03_PATCH = (
+    "from hpd_complaints as h join hpd_complaint_problems "
+    "using(complaintid)"
+)
+
+
+def _w03_sources(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Deterministic derivations of the wow_2021 script's 12 source
+    tables from the parquet fixtures. Determinism discipline:
+    complaint dates are either 1990s (never recent) or shifted +110
+    years (recent until ~2095), so CURRENT_DATE − 3y can't flip a
+    verdict between engines or runs; exactly one qualifying deed per
+    bbl, so the script's ordered first() has a single candidate."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("c_custkey")
+    ok = F.col("o_orderkey")
+    s = lambda c: c.cast("string")  # noqa: E731
+    bbl = F.concat(F.lit("BBL"), s(k))
+    obbl = F.concat(F.lit("BBL"), s(F.col("o_custkey")))
+
+    regs = customer.select(
+        k.cast("int").alias("registrationid"),
+        bbl.alias("bbl"),
+        F.col("c_mktsegment").alias("boro"),
+    )
+    viol = orders.select(
+        obbl.alias("bbl"),
+        F.when(F.col("o_orderstatus") == "O", F.lit("Open"))
+        .otherwise(F.lit("Close"))
+        .alias("violationstatus"),
+    )
+    pluto = customer.select(
+        bbl.alias("bbl"),
+        (F.col("c_nationkey") * 2).cast("int").alias("unitsres"),
+        (F.lit(1900) + k % 100).cast("int").alias("yearbuilt"),
+        ((k % 200) * 0.25).alias("lat"),
+        (-(k % 400) * 0.125).alias("lng"),
+    )
+    evict = orders.select(
+        obbl.alias("bbl"),
+        F.when(ok % 4 == 0, F.lit("COMMERCIAL"))
+        .otherwise(F.lit("RESIDENTIAL"))
+        .alias("residentialcommercialind"),
+    )
+    rs_summary = customer.filter(k % 11 != 0).select(
+        bbl.alias("ucbbl"),
+        F.when(k % 10 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("c_nationkey") * 3).cast("int"))
+        .alias("unitsstab2007"),
+    )
+    rs_v2 = customer.filter(k % 13 != 0).select(
+        bbl.alias("ucbbl"),
+        F.when(k % 7 == 0, F.lit(None).cast("int"))
+        .otherwise((k % 40).cast("int"))
+        .alias("uc2021"),
+    )
+    major = F.when(ok % 3 == 0, F.lit("GENERAL")).otherwise(
+        F.col("o_orderpriority")
+    )
+    complaints = orders.select(
+        ok.cast("int").alias("complaintid"),
+        obbl.alias("bbl"),
+        F.when(
+            ok % 5 == 0,
+            F.date_add(F.col("o_orderdate").cast("date"), 40177),
+        )
+        .otherwise(F.col("o_orderdate").cast("date"))
+        .alias("receiveddate"),
+    )
+    problems = orders.select(
+        ok.cast("int").alias("complaintid"),
+        major.alias("majorcategory"),
+        F.when(ok % 2 == 0, F.lit("COOKING GAS"))
+        .otherwise(F.lit("HEAT/HOT WATER"))
+        .alias("minorcategory"),
+    )
+    exemptions = (
+        customer.filter(k % 5 != 0)
+        .select(
+            bbl.alias("bbl"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("exmpcode"),
+                        (F.lit(1950) + k % 50).cast("int").alias(
+                            "benftstart"
+                        ),
+                    ),
+                    F.struct(
+                        F.lit(2).alias("exmpcode"),
+                        (F.lit(2000) + k % 20).cast("int").alias(
+                            "benftstart"
+                        ),
+                    ),
+                    F.struct(
+                        F.lit(3).alias("exmpcode"),
+                        F.lit(1900).cast("int").alias("benftstart"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("bbl", "e.exmpcode", "e.benftstart")
+    )
+    codes = spark.createDataFrame(
+        [
+            (1, "J-51 ALTERATION"),
+            (2, "421A NEW CONSTRUCTION"),
+            (3, "VETERAN"),
+        ],
+        "exemptcode int, description string",
+    )
+    # deeds: ONE qualifying DEED per bbl (docdate NULL every 4th key,
+    # exercising the coalesce), plus a MTGE (doctype-filtered) and a
+    # $1 DEED (amount-filtered) per bbl
+    datestr = lambda base, kk: F.concat(  # noqa: E731
+        F.lit(base),
+        F.lpad(s(kk % 12 + 1), 2, "0"),
+        F.lit("-"),
+        F.lpad(s(kk % 28 + 1), 2, "0"),
+    )
+    master = (
+        customer.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("D"), s(k)).alias("documentid"),
+                        F.lit("DEED").alias("doctype"),
+                        F.when(k % 4 == 0, F.lit(None).cast("string"))
+                        .otherwise(datestr("2015-", k))
+                        .alias("docdate"),
+                        datestr("2014-", k).alias("recordedfiled"),
+                        ((k % 999 + 2).cast("double")).alias(
+                            "docamount"
+                        ),
+                    ),
+                    F.struct(
+                        F.concat(F.lit("M"), s(k)).alias("documentid"),
+                        F.lit("MTGE").alias("doctype"),
+                        datestr("2016-", k).alias("docdate"),
+                        datestr("2016-", k).alias("recordedfiled"),
+                        F.lit(9000.0).alias("docamount"),
+                    ),
+                    F.struct(
+                        F.concat(F.lit("X"), s(k)).alias("documentid"),
+                        F.lit("DEEDO").alias("doctype"),
+                        datestr("2017-", k).alias("docdate"),
+                        datestr("2017-", k).alias("recordedfiled"),
+                        F.lit(1.0).alias("docamount"),
+                    ),
+                )
+            ).alias("d"),
+        )
+        .select("d.*")
+    )
+    legals = customer.select(
+        F.explode(
+            F.array(
+                F.concat(F.lit("D"), s(k)),
+                F.concat(F.lit("M"), s(k)),
+                F.concat(F.lit("X"), s(k)),
+            )
+        ).alias("documentid"),
+        bbl.alias("bbl"),
+    )
+    return {
+        "hpd_registrations_with_contacts": regs,
+        "hpd_violations": viol,
+        "pluto_19v2": pluto,
+        "marshal_evictions_all": evict,
+        "rentstab_summary": rs_summary,
+        "rentstab_v2": rs_v2,
+        "hpd_complaints": complaints,
+        "hpd_complaint_problems": problems,
+        "dof_exemptions": exemptions,
+        "dof_exemption_classification_codes": codes,
+        "real_property_master": master,
+        "real_property_legals": legals,
+    }
+
+
+_W03_ORACLE = """
+WITH regs AS (
+    SELECT c_custkey::INT AS registrationid,
+           'BBL' || c_custkey AS bbl, c_mktsegment AS boro
+    FROM customer
+),
+viol AS (
+    SELECT 'BBL' || o_custkey AS bbl,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS opentotal,
+           COUNT(*) AS total
+    FROM orders GROUP BY 1
+),
+comp_rows AS (
+    SELECT 'BBL' || o_custkey AS bbl,
+           CASE WHEN (CASE WHEN o_orderkey % 3 = 0 THEN 'GENERAL'
+                           ELSE o_orderpriority END)
+                     IN ('UNSANITARY CONDITION', 'GENERAL')
+                THEN (CASE WHEN o_orderkey % 2 = 0 THEN 'COOKING GAS'
+                           ELSE 'HEAT/HOT WATER' END)
+                ELSE (CASE WHEN o_orderkey % 3 = 0 THEN 'GENERAL'
+                           ELSE o_orderpriority END) END
+               AS complainttype,
+           CASE WHEN o_orderkey % 5 = 0
+                THEN CAST(o_orderdate AS DATE) + 40177
+                ELSE CAST(o_orderdate AS DATE) END AS receiveddate
+    FROM orders
+),
+comp_by_type AS (
+    SELECT bbl, complainttype,
+           COUNT(*) FILTER (WHERE receiveddate >
+               CURRENT_DATE - INTERVAL '3 years') AS rec,
+           COUNT(*) AS tot
+    FROM comp_rows GROUP BY 1, 2
+),
+compl AS (
+    SELECT bbl, SUM(tot) AS totalcomplaints,
+           SUM(rec) AS recentcomplaints
+    FROM comp_by_type GROUP BY 1
+),
+pluto AS (
+    SELECT 'BBL' || c_custkey AS bbl,
+           (c_nationkey * 2)::INT AS unitsres,
+           (1900 + c_custkey % 100)::INT AS yearbuilt,
+           ((c_custkey % 200) * 0.25)::DOUBLE AS lat,
+           (-(c_custkey % 400) * 0.125)::DOUBLE AS lng
+    FROM customer
+),
+evict AS (
+    SELECT 'BBL' || o_custkey AS bbl, COUNT(*) AS evictions
+    FROM orders WHERE o_orderkey % 4 <> 0
+    GROUP BY 1
+),
+rentstab AS (
+    SELECT s.ucbbl,
+           COALESCE(s.unitsstab2007, 0) AS rsunits2007,
+           COALESCE(v.uc2021, 0) AS rsunitslatest,
+           COALESCE(v.uc2021, 0) - COALESCE(s.unitsstab2007, 0)
+               AS rsdiff
+    FROM (SELECT 'BBL' || c_custkey AS ucbbl,
+                 CASE WHEN c_custkey % 10 = 0 THEN NULL
+                      ELSE (c_nationkey * 3)::INT END AS unitsstab2007
+          FROM customer WHERE c_custkey % 11 <> 0) s
+    LEFT JOIN (SELECT 'BBL' || c_custkey AS ucbbl,
+                      CASE WHEN c_custkey % 7 = 0 THEN NULL
+                           ELSE (c_custkey % 40)::INT END AS uc2021
+               FROM customer WHERE c_custkey % 13 <> 0) v
+    USING (ucbbl)
+),
+exemptions AS (
+    SELECT 'BBL' || c_custkey AS bbl,
+           (1950 + c_custkey % 50)::SMALLINT AS yearstartedj51,
+           (2000 + c_custkey % 20)::SMALLINT AS yearstarted421a
+    FROM customer WHERE c_custkey % 5 <> 0
+),
+firstdeeds AS (
+    SELECT 'BBL' || c_custkey AS bbl,
+           'D' || c_custkey AS lastsaleacrisid,
+           CASE WHEN c_custkey % 4 = 0
+                THEN '2014-' || lpad((c_custkey % 12 + 1)::VARCHAR, 2, '0')
+                     || '-' || lpad((c_custkey % 28 + 1)::VARCHAR, 2, '0')
+                ELSE '2015-' || lpad((c_custkey % 12 + 1)::VARCHAR, 2, '0')
+                     || '-' || lpad((c_custkey % 28 + 1)::VARCHAR, 2, '0')
+                END AS lastsaledate,
+           (c_custkey % 999 + 2)::DOUBLE AS lastsaleamount
+    FROM customer
+)
+SELECT r.registrationid, r.bbl, r.boro,
+       COALESCE(v.total, 0)::INT AS totalviolations,
+       COALESCE(v.opentotal, 0)::INT AS openviolations,
+       COALESCE(c.totalcomplaints, 0)::INT AS totalcomplaints,
+       COALESCE(c.recentcomplaints, 0)::INT AS recentcomplaints,
+       p.unitsres, p.yearbuilt, p.lat, p.lng,
+       e.evictions,
+       rs.rsunits2007, rs.rsunitslatest,
+       2021 AS rsunitslatestyear,
+       rs.rsdiff,
+       x.yearstartedj51, x.yearstarted421a,
+       f.lastsaleacrisid, f.lastsaledate, f.lastsaleamount
+FROM regs r
+LEFT JOIN viol v ON r.bbl = v.bbl
+LEFT JOIN compl c ON r.bbl = c.bbl
+LEFT JOIN pluto p ON r.bbl = p.bbl
+LEFT JOIN evict e ON r.bbl = e.bbl
+LEFT JOIN exemptions x ON r.bbl = x.bbl
+LEFT JOIN rentstab rs ON r.bbl = rs.ucbbl
+LEFT JOIN firstdeeds f ON r.bbl = f.bbl
+"""
+
+
+@register(
+    "w03_wow_2021_bldgs",
+    _W03_ORACLE,
+    doc="The reference's WIDEST shipped SQL "
+        "(tests/sql/wow_2021_create_bldgs_table.sql — 12 source "
+        "tables, FILTER aggregates, interval arithmetic, ~* regex, "
+        "exemption classification joins, ordered first(), DISTINCT "
+        "ON, DROP CASCADE + ALTER RENAME) executed byte-for-byte "
+        "through the transpiler against deterministic parquet-derived "
+        "sources, as a perpetually-verified catalog row (it "
+        "previously ran only under pytest). ONE documented upstream "
+        "patch (the h-alias complaints join — asserted present so an "
+        "upstream fix surfaces). The json_agg column "
+        "(recentcomplaintsbytype) EXECUTES in the pipeline but is "
+        "not in the compared projection — cross-engine JSON text "
+        "identity is a formatting contract, not a semantics one. "
+        "Dates are 1990s-or-+110-years so CURRENT_DATE − 3y can "
+        "never flip a verdict between engines or run days; exactly "
+        "one qualifying deed per bbl makes the ordered first() "
+        "single-candidate. Oracle: the whole derivation replayed as "
+        "closed-form DuckDB SQL.",
+    tags=("e2e", "wow", "transpile", "sql"),
+)
+def w03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.publish.parse_created_tables import (
+        split_statements,
+    )
+    from nycdb_k8s_loader_spark.publish.resolver import SearchPathResolver
+    from nycdb_k8s_loader_spark.publish.transpile import transpile_pg
+
+    ref_sql = os.path.join(
+        "/root/reference/tests/sql", "wow_2021_create_bldgs_table.sql"
+    )
+    text = open(ref_sql).read()
+    if _W03_BROKEN not in text:
+        raise ValueError(
+            "w03: upstream fixture no longer carries the documented "
+            "broken complaints join — re-audit the patch"
+        )
+    text = text.replace(_W03_BROKEN, _W03_PATCH)
+
+    sources = _w03_sources(spark, sf_dir)
+    for name, df in sources.items():
+        df.createOrReplaceTempView(name)
+    try:
+        spark.sql("CREATE DATABASE IF NOT EXISTS wow2021")
+        # rename of a MANAGED table keeps its original location in
+        # Spark 3+, so after one run `wow_bldgs` lives at
+        # .../wow_bldgs_temporary and the next CTAS hits
+        # LOCATION_ALREADY_EXISTS — drop BOTH tables (freeing that
+        # location) and sweep any orphaned dir the catalog lost
+        spark.sql("DROP TABLE IF EXISTS wow2021.wow_bldgs")
+        spark.sql("DROP TABLE IF EXISTS wow2021.wow_bldgs_temporary")
+        import shutil
+
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        for t in ("wow_bldgs", "wow_bldgs_temporary"):
+            shutil.rmtree(
+                os.path.join(wh, "wow2021.db", t), ignore_errors=True
+            )
+        resolver = SearchPathResolver(
+            spark, ["wow2021"], ddl_db="wow2021"
+        )
+        for stmt in split_statements(text):
+            stripped = stmt.strip()
+            if not stripped or stripped.upper().startswith(
+                "CREATE INDEX"
+            ):
+                continue  # K7: index DDL is a layout decision here
+            resolver.sql(transpile_pg(stripped))
+        return spark.table("wow2021.wow_bldgs").select(
+            "registrationid", "bbl", "boro",
+            "totalviolations", "openviolations",
+            "totalcomplaints", "recentcomplaints",
+            "unitsres", "yearbuilt", "lat", "lng",
+            "evictions", "rsunits2007", "rsunitslatest",
+            "rsunitslatestyear", "rsdiff",
+            "yearstartedj51", "yearstarted421a",
+            "lastsaleacrisid", "lastsaledate", "lastsaleamount",
+        )
+    finally:
+        for name in sources:
+            spark.catalog.dropTempView(name)

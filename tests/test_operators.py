@@ -3702,6 +3702,243 @@ class TestProductQuantization:
         assert inline == injected
 
 
+class TestStateLifecycle:
+    """Compaction/retirement for the persisted-state family — the
+    compact(build(corpus), retired) == build(corpus \\ retired) pins
+    (exact where states are per-row independent; documented weaker
+    contracts where not)."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_signature_state_compact_equals_rebuild(self, spark):
+        from nycdb_k8s_loader_spark.operators.dedup import (
+            dedup_signature_state,
+            incremental_dedup_from_state,
+        )
+        from nycdb_k8s_loader_spark.operators.state_lifecycle import (
+            dedup_signature_state_compact,
+        )
+
+        corpus = self._docs(spark, [
+            (i, f"alpha beta gamma delta {i} common tail words here")
+            for i in range(10)
+        ] + [(10, "alpha beta gamma delta 3 common tail words here")])
+        retired = self._docs(spark, [
+            (3, "alpha beta gamma delta 3 common tail words here"),
+            (7, "alpha beta gamma delta 7 common tail words here"),
+        ]).select("doc_id")
+        kw = dict(num_hashes=8, bands=4, shingles=3)
+        full = dedup_signature_state(corpus, **kw)
+        compacted = dedup_signature_state_compact(full, retired)
+        rebuilt = dedup_signature_state(
+            corpus.join(retired, "doc_id", "left_anti"), **kw
+        )
+        key = lambda df: sorted(  # noqa: E731
+            str(tuple(r)) for r in df.collect()
+        )
+        assert key(compacted) == key(rebuilt)
+        # probe equivalence: doc 10 duplicates RETIRED doc 3's shape
+        # only via exact text of doc 3 — against the compacted state
+        # the verdicts equal probing the rebuilt state
+        batch = self._docs(spark, [
+            (100, "alpha beta gamma delta 3 common tail words here"),
+            (101, "totally unrelated fresh content nothing shared xx"),
+        ])
+        va = sorted(map(tuple, incremental_dedup_from_state(
+            compacted, batch, num_hashes=8, bands=4, shingles=3
+        ).collect()))
+        vb = sorted(map(tuple, incremental_dedup_from_state(
+            rebuilt, batch, num_hashes=8, bands=4, shingles=3
+        ).collect()))
+        assert va == vb
+
+    def test_sentence_state_compact_equals_rebuild(self, spark):
+        from nycdb_k8s_loader_spark.operators.state_lifecycle import (
+            sentence_dedup_state_compact,
+        )
+        from nycdb_k8s_loader_spark.operators.textops import (
+            sentence_dedup_state,
+        )
+
+        # boiler A in docs {1,2,3}; boiler B in docs {2,3} — retiring
+        # doc 3 keeps A (nd 2) and drops B (nd 1)
+        rows = [
+            (1, "unique one stuff here. boiler plate sentence aaa"),
+            (2, "boiler plate sentence aaa. boiler plate line bbb"),
+            (3, "boiler plate sentence aaa. boiler plate line bbb. "
+                "more unique content three"),
+            (4, "nothing shared at all in this document four"),
+        ]
+        corpus = self._docs(spark, rows)
+        retired = self._docs(spark, [rows[2]])
+        for hashed in (False, True):
+            full = sentence_dedup_state(
+                corpus, hashed_keys=hashed, with_counts=True
+            )
+            compacted = sentence_dedup_state_compact(
+                full, retired, hashed_keys=hashed
+            )
+            rebuilt = sentence_dedup_state(
+                corpus.filter("doc_id <> 3"),
+                hashed_keys=hashed,
+                with_counts=True,
+            )
+            assert sorted(map(tuple, compacted.collect())) == sorted(
+                map(tuple, rebuilt.collect())
+            ), hashed
+
+    def test_gram_state_compact_equals_rebuild(self, spark):
+        from nycdb_k8s_loader_spark.operators.dedup import (
+            duplicated_gram_state,
+        )
+        from nycdb_k8s_loader_spark.operators.state_lifecycle import (
+            duplicated_gram_state_compact,
+        )
+
+        lic = "licensed under the apache license version two"
+        rows = [
+            (1, f"doc one begins {lic} and ends here"),
+            (2, f"doc two other text {lic} trailing words"),
+            (3, f"third doc again {lic} closing remark"),
+            (4, "completely different content with no shared spans"),
+        ]
+        corpus = self._docs(spark, rows)
+        retired = self._docs(spark, rows[1:3])  # retire docs 2 and 3
+        for hashed in (False, True):
+            full = duplicated_gram_state(
+                corpus, ngram=5, hashed_grams=hashed, with_counts=True
+            )
+            compacted = duplicated_gram_state_compact(
+                full, retired, ngram=5
+            )
+            rebuilt = duplicated_gram_state(
+                corpus.filter("doc_id = 1 or doc_id = 4"),
+                ngram=5,
+                hashed_grams=hashed,
+                with_counts=True,
+            )
+            assert sorted(map(tuple, compacted.collect())) == sorted(
+                map(tuple, rebuilt.collect())
+            ), hashed
+
+    def test_countless_states_raise(self, spark):
+        import pytest as _pytest
+
+        from nycdb_k8s_loader_spark.operators.dedup import (
+            duplicated_gram_state,
+        )
+        from nycdb_k8s_loader_spark.operators.state_lifecycle import (
+            duplicated_gram_state_compact,
+            sentence_dedup_state_compact,
+        )
+        from nycdb_k8s_loader_spark.operators.textops import (
+            sentence_dedup_state,
+        )
+
+        corpus = self._docs(spark, [
+            (1, "shared boiler sentence one. some unique text"),
+            (2, "shared boiler sentence one. other unique text"),
+        ])
+        with _pytest.raises(ValueError, match="with_counts"):
+            sentence_dedup_state_compact(
+                sentence_dedup_state(corpus), corpus.limit(1)
+            )
+        with _pytest.raises(ValueError, match="with_counts"):
+            duplicated_gram_state_compact(
+                duplicated_gram_state(corpus, ngram=3), corpus.limit(1)
+            )
+
+    def test_semantic_compact_flips_retired_only_dups(self, spark):
+        from nycdb_k8s_loader_spark.operators.similarity import (
+            incremental_semantic_dedup_from_state,
+            semantic_dedup_state,
+        )
+        from nycdb_k8s_loader_spark.operators.state_lifecycle import (
+            semantic_dedup_state_compact,
+        )
+
+        def vec(x, y):
+            return [float(x), float(y), 0.0, 0.0]
+
+        corpus = spark.createDataFrame(
+            [
+                (0, vec(1, 0)), (1, vec(0.999, 0.02)),
+                (2, vec(0, 1)), (3, vec(0.02, 0.999)),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        state = semantic_dedup_state(corpus, k=2)
+        retired = spark.createDataFrame([(2,), (3,)], "vec_id long")
+        compacted = semantic_dedup_state_compact(state, retired)
+        # centroid + meta rows untouched (the frozen quantizer)
+        for kind in ("centroid", "meta"):
+            assert sorted(
+                map(str, state.filter(f"kind = '{kind}'").collect())
+            ) == sorted(
+                map(str, compacted.filter(f"kind = '{kind}'").collect())
+            )
+        batch = spark.createDataFrame(
+            [(100, vec(0.01, 1.0)), (101, vec(1.0, 0.01))],
+            "vec_id long, embedding array<double>",
+        )
+        before = {
+            r["vec_id"]: r["is_kept"]
+            for r in incremental_semantic_dedup_from_state(
+                state, batch, threshold=0.95
+            ).collect()
+        }
+        after = {
+            r["vec_id"]: r["is_kept"]
+            for r in incremental_semantic_dedup_from_state(
+                compacted, batch, threshold=0.95
+            ).collect()
+        }
+        # 100's only near-dups (2,3) retired -> flips dup->keep;
+        # 101's near-dups (0,1) retained -> stays dup
+        assert before == {100: False, 101: False}
+        assert after == {100: True, 101: False}
+
+    def test_components_compact_exact_and_boundary(self, spark):
+        from nycdb_k8s_loader_spark.operators.graph import (
+            components_state,
+            incremental_components_from_state,
+        )
+        from nycdb_k8s_loader_spark.operators.state_lifecycle import (
+            components_state_compact,
+        )
+
+        cc = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+        # comp {1,2,3} rooted at 1; comp {10,11}; isolated 20
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 20)], "src long, dst long"
+        )
+        state = components_state(edges)
+        # EXACT case: retire root 1 — {2,3} stay connected via (2,3),
+        # relabel to min retained member 2
+        retired = spark.createDataFrame([(1,)], "node long")
+        compacted = components_state_compact(state, retired)
+        rebuilt = components_state(
+            spark.createDataFrame(
+                [(2, 3), (10, 11), (20, 20)], "src long, dst long"
+            )
+        )
+        assert cc(compacted) == cc(rebuilt)
+        # compacted state still composes with the incremental fold
+        inc = incremental_components_from_state(
+            compacted,
+            spark.createDataFrame([(3, 10)], "src long, dst long"),
+        )
+        merged = dict(cc(inc))
+        assert merged[2] == merged[3] == merged[10] == merged[11] == 2
+        # BOUNDARY case: retiring BRIDGE node 2 from {1,2,3} keeps
+        # {1,3} grouped (no edges in the state to see the split) —
+        # the documented conservative over-grouping
+        bridge_retired = spark.createDataFrame([(2,)], "node long")
+        over = dict(cc(components_state_compact(state, bridge_retired)))
+        assert over[1] == over[3] == 1  # rebuild would split them
+
+
 class TestIncrementalComponents:
     """g04's machinery: persisted CC state + batch-edge probe equals
     the full recompute — min-id labels compose across super-nodes."""
@@ -3887,6 +4124,115 @@ class TestMultipolygonGeometry:
             for r in multipolygon_clip_area_join(subs, clips).collect()
         }
         assert got == {2: 1.75, 3: 15.0, 4: 0.25}
+
+    def test_concave_clip_area_hand_computed(self, spark):
+        """concave_clip_area_join on cases NO convex-clip operator
+        can do: U∩rect straddling the cavity, L∩L, donut∩rect, and a
+        CW-wound subject — all hand-computed. The signed origin-fan
+        decomposition must reproduce each exactly (terms are dyadic
+        rationals; int64 1e-8 quantization is exact here)."""
+        from nycdb_k8s_loader_spark.operators.geo import (
+            concave_clip_area_join,
+        )
+
+        # U-shape: 6x3 block minus the inner cavity [2,4]x[1,3]
+        u_wkt = ("POLYGON ((0 0, 6 0, 6 3, 4 3, 4 1, 2 1, 2 3, 0 3, "
+                 "0 0))")
+        # L-shape: 4x4 minus top-right 2x2
+        l_wkt = "POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))"
+        # CW copy of the L (reversed winding) — must clip identically
+        l_cw = "POLYGON ((0 0, 0 4, 2 4, 2 2, 4 2, 4 0, 0 0))"
+        donut = ("MULTIPOLYGON (((0 0, 8 0, 8 8, 0 8, 0 0), "
+                 "(3 3, 5 3, 5 5, 3 5, 3 3)))")
+        subs = spark.createDataFrame(
+            [
+                # rect [1,5]x[0.5,2.5] over the U: covers part of the
+                # left arm, base, right arm; cavity [2,4]x[1,3] cuts
+                # [2,4]x[1,2.5]=3.0 from the 4x2=8 rect∩block overlap
+                (1, "POLYGON ((1 0.5, 5 0.5, 5 2.5, 1 2.5, 1 0.5))"),
+                # rect wholly inside the U's cavity: zero (filtered)
+                (2, "POLYGON ((2.5 1.5, 3.5 1.5, 3.5 2.5, 2.5 2.5, "
+                    "2.5 1.5))"),
+                (3, None),
+                (4, None),
+                (5, None),
+            ],
+            "pid long, geom_wkt string",
+        ).filter("geom_wkt is not null")
+        clips = spark.createDataFrame(
+            [("U", u_wkt)], "cid string, clip_wkt string"
+        )
+        got = {
+            (r["pid"], r["cid"]): r["clip_area"]
+            for r in concave_clip_area_join(subs, clips).collect()
+        }
+        assert got == {(1, "U"): 5.0}
+
+        # L ∩ L (offset by (1,1)): hand inclusion-exclusion
+        # A = [0,4]^2 minus [2,4]x[2,4]; B = A + (1,1)
+        # RA∩RB = [1,4]x[1,4] = 9; RA∩NB([3,5]x[3,5]) = 1;
+        # NA([2,4]^2)∩RB = 4; NA∩NB = 1  -> 9 - 1 - 4 + 1 = 5
+        l_pair_a = spark.createDataFrame(
+            [(1, l_wkt), (2, l_cw)], "pid long, geom_wkt string"
+        )
+        l_b = ("POLYGON ((1 1, 5 1, 5 3, 3 3, 3 5, 1 5, 1 1))")
+        l_pair_b = spark.createDataFrame(
+            [("L", l_b)], "cid string, clip_wkt string"
+        )
+        got = {
+            r["pid"]: r["clip_area"]
+            for r in concave_clip_area_join(
+                l_pair_a, l_pair_b
+            ).collect()
+        }
+        # CW-wound subject must clip identically to the CCW one
+        assert got == {1: 5.0, 2: 5.0}
+
+        # donut ∩ rect straddling the hole: [2,6]x[2,6]=16 minus the
+        # hole [3,5]x[3,5]=4 -> 12
+        dsub = spark.createDataFrame(
+            [(1, "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")],
+            "pid long, geom_wkt string",
+        )
+        dclip = spark.createDataFrame(
+            [("D", donut)], "cid string, clip_wkt string"
+        )
+        got = {
+            r["pid"]: r["clip_area"]
+            for r in concave_clip_area_join(dsub, dclip).collect()
+        }
+        assert got == {1: 12.0}
+
+    def test_concave_union_area(self, spark):
+        """union = a + b − intersection, including the disjoint-but-
+        bbox-overlapping candidate the clip join's positive filter
+        drops (a rect inside the L's notch)."""
+        from nycdb_k8s_loader_spark.operators.geo import (
+            concave_union_area_join,
+        )
+
+        l_wkt = "POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))"
+        subs = spark.createDataFrame(
+            [
+                # overlaps the L's base: inter [1,3]x[1,2] ∩ L... the
+                # rect [1,3]x[1,3]=4 minus notch part [2,3]x[2,3]=1
+                # -> inter 3; union = 12 + 4 - 3 = 13
+                (1, "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"),
+                # wholly inside the notch [2,4]x[2,4]: inter 0,
+                # union = 12 + 1 = 13 (bbox overlaps, so emitted)
+                (2, "POLYGON ((2.5 2.5, 3.5 2.5, 3.5 3.5, 2.5 3.5, "
+                    "2.5 2.5))"),
+            ],
+            "pid long, geom_wkt string",
+        )
+        clips = spark.createDataFrame(
+            [("L", l_wkt)], "cid string, clip_wkt string"
+        )
+        got = {
+            r["pid"]: r["union_area"]
+            for r in concave_union_area_join(subs, clips).collect()
+        }
+        assert got == {1: 13.0, 2: 13.0}
 
     def test_shapefile_to_operators_e2e(self, spark):
         """The source and the consumers finally meet: a type-5 shape
