@@ -1048,6 +1048,117 @@ def concave_clip_area_join(
     )
 
 
+def miter_buffer_ring(verts: Column, r: Column) -> Column:
+    """ST_Buffer's polygon-offset core for a CONVEX ring, as ONE
+    Catalyst expression: every edge's supporting line moves outward
+    by ``r`` and consecutive offset lines re-intersect — the MITER
+    join (exact polygon arithmetic, no arcs; PostGIS's round-join
+    arcs are themselves k-gon approximations via quad_segs, and the
+    general concave/arc path is the documented Sedona seam).  Returns
+    the buffered vertex ring, same size as the input.
+
+    Convexity is the standard offset precondition (a concave miter
+    self-intersects); rings may arrive closed and in either winding —
+    opened and CCW-normalized here.  Collinear consecutive edges
+    (cross ≈ 0) fall back to the edge's own offset endpoint instead
+    of dividing by zero.  Closed under the rest of the geometry
+    algebra: feed the result to ring_area, point_in_polygon (the
+    within-distance-of join), or the clip operators."""
+    ring = _ccw(_open_ring(verts))
+    edges = _ring_edges(ring)
+    n = F.size(edges)
+    prev_edges = F.concat(
+        F.slice(edges, n, 1), F.slice(edges, 1, n - 1)
+    )
+
+    def offset_point(e, px, py):
+        # outward unit normal of a CCW edge is (dy, -dx)/|e|
+        dx, dy = e["x2"] - e["x1"], e["y2"] - e["y1"]
+        ln = F.sqrt(dx * dx + dy * dy)
+        return (px + r * dy / ln, py + r * (-dx) / ln)
+
+    def miter(pe, e):
+        # intersection of prev/next offset lines: a1 + t·d1
+        a1x, a1y = offset_point(pe, pe["x1"], pe["y1"])
+        a2x, a2y = offset_point(e, e["x1"], e["y1"])
+        d1x, d1y = pe["x2"] - pe["x1"], pe["y2"] - pe["y1"]
+        d2x, d2y = e["x2"] - e["x1"], e["y2"] - e["y1"]
+        denom = d1x * d2y - d1y * d2x
+        t = ((a2x - a1x) * d2y - (a2y - a1y) * d2x) / denom
+        return F.when(
+            F.abs(denom) < F.lit(1e-12),
+            F.struct(a2x.alias("x"), a2y.alias("y")),
+        ).otherwise(
+            F.struct(
+                (a1x + t * d1x).alias("x"),
+                (a1y + t * d1y).alias("y"),
+            )
+        )
+
+    return F.zip_with(prev_edges, edges, miter)
+
+
+def with_miter_buffer(
+    df: DataFrame,
+    wkt_col: str,
+    r: Column,
+    out_col: str = "buffered",
+) -> DataFrame:
+    """DataFrame-level staged form of :func:`miter_buffer_ring`:
+    parse → normalize → edges → miter, each level fenced into its own
+    column so every reference binds to an ATTRIBUTE.  The one-shot
+    expression form re-evaluates its nested subtrees structurally
+    (interpreted HOFs do no CSE) — measured 39.6 s for 15k rows at
+    sf0.1 vs 9.0 s staged (plan-build cost collapses too).  Use the
+    expression form only inside other expressions; use this for
+    data-scale buffering."""
+    pid = F.spark_partition_id() >= 0
+    staged = (
+        df.withColumn(
+            "__mb_ring",
+            F.when(pid, _ccw(_open_ring(parse_wkt_polygon(wkt_col)))),
+        )
+        .withColumn(
+            "__mb_edges", F.when(pid, _ring_edges(F.col("__mb_ring")))
+        )
+    )
+    edges = F.col("__mb_edges")
+    n = F.size(edges)
+    staged = staged.withColumn(
+        "__mb_prev",
+        F.when(
+            pid, F.concat(F.slice(edges, n, 1), F.slice(edges, 1, n - 1))
+        ),
+    )
+
+    def offset_point(e, px, py):
+        dx, dy = e["x2"] - e["x1"], e["y2"] - e["y1"]
+        ln = F.sqrt(dx * dx + dy * dy)
+        return (px + r * dy / ln, py + r * (-dx) / ln)
+
+    def miter(pe, e):
+        a1x, a1y = offset_point(pe, pe["x1"], pe["y1"])
+        a2x, a2y = offset_point(e, e["x1"], e["y1"])
+        d1x, d1y = pe["x2"] - pe["x1"], pe["y2"] - pe["y1"]
+        d2x, d2y = e["x2"] - e["x1"], e["y2"] - e["y1"]
+        denom = d1x * d2y - d1y * d2x
+        t = ((a2x - a1x) * d2y - (a2y - a1y) * d2x) / denom
+        return F.when(
+            F.abs(denom) < F.lit(1e-12),
+            F.struct(a2x.alias("x"), a2y.alias("y")),
+        ).otherwise(
+            F.struct(
+                (a1x + t * d1x).alias("x"),
+                (a1y + t * d1y).alias("y"),
+            )
+        )
+
+    return staged.withColumn(
+        out_col,
+        F.when(pid, F.zip_with(F.col("__mb_prev"), edges, miter)),
+    ).drop("__mb_ring", "__mb_edges", "__mb_prev")
+
+
 def concave_union_area_join(
     polys: DataFrame,
     clips: DataFrame,

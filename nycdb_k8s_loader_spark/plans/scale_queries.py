@@ -1106,3 +1106,52 @@ def geo12(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concave_union_area_join(
         lots, districts, wkt_col="lot_wkt"
     ).select("c_custkey", "ntacode", "union_area")
+
+
+@register(
+    "geo13_convex_buffer",
+    """
+    SELECT c_custkey,
+           (((c_custkey % 4) + 1) * 0.125)::DOUBLE AS r,
+           ROUND((1.5 + 2 * ((c_custkey % 4) + 1) * 0.125) ^ 2,
+                 6)::DOUBLE AS buf_area,
+           ROUND((c_custkey % 50) + 0.25
+                 - ((c_custkey % 4) + 1) * 0.125, 6)::DOUBLE AS min_x,
+           ROUND(((c_custkey * 7) % 50) + 0.25
+                 - ((c_custkey % 4) + 1) * 0.125, 6)::DOUBLE AS min_y
+    FROM customer
+    """,
+    doc="ST_Buffer's polygon-offset core (miter join, exact "
+        "arithmetic — no arcs; PostGIS's round joins are themselves "
+        "quad_segs k-gon approximations) for CONVEX rings: every "
+        "edge's supporting line moves outward by a per-row radius "
+        "and consecutive offset lines re-intersect, all as one "
+        "Catalyst zip_with over (prev-edge, edge) pairs — map-only, "
+        "no UDF, no geometry library; the result ring feeds straight "
+        "back into ring_area / point_in_polygon (within-distance "
+        "joins) / the clip operators. The fold is fenced behind "
+        "spark_partition_id so ring_area's ~8 structural references "
+        "bind to an attribute (the geo06 CollapseProject lesson). "
+        "Oracle: a rectangle's miter buffer is the rectangle grown "
+        "by r on each side — closed-form area and bbox. General "
+        "concave/arc buffers remain the documented Sedona seam. "
+        "operators/geo.py miter_buffer_ring.",
+    tags=("geo",),
+)
+def geo13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.geo import (
+        ring_area,
+        with_miter_buffer,
+    )
+
+    _, lots = _district_lot_fixture(spark, sf_dir)
+    r = ((F.col("c_custkey") % 4) + 1) * 0.125
+    xs = F.transform(F.col("__buf"), lambda p: p["x"])
+    ys = F.transform(F.col("__buf"), lambda p: p["y"])
+    return with_miter_buffer(lots, "lot_wkt", r, out_col="__buf").select(
+        "c_custkey",
+        r.alias("r"),
+        F.round(ring_area(F.col("__buf")), 6).alias("buf_area"),
+        F.round(F.array_min(xs), 6).alias("min_x"),
+        F.round(F.array_min(ys), 6).alias("min_y"),
+    )

@@ -4234,6 +4234,53 @@ class TestMultipolygonGeometry:
         }
         assert got == {1: 13.0, 2: 13.0}
 
+    def test_miter_buffer_ring(self, spark):
+        """Exact miter offsets: a square grows by r each side; a
+        45-degree diamond's circumradius grows by r*sqrt(2); CW input
+        buffers identically to CCW; a redundant collinear vertex hits
+        the parallel-edge fallback without changing the area."""
+        import math
+
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.operators.geo import (
+            miter_buffer_ring,
+            parse_wkt_polygon,
+            ring_area,
+        )
+
+        rows = [
+            (1, "POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))", 0.25),
+            # same square, CW winding
+            (2, "POLYGON ((0 0, 0 2, 4 2, 4 0, 0 0))", 0.25),
+            # diamond |x|+|y|<=2: area 8; buffered circumradius
+            # 2 + r*sqrt(2) -> area 2*(2 + r*sqrt(2))^2
+            (3, "POLYGON ((2 0, 0 2, -2 0, 0 -2, 2 0))", 0.5),
+            # square with a redundant midpoint vertex on the bottom
+            # edge (collinear consecutive edges -> fallback branch)
+            (4, "POLYGON ((0 0, 2 0, 4 0, 4 2, 0 2, 0 0))", 0.25),
+        ]
+        df = spark.createDataFrame(
+            rows, "pid long, wkt string, r double"
+        )
+        buffered = F.when(
+            F.spark_partition_id() >= 0,
+            miter_buffer_ring(parse_wkt_polygon("wkt"), F.col("r")),
+        )
+        got = {
+            row["pid"]: row["a"]
+            for row in df.withColumn("__b", buffered)
+            .select("pid", ring_area(F.col("__b")).alias("a"))
+            .collect()
+        }
+        assert got[1] == _pytest.approx(4.5 * 2.5)  # (4+.5)(2+.5)
+        assert got[2] == _pytest.approx(4.5 * 2.5)
+        assert got[3] == _pytest.approx(
+            2 * (2 + 0.5 * math.sqrt(2)) ** 2
+        )
+        assert got[4] == _pytest.approx(4.5 * 2.5)
+
     def test_shapefile_to_operators_e2e(self, spark):
         """The source and the consumers finally meet: a type-5 shape
         with a hole and an island round-trips through parse_shp's
