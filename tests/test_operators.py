@@ -3650,6 +3650,74 @@ class TestProductQuantization:
         # IVFADC neighbor shares a probed cell with its query
         assert len(ivfpq) == len(qids) * 10
 
+    def test_ivfpq_from_state_plan_shape(self, spark, tmp_path):
+        """Physical-plan pins for the deployment path: the candidate
+        code join is the ONE shuffled hash join (corpus-keyed sides,
+        never a derived-size broadcast of the code stream); every
+        raw-embedding scan is either the query rows (In-pushdown on
+        vec_id) or the 2-column cell-membership projection — raw
+        vectors never stream corpus-wide."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.operators.similarity import (
+            _pq_assign,
+            _pq_sub_frame,
+            ivf_pq_topk,
+            label_centroids,
+            pq_train_codebooks,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        cb = pq_train_codebooks(emb, m=8, codebook=16)
+        cb.write.parquet(str(tmp_path / "cb"))
+        cb = spark.read.parquet(str(tmp_path / "cb"))
+        _pq_assign(
+            _pq_sub_frame(emb, 8, 8, "vec_id", "embedding"), cb
+        ).withColumnRenamed("cid", "code").write.parquet(
+            str(tmp_path / "codes")
+        )
+        (
+            label_centroids(emb)
+            .groupBy("label")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "avg_val"))
+                    ),
+                    lambda s: s["avg_val"],
+                ).alias("cv")
+            )
+            .write.parquet(str(tmp_path / "cents"))
+        )
+        plan = (
+            ivf_pq_topk(
+                emb, [0, 1, 2], k=5, nprobe=2,
+                codebooks=cb,
+                codes=spark.read.parquet(str(tmp_path / "codes")),
+                centroids=spark.read.parquet(str(tmp_path / "cents")),
+            )
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("ShuffledHashJoin") == 1
+        emb_scans = [
+            m.group(0)
+            for m in re.finditer(r"FileScan parquet[^\n]*", plan)
+            if "embeddings" in m.group(0)
+        ]
+        assert emb_scans
+        for s in emb_scans:
+            pushed_query_rows = "In(vec_id, [0,1,2" in s
+            schema = re.search(r"ReadSchema: [^\n]*", s)
+            membership_only = (
+                schema is not None
+                and "embedding" not in schema.group(0)
+            )
+            assert pushed_query_rows or membership_only, s
+
     def test_ivfpq_from_published_artifacts(self, spark, tmp_path):
         """The production path: codebooks, the 8-byte code stream,
         and the centroid table persist with the corpus refresh; a
