@@ -1042,34 +1042,24 @@ def concave_clip_area_join(
         .withColumn("__term", term)
         .groupBy(*group_cols)
         .agg(F.sum("__term").alias("__sum_micro"))
+        # positive-overlap filter on the UNROUNDED fixed-point sum —
+        # matching the oracle's WHERE area > 0 (filtering the rounded
+        # value would drop a true sub-0.5e-dp sliver the oracle emits
+        # as 0.000000)
+        .filter(F.col("__sum_micro") > 0)
         .withColumn(area_col, area)
-        .filter(F.col(area_col) > 0)
         .drop("__sum_micro")
     )
 
 
-def miter_buffer_ring(verts: Column, r: Column) -> Column:
-    """ST_Buffer's polygon-offset core for a CONVEX ring, as ONE
-    Catalyst expression: every edge's supporting line moves outward
-    by ``r`` and consecutive offset lines re-intersect — the MITER
-    join (exact polygon arithmetic, no arcs; PostGIS's round-join
-    arcs are themselves k-gon approximations via quad_segs, and the
-    general concave/arc path is the documented Sedona seam).  Returns
-    the buffered vertex ring, same size as the input.
-
-    Convexity is the standard offset precondition (a concave miter
-    self-intersects); rings may arrive closed and in either winding —
-    opened and CCW-normalized here.  Collinear consecutive edges
-    (cross ≈ 0) fall back to the edge's own offset endpoint instead
-    of dividing by zero.  Closed under the rest of the geometry
-    algebra: feed the result to ring_area, point_in_polygon (the
-    within-distance-of join), or the clip operators."""
-    ring = _ccw(_open_ring(verts))
-    edges = _ring_edges(ring)
-    n = F.size(edges)
-    prev_edges = F.concat(
-        F.slice(edges, n, 1), F.slice(edges, 1, n - 1)
-    )
+def _miter_join_fn(r: Column):
+    """Shared offset-line/miter-intersection lambda for the two
+    miter-buffer forms (:func:`miter_buffer_ring` expression form,
+    :func:`with_miter_buffer` staged form) — ONE home for the offset
+    normal, the line-intersection algebra, and the 1e-12 collinearity
+    fallback, so the two forms cannot drift apart.  Returns the
+    ``(prev_edge, edge) -> offset vertex struct`` callable consumed by
+    ``F.zip_with``."""
 
     def offset_point(e, px, py):
         # outward unit normal of a CCW edge is (dy, -dx)/|e|
@@ -1095,7 +1085,32 @@ def miter_buffer_ring(verts: Column, r: Column) -> Column:
             )
         )
 
-    return F.zip_with(prev_edges, edges, miter)
+    return miter
+
+
+def miter_buffer_ring(verts: Column, r: Column) -> Column:
+    """ST_Buffer's polygon-offset core for a CONVEX ring, as ONE
+    Catalyst expression: every edge's supporting line moves outward
+    by ``r`` and consecutive offset lines re-intersect — the MITER
+    join (exact polygon arithmetic, no arcs; PostGIS's round-join
+    arcs are themselves k-gon approximations via quad_segs, and the
+    general concave/arc path is the documented Sedona seam).  Returns
+    the buffered vertex ring, same size as the input.
+
+    Convexity is the standard offset precondition (a concave miter
+    self-intersects); rings may arrive closed and in either winding —
+    opened and CCW-normalized here.  Collinear consecutive edges
+    (cross ≈ 0) fall back to the edge's own offset endpoint instead
+    of dividing by zero.  Closed under the rest of the geometry
+    algebra: feed the result to ring_area, point_in_polygon (the
+    within-distance-of join), or the clip operators."""
+    ring = _ccw(_open_ring(verts))
+    edges = _ring_edges(ring)
+    n = F.size(edges)
+    prev_edges = F.concat(
+        F.slice(edges, n, 1), F.slice(edges, 1, n - 1)
+    )
+    return F.zip_with(prev_edges, edges, _miter_join_fn(r))
 
 
 def with_miter_buffer(
@@ -1130,32 +1145,12 @@ def with_miter_buffer(
             pid, F.concat(F.slice(edges, n, 1), F.slice(edges, 1, n - 1))
         ),
     )
-
-    def offset_point(e, px, py):
-        dx, dy = e["x2"] - e["x1"], e["y2"] - e["y1"]
-        ln = F.sqrt(dx * dx + dy * dy)
-        return (px + r * dy / ln, py + r * (-dx) / ln)
-
-    def miter(pe, e):
-        a1x, a1y = offset_point(pe, pe["x1"], pe["y1"])
-        a2x, a2y = offset_point(e, e["x1"], e["y1"])
-        d1x, d1y = pe["x2"] - pe["x1"], pe["y2"] - pe["y1"]
-        d2x, d2y = e["x2"] - e["x1"], e["y2"] - e["y1"]
-        denom = d1x * d2y - d1y * d2x
-        t = ((a2x - a1x) * d2y - (a2y - a1y) * d2x) / denom
-        return F.when(
-            F.abs(denom) < F.lit(1e-12),
-            F.struct(a2x.alias("x"), a2y.alias("y")),
-        ).otherwise(
-            F.struct(
-                (a1x + t * d1x).alias("x"),
-                (a1y + t * d1y).alias("y"),
-            )
-        )
-
     return staged.withColumn(
         out_col,
-        F.when(pid, F.zip_with(F.col("__mb_prev"), edges, miter)),
+        F.when(
+            pid,
+            F.zip_with(F.col("__mb_prev"), edges, _miter_join_fn(r)),
+        ),
     ).drop("__mb_ring", "__mb_edges", "__mb_prev")
 
 

@@ -126,6 +126,7 @@ def stratified_sample(
     strata_cols: list[str],
     n_per_stratum: int,
     key_col: str,
+    salt: int = 0,
 ) -> DataFrame:
     """Exactly min(n, stratum size) rows per stratum, chosen by hash
     order — deterministic across reruns and partitionings.
@@ -137,10 +138,21 @@ def stratified_sample(
     (operators/skew.py) — for typical (language, source) strata the
     window never sees more than one stratum per task after the
     exchange.
+
+    COMPOSITION CONTRACT (order-based variant of hash_sample's): this
+    is a hash-ORDER selection, not a threshold, so it is unbiased on
+    ANY input — but the salt-0 selected set is, by construction,
+    exactly the globally-smallest-bucket rows of each stratum.  Any
+    LATER salt-0 threshold decision on the selected sample (a
+    hash_sample, a mixture keep) is therefore ~fully correlated with
+    membership — it keeps all of the sample or none.  When the sample
+    feeds further hash decisions on the same key, give each decision
+    its own ``salt`` (the r10 c08 pattern, one channel per decision).
     """
     rn = F.row_number().over(
         Window.partitionBy(*strata_cols).orderBy(
-            sample_bucket(F.col(key_col)).asc(), F.col(key_col).asc()
+            sample_bucket(F.col(key_col), salt=salt).asc(),
+            F.col(key_col).asc(),
         )
     )
     return (

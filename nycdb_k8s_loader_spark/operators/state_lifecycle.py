@@ -123,7 +123,15 @@ def duplicated_gram_state_compact(
     corpus).  Exact strings join exact strings — the state stores
     exact grams even in hashed mode, so compaction never touches a
     hash.  Count-less states raise, as in
-    :func:`sentence_dedup_state_compact`."""
+    :func:`sentence_dedup_state_compact`.
+
+    Duplicate-row safety: the gram decrement is ``count(*)`` over
+    exploded grams (occurrence-weighted by design — that is what the
+    state counted), so a retirement batch carrying the same doc row
+    twice (join fan-out, replayed batch) would double-decrement.  The
+    siblings are immune via count_distinct/distinct; this one
+    de-duplicates the batch on ``id_col`` first."""
+    retired_docs = retired_docs.dropDuplicates([id_col])
     if "n" not in state.columns:
         raise ValueError(
             "duplicated_gram_state_compact: state has no 'n' counts — "
@@ -190,8 +198,14 @@ def components_state_compact(
     """Retire nodes from a :func:`~..graph.components_state`: drop
     their rows and RELABEL each surviving component to its minimum
     retained node (the min-id root convention — the old root may be
-    among the retired).  One anti join + one per-component min + a
-    broadcast-scale relabel map: linear in the state.
+    among the retired).  One anti join + one per-component min + one
+    shuffle_hash equi-join on the component key: linear in the state.
+    The relabel map has one row per SURVIVING COMPONENT — for dedup
+    CC states dominated by singletons that is state-scale, not
+    broadcast-scale, so it joins like every other compactor here
+    (never ``F.broadcast``; AQE may still pick a broadcast when the
+    map is measured small at runtime — that decision belongs to the
+    runtime, not the plan).
 
     CONTRACT BOUNDARY, stated loudly: the (node, component) state
     carries no edges, so retirement CANNOT split a component whose
@@ -212,7 +226,7 @@ def components_state_compact(
         F.min(node_col).alias("__new_comp")
     )
     return (
-        surv.join(F.broadcast(relabel), comp_col)
+        surv.join(relabel.hint("shuffle_hash"), comp_col)
         .select(
             F.col(node_col),
             F.col("__new_comp").alias(comp_col),

@@ -25,6 +25,7 @@ sum), so the DuckDB oracles hash-match bit-for-bit at every sf.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from nycdb_k8s_loader_spark.operators.sampling import sample_bucket_sql
 from nycdb_k8s_loader_spark.operators.textops import STOPWORDS
@@ -1760,3 +1761,84 @@ def st14(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "stage", "n_tokens_raw", "sentences_removed",
         "dup_tokens", "n_tokens_clean",
     )
+
+
+# --- round-11: sentence-state retirement as an oracle-backed row -------------
+
+@register(
+    "t24_sentence_state_retire",
+    """
+    WITH ws AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '),
+                           w -> w <> '') AS ws
+        FROM documents
+    ),
+    pre AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(ws), 8),
+                              i -> array_to_string(
+                                       list_slice(ws, i, i + 7), ' ')) AS ss
+        FROM ws
+    ),
+    inst AS (
+        SELECT doc_id, i - 1 AS pos, ss[i] AS k
+        FROM pre, unnest(generate_series(1, len(ss))) AS t(i)
+        WHERE len(string_split_regex(ss[i], ' +')) >= 3
+    ),
+    dup AS (SELECT DISTINCT k FROM inst WHERE doc_id % 4 = 0),
+    binst AS (SELECT * FROM inst WHERE doc_id % 2 = 1),
+    rem AS (
+        SELECT doc_id, list_sort(list(pos)) AS rp
+        FROM binst JOIN dup USING (k) GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           len(p.ss)::BIGINT AS n_sentences,
+           COALESCE(len(r.rp), 0)::BIGINT AS n_removed,
+           COALESCE(array_to_string(
+               list_filter(p.ss, (x, i) -> r.rp IS NULL
+                                  OR NOT list_contains(r.rp, i - 1)),
+               '. '), '') AS cleaned_text
+    FROM pre p LEFT JOIN rem r USING (doc_id)
+    WHERE p.doc_id % 2 = 1
+    """,
+    doc="Takedown path for the persisted sentence-key state "
+        "(operators/state_lifecycle.py sentence_dedup_state_compact): "
+        "build t20's sentence state WITH COUNTS on the even-id "
+        "corpus at min_docs=1 (cross-split exact sentence dedup: a "
+        "batch sentence is scrubbed iff it appears ANYWHERE in the "
+        "standing corpus — at min_docs=2 no cross-split key clears "
+        "threshold in this corpus and the row would pin nothing), "
+        "retire the doc_id % 4 == 2 half by re-deriving their "
+        "per-key distinct-doc contributions from the retiring text, "
+        "DECREMENTING, and re-thresholding — one batch-scale groupBy "
+        "+ one shuffle_hash decrement join, corpus never re-read — "
+        "then scrub the odd-id batch against the compacted key set. "
+        "Decrement-and-rethreshold == rebuild exactly (retained "
+        "support = full - retired support), so the oracle computes "
+        "the key set directly on the retained corpus. Visibly "
+        "non-vacuous at sf0.01: 13 batch docs scrubbed pre-takedown, "
+        "4 after — 9 flip because their only supporting corpus doc "
+        "was retired.",
+    tags=("pipeline", "text", "dedup", "lifecycle"),
+)
+def t24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.state_lifecycle import (
+        sentence_dedup_state_compact,
+    )
+    from nycdb_k8s_loader_spark.operators.textops import (
+        sentence_dedup_from_state,
+        sentence_dedup_state,
+    )
+
+    pre = _pseudo_sentence_docs(_docs(spark, sf_dir))
+    corpus = pre.filter(F.col("doc_id") % 2 == 0)
+    state = sentence_dedup_state(
+        corpus, min_docs=1, min_words=3, with_counts=True
+    )
+    retired = pre.filter(F.col("doc_id") % 4 == 2)
+    compacted = sentence_dedup_state_compact(
+        state, retired, min_docs=1, min_words=3
+    )
+    batch = pre.filter(F.col("doc_id") % 2 == 1)
+    return sentence_dedup_from_state(compacted, batch, min_words=3)

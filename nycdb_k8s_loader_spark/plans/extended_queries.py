@@ -1281,3 +1281,70 @@ def g04(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = components_state(old, src="a", dst="b")
     out = incremental_components_from_state(state, batch, src="a", dst="b")
     return out.select("node", F.col("component").cast("long").alias("component"))
+
+
+@register(
+    "g05_components_retire",
+    """
+    WITH RECURSIVE pp AS (SELECT 4 * COUNT(*) AS p FROM orders),
+    e AS (
+        SELECT DISTINCT (o_orderkey % p) AS a,
+               ((o_orderkey * 7 + 3) % p) AS b
+        FROM orders CROSS JOIN pp
+        WHERE (o_orderkey % p) <> ((o_orderkey * 7 + 3) % p)
+    ),
+    sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT reach.a, sym.b FROM reach JOIN sym ON reach.b = sym.a
+    ),
+    comp AS (SELECT a AS node, MIN(b) AS component
+             FROM reach GROUP BY a),
+    ret AS (SELECT node, component FROM comp WHERE node % 5 <> 0),
+    rel AS (SELECT component, MIN(node) AS nc FROM ret GROUP BY component)
+    SELECT r.node, rel.nc::BIGINT AS component
+    FROM ret r JOIN rel ON r.component = rel.component
+    """,
+    doc="Takedown path for the persisted components state (operators/"
+        "state_lifecycle.py components_state_compact): build g04's "
+        "converged (node, component) assignment over the full sparse "
+        "functional graph, retire every node % 5 == 0 — one "
+        "shuffle_hash anti join drops their rows, one per-component "
+        "min + one shuffle_hash relabel join re-roots each surviving "
+        "component at its minimum RETAINED node (the old root may be "
+        "among the retired; the relabel map is one row per surviving "
+        "component — state-scale for singleton-heavy dedup states, "
+        "so it joins, never broadcasts). CONTRACT pinned by the "
+        "oracle: retirement preserves grouping (members connected "
+        "only THROUGH retired nodes stay together — conservative "
+        "over-grouping, stated loudly in the operator docstring); "
+        "the oracle therefore restricts the FULL graph's components "
+        "to retained nodes and relabels identically, exact by "
+        "construction at every sf. A split-exact retirement is a "
+        "rebuild from retained edges — the components_state path "
+        "itself.",
+    tags=("graph", "incremental", "lifecycle"),
+)
+def g05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.graph import components_state
+    from nycdb_k8s_loader_spark.operators.state_lifecycle import (
+        components_state_compact,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    p = 4 * orders.count()
+    ok = F.col("o_orderkey")
+    edges = (
+        orders.select(
+            (ok % p).alias("a"), ((ok * 7 + 3) % p).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    state = components_state(edges, src="a", dst="b")
+    retired = state.select("node").filter(F.col("node") % 5 == 0)
+    out = components_state_compact(state, retired)
+    return out.select(
+        "node", F.col("component").cast("long").alias("component")
+    )

@@ -2891,3 +2891,64 @@ def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb(spark, sf_dir), query_ids=list(range(10)), k=10,
         nprobe=2, m=8, codebook=16, lloyd_iters=1,
     )
+
+
+# --- round-11: state-lifecycle compaction as oracle-backed rows --------------
+# (r10 VERDICT next-round #1: the compact/retire family had pytest
+# pins only — these rows put the compact==rebuild contract under the
+# driver's per-round DuckDB signal.)
+
+# d15's oracle IS d11's incremental-dedup oracle evaluated on the
+# RETAINED universe: retire half the standing corpus (doc_id % 4 ==
+# 2), keep the batch (odd ids).  Rewriting every table ref to a
+# retained-docs CTE reuses d11's verified SQL verbatim — the
+# compact(build(corpus), retired) == build(corpus \ retired) contract
+# becomes "probing the compacted state == d11 on the retained
+# universe", with zero hand-copied arithmetic.
+_D15_ORACLE = (
+    "WITH __retained AS (SELECT * FROM documents\n"
+    "                    WHERE doc_id % 2 = 1 OR doc_id % 4 = 0),\n    "
+    + _Q["d11_incremental_dedup"]
+    .oracle.replace("documents", "__retained")
+    .strip()
+    .removeprefix("WITH")
+    .lstrip()
+)
+
+
+@register(
+    "d15_dedup_state_compact",
+    _D15_ORACLE,
+    doc="Takedown path for the persisted dedup state (operators/"
+        "state_lifecycle.py dedup_signature_state_compact): build "
+        "d13's signature state on the even-id corpus, RETIRE the "
+        "doc_id % 4 == 2 half with one shuffle_hash anti join "
+        "(linear in the state — the corpus is never re-read, the "
+        "reference's analog is a wholesale table rebuild per load, "
+        "load_dataset.py:209-241), then probe the odd-id batch "
+        "through the compacted state. Signature rows are per-doc "
+        "independent, so compact == rebuild EXACTLY (banding pinned "
+        "8/4): the oracle is d11's SQL on the retained universe. A "
+        "batch doc whose only exact/near duplicate was retired "
+        "flips to keep — the verdict the pre-takedown state cannot "
+        "produce.",
+    tags=("dedup", "pipeline", "incremental", "lifecycle"),
+)
+def d15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.dedup import (
+        incremental_dedup_from_state,
+    )
+    from nycdb_k8s_loader_spark.operators.state_lifecycle import (
+        dedup_signature_state_compact,
+    )
+
+    docs = _docs(spark, sf_dir)
+    retired = docs.filter(F.col("doc_id") % 4 == 2).select("doc_id")
+    compacted = dedup_signature_state_compact(
+        _d11_pinned_state(spark, sf_dir), retired
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_dedup_from_state(
+        compacted, batch, threshold=0.7,
+        num_hashes=8, bands=4, shingles=3,
+    )

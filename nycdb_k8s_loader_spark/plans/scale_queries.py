@@ -26,6 +26,7 @@ from nycdb_k8s_loader_spark.operators.geo import (
 from nycdb_k8s_loader_spark.operators.sampling import (
     hash_sample,
     sample_bucket,
+    sample_bucket_sql,
     stratified_sample,
 )
 from nycdb_k8s_loader_spark.plans.catalog import register
@@ -147,9 +148,9 @@ _PPM = 100_000  # 10% sample
     "p01_hash_sample_docs",
     f"""
     SELECT doc_id, lang, source, n_chars,
-           ((doc_id * 9973 + 7919) % 1000000)::BIGINT AS sample_bucket
+           ({sample_bucket_sql('doc_id')})::BIGINT AS sample_bucket
     FROM documents
-    WHERE (doc_id * 9973 + 7919) % 1000000 < {_PPM}
+    WHERE {sample_bucket_sql('doc_id')} < {_PPM}
     """,
     doc="Deterministic ~10% Bernoulli sample: keep rows whose "
         "key-derived bucket < fraction. Map-side filter, zero "
@@ -171,6 +172,12 @@ def p01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _N_PER_STRATUM = 50
+# p02 rides a NON-ZERO salt channel on purpose: it proves the salted
+# Lehmer arithmetic end-to-end through an ORDER-BY oracle (the r10
+# fix covered threshold consumers; this covers order selection), and
+# it demonstrates the composition contract — an eval set carved on
+# salt 3 stays independent of every salt-0 threshold decision.
+_P02_SALT = 3
 
 
 @register(
@@ -180,21 +187,26 @@ _N_PER_STRATUM = 50
     FROM documents
     QUALIFY row_number() OVER (
         PARTITION BY lang, source
-        ORDER BY (doc_id * 9973 + 7919) % 1000000, doc_id
+        ORDER BY {sample_bucket_sql('doc_id', salt=_P02_SALT)}, doc_id
     ) <= {_N_PER_STRATUM}
     """,
     doc="Exactly min(50, stratum size) docs per (lang, source) "
-        "stratum, selected by hash order: one shuffle on the strata "
-        "key, total-order tiebreak (bucket, doc_id) makes the chosen "
-        "set unique — deterministic balanced eval-set carving. Same "
-        "window top-k shape as q11/D1, keyed by content hash instead "
-        "of a quality column.",
+        "stratum, selected by hash order on a SALTED channel (salt 3 "
+        "— independent of every salt-0 threshold decision, see "
+        "operators/sampling.py COMPOSITION CONTRACT): one shuffle on "
+        "the strata key, total-order tiebreak (bucket, doc_id) makes "
+        "the chosen set unique — deterministic balanced eval-set "
+        "carving. Same window top-k shape as q11/D1, keyed by content "
+        "hash instead of a quality column. Oracle ORDER BY comes from "
+        "the shared sample_bucket_sql builder — no hand-copied salt "
+        "arithmetic.",
     tags=("sampling", "pipeline"),
 )
 def p02(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return stratified_sample(
-        docs, ["lang", "source"], _N_PER_STRATUM, "doc_id"
+        docs, ["lang", "source"], _N_PER_STRATUM, "doc_id",
+        salt=_P02_SALT,
     ).select("doc_id", "lang", "source")
 
 

@@ -3526,6 +3526,50 @@ class TestIncrementalCuration:
         ).count()
         assert abs(got12 / n1 - 0.3) < 0.02
 
+    def test_order_selection_composes_with_thresholds(self, spark):
+        """The r10 VERDICT 'What's wrong #1' pin, extended to ORDER
+        consumers: stratified_sample's exact-k set under salt 0 is by
+        construction the globally-smallest-bucket rows, so a later
+        salt-0 threshold decision on the sample keeps ALL of it (rate
+        1.0 where 0.5 was nominal) — while a salt-carved sample
+        realizes the nominal rate.  Also pins that a salted order
+        selection is unbiased downstream of a salt-0 threshold split
+        (the eval-set-from-survivors composition)."""
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.operators.sampling import (
+            sample_bucket,
+            stratified_sample,
+        )
+
+        df = spark.range(0, 100_000).select(
+            F.lit(1).alias("g"), F.col("id").alias("k")
+        )
+        # same-channel composition: selection order == threshold
+        # metric, so the k smallest buckets ALL clear any mid-range
+        # threshold — realized rate exactly 1.0, not 0.5
+        sel0 = stratified_sample(df, ["g"], 2_000, "k")  # salt 0
+        kept0 = sel0.filter(
+            sample_bucket(F.col("k")) < 500_000
+        ).count()
+        assert kept0 == 2_000
+        # distinct-salt composition: the salted selection realizes
+        # the nominal 50% under the salt-0 threshold
+        sel3 = stratified_sample(df, ["g"], 2_000, "k", salt=3)
+        kept3 = sel3.filter(
+            sample_bucket(F.col("k")) < 500_000
+        ).count()
+        assert abs(kept3 / 2_000 - 0.5) < 0.05, kept3
+        # and downstream of a salt-0 split, a salted order selection
+        # still picks ~uniformly among survivors (not the smallest-
+        # bucket tail): its own salt-1 keep realizes nominal too
+        surv = df.filter(sample_bucket(F.col("k")) >= 500_000)
+        sel_s = stratified_sample(surv, ["g"], 2_000, "k", salt=3)
+        kept_s = sel_s.filter(
+            sample_bucket(F.col("k"), salt=1) < 300_000
+        ).count()
+        assert abs(kept_s / 2_000 - 0.3) < 0.05, kept_s
+
 
 class TestProductQuantization:
     """s12's machinery: PQ codebooks + ADC scoring. The recall floor
