@@ -483,6 +483,62 @@ def _geo07_scaled(spark, sf_dir):
     ).select("c_custkey", "o_orderkey")
 
 
+def _geo14_scaled(spark, sf_dir):
+    """concave_clip_area_join_binned (geo14) on the same DENSITY-
+    INVARIANT layout as _geo07_scaled: both L-shape sets spread over
+    a domain of area ∝ row count, so per-cell density and per-ring
+    candidate counts stay constant across scale steps.  Output ids +
+    area only (no WKT bodies serialized by the noop write).  The
+    measured claim: ONE shuffle per side keyed by cell (no broadcast
+    of either data side), candidate volume ∝ rows — shuffle and wall
+    track the data ratio."""
+    import math as _math
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from nycdb_k8s_loader_spark.operators.geo import (
+        concave_clip_area_join_binned,
+    )
+
+    customer = spark.read.parquet(_os.path.join(sf_dir, "customer.parquet"))
+    orders = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    dom = max(50, _math.isqrt(customer.count()))
+
+    def l_wkt(sx0, sy0, size, notch):
+        x0, y0 = sx0, sy0
+        x1, y1 = sx0 + size, sy0 + size
+        xm, ym = sx0 + (size - notch), sy0 + (size - notch)
+        s = [c.cast("string") for c in (x0, y0, x1, y1, xm, ym)]
+        return F.concat(
+            F.lit("POLYGON (("),
+            s[0], F.lit(" "), s[1], F.lit(", "),
+            s[2], F.lit(" "), s[1], F.lit(", "),
+            s[2], F.lit(" "), s[5], F.lit(", "),
+            s[4], F.lit(" "), s[5], F.lit(", "),
+            s[4], F.lit(" "), s[3], F.lit(", "),
+            s[0], F.lit(" "), s[3], F.lit(", "),
+            s[0], F.lit(" "), s[1],
+            F.lit("))"),
+        )
+
+    ck, ok = F.col("c_custkey"), F.col("o_orderkey")
+    lots = customer.select(
+        "c_custkey",
+        l_wkt((ck % dom) + 0.25, ((ck * 7) % dom) + 0.25,
+              F.lit(1.5), F.lit(1.0)).alias("lot_wkt"),
+    )
+    parcels = orders.select(
+        "o_orderkey",
+        l_wkt((ok % dom) + 0.125, ((ok * 11) % dom) + 0.125,
+              F.lit(0.75), F.lit(0.375)).alias("parcel_wkt"),
+    )
+    return concave_clip_area_join_binned(
+        lots, parcels, wkt_col="lot_wkt", clip_wkt_col="parcel_wkt",
+        cell_deg=1.5,
+    ).select("c_custkey", "o_orderkey", "clip_area")
+
+
 def _c07_policy_hashed(spark, sf_dir):
     """The composed curation pipeline (c07) at PRODUCTION defaults:
     hashed sentence/gram shuffle keys and bands_for policy banding —
@@ -589,6 +645,126 @@ def _s14_from_state_policy(spark, sf_dir):
     )
 
 
+def _c09_lifecycle_state_setup(spark, sf_dir):
+    """Persist the COUNT-BEARING lifecycle forms of c08's four states
+    (sentence keys with nd, grams with n, signatures, per-source
+    token sums) — SETUP hook, outside the timed window, so the
+    takedown row measures compaction alone."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from nycdb_k8s_loader_spark.operators.dedup import (
+        dedup_signature_state,
+        duplicated_gram_state,
+    )
+    from nycdb_k8s_loader_spark.operators.sampling import sample_bucket
+    from nycdb_k8s_loader_spark.operators.textops import (
+        sentence_dedup_state,
+    )
+    from nycdb_k8s_loader_spark.plans.curation_queries import (
+        _c08_ntokens,
+        _docs,
+        _pseudo_sentence_docs,
+    )
+
+    root = _policy_state_dir(sf_dir, "documents.parquet", "c09lc")
+    names = ("st3", "st4", "st5", "tok")
+    if all(
+        _os.path.exists(_os.path.join(root, n, "_SUCCESS"))
+        for n in names
+    ):
+        return
+    corpus = _docs(spark, sf_dir).filter(
+        sample_bucket(F.col("doc_id")) < 500_000
+    )
+    cpre = _pseudo_sentence_docs(corpus).localCheckpoint(eager=True)
+    sentence_dedup_state(
+        cpre, min_docs=2, min_words=3, with_counts=True
+    ).write.mode("overwrite").parquet(_os.path.join(root, "st3"))
+    duplicated_gram_state(
+        cpre, ngram=8, hashed_grams=True, with_counts=True
+    ).write.mode("overwrite").parquet(_os.path.join(root, "st4"))
+    dedup_signature_state(
+        cpre, num_hashes=8, bands=4, shingles=3
+    ).write.mode("overwrite").parquet(_os.path.join(root, "st5"))
+    (
+        corpus.select("source", _c08_ntokens().alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("t_s"))
+        .write.mode("overwrite")
+        .parquet(_os.path.join(root, "tok"))
+    )
+
+
+def _c09_takedown_policy(spark, sf_dir):
+    """The TAKEDOWN cost at scale: retire the salt-5 30% slice from
+    all four persisted lifecycle states (c09's compaction set) — the
+    measured claim is linearity in state + retiring batch, never a
+    corpus rebuild (the reference's drop-and-recreate).  The retiring
+    rows' text is re-read (the decrements need it — linear in the
+    retiring slice); the RETAINED corpus is never touched.  The four
+    compact plans execute under one union-of-counts action."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from nycdb_k8s_loader_spark.operators.sampling import sample_bucket
+    from nycdb_k8s_loader_spark.operators.state_lifecycle import (
+        dedup_signature_state_compact,
+        duplicated_gram_state_compact,
+        sentence_dedup_state_compact,
+        source_token_state_compact,
+    )
+    from nycdb_k8s_loader_spark.plans.curation_queries import (
+        _C09_TAKEDOWN_PPM,
+        _C09_TAKEDOWN_SALT,
+        _c08_ntokens,
+        _docs,
+        _frozen_rates,
+        _pseudo_sentence_docs,
+    )
+
+    root = _policy_state_dir(sf_dir, "documents.parquet", "c09lc")
+    st = {
+        n: spark.read.parquet(_os.path.join(root, n))
+        for n in ("st3", "st4", "st5", "tok")
+    }
+    takedown = (
+        _docs(spark, sf_dir)
+        .filter(sample_bucket(F.col("doc_id")) < 500_000)
+        .filter(
+            sample_bucket(F.col("doc_id"), salt=_C09_TAKEDOWN_SALT)
+            < _C09_TAKEDOWN_PPM
+        )
+    )
+    retired_pre = _pseudo_sentence_docs(takedown)
+    c3 = sentence_dedup_state_compact(
+        st["st3"], retired_pre, min_docs=2, min_words=3
+    )
+    c4 = duplicated_gram_state_compact(
+        st["st4"], retired_pre, ngram=8, min_count=2
+    )
+    c5 = dedup_signature_state_compact(
+        st["st5"], retired_pre.select("doc_id")
+    )
+    rates = _frozen_rates(
+        source_token_state_compact(
+            st["tok"],
+            takedown.select("source", _c08_ntokens().alias("n_tokens")),
+        )
+    )
+    cnt = lambda df, tag: df.groupBy().count().select(  # noqa: E731
+        F.lit(tag).alias("state"), F.col("count").alias("rows")
+    )
+    return (
+        cnt(c3, "st3")
+        .unionByName(cnt(c4, "st4"))
+        .unionByName(cnt(c5, "st5"))
+        .unionByName(cnt(rates, "rates"))
+    )
+
+
 EXTRA = {
     "d12_semantic_dedup_scaled_k": _d12_scaled_k,
     "d12_semantic_dedup_scaled_k_2level": _d12_scaled_k_two_level,
@@ -605,9 +781,11 @@ EXTRA = {
     "c07_policy_hashed": _c07_policy_hashed,
     "g04_from_state_policy": _g04_from_state_policy,
     "geo07_scaled": _geo07_scaled,
+    "geo14_scaled": _geo14_scaled,
     "c08_from_state_policy": _c08_from_state_policy,
     "s14_from_state_policy": _s14_from_state_policy,
     "d11_state_compact": _d11_state_compact,
+    "c09_takedown_policy": _c09_takedown_policy,
 }
 
 # untimed per-query preparation (persisted states etc.) — runs before
@@ -620,6 +798,7 @@ SETUP = {
     "c08_from_state_policy": _c08_state_setup,
     "s14_from_state_policy": _s14_state_setup,
     "d11_state_compact": _d11_state_setup,
+    "c09_takedown_policy": _c09_lifecycle_state_setup,
 }
 
 
@@ -634,6 +813,7 @@ def gate_verdict(
     small_steal_jiffies: int = 0,
     small_shuffle_mb: float | None = None,
     shuffle_floor_mb: float = 1.0,
+    load_clean: bool = True,
 ) -> dict:
     """Structural linearity verdict for one query's scale step.
 
@@ -652,10 +832,15 @@ def gate_verdict(
       untrustworthy in an unknown direction and only the shuffle
       channel gates.
 
-    ``linear`` = shuffle_ok AND (wall_ok OR not steal_clean): a ×8
-    wall on ×3 data with clean steal can never print linear again
-    (the committed r7 d11 row under this gate: shuffle_ok, wall 8.03
-    > 6.0, steal clean → linear False).
+    ``linear`` = shuffle_ok AND (wall_ok OR not measurement_clean): a
+    ×8 wall on ×3 data on a clean measurement can never print linear
+    again (the committed r7 d11 row under this gate: shuffle_ok, wall
+    8.03 > 6.0, steal clean → linear False).  ``measurement_clean``
+    extends the steal channel with the loadavg channel (round-10
+    verdict #3: BENCH_sf3_heavy_r10 headlined a ``nonlinear`` c07
+    wall ×6.29 from a loadavg-10.36 run that four clean runs refuted)
+    — a load-contaminated attempt's wall can gate NOTHING, in either
+    direction.
     """
     shuffle_measurable = (
         shuffle_write_ratio is not None
@@ -670,11 +855,13 @@ def gate_verdict(
         big_steal_jiffies <= steal_clean_jiffies
         and small_steal_jiffies <= steal_clean_jiffies
     )
+    clean = steal_clean and load_clean
     return {
         "shuffle_ok": shuffle_ok,
         "wall_ok": wall_ok,
         "steal_clean": steal_clean,
-        "linear": shuffle_ok and (wall_ok or not steal_clean),
+        "measurement_clean": clean,
+        "linear": shuffle_ok and (wall_ok or not clean),
     }
 
 
@@ -791,6 +978,78 @@ def _run_one(spark, fn, sf_dir: str, runs: int = 2) -> dict:
     return out
 
 
+def _clean_measure(
+    spark,
+    fn,
+    small_dir: str,
+    big_dir: str,
+    steal_clean_jiffies: int,
+    max_attempts: int = 5,
+    load_threshold: float = 2.0,
+    idle_max_wait: float = 180.0,
+) -> tuple[dict, dict, list[dict], bool]:
+    """The round-10 manual retry protocol, encoded (r10 verdict #3):
+    measure the small/big pair repeatedly (bounded) until ONE attempt
+    is clean on BOTH external-pressure channels —
+
+    - steal-clean: neither side's bracket saw a hypervisor-steal
+      spike over ``steal_clean_jiffies`` (the end-of-measurement
+      external signal — steal accrues DURING the run, so it catches
+      co-tenant pressure that arrives mid-measurement);
+    - loadavg-clean: the 1-min loadavg was at/under
+      ``load_threshold`` at the start of EACH side's idle window
+      (waited for, up to ``idle_max_wait`` per side).  End-of-run
+      loadavg is deliberately NOT a cleanliness channel: a 32-thread
+      measurement legitimately drives its own loadavg to ~32 for the
+      following minute — that is the workload, not weather; the
+      steal delta is the end-side external check instead.
+
+    Returns (small, big, attempts_log, clean).  On exhaustion the
+    LAST attempt is returned with clean=False — its wall channel then
+    gates nothing (gate_verdict measurement_clean), and the caller
+    lists the query under ``unclean_queries`` instead of letting a
+    contaminated wall print ``nonlinear`` (the BENCH_sf3_heavy_r10
+    c07 ×6.29 failure this function exists to prevent)."""
+    attempts: list[dict] = []
+    small = big = None
+    for i in range(max_attempts):
+        idle_s = _await_idle(threshold=load_threshold,
+                             max_wait=idle_max_wait)
+        small = _run_one(spark, fn, small_dir)
+        idle_b = _await_idle(threshold=load_threshold,
+                             max_wait=idle_max_wait)
+        big = _run_one(spark, fn, big_dir)
+        steal_ok = (
+            small["steal_jiffies"] <= steal_clean_jiffies
+            and big["steal_jiffies"] <= steal_clean_jiffies
+        )
+        load_ok = not (
+            idle_s.get("load_contaminated")
+            or idle_b.get("load_contaminated")
+        )
+        attempts.append({
+            "attempt": i + 1,
+            "small_sec": small["sec"],
+            "big_sec": big["sec"],
+            "small_steal": small["steal_jiffies"],
+            "big_steal": big["steal_jiffies"],
+            "load_at_small_start": idle_s.get("loadavg_at_start"),
+            "load_at_big_start": idle_b.get("loadavg_at_start"),
+            "steal_clean": steal_ok,
+            "load_clean": load_ok,
+        })
+        if steal_ok and load_ok:
+            return small, big, attempts, True
+        print(
+            f"# scale: attempt {i + 1} contaminated "
+            f"(steal {small['steal_jiffies']}/{big['steal_jiffies']}, "
+            f"load {idle_s.get('loadavg_at_start')}/"
+            f"{idle_b.get('loadavg_at_start')}) — retrying",
+            file=sys.stderr,
+        )
+    return small, big, attempts, False
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", default=".scaledata/sf0.1")
@@ -801,6 +1060,8 @@ def main() -> None:
     ap.add_argument("--wall-gate-mult", type=float, default=2.0)
     ap.add_argument("--shuffle-gate-mult", type=float, default=1.5)
     ap.add_argument("--steal-clean-jiffies", type=int, default=500)
+    ap.add_argument("--max-attempts", type=int, default=5)
+    ap.add_argument("--idle-threshold", type=float, default=2.0)
     ap.add_argument("--queries", default=None,
                     help="comma-separated subset")
     args = ap.parse_args()
@@ -857,13 +1118,20 @@ def main() -> None:
         **load_meta,
     }
     nonlinear = []
+    unclean = []
     for name in names:
         fn = EXTRA.get(name) or qs[name]
         if name in SETUP:
             SETUP[name](spark, args.small)
             SETUP[name](spark, args.big)
-        small = _run_one(spark, fn, args.small)
-        big = _run_one(spark, fn, args.big)
+        small, big, attempts, clean = _clean_measure(
+            spark, fn, args.small, args.big,
+            args.steal_clean_jiffies,
+            max_attempts=args.max_attempts,
+            load_threshold=args.idle_threshold,
+        )
+        if not clean:
+            unclean.append(name)
         ratio = round(big["sec"] / max(small["sec"], 1e-9), 2)
         sw_ratio = (
             round(
@@ -880,12 +1148,14 @@ def main() -> None:
             "big": big,
             "time_ratio": ratio,
             "shuffle_write_ratio": sw_ratio,
+            "attempts": attempts,
             **gate_verdict(
                 ratio, sw_ratio, data_ratio, big["steal_jiffies"],
                 args.wall_gate_mult, args.shuffle_gate_mult,
                 args.steal_clean_jiffies,
                 small_steal_jiffies=small["steal_jiffies"],
                 small_shuffle_mb=small["shuffle_write_mb"],
+                load_clean=clean,
             ),
         }
         out["queries"][name] = rec
@@ -904,7 +1174,12 @@ def main() -> None:
     out["value"] = round(
         sum(r["big"]["sec"] for r in out["queries"].values()), 3
     )
+    # `nonlinear` can only name SHUFFLE failures or CLEAN-wall
+    # failures by construction (an unclean attempt's wall never
+    # gates); unclean rows are listed separately so a reader sees
+    # which walls carry no verdict at all
     out["nonlinear"] = nonlinear
+    out["unclean_queries"] = unclean
     out["scales_linearly"] = not nonlinear
     line = json.dumps(out)
     print(line)

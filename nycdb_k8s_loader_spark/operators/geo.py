@@ -466,47 +466,10 @@ def polygon_intersection_join_binned(
     a = _with_bbox(polys_a, wkt_a, "__va")
     b = _with_bbox(polys_b, wkt_b, "__vb")
 
-    if cell_deg is None:
-        def max_dim(df: DataFrame, p: str) -> float | None:
-            return df.agg(
-                F.max(
-                    F.greatest(
-                        F.col(f"{p}_x1") - F.col(f"{p}_x0"),
-                        F.col(f"{p}_y1") - F.col(f"{p}_y0"),
-                    )
-                )
-            ).collect()[0][0]
-
-        dims = [d for d in (max_dim(a, "__va"), max_dim(b, "__vb"))
-                if d is not None]
-        if not dims:
-            raise ValueError(
-                "polygon_intersection_join_binned: no parseable rings "
-                "on either side — cannot derive cell_deg"
-            )
-        cell_deg = max(max(dims), 1e-9)
+    cell_deg = _derive_cell_deg((a, "__va"), (b, "__vb"),
+                                cell_deg=cell_deg)
     cell = F.lit(float(cell_deg))
-
-    def binned(df: DataFrame, p: str) -> DataFrame:
-        return df.select(
-            "*",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col(f"{p}_x0") / cell),
-                    F.floor(F.col(f"{p}_x1") / cell),
-                )
-            ).alias(f"{p}_cx"),
-        ).select(
-            "*",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col(f"{p}_y0") / cell),
-                    F.floor(F.col(f"{p}_y1") / cell),
-                )
-            ).alias(f"{p}_cy"),
-        )
-
-    ab, bb = binned(a, "__va"), binned(b, "__vb")
+    ab, bb = _grid_binned(a, "__va", cell), _grid_binned(b, "__vb", cell)
     joined = ab.hint("shuffle_hash").join(
         bb,
         (F.col("__va_cx") == F.col("__vb_cx"))
@@ -1002,6 +965,27 @@ def concave_clip_area_join(
     p = _with_geom_bbox(polys, wkt_col, "__gp")
     c = _with_geom_bbox(clips, clip_wkt_col, "__gc")
     bbox = _bbox_overlap("__gp", "__gc")
+    cand = p.join(F.broadcast(c), bbox, "inner")
+    return _fan_clip_area_tail(
+        cand, list(polys.columns) + list(clips.columns),
+        area_col, round_dp,
+    )
+
+
+def _fan_clip_area_tail(
+    cand: DataFrame,
+    group_cols: list[str],
+    area_col: str,
+    round_dp: int | None,
+) -> DataFrame:
+    """The shared candidate-pair → intersection-area tail of the
+    concave clip joins (:func:`concave_clip_area_join` broadcast
+    form, :func:`concave_clip_area_join_binned` data×data form — one
+    home, the miter-form lesson): explode subject signed rings × clip
+    fan triangles, ring-bbox pregate, the fenced geo06 fold per
+    surviving row, one map-side-combinable int64 fixed-point sum,
+    positive-overlap filter on the UNROUNDED sum.  ``cand`` must
+    carry the ``__gp``/``__gc`` parsed-geometry columns."""
     subj_rings = _signed_clip_rings(F.col("__gp"))
     tris_b = _signed_fan_triangles(F.col("__gc"))
     # the same CollapseProject fence as multipolygon_clip_area_join:
@@ -1020,12 +1004,11 @@ def concave_clip_area_join(
     ).cast("long") * F.round(
         ring_area(F.col("__clipped")) * 1e8
     ).cast("long")
-    group_cols = list(polys.columns) + list(clips.columns)
     area = F.col("__sum_micro") / F.lit(1e8)
     if round_dp is not None:
         area = F.round(area, round_dp)
     return (
-        p.join(F.broadcast(c), bbox, "inner")
+        cand
         .withColumn("__sr", F.explode(subj_rings))
         .withColumn("__tb", F.explode(tris_b))
         # ring-bbox pregate: a disjoint (or exactly touching) pair
@@ -1049,6 +1032,124 @@ def concave_clip_area_join(
         .filter(F.col("__sum_micro") > 0)
         .withColumn(area_col, area)
         .drop("__sum_micro")
+    )
+
+
+def concave_clip_area_join_binned(
+    polys: DataFrame,
+    clips: DataFrame,
+    wkt_col: str = "geom_wkt",
+    clip_wkt_col: str = "clip_wkt",
+    area_col: str = "clip_area",
+    round_dp: int | None = 6,
+    cell_deg: float | None = None,
+) -> DataFrame:
+    """Intersection AREA between two DATA-SCALE arbitrary (concave/
+    holed/multi) polygon sets — :func:`concave_clip_area_join`
+    without its broadcast clip side (the r10 verdict #5 gap: that
+    form caps the clip side at driver memory).  Composition of the
+    two proven pieces, nothing new invented:
+
+    - candidate discovery is geo07's grid-binning
+      (:func:`polygon_intersection_join_binned` steps 1–3 verbatim):
+      each geometry explodes to the cells its bbox overlaps, ONE
+      ``shuffle_hash`` equi-join on ``(cell_x, cell_y)`` — both
+      sides shuffle by cell, NEITHER broadcasts (derived-size
+      estimates would happily broadcast a billion-ring side) — then
+      strict bbox overlap AND the canonical-cell rule (a pair is
+      evaluated only in the cell holding its bbox-intersection's
+      top-left corner: cross-cell duplicates impossible by
+      construction, no distinct pass);
+    - per-candidate area is geo11's fan-triangle algebra
+      (:func:`_fan_clip_area_tail`, shared code): subject stays whole
+      signed rings, the clip side's indicator expands into signed
+      fan triangles, every term the proven convex fold, int64
+      fixed-point sum.
+
+    ``cell_deg`` as in the binned intersection join (None derives the
+    max bbox dimension across both sides; size it to the TYPICAL
+    geometry when outliers exist).  Same grouping corollary: keep
+    unique ids.  100 TB shape: one shuffle per side keyed by cell,
+    candidate volume tracks local density, the clip fold runs only on
+    canonical bbox-overlapping pairs."""
+    overlap = set(polys.columns) & set(clips.columns)
+    if overlap:
+        raise ValueError(f"rename overlapping columns first: {overlap}")
+
+    p = _with_geom_bbox(polys, wkt_col, "__gp")
+    c = _with_geom_bbox(clips, clip_wkt_col, "__gc")
+    cell_deg = _derive_cell_deg((p, "__gp"), (c, "__gc"),
+                                cell_deg=cell_deg)
+    cell = F.lit(float(cell_deg))
+    pb, cb = _grid_binned(p, "__gp", cell), _grid_binned(c, "__gc", cell)
+    joined = pb.hint("shuffle_hash").join(
+        cb,
+        (F.col("__gp_cx") == F.col("__gc_cx"))
+        & (F.col("__gp_cy") == F.col("__gc_cy")),
+        "inner",
+    )
+    canonical = (
+        F.col("__gp_cx")
+        == F.floor(F.greatest("__gp_x0", "__gc_x0") / cell)
+    ) & (
+        F.col("__gp_cy")
+        == F.floor(F.greatest("__gp_y0", "__gc_y0") / cell)
+    )
+    cand = joined.filter(_bbox_overlap("__gp", "__gc") & canonical)
+    return _fan_clip_area_tail(
+        cand, list(polys.columns) + list(clips.columns),
+        area_col, round_dp,
+    )
+
+
+def _derive_cell_deg(
+    *frames: tuple[DataFrame, str], cell_deg: float | None
+) -> float:
+    """Shared cell-edge derivation for the binned joins: the largest
+    bbox dimension across all given (frame, prefix) pairs (metadata-
+    scale aggregates), unless an explicit ``cell_deg`` is passed."""
+    if cell_deg is not None:
+        return cell_deg
+
+    def max_dim(df: DataFrame, p: str) -> float | None:
+        return df.agg(
+            F.max(
+                F.greatest(
+                    F.col(f"{p}_x1") - F.col(f"{p}_x0"),
+                    F.col(f"{p}_y1") - F.col(f"{p}_y0"),
+                )
+            )
+        ).collect()[0][0]
+
+    dims = [d for d in (max_dim(df, p) for df, p in frames)
+            if d is not None]
+    if not dims:
+        raise ValueError(
+            "binned polygon join: no parseable rings on either side "
+            "— cannot derive cell_deg"
+        )
+    return max(max(dims), 1e-9)
+
+
+def _grid_binned(df: DataFrame, p: str, cell: Column) -> DataFrame:
+    """Explode a bbox-carrying frame to every grid cell its bbox
+    overlaps — step 1 of the binned joins, shared."""
+    return df.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(f"{p}_x0") / cell),
+                F.floor(F.col(f"{p}_x1") / cell),
+            )
+        ).alias(f"{p}_cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(f"{p}_y0") / cell),
+                F.floor(F.col(f"{p}_y1") / cell),
+            )
+        ).alias(f"{p}_cy"),
     )
 
 

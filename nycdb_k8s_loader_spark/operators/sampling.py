@@ -167,6 +167,7 @@ def temperature_mixture(
     alpha: float = 0.5,
     source_col: str = "source",
     text_col: str = "text",
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Temperature-scaled source mixture weights — the multilingual /
     multi-source sampling rule ``w_i ∝ p_i^alpha`` (alpha=1 is
@@ -183,10 +184,18 @@ def temperature_mixture(
     one-row aggregate re-plans the full corpus scan (plan-asserted:
     a single FileScan). Everything downstream is metadata-scale
     (crossJoins are one-row broadcast totals, not data joins).
+
+    ``token_count_col``: precomputed tokenizer counts (the shared
+    token-count contract — textops.pack_sequences docstring); None =
+    the whitespace default the oracle pins.
     """
     from nycdb_k8s_loader_spark.operators.textops import _ws_tokens
 
-    n_tokens = _ws_tokens(F.col(text_col)).cast("long")
+    n_tokens = (
+        F.col(token_count_col).cast("long")
+        if token_count_col
+        else _ws_tokens(F.col(text_col)).cast("long")
+    )
     per = (
         df.groupBy(source_col)
         .agg(
@@ -282,6 +291,7 @@ def token_budget_mixture(
     source_col: str = "source",
     text_col: str = "text",
     salt: int = 0,
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Downsample each source so the kept mix hits target TOKEN shares
     under a total token budget — the Pile/DoReMi-style mixing step
@@ -314,14 +324,21 @@ def token_budget_mixture(
     BROADCAST back, then a pure map-side filter — the corpus is
     scanned once and never shuffled. Token counts use the
     length-arithmetic whitespace form (textops._ws_tokens) shared
-    verbatim with the oracle.
+    verbatim with the oracle, unless ``token_count_col`` names a
+    precomputed tokenizer-count column (the shared token-count
+    contract — textops.pack_sequences docstring).
     """
     from nycdb_k8s_loader_spark.operators.textops import _ws_tokens
 
+    n_tok = (
+        F.col(token_count_col).cast("long")
+        if token_count_col
+        else _ws_tokens(F.col(text_col)).cast("long")
+    )
     base = df.select(
         F.col(id_col),
         F.col(source_col),
-        _ws_tokens(F.col(text_col)).cast("long").alias("n_tokens"),
+        n_tok.alias("n_tokens"),
     )
     # a source absent from target_shares_ppm gets share 0 — EXCLUDED
     # from the mix by definition (the DoReMi convention), not silently

@@ -189,6 +189,42 @@ def semantic_dedup_state_compact(
     )
 
 
+def source_token_state_compact(
+    state: DataFrame,
+    retired_tokens: DataFrame,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+    sum_col: str = "t_s",
+) -> DataFrame:
+    """Retire documents from a per-source TOKEN-SUM state — the
+    count-bearing form behind frozen mixture rates (c08's ``rates``
+    table is a ratio and cannot be decremented; the ``(source, t_s)``
+    sums it derives from can).  ``retired_tokens`` carries one row
+    per retiring doc with its token count COMPUTED BY THE SAME
+    EXPRESSION the state was built with (the caller owns that
+    expression — a takedown that counts tokens differently than the
+    freeze did would decrement the wrong amount).  One batch-scale
+    groupBy + one shuffle_hash decrement join; a fully-retired source
+    drops out (``t_s`` 0), exactly as a re-freeze on the retained
+    corpus would never see it.  Re-derive rates from the compacted
+    sums with the SAME exact-int64 chain used at freeze time —
+    decrement-then-derive == re-freeze-on-retained by construction
+    (retained sums = full sums − retired sums)."""
+    dec = retired_tokens.groupBy(source_col).agg(
+        F.sum(token_col).alias("__dec")
+    )
+    return (
+        state.join(dec.hint("shuffle_hash"), source_col, "left")
+        .select(
+            source_col,
+            (F.col(sum_col) - F.coalesce("__dec", F.lit(0))).alias(
+                sum_col
+            ),
+        )
+        .filter(F.col(sum_col) > 0)
+    )
+
+
 def components_state_compact(
     state: DataFrame,
     retired: DataFrame,

@@ -185,12 +185,24 @@ def pack_sequences(
     id_col: str = "doc_id",
     context_tokens: int = 2048,
     shard_docs: int = 256,
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Greedy concat-and-split sequence packing: documents are
     concatenated in id order and cut into fixed ``context_tokens``
     windows — the standard pretraining batch-packing step (a document
     belongs to the window where its FIRST token lands). Output is one
     row per (shard, window) with document span and fill stats.
+
+    TOKEN-COUNT CONTRACT (shared by c02/c04/p05/p07): production
+    packing/sharding/mixing runs on REAL tokenizer counts, not
+    whitespace words.  Pass ``token_count_col`` naming a precomputed
+    int token-count column (a BPE tokenizer applied executor-side
+    upstream — count once, reuse in every token-denominated op);
+    ``None`` falls back to the whitespace length arithmetic
+    (``_ws_tokens``), the oracle-stable default.  Injecting the
+    whitespace count reproduces the default exactly (pytest-pinned);
+    the c10 catalog row pins the injected path against a DuckDB
+    oracle on counts that DIFFER from whitespace.
 
     Scale shape: packing is inherently sequential, so it runs per
     SHARD (``id_col div shard_docs`` — contiguous id ranges), exactly
@@ -202,10 +214,11 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
-    text = F.trim(F.col(text_col))
     n_tokens = (
-        F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1
-    ).cast("long")
+        F.col(token_count_col).cast("long")
+        if token_count_col
+        else _ws_tokens(F.col(text_col)).cast("long")
+    )
     base = df.select(
         F.col(id_col),
         F.floor(F.col(id_col) / shard_docs).alias("shard"),
@@ -350,6 +363,7 @@ def token_balanced_shards(
     num_shards: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Assign documents to ``num_shards`` output shards with balanced
     token totals — the shard-writing step of a training-data pipeline
@@ -367,12 +381,21 @@ def token_balanced_shards(
     (range-repartition + per-partition row_number + broadcast offsets)
     — NO single-partition window, so the sort scales to any corpus.
     Returns one row per shard: (shard_id, n_docs, total_tokens).
+
+    ``token_count_col``: precomputed tokenizer counts (the shared
+    token-count contract — see :func:`pack_sequences`); None = the
+    whitespace default.
     """
     from nycdb_k8s_loader_spark.operators.relational import distributed_rank
 
+    n_tokens = (
+        F.col(token_count_col).cast("long")
+        if token_count_col
+        else _ws_tokens(F.col(text_col)).cast("long")
+    )
     toks = df.select(
         F.col(id_col),
-        _ws_tokens(F.col(text_col)).cast("long").alias("n_tokens"),
+        n_tokens.alias("n_tokens"),
     ).withColumn("neg_tokens", -F.col("n_tokens"))
     ranked = distributed_rank(toks, ["neg_tokens", id_col], rank_col="rn")
     snake = (F.col("rn") - 1) % (2 * num_shards)

@@ -1446,13 +1446,18 @@ def c08(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _c08_states(
-    spark: SparkSession, sf_dir: str, hashed: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    hashed: bool = False,
+    corpus: DataFrame | None = None,
 ) -> dict:
     """Build (eagerly, as checkpoints) the four published state
     frames from the hash-bucket corpus half — the in-session analog of the
     published state tables a production corpus refresh writes.
     st14 persists these same frames to parquet and probes them from
-    the stream."""
+    the stream.  ``corpus`` overrides the standing-corpus frame (the
+    c09 compact==rebuild pin builds states directly on the retained
+    corpus to compare against the compacted set)."""
     import pyspark.sql.functions as F
 
     from nycdb_k8s_loader_spark.operators.dedup import (
@@ -1464,9 +1469,10 @@ def _c08_states(
         sentence_dedup_state,
     )
 
-    corpus = _docs(spark, sf_dir).filter(
-        sample_bucket(F.col("doc_id")) < 500_000
-    )
+    if corpus is None:
+        corpus = _docs(spark, sf_dir).filter(
+            sample_bucket(F.col("doc_id")) < 500_000
+        )
     cpre = _pseudo_sentence_docs(corpus).localCheckpoint(eager=True)
     # hashed=True is the production key form (8-byte sentence keys;
     # the gram state is string-identical either way — the hashed
@@ -1485,25 +1491,45 @@ def _c08_states(
     # exact int64 ppm chain (taking DISTINCT (source, rate_ppm) off
     # token_budget_mixture's KEPT output would silently lose any
     # source whose every doc sampled out)
-    shares = {f"src{i}": (120_000 if i < 5 else 26_666) for i in range(20)}
-    base = corpus.select(
-        "source",
-        (F.length(F.trim("text"))
-         - F.length(F.replace(F.trim("text"), F.lit(" "), F.lit("")))
-         + 1).cast("long").alias("n_tokens"),
+    tok = (
+        corpus.select("source", _c08_ntokens().alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("t_s"))
     )
+    rates = _frozen_rates(tok).localCheckpoint(eager=True)
+    return {"st3": st3, "st4": st4, "st5": st5, "rates": rates}
+
+
+def _c08_ntokens():
+    """The freeze-time token-count expression over ``text`` — ONE
+    home shared by the rate freeze (_c08_states), the takedown
+    decrement (c09 via source_token_state_compact), and the oracle's
+    cbase6 arithmetic; a drift here mis-decrements every takedown."""
+    import pyspark.sql.functions as F
+
+    return (
+        F.length(F.trim("text"))
+        - F.length(F.replace(F.trim("text"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("long")
+
+
+def _frozen_rates(tok: DataFrame) -> DataFrame:
+    """Derive frozen per-source mixture rates from a ``(source, t_s)``
+    token-sum state with the exact int64 ppm chain — shared by the
+    freeze path and the takedown re-freeze so decrement-then-derive
+    can never drift from freeze semantics."""
+    import pyspark.sql.functions as F
+
+    shares = {f"src{i}": (120_000 if i < 5 else 26_666) for i in range(20)}
     share = F.coalesce(
         F.create_map(
             *[F.lit(x) for kv in shares.items() for x in kv]
         )[F.col("source")].cast("long"),
         F.lit(0).cast("long"),
     )
-    rates = (
-        base.groupBy("source")
-        .agg(F.sum("n_tokens").alias("t_s"))
-        .crossJoin(
-            F.broadcast(base.agg(F.sum("n_tokens").alias("ct")))
-        )
+    return (
+        tok.crossJoin(F.broadcast(tok.agg(F.sum("t_s").alias("ct"))))
         .withColumn("__share", share)
         .select(
             "source",
@@ -1515,9 +1541,7 @@ def _c08_states(
                 ),
             ).alias("rate_ppm"),
         )
-        .localCheckpoint(eager=True)
     )
-    return {"st3": st3, "st4": st4, "st5": st5, "rates": rates}
 
 
 def _incremental_curation(
@@ -1842,3 +1866,140 @@ def t24(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = pre.filter(F.col("doc_id") % 2 == 1)
     return sentence_dedup_from_state(compacted, batch, min_words=3)
+
+
+# --- round-11: c09 — takedown e2e through ALL FOUR c08 states ----------------
+
+# Takedown selection rides its own hash channel: split is salt 0,
+# mixture keep is salt 1 (_C08_MIXTURE_SALT), p02's eval carve is
+# salt 3 — one decision, one channel (the r10 composition contract).
+_C09_TAKEDOWN_SALT = 5
+_C09_TAKEDOWN_PPM = 300_000
+
+# c09's oracle IS c08's verified SQL with the corpus universe
+# shrunk by the takedown predicate at its exactly two corpus-side
+# sites (cws feeding st3/st4/chash/signatures, cbase6 feeding the
+# rate freeze) — the funnel-over-retained-corpus semantics with zero
+# re-derived arithmetic.  The batch side is untouched.
+from nycdb_k8s_loader_spark.operators.sampling import (  # noqa: E402
+    sample_bucket_sql as _sbs,
+)
+
+_C09_SQL = _C08_SQL.replace(
+    "% 1000000 < 500000",
+    "% 1000000 < 500000\n"
+    f"          AND {_sbs('doc_id', salt=_C09_TAKEDOWN_SALT)}"
+    f" >= {_C09_TAKEDOWN_PPM}",
+)
+
+
+def _c09_compacted_states(spark: SparkSession, sf_dir: str) -> dict:
+    """Build c08's four published states WITH COUNTS (the lifecycle
+    forms), retire ~30% of the corpus on the salt-5 channel from ALL
+    FOUR, and return the compacted set ready for
+    :func:`_incremental_curation` — the full takedown story the unit
+    compactors (d15/t24/g05) cover one state at a time:
+
+    - sentence keys: decrement distinct-doc support, re-threshold
+    - duplicated 8-grams: decrement occurrence counts, re-threshold
+    - dedup signatures: anti-join the retired ids (meta row kept)
+    - frozen rates: RE-FROZEN from the decremented per-source token
+      sums via the shared exact-int64 chain — frozen rates built on
+      the pre-takedown corpus are stale by construction (the retired
+      docs' tokens still inflate every denominator), so the rate
+      state keeps the decrementable (source, t_s) form and re-derives
+
+    Every compact is linear in state + retiring batch; the corpus is
+    never re-read (the retiring rows themselves carry the text the
+    decrements need)."""
+    import pyspark.sql.functions as F
+
+    from nycdb_k8s_loader_spark.operators.dedup import (
+        dedup_signature_state,
+        duplicated_gram_state,
+    )
+    from nycdb_k8s_loader_spark.operators.sampling import sample_bucket
+    from nycdb_k8s_loader_spark.operators.state_lifecycle import (
+        dedup_signature_state_compact,
+        duplicated_gram_state_compact,
+        sentence_dedup_state_compact,
+        source_token_state_compact,
+    )
+    from nycdb_k8s_loader_spark.operators.textops import (
+        sentence_dedup_state,
+    )
+
+    corpus = _docs(spark, sf_dir).filter(
+        sample_bucket(F.col("doc_id")) < 500_000
+    )
+    cpre = _pseudo_sentence_docs(corpus).localCheckpoint(eager=True)
+    takedown = (
+        sample_bucket(F.col("doc_id"), salt=_C09_TAKEDOWN_SALT)
+        < _C09_TAKEDOWN_PPM
+    )
+    retired_pre = cpre.filter(takedown)
+
+    st3 = sentence_dedup_state(
+        cpre, min_docs=2, min_words=3, with_counts=True
+    )
+    st4 = duplicated_gram_state(
+        cpre, ngram=8, hashed_grams=False, with_counts=True
+    )
+    st5 = dedup_signature_state(cpre, num_hashes=8, bands=4, shingles=3)
+    tok = (
+        corpus.select("source", _c08_ntokens().alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("t_s"))
+    )
+
+    st3c = sentence_dedup_state_compact(
+        st3, retired_pre, min_docs=2, min_words=3
+    ).localCheckpoint(eager=True)
+    st4c = duplicated_gram_state_compact(
+        st4, retired_pre, ngram=8, min_count=2
+    ).localCheckpoint(eager=True)
+    st5c = dedup_signature_state_compact(
+        st5, retired_pre.select("doc_id")
+    ).localCheckpoint(eager=True)
+    tokc = source_token_state_compact(
+        tok,
+        corpus.filter(takedown).select(
+            "source", _c08_ntokens().alias("n_tokens")
+        ),
+    )
+    rates = _frozen_rates(tokc).localCheckpoint(eager=True)
+    return {"st3": st3c, "st4": st4c, "st5": st5c, "rates": rates}
+
+
+@register(
+    "c09_takedown_curation",
+    _C09_SQL,
+    doc="TAKEDOWN e2e — retire ~30% of the standing corpus (salt-5 "
+        "hash channel, independent of the split and mixture "
+        "channels) from ALL FOUR of c08's published states and run "
+        "the incremental funnel against the compacted set: sentence "
+        "keys and duplicated grams DECREMENT and re-threshold, "
+        "signatures anti-join the retired ids, and the frozen "
+        "mixture rates RE-FREEZE from the decremented per-source "
+        "token sums (pre-takedown rates are stale by construction — "
+        "retired tokens inflate every denominator; the rate state "
+        "keeps the decrementable (source, t_s) form, operators/"
+        "state_lifecycle.py source_token_state_compact). Per-compact "
+        "cost is linear in state + retiring batch; the retained "
+        "corpus is NEVER re-read — vs the reference's wholesale "
+        "drop-and-recreate per load (load_dataset.py:209-241). "
+        "Oracle: c08's verified SQL with the corpus universe shrunk "
+        "by the takedown predicate at its two corpus-side sites — "
+        "compact==rebuild for the whole funnel, as a hash row. A "
+        "batch doc whose boilerplate support, dup grams, or near-"
+        "duplicates were retired flips stage vs c08.",
+    tags=("pipeline", "text", "dedup", "incremental", "lifecycle"),
+)
+def c09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.sampling import sample_bucket
+
+    states = _c09_compacted_states(spark, sf_dir)
+    batch = _docs(spark, sf_dir).filter(
+        sample_bucket(F.col("doc_id")) >= 500_000
+    )
+    return _incremental_curation(spark, batch, states)

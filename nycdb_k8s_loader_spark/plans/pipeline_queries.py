@@ -2952,3 +2952,57 @@ def d15(spark: SparkSession, sf_dir: str) -> DataFrame:
         compacted, batch, threshold=0.7,
         num_hashes=8, bands=4, shingles=3,
     )
+
+
+@register(
+    "c10_packing_injected_counts",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               doc_id // 128 AS shard,
+               (length(trim(text)) // 4 + 1)::BIGINT AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT shard, doc_id, n,
+               coalesce(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0)::BIGINT
+                   AS cum_before
+        FROM toks
+    )
+    SELECT shard,
+           cum_before // 512 AS window_id,
+           count(*)::BIGINT AS n_docs,
+           sum(n)::BIGINT AS n_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM c GROUP BY shard, cum_before // 512
+    """,
+    doc="c02's sequence packing driven by an INJECTED token-count "
+        "column instead of the built-in whitespace arithmetic — the "
+        "pluggable-tokenizer contract (r10 verdict #6: production "
+        "packing/sharding/mixing runs on BPE counts; a real "
+        "tokenizer is an executor-side map producing exactly such a "
+        "column, counted once and reused by every token-denominated "
+        "op). The fixture count here is chars div 4 + 1 — a "
+        "deterministic BPE-ish proxy that DIFFERS from the "
+        "whitespace count on every row, so this row pins the "
+        "injected path, not an alias of c02 (injecting the "
+        "whitespace count reproduces c02 exactly — pytest "
+        "TestTokenCountContract). Same per-shard cumulative window "
+        "shape as c02. operators/textops.py pack_sequences"
+        "(token_count_col=...).",
+    tags=("text", "packing", "scale", "contract"),
+)
+def c10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nycdb_k8s_loader_spark.operators.textops import pack_sequences
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "bpe_tokens",
+        (F.floor(F.length(F.trim("text")) / 4) + 1).cast("long"),
+    )
+    return pack_sequences(
+        docs, context_tokens=512, shard_docs=128,
+        token_count_col="bpe_tokens",
+    )

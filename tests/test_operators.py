@@ -3570,6 +3570,80 @@ class TestIncrementalCuration:
         ).count()
         assert abs(kept_s / 2_000 - 0.3) < 0.05, kept_s
 
+    def test_c09_takedown_compact_equals_rebuild(self, spark):
+        """The whole-funnel compact==rebuild contract: probing the
+        batch through c09's FOUR compacted states yields exactly the
+        funnel output of states built from scratch on the retained
+        corpus — per-state unit pins compose into the e2e takedown.
+        Also pins that the re-frozen rates actually moved: frozen
+        rates built pre-takedown are stale by construction (retired
+        tokens inflate every denominator), which is why the rate
+        state keeps the decrementable (source, t_s) form."""
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.operators.sampling import (
+            sample_bucket,
+        )
+        from nycdb_k8s_loader_spark.plans.curation_queries import (
+            _C09_TAKEDOWN_PPM,
+            _C09_TAKEDOWN_SALT,
+            _c08_states,
+            _c09_compacted_states,
+            _docs,
+            _incremental_curation,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        docs = _docs(spark, sf)
+        takedown = (
+            sample_bucket(F.col("doc_id"), salt=_C09_TAKEDOWN_SALT)
+            < _C09_TAKEDOWN_PPM
+        )
+        retained = docs.filter(
+            sample_bucket(F.col("doc_id")) < 500_000
+        ).filter(~takedown)
+        rebuilt = _c08_states(spark, sf, corpus=retained)
+        compacted = _c09_compacted_states(spark, sf)
+
+        # per-state equality on the probe-visible columns
+        def keyset(df, col):
+            return sorted(str(r[col]) for r in df.select(col).collect())
+
+        assert keyset(compacted["st3"], "k") == keyset(
+            rebuilt["st3"], "k"
+        )
+        assert keyset(compacted["st4"], "gram") == keyset(
+            rebuilt["st4"], "gram"
+        )
+        assert sorted(
+            map(str, compacted["st5"].collect())
+        ) == sorted(map(str, rebuilt["st5"].collect()))
+        assert sorted(
+            map(tuple, compacted["rates"].collect())
+        ) == sorted(map(tuple, rebuilt["rates"].collect()))
+
+        # stale-rates pin: the pre-takedown freeze differs (so
+        # re-freezing is semantics, not a no-op)
+        pre = {
+            r["source"]: r["rate_ppm"]
+            for r in _c08_states(spark, sf)["rates"].collect()
+        }
+        post = {
+            r["source"]: r["rate_ppm"]
+            for r in compacted["rates"].collect()
+        }
+        assert any(pre[s] != post[s] for s in post), (pre, post)
+
+        # e2e funnel equality
+        batch = docs.filter(sample_bucket(F.col("doc_id")) >= 500_000)
+        a = sorted(map(tuple, _incremental_curation(
+            spark, batch, compacted
+        ).collect()))
+        b = sorted(map(tuple, _incremental_curation(
+            spark, batch, rebuilt
+        ).collect()))
+        assert a == b
+
 
 class TestProductQuantization:
     """s12's machinery: PQ codebooks + ADC scoring. The recall floor
@@ -4839,3 +4913,140 @@ class TestUnclosedRings:
         assert row["open_contains"] is True
         assert abs(row["open_area"] - 45.0) < 1e-9
         assert row["open_clip_area"] > 0.0
+
+
+class TestTokenCountContract:
+    """The pluggable token-count contract (r10 verdict #6): every
+    token-denominated op (c02 packing, c04 shards, p05/p07 mixtures)
+    accepts a precomputed ``token_count_col``; injecting the
+    whitespace count reproduces the default EXACTLY, and injecting a
+    different count changes the result (so the parameter is live, not
+    decorative — the c10 catalog row oracles the differing case)."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (i, f"src{i % 3}",
+                 "alpha beta gamma delta " * (1 + i % 7) + f"tail{i}")
+                for i in range(60)
+            ],
+            "doc_id long, source string, text string",
+        )
+
+    def test_injected_ws_equals_default(self, spark):
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.operators.sampling import (
+            temperature_mixture,
+            token_budget_mixture,
+        )
+        from nycdb_k8s_loader_spark.operators.textops import (
+            _ws_tokens,
+            pack_sequences,
+            token_balanced_shards,
+        )
+
+        docs = self._docs(spark).withColumn(
+            "ws_n", _ws_tokens(F.col("text")).cast("long")
+        )
+        shares = {f"src{i}": 333_333 for i in range(3)}
+        pairs = [
+            (pack_sequences(docs, context_tokens=64, shard_docs=16),
+             pack_sequences(docs, context_tokens=64, shard_docs=16,
+                            token_count_col="ws_n")),
+            (token_balanced_shards(docs, num_shards=4),
+             token_balanced_shards(docs, num_shards=4,
+                                   token_count_col="ws_n")),
+            (temperature_mixture(docs, alpha=0.5),
+             temperature_mixture(docs, alpha=0.5,
+                                 token_count_col="ws_n")),
+            (token_budget_mixture(docs, shares),
+             token_budget_mixture(docs, shares,
+                                  token_count_col="ws_n")),
+        ]
+        for default, injected in pairs:
+            assert sorted(map(tuple, default.collect())) == sorted(
+                map(tuple, injected.collect())
+            )
+
+    def test_injected_counts_are_live(self, spark):
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.operators.textops import (
+            pack_sequences,
+        )
+
+        docs = self._docs(spark).withColumn(
+            "bpe_n", (F.length("text") * 3).cast("long")
+        )
+        a = pack_sequences(docs, context_tokens=64, shard_docs=16)
+        b = pack_sequences(docs, context_tokens=64, shard_docs=16,
+                           token_count_col="bpe_n")
+        assert sorted(map(tuple, a.collect())) != sorted(
+            map(tuple, b.collect())
+        )
+
+
+class TestConcaveClipBinned:
+    """geo14: concave∩concave at data×data scale — geo07's grid
+    binning composed with geo11's fan-triangle algebra.  Pins: (a)
+    result equality with the broadcast form on concave fixtures,
+    (b) NO broadcast of either data side in the physical plan (the
+    whole point of the operator), (c) the canonical-cell rule holds
+    (no duplicate pair rows even when a pair's bboxes span cells)."""
+
+    def _l(self, x0, y0, size, notch):
+        x1, y1 = x0 + size, y0 + size
+        xm, ym = x0 + size - notch, y0 + size - notch
+        return (
+            f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {ym}, {xm} {ym}, "
+            f"{xm} {y1}, {x0} {y1}, {x0} {y0}))"
+        )
+
+    def _frames(self, spark):
+        lots = spark.createDataFrame(
+            [(i, self._l((i % 7) * 2 + 0.25, (i % 5) * 2 + 0.25,
+                         3.0, 1.5)) for i in range(30)],
+            "lot_id long, lot_wkt string",
+        )
+        clips = spark.createDataFrame(
+            [(j, self._l((j % 6) * 2 + 0.125, (j % 4) * 2 + 0.125,
+                         2.25, 1.125)) for j in range(20)],
+            "clip_id long, clip_wkt string",
+        )
+        return lots, clips
+
+    def test_binned_equals_broadcast_form(self, spark):
+        from nycdb_k8s_loader_spark.operators.geo import (
+            concave_clip_area_join,
+            concave_clip_area_join_binned,
+        )
+
+        lots, clips = self._frames(spark)
+        kw = dict(wkt_col="lot_wkt", clip_wkt_col="clip_wkt")
+        a = sorted(map(tuple, concave_clip_area_join(
+            lots, clips, **kw
+        ).collect()))
+        b = sorted(map(tuple, concave_clip_area_join_binned(
+            lots, clips, **kw
+        ).collect()))
+        assert a == b and len(a) > 0
+        # explicit small cell forces pairs to span MANY cells — the
+        # canonical-cell rule must still emit each pair exactly once
+        c = sorted(map(tuple, concave_clip_area_join_binned(
+            lots, clips, cell_deg=0.5, **kw
+        ).collect()))
+        assert c == a
+
+    def test_no_broadcast_of_either_side(self, spark):
+        from nycdb_k8s_loader_spark.operators.geo import (
+            concave_clip_area_join_binned,
+        )
+
+        lots, clips = self._frames(spark)
+        plan = concave_clip_area_join_binned(
+            lots, clips, wkt_col="lot_wkt", clip_wkt_col="clip_wkt"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan, plan[:2000]
+        assert "BroadcastHashJoin" not in plan, plan[:2000]
+        assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]

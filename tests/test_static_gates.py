@@ -107,3 +107,16 @@ class TestScaleGate:
         gate = self._gate()
         assert gate(2.0, None, 3.0, 0)["linear"] is True
         assert gate(9.0, None, 3.0, 0)["linear"] is False
+
+    def test_load_contamination_waives_wall_only(self):
+        """Round-10 verdict #3: a loadavg-contaminated attempt's wall
+        gates nothing (the BENCH_sf3_heavy_r10 c07 ×6.29 headline
+        that four clean runs refuted), but superlinear SHUFFLE can
+        never hide behind load contamination either."""
+        gate = self._gate()
+        v = gate(8.0, 2.9, 3.0, big_steal_jiffies=0, load_clean=False)
+        assert v["steal_clean"] is True
+        assert v["measurement_clean"] is False
+        assert v["linear"] is True
+        v = gate(8.0, 9.0, 3.0, big_steal_jiffies=0, load_clean=False)
+        assert v["linear"] is False
