@@ -484,14 +484,23 @@ def _geo07_scaled(spark, sf_dir):
 
 
 def _geo14_scaled(spark, sf_dir):
-    """concave_clip_area_join_binned (geo14) on the same DENSITY-
-    INVARIANT layout as _geo07_scaled: both L-shape sets spread over
-    a domain of area ∝ row count, so per-cell density and per-ring
-    candidate counts stay constant across scale steps.  Output ids +
-    area only (no WKT bodies serialized by the noop write).  The
-    measured claim: ONE shuffle per side keyed by cell (no broadcast
-    of either data side), candidate volume ∝ rows — shuffle and wall
-    track the data ratio."""
+    """concave_clip_area_join_binned (geo14) on a DENSITY-INVARIANT
+    TRUE-2D lattice: positions are (k mod D, k div D) over a domain
+    of area ∝ row count, so every geometry gets a DISTINCT spot and
+    per-cell density stays ~1/unit² across scale steps.  NOT the
+    _geo07_scaled layout ((k mod D, 7k mod D)): there y is a function
+    of x, so all n rows collapse onto D distinct spots with n/D
+    copies each — any two overlapping SPOTS then carry (n/D)² real
+    pairs, all landing in ONE canonical cell.  geo07's cheap
+    intersect predicate shrugged that off; geo14's per-pair clip
+    fold does not (measured: one 56-minute straggler task on the ×3
+    side, every other partition idle — a fixture-made hot cell, the
+    exact skew the operator docstring says to salt around, not an
+    operator property).  Output ids + area only (no WKT bodies
+    serialized by the noop write).  The measured claim: ONE shuffle
+    per side keyed by cell (no broadcast of either data side),
+    candidate volume ∝ rows — shuffle and wall track the data
+    ratio."""
     import math as _math
     import os as _os
 
@@ -504,6 +513,13 @@ def _geo14_scaled(spark, sf_dir):
     customer = spark.read.parquet(_os.path.join(sf_dir, "customer.parquet"))
     orders = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
     dom = max(50, _math.isqrt(customer.count()))
+    pdom = max(50, _math.isqrt(orders.count()))
+    # parcel side thinned 1-in-16 (same thinning at EVERY sf, so the
+    # RATIO — the measurement — is untouched): the interpreted clip
+    # fold costs ~ms/pair·core and the full-density fixture measured
+    # ~108 s/295 s per execution at sf1/sf3 — linear (×2.7 on ×3)
+    # but too heavy for a multi-query clean-retry harness pass
+    orders = orders.filter(F.col("o_orderkey") % 16 == 0)
 
     def l_wkt(sx0, sy0, size, notch):
         x0, y0 = sx0, sy0
@@ -525,12 +541,14 @@ def _geo14_scaled(spark, sf_dir):
     ck, ok = F.col("c_custkey"), F.col("o_orderkey")
     lots = customer.select(
         "c_custkey",
-        l_wkt((ck % dom) + 0.25, ((ck * 7) % dom) + 0.25,
+        l_wkt((ck % dom) + 0.25,
+              (F.floor(ck / dom) % dom) + 0.25,
               F.lit(1.5), F.lit(1.0)).alias("lot_wkt"),
     )
     parcels = orders.select(
         "o_orderkey",
-        l_wkt((ok % dom) + 0.125, ((ok * 11) % dom) + 0.125,
+        l_wkt((ok % pdom) + 0.125,
+              (F.floor(ok / pdom) % pdom) + 0.125,
               F.lit(0.75), F.lit(0.375)).alias("parcel_wkt"),
     )
     return concave_clip_area_join_binned(

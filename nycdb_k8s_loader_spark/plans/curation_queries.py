@@ -2003,3 +2003,87 @@ def c09(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_bucket(F.col("doc_id")) >= 500_000
     )
     return _incremental_curation(spark, batch, states)
+
+
+def _c09_pinned_states(spark: SparkSession, sf_dir: str) -> dict:
+    """The COMPACTED post-takedown state tables PERSISTED per fixture
+    identity and read back — what a production takedown publishes
+    (compact in place of rebuild); st15's stream probes these exact
+    parquet tables."""
+    import os
+
+    # takedown parameters are part of the cache identity — a salt or
+    # rate change must miss (the _C08_CACHE_VERSION bump covers
+    # funnel-semantics changes, not this row's own knobs)
+    root = _c08_cache_root(
+        sf_dir,
+        f"takedown_states_s{_C09_TAKEDOWN_SALT}p{_C09_TAKEDOWN_PPM}",
+    )
+    names = ("st3", "st4", "st5", "rates")
+    if not all(
+        os.path.exists(os.path.join(root, n, "_SUCCESS")) for n in names
+    ):
+        built = _c09_compacted_states(spark, sf_dir)
+        for n in names:
+            built[n].write.mode("overwrite").parquet(
+                os.path.join(root, n)
+            )
+    return {n: spark.read.parquet(os.path.join(root, n)) for n in names}
+
+
+@register(
+    "st15_streaming_takedown",
+    _C09_SQL,
+    doc="c09's post-takedown funnel run as a STREAM — the takedown "
+        "composed with the streaming plane: the compacted state "
+        "tables (sentence keys and grams decremented, signatures "
+        "anti-joined, rates re-frozen from decremented token sums) "
+        "publish once, then incoming docs flow the same "
+        "gopher → url → from-state probes → mixture funnel inside "
+        "foreachBatch, attributions landing through the idempotent "
+        "versioned upsert sink. Proves the takedown story end to "
+        "end in BOTH execution modes off ONE published compacted "
+        "state set (st14's split-invariance argument applies "
+        "unchanged — every verdict depends only on the doc and the "
+        "fixed states), hence c09's shared oracle.",
+    tags=("streaming", "pipeline", "text", "incremental", "lifecycle"),
+)
+def st15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from nycdb_k8s_loader_spark.operators.sampling import sample_bucket
+    from nycdb_k8s_loader_spark.streaming.pipeline import (
+        foreach_batch_upsert,
+        read_upsert_sink,
+        state_sized_shuffle,
+    )
+
+    states = _c09_pinned_states(spark, sf_dir)
+    schema = _docs(spark, sf_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(sample_bucket(F.col("doc_id")) >= 500_000)
+    )
+    tmp = _c08_cache_root(
+        sf_dir, f"st15_s{_C09_TAKEDOWN_SALT}p{_C09_TAKEDOWN_PPM}"
+    )
+    upsert = foreach_batch_upsert(f"{tmp}/sink", ["doc_id"])
+
+    def probe(mb, batch_id):
+        upsert(_incremental_curation(spark, mb, states), batch_id)
+
+    with state_sized_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(probe)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return read_upsert_sink(spark, f"{tmp}/sink").select(
+        "doc_id", "stage", "n_tokens_raw", "sentences_removed",
+        "dup_tokens", "n_tokens_clean",
+    )
