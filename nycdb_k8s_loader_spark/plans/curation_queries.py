@@ -2009,8 +2009,18 @@ def _c09_pinned_states(spark: SparkSession, sf_dir: str) -> dict:
     """The COMPACTED post-takedown state tables PERSISTED per fixture
     identity and read back — what a production takedown publishes
     (compact in place of rebuild); st15's stream probes these exact
-    parquet tables."""
+    parquet tables.
+
+    Round 12 (r11 verdict #4): the quartet goes through the BOUND
+    publish — all four tables land in one immutable version dir and
+    become visible via a single VersionPointer flip
+    (publish/state_set.py), so a probe racing a takedown can never
+    see a compacted signature state next to stale rates.  Reference
+    analog: all-tables-one-commit, load_dataset.py:209-252."""
     import os
+
+    from nycdb_k8s_loader_spark.publish.state_set import StateSetPublisher
+    from nycdb_k8s_loader_spark.state.kvstore import ParquetKVStore
 
     # takedown parameters are part of the cache identity — a salt or
     # rate change must miss (the _C08_CACHE_VERSION bump covers
@@ -2019,16 +2029,13 @@ def _c09_pinned_states(spark: SparkSession, sf_dir: str) -> dict:
         sf_dir,
         f"takedown_states_s{_C09_TAKEDOWN_SALT}p{_C09_TAKEDOWN_PPM}",
     )
-    names = ("st3", "st4", "st5", "rates")
-    if not all(
-        os.path.exists(os.path.join(root, n, "_SUCCESS")) for n in names
-    ):
-        built = _c09_compacted_states(spark, sf_dir)
-        for n in names:
-            built[n].write.mode("overwrite").parquet(
-                os.path.join(root, n)
-            )
-    return {n: spark.read.parquet(os.path.join(root, n)) for n in names}
+    os.makedirs(root, exist_ok=True)
+    pub = StateSetPublisher(
+        root, ParquetKVStore(os.path.join(root, "pointer.parquet"))
+    )
+    if pub.current_version("takedown_states") is None:
+        pub.publish("takedown_states", _c09_compacted_states(spark, sf_dir))
+    return pub.read(spark, "takedown_states")
 
 
 @register(

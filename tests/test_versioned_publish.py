@@ -312,3 +312,118 @@ class TestGraceWindowAndFilePrune:
             for d in spark.catalog.listDatabases():
                 if d.name.startswith("vextprune"):
                     spark.sql(f"DROP DATABASE IF EXISTS `{d.name}` CASCADE")
+
+
+class TestStateSetPublisher:
+    """Round 12 (r11 verdict #4): the c08/c09 state QUARTET must flip
+    as one unit — sentence keys, dup grams, signatures, and rates all
+    become visible together, or not at all.  Reference analog:
+    all-tables-one-commit, load_dataset.py:209-252."""
+
+    @staticmethod
+    def _frames(spark, version: int, names=("st3", "st4", "st5", "rates")):
+        return {
+            n: spark.createDataFrame([(version,)], "v int") for n in names
+        }
+
+    @staticmethod
+    def _versions_seen(tables) -> set[int]:
+        return {df.collect()[0][0] for df in tables.values()}
+
+    def test_old_path_tears_between_per_state_writes(self, spark, tmp_path):
+        """The pre-r12 failure mode, pinned: four INDEPENDENT
+        overwrite-in-place writes let a reader interleaved between
+        them observe a mixed set (new st3 next to old rates)."""
+        import os
+
+        root = str(tmp_path / "unbound")
+        names = ("st3", "st4", "st5", "rates")
+        for n, df in self._frames(spark, 1).items():
+            df.write.mode("overwrite").parquet(os.path.join(root, n))
+
+        v2 = self._frames(spark, 2)
+        v2["st3"].write.mode("overwrite").parquet(
+            os.path.join(root, "st3")
+        )
+        # reader arrives HERE — st4/st5/rates not yet rewritten
+        seen = self._versions_seen(
+            {n: spark.read.parquet(os.path.join(root, n)) for n in names}
+        )
+        assert seen == {1, 2}  # torn: two versions in one read
+
+    def test_bound_publish_never_tears(self, spark, tmp_path):
+        from nycdb_k8s_loader_spark.publish.state_set import (
+            StateSetPublisher,
+        )
+
+        pub = StateSetPublisher(str(tmp_path / "bound"), DictKVStore())
+        pub.publish("quartet", self._frames(spark, 1), epoch=100)
+
+        # same interleaving: write v2's st3 table into its (fresh,
+        # unreferenced) version dir, then read BEFORE the flip
+        import os
+
+        v2 = self._frames(spark, 2)
+        vdir2 = os.path.join(
+            str(tmp_path / "bound"), version_db_name("quartet", 200, 0)
+        )
+        v2["st3"].write.parquet(os.path.join(vdir2, "st3"))
+        seen = self._versions_seen(pub.read(spark, "quartet"))
+        assert seen == {1}  # complete OLD set — never a mix
+
+        # finish the v2 publish through the API: one flip, all four
+        pub.publish("quartet", v2, epoch=300)
+        seen = self._versions_seen(pub.read(spark, "quartet"))
+        assert seen == {2}
+
+    def test_failed_publish_leaves_pointer_untouched(self, spark, tmp_path):
+        from nycdb_k8s_loader_spark.publish.state_set import (
+            StateSetPublisher,
+        )
+
+        pub = StateSetPublisher(str(tmp_path / "bound2"), DictKVStore())
+        v1 = pub.publish("quartet", self._frames(spark, 1), epoch=100)
+
+        class Boom(Exception):
+            pass
+
+        class FailingWriter:
+            """DataFrame whose write raises — simulates the 3rd
+            table's write dying mid-publish."""
+
+            @property
+            def write(self):
+                raise Boom()
+
+        frames = dict(self._frames(spark, 2))
+        frames["st5"] = FailingWriter()
+        with pytest.raises(Boom):
+            pub.publish("quartet", frames, epoch=200)
+        assert pub.current_version("quartet") == v1
+        assert self._versions_seen(pub.read(spark, "quartet")) == {1}
+
+    def test_prune_keeps_current_and_grace(self, spark, tmp_path):
+        import os
+
+        from nycdb_k8s_loader_spark.publish.state_set import (
+            StateSetPublisher,
+        )
+
+        root = str(tmp_path / "bound3")
+        pub = StateSetPublisher(root, DictKVStore())
+        for e in (100, 200, 300):
+            pub.publish("quartet", self._frames(spark, e), epoch=e)
+        removed = pub.prune("quartet", keep=2)
+        assert removed == [version_db_name("quartet", 100, 0)]
+        left = sorted(
+            d for d in os.listdir(root) if parse_version_db(d) == "quartet"
+        )
+        assert left == [
+            version_db_name("quartet", 200, 0),
+            version_db_name("quartet", 300, 0),
+        ]
+        # the pointed-at version survives even an aggressive keep
+        assert pub.prune("quartet", keep=0) == [
+            version_db_name("quartet", 200, 0)
+        ]
+        assert pub.read(spark, "quartet")  # still readable
