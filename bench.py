@@ -178,6 +178,24 @@ def _raw_agreement(
         # the external driver's BENCH_r{N}.json wraps the bench line
         # in {n, rc, sf, tail, parsed: {...}} — unwrap it
         prev = prev["parsed"]
+    if "queries" not in prev and isinstance(prev.get("tail"), str):
+        # r11 verdict #2: the driver committed BENCH_r10/r11.json with
+        # parsed: null (head-truncated tail), and the old unwrap
+        # silently no-oped to shared_queries: 0. The per-query dicts
+        # ARE present in the tail string — regex-extract each named
+        # flat object and keep the ones that parse (a head-truncated
+        # object simply won't match the complete-{...} pattern).
+        recovered: dict = {}
+        for key in ("queries", "exec_queries", "build_queries"):
+            m2 = re.search(r'"%s":\s*(\{[^{}]*\})' % key, prev["tail"])
+            if m2:
+                try:
+                    recovered[key] = json.loads(m2.group(1))
+                except json.JSONDecodeError:
+                    pass
+        if recovered:
+            recovered["_recovered_from_tail"] = True
+            prev = recovered
     channel = "total"
     ours, theirs = timings, prev.get("queries", {})
     if exec_timings is not None and isinstance(
@@ -187,7 +205,18 @@ def _raw_agreement(
         ours, theirs = exec_timings, prev["exec_queries"]
     shared = sorted(k for k in ours if k in theirs)
     if not shared:
-        return {"against": against_path, "shared_queries": 0}
+        # r11 verdict #2: an existing against-file with zero shared
+        # queries means the comparison machinery broke, not that there
+        # is nothing to compare — fail loudly instead of no-oping.
+        return {
+            "against": against_path,
+            "shared_queries": 0,
+            "raw_agreement_ok": False,
+            "agreement_error": (
+                "no shared queries vs an existing against-file — "
+                "comparison chain broke (unparseable prior run?)"
+            ),
+        }
     cur = sum(ours[k] for k in shared)
     old = sum(theirs[k] for k in shared)
     pct = round(abs(cur - old) / max(old, 1e-9) * 100.0, 2)
@@ -219,33 +248,69 @@ def main(against: str | None = None) -> None:
     calibration = _calibrate(spark)
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    # r11 verdict #1: BENCH_r11 was committed load-contaminated because
+    # the harness waited for idle ONCE and then measured regardless.
+    # Port bench_scale's retry-until-clean protocol per query: a query
+    # whose measurement bracket saw a hypervisor-steal spike over
+    # ``clean_jiffies`` is re-measured (bounded attempts); the KEPT
+    # attempt is the min-steal one (r11 verdict #3 — never headline
+    # the last/contaminated attempt when a cleaner one exists).
+    # Loadavg stays a start-of-run channel only: 15 back-to-back
+    # 32-thread queries legitimately drive their own 1-min loadavg up
+    # (self-load is the workload, not weather); steal is the
+    # external-pressure signal that accrues DURING each bracket.
+    clean_jiffies = int(
+        os.environ.get("SPARK_GRAFT_BENCH_CLEAN_JIFFIES", "500")
+    )
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "4"))
     timings: dict[str, float] = {}
     build: dict[str, float] = {}
     execs: dict[str, float] = {}
     cold: dict[str, float] = {}
     steal: dict[str, int] = {}
+    attempts_per_query: dict[str, int] = {}
+    unclean: list[str] = []
     for name in HEADLINE:
-        runs, b_runs, e_runs = [], [], []
-        s0 = _steal_jiffies()
-        for _ in range(n_runs):
-            # t0 BEFORE the builder: operators with eager build-time
-            # work (iterative CC's convergence loop, c07's stage-
-            # boundary checkpoints) must be measured, not just their
-            # final-join replay — the old post-build t0 undercounted
-            # d09-class entries (round-9 honesty fix; lazy entries
-            # gain only plan-construction ms).  The two phases are
-            # ALSO recorded separately (round-9 verdict #5):
-            # ``exec`` keeps its pre-r9 semantics, so round-over-round
-            # comparability survives the honesty fix.
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            t1 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            t2 = time.perf_counter()
-            runs.append(t2 - t0)
-            b_runs.append(t1 - t0)
-            e_runs.append(t2 - t1)
-        steal[name] = _steal_jiffies() - s0
+        best = None  # (steal_delta, runs, b_runs, e_runs)
+        for attempt in range(max_attempts):
+            runs, b_runs, e_runs = [], [], []
+            s0 = _steal_jiffies()
+            for _ in range(n_runs):
+                # t0 BEFORE the builder: operators with eager
+                # build-time work (iterative CC's convergence loop,
+                # c07's stage-boundary checkpoints) must be measured,
+                # not just their final-join replay — the old
+                # post-build t0 undercounted d09-class entries
+                # (round-9 honesty fix; lazy entries gain only
+                # plan-construction ms).  The two phases are ALSO
+                # recorded separately (round-9 verdict #5): ``exec``
+                # keeps its pre-r9 semantics, so round-over-round
+                # comparability survives the honesty fix.
+                t0 = time.perf_counter()
+                df = qs[name](spark, sf_dir)
+                t1 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                t2 = time.perf_counter()
+                runs.append(t2 - t0)
+                b_runs.append(t1 - t0)
+                e_runs.append(t2 - t1)
+            s_delta = _steal_jiffies() - s0
+            if best is None or s_delta < best[0]:
+                best = (s_delta, runs, b_runs, e_runs)
+            attempts_per_query[name] = attempt + 1
+            if s_delta <= clean_jiffies:
+                break
+            print(
+                f"# bench: {name} attempt {attempt + 1} saw steal "
+                f"{s_delta} jiffies (> {clean_jiffies}) — "
+                f"{'retrying' if attempt + 1 < max_attempts else 'exhausted'}",
+                file=sys.stderr,
+            )
+            time.sleep(5.0)
+        s_delta, runs, b_runs, e_runs = best
+        steal[name] = s_delta
+        if s_delta > clean_jiffies:
+            unclean.append(name)
         cold[name] = round(runs[0], 3)
         steady = slice(1, None) if len(runs) > 1 else slice(None)
         timings[name] = round(statistics.median(runs[steady]), 3)
@@ -268,6 +333,10 @@ def main(against: str | None = None) -> None:
         "estimator": "median_of_warm_runs",
         "calibration_sec": calibration,
         "steal_jiffies_per_query": steal,
+        "attempts_per_query": attempts_per_query,
+        "steal_clean_jiffies": clean_jiffies,
+        "steal_clean": not unclean,
+        "unclean_queries": unclean,
         "normalized_value": round(total / calibration, 3),
         **load_meta,
     }

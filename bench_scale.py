@@ -721,8 +721,14 @@ def _c09_takedown_policy(spark, sf_dir):
     measured claim is linearity in state + retiring batch, never a
     corpus rebuild (the reference's drop-and-recreate).  The retiring
     rows' text is re-read (the decrements need it — linear in the
-    retiring slice); the RETAINED corpus is never touched.  The four
-    compact plans execute under one union-of-counts action."""
+    retiring slice); the RETAINED corpus is never touched.
+
+    Round 12 (r11 verdict #4): the compacted quartet lands through
+    the BOUND atomic publish (publish/state_set.py — one version dir,
+    ONE pointer flip), so the timed row now measures the full
+    production takedown: compact all four states AND make them
+    visible as one unit.  The returned frame counts the PUBLISHED
+    tables, so the row's action reads what a racing probe would."""
     import os as _os
 
     from pyspark.sql import functions as F
@@ -742,6 +748,8 @@ def _c09_takedown_policy(spark, sf_dir):
         _frozen_rates,
         _pseudo_sentence_docs,
     )
+    from nycdb_k8s_loader_spark.publish.state_set import StateSetPublisher
+    from nycdb_k8s_loader_spark.state.kvstore import ParquetKVStore
 
     root = _policy_state_dir(sf_dir, "documents.parquet", "c09lc")
     st = {
@@ -772,14 +780,26 @@ def _c09_takedown_policy(spark, sf_dir):
             takedown.select("source", _c08_ntokens().alias("n_tokens")),
         )
     )
+    pubroot = _policy_state_dir(sf_dir, "documents.parquet", "c09pub")
+    pub = StateSetPublisher(
+        pubroot, ParquetKVStore(_os.path.join(pubroot, "pointer.parquet"))
+    )
+    pub.publish(
+        "c09_takedown",
+        {"st3": c3, "st4": c4, "st5": c5, "rates": rates},
+    )
+    # keep the grace window bounded across bench attempts (each run
+    # publishes a fresh version; disk must not grow with attempts)
+    pub.prune("c09_takedown", keep=2)
+    published = pub.read(spark, "c09_takedown")
     cnt = lambda df, tag: df.groupBy().count().select(  # noqa: E731
         F.lit(tag).alias("state"), F.col("count").alias("rows")
     )
     return (
-        cnt(c3, "st3")
-        .unionByName(cnt(c4, "st4"))
-        .unionByName(cnt(c5, "st5"))
-        .unionByName(cnt(rates, "rates"))
+        cnt(published["st3"], "st3")
+        .unionByName(cnt(published["st4"], "st4"))
+        .unionByName(cnt(published["st5"], "st5"))
+        .unionByName(cnt(published["rates"], "rates"))
     )
 
 
@@ -1023,12 +1043,18 @@ def _clean_measure(
       steal delta is the end-side external check instead.
 
     Returns (small, big, attempts_log, clean).  On exhaustion the
-    LAST attempt is returned with clean=False — its wall channel then
-    gates nothing (gate_verdict measurement_clean), and the caller
-    lists the query under ``unclean_queries`` instead of letting a
-    contaminated wall print ``nonlinear`` (the BENCH_sf3_heavy_r10
-    c07 ×6.29 failure this function exists to prevent)."""
+    MIN-combined-steal attempt is returned with clean=False (r11
+    verdict #3: returning the LAST attempt headlined d11_policy at
+    ×13.53 under 101k steal jiffies while attempt 3 of the same run
+    had measured ×1.7 at 225/10,552 — the representative row must be
+    the cleanest one taken, even when none clears the gate).  Its
+    wall channel still gates nothing (gate_verdict
+    measurement_clean), and the caller lists the query under
+    ``unclean_queries`` instead of letting a contaminated wall print
+    ``nonlinear`` (the BENCH_sf3_heavy_r10 c07 ×6.29 failure this
+    function exists to prevent)."""
     attempts: list[dict] = []
+    best: tuple[int, dict, dict] | None = None  # (steal_sum, small, big)
     small = big = None
     for i in range(max_attempts):
         idle_s = _await_idle(threshold=load_threshold,
@@ -1057,7 +1083,11 @@ def _clean_measure(
             "load_clean": load_ok,
         })
         if steal_ok and load_ok:
+            attempts[-1]["kept"] = True
             return small, big, attempts, True
+        steal_sum = small["steal_jiffies"] + big["steal_jiffies"]
+        if best is None or steal_sum < best[0]:
+            best = (steal_sum, small, big)
         print(
             f"# scale: attempt {i + 1} contaminated "
             f"(steal {small['steal_jiffies']}/{big['steal_jiffies']}, "
@@ -1065,7 +1095,15 @@ def _clean_measure(
             f"{idle_b.get('loadavg_at_start')}) — retrying",
             file=sys.stderr,
         )
-    return small, big, attempts, False
+    # exhausted: hand back the cleanest pair taken, not the last one
+    assert best is not None
+    for a in attempts:
+        a["kept"] = (
+            a["small_steal"] + a["big_steal"] == best[0]
+            and a["small_sec"] == best[1]["sec"]
+            and a["big_sec"] == best[2]["sec"]
+        )
+    return best[1], best[2], attempts, False
 
 
 def main() -> None:

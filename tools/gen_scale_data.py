@@ -341,7 +341,13 @@ def main() -> None:
     spark = get_spark(
         app_name="gen-scale-data",
         extra_conf={
-            "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS"
+            "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+            # local-mode: driver memory IS the whole JVM heap (the
+            # bench_scale convention) — sf10 generation OOMs the 1g
+            # default on the events table's 10M-row write
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "48g"
+            ),
         },
     )
     generate(spark, args.sf, out)
