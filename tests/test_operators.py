@@ -4986,6 +4986,68 @@ class TestTokenCountContract:
             map(tuple, b.collect())
         )
 
+    def test_real_executor_side_tokenizer_feeds_packing(self, spark):
+        """r11 verdict #7 (the contract's intended production wiring,
+        end to end): a REAL tokenizer map — greedy-merge BPE over a
+        fixture merge table, run executor-side via Arrow-batched
+        mapInPandas — produces the precomputed count column, and c02
+        packing runs on it through ``token_count_col``.  Pins: (a)
+        the distributed map agrees with the pure-Python reference
+        apply row for row, (b) BPE counts differ from whitespace
+        counts (the merge table is live, not a word counter), (c)
+        packing on the tokenizer column == packing on the same counts
+        injected as a literal column (the seam carries nothing but
+        the counts)."""
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.operators.textops import (
+            DEFAULT_BPE_MERGES,
+            bpe_apply_count,
+            bpe_token_counts,
+            pack_sequences,
+        )
+
+        docs = self._docs(spark)
+        toked = bpe_token_counts(docs)
+        rows = {r["doc_id"]: r for r in toked.collect()}
+
+        ranks = {p: i for i, p in enumerate(DEFAULT_BPE_MERGES)}
+        for d in docs.collect():
+            assert (
+                rows[d["doc_id"]]["bpe_tokens"]
+                == bpe_apply_count(d["text"], ranks)
+            )
+        # merges fire on this fixture: counts sit strictly between
+        # word count and char count, equal to neither
+        ws = {
+            r["doc_id"]: len(r["text"].split()) for r in docs.collect()
+        }
+        assert all(rows[i]["bpe_tokens"] > ws[i] for i in ws)
+        assert any(
+            rows[i]["bpe_tokens"] < len(r["text"].replace(" ", ""))
+            for i, r in ((d["doc_id"], d) for d in docs.collect())
+        )
+
+        packed = pack_sequences(
+            toked, context_tokens=64, shard_docs=16,
+            token_count_col="bpe_tokens",
+        )
+        lut = F.create_map(
+            *[
+                F.lit(x)
+                for i in sorted(rows)
+                for x in (i, rows[i]["bpe_tokens"])
+            ]
+        )
+        literal = docs.withColumn("bpe_tokens", lut[F.col("doc_id")])
+        expected = pack_sequences(
+            literal, context_tokens=64, shard_docs=16,
+            token_count_col="bpe_tokens",
+        )
+        assert sorted(map(tuple, packed.collect())) == sorted(
+            map(tuple, expected.collect())
+        )
+
 
 class TestConcaveClipBinned:
     """geo14: concave∩concave at data×data scale — geo07's grid
