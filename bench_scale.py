@@ -970,6 +970,7 @@ def _run_one(spark, fn, sf_dir: str, runs: int = 2) -> dict:
     times, b_times, e_times = [], [], []
     before = _stage_totals(spark)
     steal0 = _steal_jiffies()
+    bracket0 = time.perf_counter()
     for _ in range(runs):
         # t0 BEFORE the builder: entries with eager build-time work
         # (iterative CC loops, c07's stage checkpoints) must be
@@ -990,12 +991,23 @@ def _run_one(spark, fn, sf_dir: str, runs: int = 2) -> dict:
     after = _stage_totals(spark)
     mb = 1024.0 * 1024.0
     best = min(range(len(times)), key=times.__getitem__)
+    bracket_sec = time.perf_counter() - bracket0
+    steal_delta = _steal_jiffies() - steal0
     out = {
         "sec": round(min(times), 3),
         "build_sec": round(b_times[best], 3),
         "exec_sec": round(e_times[best], 3),
         "sec_cold": round(times[0], 3),
-        "steal_jiffies": _steal_jiffies() - steal0,
+        "steal_jiffies": steal_delta,
+        # steal normalized by the bracket's wall: an ABSOLUTE jiffy
+        # threshold can't stay clean over multi-minute sf10 windows
+        # even under background-noise steal RATES identical to a
+        # "clean" 10-second sf1 window — the rate channel makes long
+        # and short brackets comparable (interpretive only; the
+        # cleanliness gate stays absolute so committed verdicts never
+        # soften retroactively)
+        "bracket_sec": round(bracket_sec, 1),
+        "steal_rate_jps": round(steal_delta / max(bracket_sec, 1e-9), 1),
         "leftover_persisted_rdds": leftover,
         # metrics are totals over all runs; divide by runs for per-run
         "shuffle_write_mb": round(

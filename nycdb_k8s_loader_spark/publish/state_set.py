@@ -27,6 +27,7 @@ reader grace window and are pruned keep-N like version databases.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import time
@@ -38,6 +39,20 @@ from nycdb_k8s_loader_spark.publish.protocol import (
     parse_version_db,
     version_db_name,
 )
+
+try:  # POSIX-only; the engine targets Linux executor hosts
+    import fcntl
+except ImportError:  # pragma: no cover - non-POSIX fallback
+    fcntl = None  # type: ignore[assignment]
+
+_UNSET = object()
+
+
+class ConcurrentPublishError(RuntimeError):
+    """Raised when a compare-and-swap publish loses the race: the
+    pointer moved past ``expected_version`` while this publisher was
+    writing.  The caller's compaction was derived from a state set
+    that is no longer current — re-read and re-derive, never flip."""
 
 
 class StateSetPublisher:
@@ -60,6 +75,7 @@ class StateSetPublisher:
         logical: str,
         frames: dict[str, DataFrame],
         epoch: int | None = None,
+        expected_version: str | None | object = _UNSET,
     ) -> str:
         """Write every frame into one fresh version dir, then flip the
         ONE pointer.  Returns the version dir path.
@@ -68,19 +84,83 @@ class StateSetPublisher:
         lands: a failure in any write leaves the pointer untouched
         (readers keep the complete previous set) and the partial
         version dir unreferenced for :meth:`prune` to collect.
+
+        Two concurrent-writer guards (both matter once takedown
+        pipelines run unattended next to each other):
+
+        - the version dir is CLAIMED with one atomic ``os.mkdir``
+          before any table lands, so two publishers in the same epoch
+          second always write DISJOINT dirs — without the claim, both
+          could compute the same seq and interleave *different* tables
+          into one dir (per-table ``errorifexists`` does not catch
+          that), publishing a mixed set.
+        - ``expected_version`` turns the flip into a compare-and-swap:
+          pass the version the compaction was derived from (None for
+          "first publish") and the flip happens only if the pointer
+          still points there; otherwise :class:`ConcurrentPublishError`
+          — a lost takedown must be re-derived from the NEW current
+          set, never silently overwritten last-write-wins.  Default
+          (``_UNSET``) keeps the unconditional single-writer flip.
         """
         if not frames:
             raise ValueError("state set must contain at least one table")
         epoch = int(time.time()) if epoch is None else epoch
-        seq = self._next_seq(logical, epoch)
-        vdir = os.path.join(self.root, version_db_name(logical, epoch, seq))
+        vdir = self._claim_version_dir(logical, epoch)
         for name, df in frames.items():
             df.write.mode("errorifexists").parquet(
                 os.path.join(vdir, name)
             )
         # THE commit — one atomic KV write covering the whole set
-        self.pointer.flip(logical, vdir)
+        if expected_version is _UNSET:
+            self.pointer.flip(logical, vdir)
+        else:
+            with self._flip_lock():
+                current = self.pointer.current(logical)
+                if current != expected_version:
+                    raise ConcurrentPublishError(
+                        f"state set {logical!r}: pointer moved to "
+                        f"{current!r} (expected {expected_version!r}) — "
+                        "re-derive from the current set; the partial "
+                        f"version dir {vdir!r} is unreferenced and will "
+                        "age out via prune()"
+                    )
+                self.pointer.flip(logical, vdir)
         return vdir
+
+    def _claim_version_dir(self, logical: str, epoch: int) -> str:
+        """Atomically claim a fresh version dir: probe seqs upward and
+        take the first ``os.mkdir`` that succeeds (mkdir is the
+        claim — it fails with EEXIST for a dir another publisher owns,
+        which a listdir-then-write sequence cannot guarantee)."""
+        os.makedirs(self.root, exist_ok=True)
+        seq = self._next_seq(logical, epoch)
+        while True:
+            vdir = os.path.join(
+                self.root, version_db_name(logical, epoch, seq)
+            )
+            try:
+                os.mkdir(vdir)
+                return vdir
+            except FileExistsError:
+                seq += 1
+
+    @contextlib.contextmanager
+    def _flip_lock(self):
+        """Driver-side critical section for check-and-flip, one lock
+        file per publisher root (``flock`` — works across processes on
+        one host, which is where this engine's drivers coordinate; a
+        multi-driver deployment swaps the KV store for a catalog with
+        native CAS and this lock degrades to a no-op cost)."""
+        if fcntl is None:  # pragma: no cover - non-POSIX
+            yield
+            return
+        os.makedirs(self.root, exist_ok=True)
+        with open(os.path.join(self.root, ".pointer.lock"), "w") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(fh, fcntl.LOCK_UN)
 
     def _next_seq(self, logical: str, epoch: int) -> int:
         """Monotonic within an epoch second — mirrors the version-db

@@ -402,6 +402,67 @@ class TestStateSetPublisher:
         assert pub.current_version("quartet") == v1
         assert self._versions_seen(pub.read(spark, "quartet")) == {1}
 
+    def test_racing_claims_get_disjoint_version_dirs(self, spark, tmp_path):
+        """The mixed-set race, pinned at its root: two publishers in
+        the SAME epoch second claim version dirs BEFORE either writes a
+        table.  A listdir-then-write scheme hands both the same name
+        (neither dir exists at listdir time) and per-table
+        errorifexists does NOT object to publisher B adding st4 to a
+        dir where A only wrote st3 — a mixed set behind one flip.  The
+        mkdir claim makes the second claimant see EEXIST and move on."""
+        from nycdb_k8s_loader_spark.publish.state_set import (
+            StateSetPublisher,
+        )
+
+        root = str(tmp_path / "bound_race")
+        kv = DictKVStore()
+        p1 = StateSetPublisher(root, kv)
+        p2 = StateSetPublisher(root, kv)
+        d1 = p1._claim_version_dir("quartet", 100)
+        d2 = p2._claim_version_dir("quartet", 100)  # A hasn't written yet
+        assert d1 != d2
+
+    def test_cas_publish_rejects_lost_takedown_race(self, spark, tmp_path):
+        """expected_version turns the flip into compare-and-swap: a
+        takedown derived from a superseded state set must NOT
+        last-write-wins over the one that beat it — its decrements were
+        computed against counts that no longer exist."""
+        from nycdb_k8s_loader_spark.publish.state_set import (
+            ConcurrentPublishError,
+            StateSetPublisher,
+        )
+
+        pub = StateSetPublisher(str(tmp_path / "bound_cas"), DictKVStore())
+        # first publish: expected None == "must not exist yet"
+        v1 = pub.publish(
+            "quartet", self._frames(spark, 1), epoch=100,
+            expected_version=None,
+        )
+        # takedowns A and B both derive from v1; B lands first
+        v2 = pub.publish(
+            "quartet", self._frames(spark, 2), epoch=200,
+            expected_version=v1,
+        )
+        # A's CAS fails loudly; pointer and readable set are B's
+        with pytest.raises(ConcurrentPublishError):
+            pub.publish(
+                "quartet", self._frames(spark, 3), epoch=300,
+                expected_version=v1,
+            )
+        assert pub.current_version("quartet") == v2
+        assert self._versions_seen(pub.read(spark, "quartet")) == {2}
+        # a second "first publish" is a lost race too
+        with pytest.raises(ConcurrentPublishError):
+            pub.publish(
+                "quartet", self._frames(spark, 4), epoch=400,
+                expected_version=None,
+            )
+        # the losers' fully-written version dirs are unreferenced and
+        # age out through the normal keep-N prune
+        removed = pub.prune("quartet", keep=1)
+        assert version_db_name("quartet", 300, 0) in removed
+        assert self._versions_seen(pub.read(spark, "quartet")) == {2}
+
     def test_prune_keeps_current_and_grace(self, spark, tmp_path):
         import os
 
