@@ -435,12 +435,23 @@ def _c08_from_state_policy(spark, sf_dir):
 def _geo07_scaled(spark, sf_dir):
     """polygon_intersection_join_binned on a DENSITY-INVARIANT
     fixture: both ring sets spread over a domain of area ∝ row count
-    (D = isqrt(n_customers)), so per-cell density and per-ring
+    (D = isqrt(n_rows) per side), so per-cell density and per-ring
     candidate counts stay constant across scale steps and the row
     measures the OPERATOR, not workload drift — the catalog fixture's
     fixed 50/500-unit domains grow denser with sf, which would read
     as superlinear no matter how the join scales. Output ids only
-    (the noop write should not serialize WKT bodies)."""
+    (the noop write should not serialize WKT bodies).
+
+    Round-12 lattice fix (the geo14_scaled lesson, applied here):
+    positions are now the TRUE-2D (k mod D, k div D) lattice.  The
+    original ((k mod D, 7k mod D)) layout made y a function of x, so
+    all n rows collapsed onto D distinct spots carrying n/D copies
+    each — real pair count grew ∝ (n/D)²·D = n^1.5, which is what
+    the committed r10/r11 rows' shuffle ×4.45-on-×3 (≈3^1.5=5.2
+    minus boundary effects) was actually measuring.  The fixture
+    artifact is decomposed in those rows' in-file notes; under the
+    true-2D lattice the candidate volume is ∝ rows and the shuffle
+    ratio tracks the data ratio."""
     import math as _math
     import os as _os
 
@@ -453,6 +464,7 @@ def _geo07_scaled(spark, sf_dir):
     customer = spark.read.parquet(_os.path.join(sf_dir, "customer.parquet"))
     orders = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
     dom = max(50, _math.isqrt(customer.count()))
+    pdom = max(50, _math.isqrt(orders.count()))
 
     def rect_wkt(x0, y0, size):
         x1, y1 = x0 + size, y0 + size
@@ -470,12 +482,14 @@ def _geo07_scaled(spark, sf_dir):
     ck, ok = F.col("c_custkey"), F.col("o_orderkey")
     lots = customer.select(
         "c_custkey",
-        rect_wkt((ck % dom) + 0.25, ((ck * 7) % dom) + 0.25, 1.5)
+        rect_wkt((ck % dom) + 0.25,
+                 (F.floor(ck / dom) % dom) + 0.25, 1.5)
         .alias("lot_wkt"),
     )
     parcels = orders.select(
         "o_orderkey",
-        rect_wkt((ok % dom) + 0.125, ((ok * 11) % dom) + 0.125, 0.75)
+        rect_wkt((ok % pdom) + 0.125,
+                 (F.floor(ok / pdom) % pdom) + 0.125, 0.75)
         .alias("parcel_wkt"),
     )
     return polygon_intersection_join_binned(
