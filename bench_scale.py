@@ -432,6 +432,60 @@ def _c08_from_state_policy(spark, sf_dir):
     return _incremental_curation(spark, batch, states, hashed=True)
 
 
+def _c08_state_setup_policy_bands(spark, sf_dir):
+    """Twin of :func:`_c08_state_setup` with st5 built under the LIVE
+    ``bands_for`` policy instead of the catalog-pinned 8/4 (r=2)
+    banding — r13 verdict #3's decomposition probe.  The r12 decade
+    row attributed c08_from_state's shuffle ×13.51-on-×10 to
+    "bands_for re-banding", but the state those rows probed was in
+    fact built at PINNED r=2 banding (``_c08_states`` hardcoded
+    num_hashes=8/bands=4 until r13) — under which false-positive
+    candidate pairs grow ~n²·b·s̄² (the bands_for docstring's math).
+    Measuring the same probe against a policy-banded state isolates
+    the banding term by subtraction: pinned-row excess over this row
+    IS the fixed-r=2 FP growth, and this row is the production form
+    (every banded operator resolves bands_for by default)."""
+    import os as _os
+
+    from nycdb_k8s_loader_spark.plans.curation_queries import _c08_states
+
+    root = _policy_state_dir(sf_dir, "documents.parquet", "c08pb")
+    names = ("st3", "st4", "st5", "rates")
+    if not all(
+        _os.path.exists(_os.path.join(root, n, "_SUCCESS"))
+        for n in names
+    ):
+        built = _c08_states(spark, sf_dir, hashed=True, st5_banding={})
+        for n in names:
+            built[n].write.mode("overwrite").parquet(
+                _os.path.join(root, n)
+            )
+
+
+def _c08_from_state_policy_bands(spark, sf_dir):
+    """The c08 incremental funnel probing the policy-banded states
+    (see :func:`_c08_state_setup_policy_bands`) — identical probe
+    code; banding resolves from the state's own meta row."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from nycdb_k8s_loader_spark.operators.sampling import sample_bucket
+    from nycdb_k8s_loader_spark.plans.curation_queries import (
+        _incremental_curation,
+    )
+
+    root = _policy_state_dir(sf_dir, "documents.parquet", "c08pb")
+    states = {
+        n: spark.read.parquet(_os.path.join(root, n))
+        for n in ("st3", "st4", "st5", "rates")
+    }
+    batch = spark.read.parquet(
+        _os.path.join(sf_dir, "documents.parquet")
+    ).filter(sample_bucket(F.col("doc_id")) >= 500_000)
+    return _incremental_curation(spark, batch, states, hashed=True)
+
+
 def _geo07_scaled(spark, sf_dir):
     """polygon_intersection_join_binned on a DENSITY-INVARIANT
     fixture: both ring sets spread over a domain of area ∝ row count
@@ -835,6 +889,7 @@ EXTRA = {
     "geo07_scaled": _geo07_scaled,
     "geo14_scaled": _geo14_scaled,
     "c08_from_state_policy": _c08_from_state_policy,
+    "c08_from_state_policy_bands": _c08_from_state_policy_bands,
     "s14_from_state_policy": _s14_from_state_policy,
     "d11_state_compact": _d11_state_compact,
     "c09_takedown_policy": _c09_takedown_policy,
@@ -848,6 +903,7 @@ SETUP = {
     "d14_from_state_policy": _d14_state_setup,
     "g04_from_state_policy": _g04_state_setup,
     "c08_from_state_policy": _c08_state_setup,
+    "c08_from_state_policy_bands": _c08_state_setup_policy_bands,
     "s14_from_state_policy": _s14_state_setup,
     "d11_state_compact": _d11_state_setup,
     "c09_takedown_policy": _c09_lifecycle_state_setup,
@@ -866,6 +922,9 @@ def gate_verdict(
     small_shuffle_mb: float | None = None,
     shuffle_floor_mb: float = 1.0,
     load_clean: bool = True,
+    clean_rate_jps: float = 50.0,
+    big_bracket_sec: float = 0.0,
+    small_bracket_sec: float = 0.0,
 ) -> dict:
     """Structural linearity verdict for one query's scale step.
 
@@ -882,7 +941,16 @@ def gate_verdict(
       time_ratio and can hide a real wall regression just as a
       big-side gust inflates it); when false, wall time is
       untrustworthy in an unknown direction and only the shuffle
-      channel gates.
+      channel gates.  The per-side allowance is RATE-NORMALIZED
+      (r12 verdict #1): ``max(steal_clean_jiffies,
+      clean_rate_jps * bracket_sec)`` — the absolute bar still
+      guards short brackets, while a multi-minute sf10 bracket is
+      judged by the steal RATE a clean 10-second sf1 bracket
+      exhibits (500 j / 10 s = 50 j/s) instead of an absolute bar
+      it can essentially never pass at ordinary background steal
+      rates (r12's diagnosis: 6 of 12 decade-step walls were
+      flagged unclean solely because the window was long, not
+      because the pressure was higher).
 
     ``linear`` = shuffle_ok AND (wall_ok OR not measurement_clean): a
     ×8 wall on ×3 data on a clean measurement can never print linear
@@ -903,15 +971,23 @@ def gate_verdict(
         or shuffle_write_ratio <= shuffle_gate_mult * data_ratio
     )
     wall_ok = time_ratio <= wall_gate_mult * data_ratio
+    big_allowed = max(
+        steal_clean_jiffies, int(clean_rate_jps * big_bracket_sec)
+    )
+    small_allowed = max(
+        steal_clean_jiffies, int(clean_rate_jps * small_bracket_sec)
+    )
     steal_clean = (
-        big_steal_jiffies <= steal_clean_jiffies
-        and small_steal_jiffies <= steal_clean_jiffies
+        big_steal_jiffies <= big_allowed
+        and small_steal_jiffies <= small_allowed
     )
     clean = steal_clean and load_clean
     return {
         "shuffle_ok": shuffle_ok,
         "wall_ok": wall_ok,
         "steal_clean": steal_clean,
+        "allowed_steal_big": big_allowed,
+        "allowed_steal_small": small_allowed,
         "measurement_clean": clean,
         "linear": shuffle_ok and (wall_ok or not clean),
     }
@@ -1017,9 +1093,9 @@ def _run_one(spark, fn, sf_dir: str, runs: int = 2) -> dict:
         # threshold can't stay clean over multi-minute sf10 windows
         # even under background-noise steal RATES identical to a
         # "clean" 10-second sf1 window — the rate channel makes long
-        # and short brackets comparable (interpretive only; the
-        # cleanliness gate stays absolute so committed verdicts never
-        # soften retroactively)
+        # and short brackets comparable (since r13 it also FEEDS the
+        # cleanliness gate: allowance = max(absolute, rate×bracket),
+        # per the r12 verdict's #1 ask)
         "bracket_sec": round(bracket_sec, 1),
         "steal_rate_jps": round(steal_delta / max(bracket_sec, 1e-9), 1),
         "leftover_persisted_rdds": leftover,
@@ -1051,6 +1127,7 @@ def _clean_measure(
     max_attempts: int = 5,
     load_threshold: float = 2.0,
     idle_max_wait: float = 180.0,
+    clean_rate_jps: float = 50.0,
 ) -> tuple[dict, dict, list[dict], bool]:
     """The round-10 manual retry protocol, encoded (r10 verdict #3):
     measure the small/big pair repeatedly (bounded) until ONE attempt
@@ -1089,9 +1166,14 @@ def _clean_measure(
         idle_b = _await_idle(threshold=load_threshold,
                              max_wait=idle_max_wait)
         big = _run_one(spark, fn, big_dir)
-        steal_ok = (
-            small["steal_jiffies"] <= steal_clean_jiffies
-            and big["steal_jiffies"] <= steal_clean_jiffies
+        # rate-normalized per-side allowance (r12 verdict #1) — same
+        # formula as gate_verdict so retry and verdict agree on what
+        # "clean" means
+        steal_ok = all(
+            side["steal_jiffies"]
+            <= max(steal_clean_jiffies,
+                   int(clean_rate_jps * side["bracket_sec"]))
+            for side in (small, big)
         )
         load_ok = not (
             idle_s.get("load_contaminated")
@@ -1142,6 +1224,7 @@ def main() -> None:
     ap.add_argument("--wall-gate-mult", type=float, default=2.0)
     ap.add_argument("--shuffle-gate-mult", type=float, default=1.5)
     ap.add_argument("--steal-clean-jiffies", type=int, default=500)
+    ap.add_argument("--steal-clean-rate-jps", type=float, default=50.0)
     ap.add_argument("--max-attempts", type=int, default=5)
     ap.add_argument("--idle-threshold", type=float, default=2.0)
     ap.add_argument("--queries", default=None,
@@ -1195,6 +1278,8 @@ def main() -> None:
         "wall_gate_mult": args.wall_gate_mult,
         "shuffle_gate_mult": args.shuffle_gate_mult,
         "steal_clean_jiffies": args.steal_clean_jiffies,
+        "steal_clean_rate_jps": args.steal_clean_rate_jps,
+        "steal_gate": "max(clean_jiffies, clean_rate_jps * bracket_sec)",
         "generator": "tools/gen_scale_data.py",
         "queries": {},
         **load_meta,
@@ -1211,6 +1296,7 @@ def main() -> None:
             args.steal_clean_jiffies,
             max_attempts=args.max_attempts,
             load_threshold=args.idle_threshold,
+            clean_rate_jps=args.steal_clean_rate_jps,
         )
         if not clean:
             unclean.append(name)
@@ -1238,6 +1324,9 @@ def main() -> None:
                 small_steal_jiffies=small["steal_jiffies"],
                 small_shuffle_mb=small["shuffle_write_mb"],
                 load_clean=clean,
+                clean_rate_jps=args.steal_clean_rate_jps,
+                big_bracket_sec=big["bracket_sec"],
+                small_bracket_sec=small["bracket_sec"],
             ),
         }
         out["queries"][name] = rec

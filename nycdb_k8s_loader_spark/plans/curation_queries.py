@@ -1450,6 +1450,7 @@ def _c08_states(
     sf_dir: str,
     hashed: bool = False,
     corpus: DataFrame | None = None,
+    st5_banding: dict | None = None,
 ) -> dict:
     """Build (eagerly, as checkpoints) the four published state
     frames from the hash-bucket corpus half — the in-session analog of the
@@ -1457,7 +1458,19 @@ def _c08_states(
     st14 persists these same frames to parquet and probes them from
     the stream.  ``corpus`` overrides the standing-corpus frame (the
     c09 compact==rebuild pin builds states directly on the retained
-    corpus to compare against the compacted set)."""
+    corpus to compare against the compacted set).
+
+    ``st5_banding`` parameterizes the signature state: the default
+    pins the catalog's oracle banding (num_hashes=8, bands=4 — r=2,
+    required for DuckDB parity); pass ``{}`` to resolve the LIVE
+    :func:`~nycdb_k8s_loader_spark.operators.dedup.bands_for` policy
+    from the corpus count — the production form.  The distinction is
+    load-bearing at scale: fixed r=2 banding grows false-positive
+    candidate pairs ~quadratically with corpus size (the bands_for
+    docstring's math, measured 591→53k candidates on a ×10 step in
+    BENCH_sf1.json), which is what the r13 pinned-vs-policy decade
+    twin (bench_scale c08_from_state_policy vs
+    c08_from_state_policy_bands) isolates."""
     import pyspark.sql.functions as F
 
     from nycdb_k8s_loader_spark.operators.dedup import (
@@ -1484,8 +1497,10 @@ def _c08_states(
     st4 = duplicated_gram_state(
         cpre, ngram=8, hashed_grams=hashed
     ).localCheckpoint(eager=True)
+    if st5_banding is None:
+        st5_banding = dict(num_hashes=8, bands=4)
     st5 = dedup_signature_state(
-        cpre, num_hashes=8, bands=4, shingles=3
+        cpre, shingles=3, **st5_banding
     ).localCheckpoint(eager=True)
     # frozen mixture rates, rebuilt from corpus totals with p07's
     # exact int64 ppm chain (taking DISTINCT (source, rate_ppm) off

@@ -100,7 +100,16 @@ class StateSetPublisher:
           still points there; otherwise :class:`ConcurrentPublishError`
           — a lost takedown must be re-derived from the NEW current
           set, never silently overwritten last-write-wins.  Default
-          (``_UNSET``) keeps the unconditional single-writer flip.
+          (``_UNSET``) keeps the unconditional single-writer flip —
+          which ALSO takes the flip lock (r12 advisory: an unlocked
+          unconditional flip landing between a CAS publisher's check
+          and flip would be silently overwritten, the exact
+          last-write-wins race CAS exists to prevent; the lock is one
+          flock on a host-local file, cheap next to a parquet write).
+
+        A CAS loser removes its own (complete but never-referenced)
+        version dir before raising, so lost races leave no disk
+        residue for :meth:`prune` to chase.
         """
         if not frames:
             raise ValueError("state set must contain at least one table")
@@ -110,21 +119,25 @@ class StateSetPublisher:
             df.write.mode("errorifexists").parquet(
                 os.path.join(vdir, name)
             )
-        # THE commit — one atomic KV write covering the whole set
-        if expected_version is _UNSET:
-            self.pointer.flip(logical, vdir)
-        else:
-            with self._flip_lock():
+        # THE commit — one atomic KV write covering the whole set,
+        # always under the flip lock so unconditional and CAS
+        # publishers on one logical set serialize against each other
+        with self._flip_lock():
+            if expected_version is not _UNSET:
                 current = self.pointer.current(logical)
                 if current != expected_version:
+                    # the loser's dir is COMPLETE (every table landed
+                    # before the CAS check) but unreferenced — no
+                    # reader ever resolved it, so removing it here is
+                    # safe and keeps lost races disk-neutral
+                    shutil.rmtree(vdir, ignore_errors=True)
                     raise ConcurrentPublishError(
                         f"state set {logical!r}: pointer moved to "
                         f"{current!r} (expected {expected_version!r}) — "
-                        "re-derive from the current set; the partial "
-                        f"version dir {vdir!r} is unreferenced and will "
-                        "age out via prune()"
+                        "re-derive from the current set; the loser's "
+                        f"unreferenced version dir {vdir!r} was removed"
                     )
-                self.pointer.flip(logical, vdir)
+            self.pointer.flip(logical, vdir)
         return vdir
 
     def _claim_version_dir(self, logical: str, epoch: int) -> str:
@@ -199,12 +212,29 @@ class StateSetPublisher:
 
     # -- retention -------------------------------------------------------
 
-    def prune(self, logical: str, keep: int = 2) -> list[str]:
+    def prune(
+        self,
+        logical: str,
+        keep: int = 2,
+        max_age_s: float | None = None,
+    ) -> list[str]:
         """Drop all but the newest ``keep`` version dirs of
         ``logical``, NEVER the currently-pointed-at one (in-flight
         readers of recent old versions get a grace window by keeping
         keep>=2).  Partial dirs from failed publishes sort oldest and
-        age out the same way.  Returns what was removed."""
+        age out the same way.  Returns what was removed.
+
+        ``max_age_s`` adds a compliance bound (r12 verdict stretch
+        #8): a takedown-heavy deployment wants "keep N AND nothing
+        older than T" so retired content cannot persist indefinitely
+        inside superseded version dirs.  Any non-current dir whose
+        mtime is older than ``now - max_age_s`` is removed even if it
+        is inside the keep-N window — including unreferenced dirs
+        that sort NEWER than the current version (crash leftovers
+        from a CAS loser that died before its own cleanup; a live
+        in-progress publish is safe because its claim dir's mtime is
+        seconds old).  The pointed-at version is never deleted under
+        any combination of arguments."""
         if not os.path.isdir(self.root):
             return []
         vdirs = sorted(
@@ -213,11 +243,24 @@ class StateSetPublisher:
             if parse_version_db(d) == logical
         )
         current = self.pointer.current(logical)
+        beyond_keep = set(vdirs[: max(0, len(vdirs) - keep)])
+        now = time.time()
+
+        def too_old(d: str) -> bool:
+            if max_age_s is None:
+                return False
+            try:
+                return os.path.getmtime(
+                    os.path.join(self.root, d)
+                ) < now - max_age_s
+            except OSError:  # pragma: no cover - raced with removal
+                return False
+
         doomed = [
             d
-            for d in vdirs[: max(0, len(vdirs) - keep)]
-            if current is None
-            or os.path.join(self.root, d) != current
+            for d in vdirs
+            if (d in beyond_keep or too_old(d))
+            and (current is None or os.path.join(self.root, d) != current)
         ]
         for d in doomed:
             shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)

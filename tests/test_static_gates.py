@@ -108,6 +108,28 @@ class TestScaleGate:
         assert gate(2.0, None, 3.0, 0)["linear"] is True
         assert gate(9.0, None, 3.0, 0)["linear"] is False
 
+    def test_rate_normalized_steal_gate(self):
+        """r12 verdict #1: a multi-minute sf10 bracket is judged by
+        steal RATE, not the absolute bar a long window can never pass.
+        1800 jiffies over a 300 s bracket is 6 j/s — cleaner pressure
+        than a 'clean' 450-jiffy 10 s bracket (45 j/s) — so it must
+        gate the wall; the same 1800 jiffies over a 10 s bracket is
+        180 j/s and stays contaminated."""
+        gate = self._gate()
+        v = gate(8.0, 2.9, 3.0, big_steal_jiffies=1800,
+                 big_bracket_sec=300.0, small_bracket_sec=10.0)
+        assert v["steal_clean"] is True
+        assert v["allowed_steal_big"] == 15000
+        assert v["linear"] is False  # clean wall x8 on x3 now gates
+        v = gate(8.0, 2.9, 3.0, big_steal_jiffies=1800,
+                 big_bracket_sec=10.0, small_bracket_sec=10.0)
+        assert v["steal_clean"] is False and v["linear"] is True
+        # the absolute bar still guards short brackets: 400 jiffies
+        # in 2 s is 200 j/s but under the 500 absolute allowance
+        v = gate(3.0, 2.9, 3.0, big_steal_jiffies=400,
+                 big_bracket_sec=2.0, small_bracket_sec=2.0)
+        assert v["steal_clean"] is True
+
     def test_load_contamination_waives_wall_only(self):
         """Round-10 verdict #3: a loadavg-contaminated attempt's wall
         gates nothing (the BENCH_sf3_heavy_r10 c07 ×6.29 headline

@@ -12,6 +12,8 @@ KV-pointer write that readers resolve through.
 
 from __future__ import annotations
 
+import time
+
 import pytest
 
 from nycdb_k8s_loader_spark.publish.protocol import (
@@ -457,11 +459,176 @@ class TestStateSetPublisher:
                 "quartet", self._frames(spark, 4), epoch=400,
                 expected_version=None,
             )
-        # the losers' fully-written version dirs are unreferenced and
-        # age out through the normal keep-N prune
+        # r13 (r12 advisory): a CAS loser removes its own unreferenced
+        # version dir before raising — lost races are disk-neutral
+        # (under the old keep-N-only prune, a loser dir sorting NEWER
+        # than current survived pruning until outranked), and the
+        # winner's set stays fully readable
+        import os as _os
+
+        left = sorted(
+            d
+            for d in _os.listdir(pub.root)
+            if parse_version_db(d) == "quartet"
+        )
+        assert version_db_name("quartet", 300, 0) not in left
+        assert version_db_name("quartet", 400, 0) not in left
         removed = pub.prune("quartet", keep=1)
-        assert version_db_name("quartet", 300, 0) in removed
+        assert removed == [version_db_name("quartet", 100, 0)]
         assert self._versions_seen(pub.read(spark, "quartet")) == {2}
+
+    def test_cas_loser_recovery_converges(self, spark, tmp_path):
+        """r12 verdict #4, the documented recovery driven end-to-end:
+        two takedowns race on one logical set; the CAS loser re-reads
+        the NEW current set, re-derives its takedown against it, and
+        republishes — and the final state equals the sequential
+        application of BOTH takedowns (no retired doc resurfaces, no
+        derived count drifts)."""
+        import pyspark.sql.functions as F
+
+        from nycdb_k8s_loader_spark.publish.state_set import (
+            ConcurrentPublishError,
+            StateSetPublisher,
+        )
+
+        pub = StateSetPublisher(str(tmp_path / "recov"), DictKVStore())
+
+        def derive(docs, takedown_ids):
+            """A takedown compaction: drop the retired docs AND
+            re-derive the dependent per-source counts — the c09
+            decrement-then-derive shape in miniature (the derived
+            table is what drifts if a lost race last-write-wins)."""
+            kept = docs.filter(
+                ~F.col("doc_id").isin([int(i) for i in takedown_ids])
+            )
+            counts = kept.groupBy("source").agg(
+                F.count("*").alias("n_docs")
+            )
+            return {"docs": kept, "counts": counts}
+
+        base = spark.createDataFrame(
+            [(i, f"src{i % 2}") for i in range(10)],
+            "doc_id int, source string",
+        )
+        v1 = pub.publish(
+            "corpus",
+            {
+                "docs": base,
+                "counts": base.groupBy("source").agg(
+                    F.count("*").alias("n_docs")
+                ),
+            },
+            epoch=100,
+            expected_version=None,
+        )
+
+        # takedowns A={2,4} and B={4,5,6} BOTH derive from v1
+        derived_a = derive(pub.read(spark, "corpus")["docs"], {2, 4})
+        derived_b = derive(pub.read(spark, "corpus")["docs"], {4, 5, 6})
+        # B lands first and wins
+        v2 = pub.publish(
+            "corpus", derived_b, epoch=200, expected_version=v1
+        )
+        # A's flip fails loudly — its decrements were computed against
+        # counts that no longer exist
+        with pytest.raises(ConcurrentPublishError):
+            pub.publish(
+                "corpus", derived_a, epoch=300, expected_version=v1
+            )
+        # recovery: re-read the NEW current set, re-derive, republish
+        cur = pub.current_version("corpus")
+        assert cur == v2
+        retry = derive(pub.read(spark, "corpus")["docs"], {2, 4})
+        v3 = pub.publish(
+            "corpus", retry, epoch=400, expected_version=cur
+        )
+        assert pub.current_version("corpus") == v3
+
+        final = pub.read(spark, "corpus")
+        kept_ids = {
+            r["doc_id"] for r in final["docs"].select("doc_id").collect()
+        }
+        assert kept_ids == set(range(10)) - {2, 4, 5, 6}
+        # derived counts equal sequential application of both
+        # takedowns (order-independent for set-minus semantics)
+        counts = {
+            r["source"]: r["n_docs"]
+            for r in final["counts"].collect()
+        }
+        # survivors {0,1,3,7,8,9}: evens {0,8} in src0, odds
+        # {1,3,7,9} in src1
+        assert counts == {"src0": 2, "src1": 4}
+
+    def test_prune_max_age_bounds_retention(self, spark, tmp_path):
+        """r12 verdict stretch #8: prune(keep, max_age_s) — "keep N
+        and nothing older than T" bounds how long retired content can
+        persist in superseded version dirs.  The pointed-at version
+        is never deleted, even when it is the oldest thing on disk;
+        an aged crash-leftover NEWER than current goes too."""
+        import os
+
+        from nycdb_k8s_loader_spark.publish.state_set import (
+            StateSetPublisher,
+        )
+
+        root = str(tmp_path / "aged")
+        pub = StateSetPublisher(root, DictKVStore())
+        for e in (100, 200, 300):
+            pub.publish("quartet", self._frames(spark, e), epoch=e)
+        # an orphaned claim dir sorting NEWER than current (a CAS
+        # loser that crashed before its own cleanup)
+        orphan = pub._claim_version_dir("quartet", 400)
+
+        # age the two superseded dirs + the orphan; keep v300 fresh
+        old = time.time() - 3600
+        for e in (100, 200):
+            os.utime(
+                os.path.join(root, version_db_name("quartet", e, 0)),
+                (old, old),
+            )
+        os.utime(orphan, (old, old))
+
+        # keep=3 would retain all three published dirs — max_age_s
+        # overrides it for the aged superseded ones AND the orphan
+        removed = pub.prune("quartet", keep=3, max_age_s=600)
+        assert version_db_name("quartet", 100, 0) in removed
+        assert version_db_name("quartet", 200, 0) in removed
+        assert os.path.basename(orphan) in removed
+        assert self._versions_seen(pub.read(spark, "quartet")) == {300}
+
+        # the pointed-at version survives ANY age/keep combination
+        cur_dir = pub.current_version("quartet")
+        os.utime(cur_dir, (old, old))
+        assert pub.prune("quartet", keep=0, max_age_s=1) == []
+        assert self._versions_seen(pub.read(spark, "quartet")) == {300}
+
+    def test_unconditional_and_cas_publishers_interoperate(
+        self, spark, tmp_path
+    ):
+        """r12 advisory: the unconditional flip now serializes through
+        the same flip lock as CAS publishers, so mixing modes on one
+        logical set is well-defined — a CAS publish derived from the
+        latest unconditional version succeeds, one derived from a
+        superseded version still fails."""
+        from nycdb_k8s_loader_spark.publish.state_set import (
+            ConcurrentPublishError,
+            StateSetPublisher,
+        )
+
+        pub = StateSetPublisher(str(tmp_path / "mixed"), DictKVStore())
+        v1 = pub.publish("quartet", self._frames(spark, 1), epoch=100)
+        v2 = pub.publish("quartet", self._frames(spark, 2), epoch=200)
+        with pytest.raises(ConcurrentPublishError):
+            pub.publish(
+                "quartet", self._frames(spark, 3), epoch=300,
+                expected_version=v1,
+            )
+        v4 = pub.publish(
+            "quartet", self._frames(spark, 4), epoch=400,
+            expected_version=v2,
+        )
+        assert pub.current_version("quartet") == v4
+        assert self._versions_seen(pub.read(spark, "quartet")) == {4}
 
     def test_prune_keeps_current_and_grace(self, spark, tmp_path):
         import os
