@@ -218,7 +218,8 @@ class Engine:
                 if table.schema is None:
                     continue  # derived table, produced by SQL below
                 df = read_source_table(
-                    self.spark, table, dest_paths, formats
+                    self.spark, table, dest_paths, formats,
+                    csv_options=ds.csv_options,
                 )
                 self.publisher.write_staging_table(staging_db, table.name, df)
 

@@ -51,6 +51,27 @@ class DatasetDef:
     depends_on: list[str] = field(default_factory=list)
     schedule: str | None = None  # key into scheduling.SCHEDULES
     builder: Callable | None = None  # custom dataset escape hatch
+    #: per-dataset CSV parse policy, merged into every CSV scan this
+    #: dataset's tables make (r12 verdict #5 — real NYC open-data
+    #: files carry BOMs, embedded newlines, short rows, type junk).
+    #: Keys are Spark DataFrameReader CSV options; the load-bearing
+    #: ones:
+    #:
+    #: - ``mode``: ``PERMISSIVE`` (default — junk fields parse to
+    #:   NULL, the row survives; pair with ``TableDef.checks``
+    #:   not_null/min_rows to gate how much junk may publish),
+    #:   ``DROPMALFORMED`` (rows with any unparseable field are
+    #:   dropped from the scan), or ``FAILFAST`` (first malformed
+    #:   row aborts the load — staging drops, readers keep the last
+    #:   good version).
+    #: - ``multiLine``: ``"true"`` for sources with embedded
+    #:   newlines inside quoted fields (costs file-at-a-time
+    #:   parallelism on that scan — a multiLine file cannot be
+    #:   split; keep such sources in many smaller files at scale).
+    #:
+    #: Behavior per failure class is pinned by
+    #: tests/test_dirty_csv.py.
+    csv_options: dict = field(default_factory=dict)
 
 
 class Registry:

@@ -256,6 +256,7 @@ def read_source_table(
     table,
     dest_paths: dict[str, str],
     formats: dict[str, str],
+    csv_options: dict | None = None,
 ) -> DataFrame:
     """One typed DataFrame for a registry TableDef from its landed
     source files, dispatching per-file on SourceFile.format: CSVs go
@@ -263,7 +264,11 @@ def read_source_table(
     through read_excel (S5 — the reference's dof_annual_sales path,
     load_dataset.py:280-303, loads one table from SEVERAL yearly
     workbooks). Mixed-format unions are by-name over the shared
-    registry schema, so format never dictates column order."""
+    registry schema, so format never dictates column order.
+
+    ``csv_options`` is the dataset's parse policy
+    (``DatasetDef.csv_options`` — mode/multiLine/...); it reaches
+    every CSV scan of this table and no other format."""
     dests = table.files if table.files is not None else list(dest_paths)
     csv_paths = [
         dest_paths[d] for d in dests if formats.get(d, "csv") == "csv"
@@ -275,7 +280,11 @@ def read_source_table(
         # schemas (e.g. HPD registrations puts buildingid/boroid
         # up front) — a positional bind would silently cross-load
         # nearly every column
-        frames.append(read_csv_union_by_name(spark, csv_paths, table.schema))
+        frames.append(
+            read_csv_union_by_name(
+                spark, csv_paths, table.schema, **(csv_options or {})
+            )
+        )
     for d in dests:
         if formats.get(d, "csv") == "excel":
             frames.append(read_excel(spark, dest_paths[d], table.schema))

@@ -415,8 +415,17 @@ def foreach_batch_upsert(sink_root: str, keys: list[str]):
                 # v{batch_id} lazily and overwrite the same directory —
                 # Spark either refuses ("cannot overwrite a path that is
                 # also being read from") or corrupts the snapshot
-                # mid-read. The snapshot already contains this batch;
-                # the replay is a no-op.
+                # mid-read. The snapshot already contains this batch, so
+                # the SINK must not change — but the batch itself must
+                # still be fully processed: on a stateful query the
+                # state-store commits happen while the batch's
+                # partitions execute, and Spark 4 validates every
+                # partition committed (STATE_STORE_COMMIT_VALIDATION
+                # — "returning from the function early" is the named
+                # failure).  A bare ``return`` here killed the
+                # restarted stream; drain the batch through a noop
+                # write instead (all partitions run, nothing lands).
+                batch_df.write.format("noop").mode("overwrite").save()
                 return
             base = spark.read.parquet(os.path.join(sink_root, cur_name))
             keep = base.join(

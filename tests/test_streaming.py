@@ -192,6 +192,107 @@ def test_stream_interval_join_incremental_and_overlap_guard(spark, tmp_path):
         stream_interval_join(df, df, "x", "x", "x", "x", "1 MINUTE", "1 MINUTE")
 
 
+def test_foreach_batch_upsert_exactly_once_under_batch_replay(
+    spark, tmp_path
+):
+    """r12 verdict #6: checkpointed foreachBatch is AT-LEAST-once — a
+    crash mid-sink redelivers the same epoch on restart.  Drive both
+    crash windows end-to-end and pin exactly-once published state:
+
+    1. crash AFTER a partial version-dir write, BEFORE the pointer
+       flip → readers never saw the partial dir; the replayed batch
+       overwrites it and publishes once;
+    2. crash AFTER the pointer flip, BEFORE the checkpoint commit →
+       the replayed batch finds _CURRENT already at its own version
+       and no-ops (re-merging would double-apply the batch).
+    """
+    import os
+
+    from nycdb_k8s_loader_spark.streaming.pipeline import (
+        foreach_batch_upsert,
+        incremental_csv_source,
+        read_upsert_sink,
+    )
+
+    landing = tmp_path / "landing_replay"
+    sink = str(tmp_path / "sink_replay")
+    ckpt = str(tmp_path / "ckpt_replay")
+    landing.mkdir()
+    real = foreach_batch_upsert(sink, ["id"])
+
+    def run_once(sink_fn):
+        src = incremental_csv_source(spark, str(landing), SCHEMA)
+        agg = src.groupBy("id").agg(
+            F.count("*").alias("n"), F.round(F.sum("v"), 2).alias("total")
+        )
+        q = (
+            agg.writeStream.foreachBatch(sink_fn)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # -- crash window 1: partial write, no pointer flip ----------------
+    def crash_mid_write(batch_df, batch_id):
+        # land a PARTIAL version dir (one row of several), then die
+        # before any pointer work — simulates an executor/driver loss
+        # mid-parquet-write
+        batch_df.limit(1).write.mode("overwrite").parquet(
+            os.path.join(sink, f"v{batch_id}")
+        )
+        raise RuntimeError("simulated crash mid version-dir write")
+
+    (landing / "b1.csv").write_text(
+        "id,ts,v\n1,2024-01-01T00:00:00,1.0\n2,2024-01-01T01:00:00,2.0\n"
+    )
+    with pytest.raises(Exception):
+        run_once(crash_mid_write)
+    # the partial dir exists but nothing references it
+    assert os.path.exists(os.path.join(sink, "v0"))
+    assert not os.path.exists(os.path.join(sink, "_CURRENT"))
+
+    # restart with the real sink: the SAME epoch is redelivered, the
+    # partial dir is overwritten, the publish happens exactly once
+    run_once(real)
+    snap1 = {(r["id"], r["n"], r["total"])
+             for r in read_upsert_sink(spark, sink).collect()}
+    assert snap1 == {(1, 1, 1.0), (2, 1, 2.0)}
+
+    # -- crash window 2: full publish, crash before checkpoint commit --
+    def crash_after_flip(batch_df, batch_id):
+        real(batch_df, batch_id)  # complete write + pointer flip
+        raise RuntimeError("simulated crash before checkpoint commit")
+
+    (landing / "b2.csv").write_text(
+        "id,ts,v\n1,2024-01-01T02:00:00,4.0\n"
+    )
+    with pytest.raises(Exception):
+        run_once(crash_after_flip)
+    # the flip landed: the snapshot already carries the merge
+    snap2 = {(r["id"], r["n"], r["total"])
+             for r in read_upsert_sink(spark, sink).collect()}
+    assert snap2 == {(1, 2, 5.0), (2, 1, 2.0)}
+
+    # restart: the same epoch replays into the no-op guard — the
+    # published state must NOT double-apply the batch
+    run_once(real)
+    snap3 = {(r["id"], r["n"], r["total"])
+             for r in read_upsert_sink(spark, sink).collect()}
+    assert snap3 == snap2
+
+    # and a fresh-data run afterwards still works (the guard only
+    # suppresses the replayed epoch, not future ones)
+    (landing / "b3.csv").write_text(
+        "id,ts,v\n3,2024-01-01T03:00:00,9.0\n"
+    )
+    run_once(real)
+    snap4 = {(r["id"], r["n"], r["total"])
+             for r in read_upsert_sink(spark, sink).collect()}
+    assert snap4 == {(1, 2, 5.0), (2, 1, 2.0), (3, 1, 9.0)}
+
+
 def test_foreach_batch_upsert_merges_across_batches(spark, tmp_path):
     """The foreachBatch merge-upsert sink must (a) upsert changed keys
     across two availableNow invocations, (b) keep untouched keys, and
