@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -144,6 +144,33 @@ def _resolve_banding(
     )
 
 
+def _shingle_explode(
+    df: DataFrame,
+    shingles: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Raw (doc, k-word-shingle) instance rows — the pre-``distinct``
+    half of :func:`shingle_postings`, for callers that deduplicate
+    inside a downstream aggregate (``collect_set``) instead of paying
+    a standalone DISTINCT exchange."""
+    if shingles == 1:
+        return df.select(
+            F.col(id_col),
+            F.explode(F.split(normalized_text(text_col), " ")).alias("w"),
+        ).filter(F.col("w") != "")
+    words = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(normalized_text(text_col), " "), lambda w: w != ""
+        ).alias("words"),
+    )
+    return words.select(
+        F.col(id_col),
+        F.explode(shingle_array(F.col("words"), shingles)).alias("w"),
+    )
+
+
 def shingle_postings(
     df: DataFrame,
     shingles: int,
@@ -153,21 +180,7 @@ def shingle_postings(
     """Distinct (doc, k-word-shingle) posting list — the shingled twin
     of :func:`tokenize_distinct`, via staged selects so each array is
     materialized once per row (see :func:`shingle_array`)."""
-    if shingles == 1:
-        return tokenize_distinct(df, id_col, text_col)
-    words = df.select(
-        F.col(id_col),
-        F.filter(
-            F.split(normalized_text(text_col), " "), lambda w: w != ""
-        ).alias("words"),
-    )
-    return (
-        words.select(
-            F.col(id_col),
-            F.explode(shingle_array(F.col("words"), shingles)).alias("w"),
-        )
-        .distinct()
-    )
+    return _shingle_explode(df, shingles, id_col, text_col).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -249,12 +262,34 @@ def _lsh_verified_pairs(
         df, num_hashes=num_hashes, bands=bands,
         id_col=id_col, text_col=text_col, shingles=shingles,
     )
-    posts = shingle_postings(df, shingles, id_col, text_col)
-    sizes = posts.groupBy(id_col).agg(F.count("*").alias("n"))
-
-    pa = posts.select(F.col(id_col).alias("doc_a"), "w")
-    pb = posts.select(F.col(id_col).alias("doc_b"), "w")
-    # shuffle_hash hints: posting/size tables are DERIVED from the doc
+    # r13 restructure (guide §2.3/§2.4): the old shape executed the
+    # posting build THREE times (pa, pb, sizes — each branch re-ran
+    # the document scan + shingle explode + its own distinct
+    # exchange) and paid two tail joins to attach |A| and |B|. Now
+    # the per-doc DISTINCT shingle set is built once as
+    # ``collect_set`` (one exchange on the doc id, map-side partial
+    # dedup — no standalone DISTINCT pass), its size rides along as
+    # ``na``/``nb`` on the re-exploded postings, and the sizes fold
+    # into the verify aggregate as ``min`` (constant per pair) — the
+    # two tail joins are gone. Both posting branches share the one
+    # exchange (ReusedExchange; plan-diff: 3 document scans → 1, 13
+    # Exchanges → 8 on d09's edge build).
+    sets = (
+        _shingle_explode(df, shingles, id_col, text_col)
+        .groupBy(id_col)
+        .agg(F.collect_set("w").alias("__ws"))
+    )
+    pa = sets.select(
+        F.col(id_col).alias("doc_a"),
+        F.size("__ws").alias("na"),
+        F.explode("__ws").alias("w"),
+    )
+    pb = sets.select(
+        F.col(id_col).alias("doc_b"),
+        F.size("__ws").alias("nb"),
+        F.explode("__ws").alias("w"),
+    )
+    # shuffle_hash hints: posting tables are DERIVED from the doc
     # scan (explode/groupBy), and Generate/Aggregate pass the scan's
     # sizeInBytes through — Catalyst can estimate a multi-million-row
     # posting table at the parquet's 2 MB and BROADCAST it (measured:
@@ -267,16 +302,15 @@ def _lsh_verified_pairs(
         .hint("shuffle_hash")
         .join(pb, ["doc_b", "w"])
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
     )
-    za = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
-    zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        common.hint("shuffle_hash").join(za, "doc_a")
-        .hint("shuffle_hash")
-        .join(zb, "doc_b")
-        .filter(jac >= threshold)
+        common.filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -692,8 +726,12 @@ def fuzzy_dedup(
     ).select("doc_a", "doc_b")
 
     clusters = cluster_assignments(edges)
+    # shuffle_hash: both sides exchange on doc_id either way, but the
+    # hint drops the SortMergeJoin's two per-side sorts (cluster rows
+    # exist only for docs in some component — the smaller side builds
+    # the per-partition hash table)
     out = df.select(F.col(id_col).alias("doc_id")).join(
-        clusters, "doc_id", "left"
+        clusters.hint("shuffle_hash"), "doc_id", "left"
     )
     cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     return out.select(
@@ -838,6 +876,14 @@ def duplicated_span_starts(
         F.posexplode(shingle_array(F.col("ws"), ngram)).alias("pos", "gram"),
     )
     if hashed_grams:
+        # scale form: the global count pass shuffles map-side
+        # PARTIAL-aggregated 8-byte gh counts (distinct-per-partition,
+        # far below gram volume), then exact strings are re-counted on
+        # the candidate subset only. A shared-exchange rewrite was
+        # measured AGAINST here (r13): column pruning forks the count
+        # branch into its own exchange anyway, and the "shared" form
+        # loses the partial aggregation — strictly more shuffled
+        # bytes. Kept as-is deliberately.
         hgrams = grams.select(
             F.col(id_col), "pos", "gram", F.xxhash64("gram").alias("gh")
         )
@@ -857,15 +903,22 @@ def duplicated_span_starts(
         return cand.join(
             dup_grams.hint("shuffle_hash"), "gram"
         ).select(id_col, "pos")
-    dup_grams = (
-        grams.groupBy("gram")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= min_count)
-        .select("gram")
+    # r13, string form (the ≤ ~50k-doc side of the size policy): ONE
+    # windowed count over the gram-partitioned rows replaces the
+    # count-aggregate + join-back pair. The old shape generated the
+    # positional grams TWICE (once per branch — two document scans,
+    # two shingle-concat explodes; the Generate is the dominant CPU
+    # here) and paid two exchanges; this generates once and shuffles
+    # once. Plan diff on t13: gram-side Generate ×2 → ×1, Exchanges
+    # 4 → 3. The window buffers one gram's occurrences per group —
+    # bounded at string-form corpus sizes by policy; the hashed branch
+    # above stays the streaming count+join shape for deploy scale.
+    w = Window.partitionBy("gram")
+    return (
+        grams.withColumn("__n", F.count("*").over(w))
+        .filter(F.col("__n") >= min_count)
+        .select(id_col, "pos")
     )
-    return grams.join(
-        dup_grams.hint("shuffle_hash"), "gram"
-    ).select(id_col, "pos")
 
 
 def exact_substring_scrub(
@@ -908,6 +961,11 @@ def _scrub_rebuild(
 ) -> DataFrame:
     """Token cover set + index-lambda rebuild, shared by the inline
     and from-state scrub forms."""
+    # sort_array(collect_set) ≡ the old distinct → sort_array(
+    # collect_list) — same sorted distinct cover array, one exchange
+    # instead of two (the standalone distinct paid its own (id, t)
+    # shuffle before the per-doc collect shuffle), and collect_set
+    # still dedups map-side in the partial aggregate (r13, guide §2.4)
     covered = (
         starts.select(
             F.col(id_col),
@@ -915,9 +973,8 @@ def _scrub_rebuild(
                 F.sequence(F.col("pos"), F.col("pos") + (ngram - 1))
             ).alias("t"),
         )
-        .distinct()
         .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("t")).alias("cov"))
+        .agg(F.sort_array(F.collect_set("t")).alias("cov"))
     )
     return words.join(covered.hint("shuffle_hash"), id_col, "left").select(
         F.col(id_col),
@@ -1271,23 +1328,36 @@ def incremental_dedup_from_state(
         .distinct()
     )
 
-    b_posts = shingle_postings(batch, shingles, id_col, text_col).select(
-        F.col(id_col).alias("__bid"), "w"
+    # r13 (the _lsh_verified_pairs restructure applied to the batch
+    # side): per-doc DISTINCT shingle sets via one collect_set
+    # aggregate — batch text explodes ONCE (the old shape ran the
+    # explode twice: verify join + the b_sizes aggregate) and |B|
+    # rides the postings as ``nb``, folding into the verify aggregate
+    # as min (constant per pair) instead of a tail join. The
+    # corpus-side postings stay as two column-pruned state scans (the
+    # c_sizes aggregate partial-aggregates map-side; different keys,
+    # no shareable exchange).
+    b_sets = (
+        _shingle_explode(batch, shingles, id_col, text_col)
+        .groupBy(id_col)
+        .agg(F.collect_set("w").alias("__ws"))
+    )
+    b_posts = b_sets.select(
+        F.col(id_col).alias("__bid"),
+        F.size("__ws").alias("nb"),
+        F.explode("__ws").alias("w"),
     )
     common = (
         cands.hint("shuffle_hash").join(b_posts, "__bid")
         .hint("shuffle_hash")
         .join(c_posts, ["__cid", "w"])
         .groupBy("__bid", "__cid")
-        .agg(F.count("*").alias("n_common"))
+        .agg(F.count("*").alias("n_common"), F.min("nb").alias("nb"))
     )
-    b_sizes = b_posts.groupBy("__bid").agg(F.count("*").alias("nb"))
     c_sizes = c_posts.groupBy("__cid").agg(F.count("*").alias("nc"))
     jac = F.col("n_common") / (F.col("nb") + F.col("nc") - F.col("n_common"))
     near = (
-        common.hint("shuffle_hash").join(b_sizes, "__bid")
-        .hint("shuffle_hash")
-        .join(c_sizes, "__cid")
+        common.hint("shuffle_hash").join(c_sizes, "__cid")
         .filter(jac >= threshold)
         .select(F.col("__bid").alias(id_col))
         .distinct()

@@ -40,8 +40,30 @@ from __future__ import annotations
 
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+
+def _symmetrized(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected (a, b) edge view: each input edge exploded into both
+    orientations in ONE pass over the edge plan.
+
+    r13 optimization (guide §2.4): the previous form unioned
+    ``edges.select(src, dst)`` with ``edges.select(dst, src)`` — two
+    branches of the SAME (lazy, often expensive) edge plan, so the
+    entire upstream pipeline that produced the edges (e.g. d09's
+    LSH-candidates → Jaccard-verify chain) executed TWICE inside the
+    one symmetrize job. The explode form emits both orientations per
+    input row, so the edge plan executes once per action (measured on
+    d09's build: the sym localCheckpoint dropped ~2× on the edge-plan
+    portion; plan diff: two full LSH subtrees → one + Generate)."""
+    pair = F.explode(
+        F.array(
+            F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+            F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+        )
+    )
+    return edges.select(pair.alias("e")).select("e.a", "e.b")
 
 
 def release_local_checkpoint(df: DataFrame) -> None:
@@ -111,10 +133,7 @@ def connected_components(
     # per iteration — measured 3× the total g01 runtime at sf0.1.
     with _iteration_sized_shuffle(edges, shuffle_partitions):
         sym = (
-            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-            .unionByName(
-                edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-            )
+            _symmetrized(edges, src, dst)
             .distinct()
             .localCheckpoint(eager=True)
         )
@@ -135,6 +154,16 @@ def connected_components(
                 .groupBy("a")
                 .agg(F.min("component").alias("nbr_component"))
             )
+            # Convergence detection rides the SAME job as the label
+            # update (r13, guide §1/§2.4): an Observation on the
+            # pre-projection frame counts label changes while the
+            # checkpoint materializes — the previous separate
+            # convergence job (new ⋈ old on node + filter + count, a
+            # full label-table shuffle join PER ROUND) is gone.
+            # `nbr < component` is exactly `least(...) != component`;
+            # a null nbr (isolated node this round) compares to null
+            # and is not counted.
+            obs = Observation()
             new_labels = (
                 labels.join(
                     neighbor_min, labels.node == neighbor_min.a, "left"
@@ -147,16 +176,18 @@ def connected_components(
                             F.col("nbr_component"), F.col("component")
                         ),
                     ).alias("component"),
+                    (F.col("nbr_component") < F.col("component")).alias(
+                        "__chg"
+                    ),
                 )
+                .observe(
+                    obs,
+                    F.count(F.when(F.col("__chg"), 1)).alias("n_changed"),
+                )
+                .select("node", "component")
+                .localCheckpoint(eager=True)
             )
-            new_labels = new_labels.localCheckpoint(eager=True)
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
-            )
+            changed = obs.get["n_changed"]
             release_local_checkpoint(labels)  # superseded generation
             labels = new_labels
             if changed == 0:
@@ -230,16 +261,17 @@ def _star_rounds(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # one explode pass over the edge plan instead of a two-branch
+    # union (each branch would re-run the full upstream edge build)
     all_nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
+        edges.select(
+            F.explode(F.array(F.col(src), F.col(dst))).alias("node")
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )
     for _ in range(max_rounds):
-        sym = cur.select("u", "v").unionByName(
-            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).select(F.col("u").alias("a"), F.col("v").alias("b"))
+        sym = _symmetrized(cur, "u", "v")
         ls = _large_star(sym)
         dir_edges = (
             ls.select(
@@ -347,8 +379,7 @@ def _bfs_rounds(
     max_hops: int,
 ) -> DataFrame:
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        _symmetrized(edges, src, dst)
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -425,8 +456,9 @@ def pagerank(
     with _iteration_sized_shuffle(edges, shuffle_partitions):
         e = edges.select(src, dst).distinct().localCheckpoint(eager=True)
         nodes = (
-            e.select(F.col(src).alias("node"))
-            .union(e.select(F.col(dst).alias("node")))
+            e.select(
+                F.explode(F.array(F.col(src), F.col(dst))).alias("node")
+            )
             .distinct()
             .localCheckpoint(eager=True)
         )
@@ -573,8 +605,7 @@ def incremental_components_from_state(
         )
     )
     batch_nodes = (
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
+        e.select(F.explode(F.array("u", "v")).alias("node"))
         .distinct()
     )
     new_nodes = batch_nodes.join(

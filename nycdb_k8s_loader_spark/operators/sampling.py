@@ -353,13 +353,23 @@ def token_budget_mixture(
     # exact int64 chain (div = floor division on non-negatives, the
     # same op as DuckDB //): budget = corpus*ppm div 1e6;
     # required_s = budget*share div 1e6; rate = required*1e6 div t_s
+    # r13: corpus_tokens = Σ t_s over the (source-cardinality)
+    # per-source frame — an empty-frame global window — instead of a
+    # second full corpus aggregate crossJoined in (the old shape
+    # scanned + token-counted the corpus twice before the filter pass;
+    # exact int64 either way, same value by associativity of SUM)
+    from pyspark.sql import Window
+
     rates = (
         base.groupBy(source_col)
         .agg(F.sum("n_tokens").alias("t_s"))
-        .crossJoin(
-            F.broadcast(
-                base.agg(F.sum("n_tokens").alias("corpus_tokens"))
-            )
+        .withColumn(
+            "corpus_tokens",
+            F.sum("t_s").over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
         )
         .withColumn("__share", share)
         .select(

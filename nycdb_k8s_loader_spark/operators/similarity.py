@@ -711,15 +711,23 @@ def _cluster_blocks(assigned: DataFrame, max_block_rows: int) -> DataFrame:
     than ~max_block_rows vectors and no GEMM task exceeds
     ``max_block_rows²`` dot products. Input: (vid, v, cid); output:
     (cid, id, u, nb, blk) with u unit-normalized.
+
+    r13: n_c comes from ``count(*) over (partition by cid)`` on the
+    already-cid-partitioned input — ONE pass. The previous
+    groupBy+broadcast-join shape re-executed the whole upstream
+    assignment subtree for the size aggregate (column pruning forks
+    the two branches into distinct exchanges, so exchange reuse never
+    applied). Buffering note: the window groups whole clusters per
+    task — the same colocation the downstream (cid-keyed) block-pair
+    join already forces, so no new skew exposure.
     """
-    sizes = assigned.groupBy("cid").agg(F.count("*").alias("n_c"))
+    w = Window.partitionBy("cid")
     return (
-        assigned.join(F.broadcast(sizes), "cid")
-        .select(
+        assigned.select(
             "cid",
             F.col("vid").alias("id"),
             unit_vec(F.col("v")).alias("u"),
-            F.ceil(F.col("n_c") / F.lit(max_block_rows))
+            F.ceil(F.count("*").over(w) / F.lit(max_block_rows))
             .cast("int")
             .alias("nb"),
         )
@@ -792,6 +800,16 @@ def _semdedup_prune(
     (:func:`_cluster_blocks`), run the d08 GEMM kernel per
     (cluster, block-pair), mark every vector some smaller-id
     same-cluster vector matches at cosine >= threshold."""
+    # r13 (guide §2.4): ONE explicit repartition on cid feeds the
+    # block machinery — window-based sizing (see _cluster_blocks),
+    # packing (cid,blk — clustering satisfied, no further exchange),
+    # and both sides of the block-pair self-join (identical subplans
+    # → the cid exchange is planned once and REUSED, so the
+    # (expensive at scale) centroid-assignment pass runs once for the
+    # whole GEMM stage instead of four times). The keep-mark spine
+    # below stays on the un-repartitioned frame: its pruned (vid,cid)
+    # projection can never share the wide exchange (column pruning
+    # forks it), and vid-partitioning is what its join needs anyway.
     unit = _cluster_blocks(assigned, max_block_rows)
     packed = unit.groupBy("cid", "blk").agg(
         F.collect_list("id").alias("ids"), F.collect_list("u").alias("us")

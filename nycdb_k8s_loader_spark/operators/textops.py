@@ -13,7 +13,7 @@ fingerprint function-SQL text).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -970,13 +970,47 @@ def sentence_dedup(
     sents, inst = _sentence_frames(
         df, id_col, text_col, sep, min_words, hashed_keys
     )
-    dup_keys = (
-        inst.groupBy("k")
-        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("k")
+    if hashed_keys:
+        # production form at deploy scale: map-side partial distinct
+        # on 8-byte keys before the count exchange, streaming join
+        # back — no per-key buffering (a crawl-wide cookie banner can
+        # appear in millions of docs)
+        dup_keys = (
+            inst.groupBy("k")
+            .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+            .filter(F.col("nd") >= min_docs)
+            .select("k")
+        )
+        return _sentence_rebuild(sents, inst, dup_keys, id_col, sep)
+    # r13, string form (the t13 precedent): the distinct-doc count
+    # rides a window over the key-partitioned instance rows — the
+    # sentence posexplode runs ONCE per action instead of once per
+    # branch (count + join-back), and one exchange of the instance
+    # rows replaces the count-aggregate's two plus the join's. The
+    # window buffers one key's distinct doc ids per group — fine at
+    # the corpus sizes the exact-string twin targets (the oracle pin);
+    # the hashed branch above keeps the streaming shape for scale.
+    w = Window.partitionBy("k")
+    removed = (
+        inst.withColumn("__nd", F.size(F.collect_set(F.col(id_col)).over(w)))
+        .filter(F.col("__nd") >= min_docs)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("rp"))
     )
-    return _sentence_rebuild(sents, inst, dup_keys, id_col, sep)
+    return sents.join(removed.hint("shuffle_hash"), id_col, "left").select(
+        F.col(id_col),
+        F.size("ss").alias("n_sentences"),
+        F.coalesce(F.size("rp"), F.lit(0)).alias("n_removed"),
+        F.concat_ws(
+            sep,
+            F.filter(
+                "ss",
+                lambda s, i: ~F.coalesce(
+                    F.array_contains("rp", i), F.lit(False)
+                ),
+            ),
+        ).alias("cleaned_text"),
+    )
 
 
 def _sentence_frames(
@@ -1201,6 +1235,75 @@ COMMON_MULTI_PART_SUFFIXES: tuple[str, ...] = (
     "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
     "co.za", "co.kr", "or.kr", "com.my", "com.sa", "com.eg",
 )
+
+
+def url_registered_domain(
+    url_expr: F.Column,
+    multi_part_suffixes: tuple[str, ...] = COMMON_MULTI_PART_SUFFIXES,
+) -> F.Column:
+    """Registered-domain column expression (the blocklist key) for a
+    lowercased URL column — the exact extraction
+    :func:`url_domain_filter` uses, exposed so fused single-pass
+    pipelines (c07's spine) can broadcast-join the blocklist without
+    re-deriving the whole filter frame (r13, guide §2.4)."""
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_extract(url_expr, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1),
+            r"^www\.", "",
+        ),
+        r":[0-9]+$", "",
+    )
+    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    if multi_part_suffixes:
+        return F.when(
+            last2.isin(*multi_part_suffixes) & (last3 != ""), last3
+        ).otherwise(last2)
+    return last2
+
+
+def url_shape_keep(
+    url_expr: F.Column,
+    blocked_domain: F.Column,
+    blocked_words: tuple[str, ...] = ("casino", "pills", "xxx"),
+    max_url_len: int = 160,
+    max_host_digit_frac: float = 0.30,
+    max_path_depth: int = 8,
+) -> F.Column:
+    """The ``keep`` verdict of :func:`url_domain_filter` as one column
+    expression over a lowercased URL plus an externally-joined
+    blocked-domain flag — identical rule set (length, path depth, host
+    digit fraction, blocked words, blocklist), for fused pipelines."""
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_extract(url_expr, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1),
+            r"^www\.", "",
+        ),
+        r":[0-9]+$", "",
+    )
+    path = F.regexp_extract(
+        url_expr, r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1
+    )
+    host_digits = F.length(F.regexp_replace(host, r"[^0-9]", ""))
+    digit_frac = F.try_divide(host_digits, F.length(host))
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    word_hit = F.lit(False)
+    for w in blocked_words:
+        word_hit = word_hit | url_expr.contains(w)
+    ok_len = F.coalesce(
+        F.length(url_expr) <= max_url_len, F.lit(False)
+    )
+    ok_depth = F.coalesce(depth <= max_path_depth, F.lit(False))
+    ok_digits = F.coalesce(
+        F.round(digit_frac, 4) <= max_host_digit_frac, F.lit(False)
+    )
+    return (
+        ok_len
+        & ok_depth
+        & ok_digits
+        & ~F.coalesce(word_hit, F.lit(False))
+        & ~blocked_domain
+    )
 
 
 def url_domain_filter(

@@ -27,6 +27,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nycdb_k8s_loader_spark.operators.graph import (
+    release_local_checkpoint,
+)
 from nycdb_k8s_loader_spark.operators.sampling import sample_bucket_sql
 from nycdb_k8s_loader_spark.operators.textops import STOPWORDS
 from nycdb_k8s_loader_spark.plans.catalog import register
@@ -887,6 +890,66 @@ _C07_SQL = f"""
     """
 
 
+def _verdict_spine(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The gopher+url attribution spine shared by c07 and the c08/st14
+    funnel — (doc_id, n_tokens_raw, keep_g, keep_u), checkpointed.
+
+    FUSED into one corpus pass (r13, guide §2.4): the url fixture
+    derives from doc_id alone and every url rule is row-local except
+    the blocklist test (a broadcast left join — still map-side), so
+    gopher verdict, url derivation, and url verdict all ride one
+    projection over one documents scan. The previous shape ran the
+    gopher pass TWICE (once per side of a spine join on doc_id) and
+    paid that join's two exchanges; the fused spine has zero
+    exchanges before its checkpoint. ``keep_u`` is NULL for
+    gopher-rejected docs — exactly the old left join's semantics (the
+    url stage never saw those rows)."""
+    import pyspark.sql.functions as F
+
+    from nycdb_k8s_loader_spark.operators.textops import (
+        gopher_quality_rules,
+        url_registered_domain,
+        url_shape_keep,
+    )
+
+    blocklist = spark.createDataFrame(
+        [("badsite.example",)], "domain string"
+    )
+    bl = blocklist.select(
+        F.lower(F.col("domain")).alias("__bl_dom"),
+        F.lit(True).alias("__blocked"),
+    ).distinct()
+    g = gopher_quality_rules(docs).select(
+        "doc_id",
+        F.col("n_words").alias("n_tokens_raw"),
+        F.col("keep").alias("keep_g"),
+    )
+    url = F.lower(F.expr(_T22_URL_SQL))
+    return (
+        g.withColumn("__url", F.when(F.col("keep_g"), url))
+        .withColumn(
+            "__dom",
+            F.when(F.col("keep_g"), url_registered_domain(F.col("__url"))),
+        )
+        .join(
+            F.broadcast(bl), F.col("__dom") == F.col("__bl_dom"), "left"
+        )
+        .select(
+            "doc_id",
+            "n_tokens_raw",
+            "keep_g",
+            F.when(
+                F.col("keep_g"),
+                url_shape_keep(
+                    F.col("__url"),
+                    F.coalesce(F.col("__blocked"), F.lit(False)),
+                ),
+            ).alias("keep_u"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 @register(
     "c07_curation_pipeline_e2e",
     _C07_SQL,
@@ -940,41 +1003,26 @@ def curation_pipeline(
     from nycdb_k8s_loader_spark.operators.sampling import (
         token_budget_mixture,
     )
-    from nycdb_k8s_loader_spark.operators.textops import (
-        gopher_quality_rules,
-        sentence_dedup,
-        url_domain_filter,
-    )
+    from nycdb_k8s_loader_spark.operators.textops import sentence_dedup
 
     docs = _docs(spark, sf_dir)
 
-    # stages 1+2: per-row verdicts. The url fixture derives from
-    # doc_id alone, so the url stage runs on the gopher-survivor ID
-    # frame — no second corpus scan, no join back to documents.
-    g = gopher_quality_rules(docs).select(
-        "doc_id",
-        F.col("n_words").alias("n_tokens_raw"),
-        F.col("keep").alias("keep_g"),
-    )
-    urls = g.filter("keep_g").select(
-        "doc_id", F.expr(_T22_URL_SQL).alias("url")
-    )
-    blocklist = spark.createDataFrame(
-        [("badsite.example",)], "domain string"
-    )
-    u = url_domain_filter(urls, blocked_domains=blocklist).select(
-        "doc_id", F.col("keep").alias("keep_u")
-    )
-    # the attribution spine: one narrow row per input doc. Checkpoint
-    # it — it is consumed by BOTH the survivor fetch and the final
-    # attribution join.
-    spine = g.join(u, "doc_id", "left").localCheckpoint(eager=True)
+    # stages 1+2: the fused gopher+url attribution spine — one corpus
+    # pass, zero pre-checkpoint exchanges (see :func:`_verdict_spine`).
+    spine = _verdict_spine(spark, docs)
 
     surv2 = spine.filter(F.col("keep_g") & F.col("keep_u")).select(
         "doc_id"
     )
-    s2 = docs.join(surv2.hint("shuffle_hash"), "doc_id").select(
-        "doc_id", "text"
+    # checkpoint the survivor fetch (r13): sentence_dedup consumes its
+    # input twice (sentence arrays + instance rows), so a lazy s2
+    # re-ran the corpus scan + survivor join per branch — materialized,
+    # the fetch runs ONCE (the docstring's "survivor text fetch" scan
+    # count is now literal) and is released as soon as stage 3 lands
+    s2 = (
+        docs.join(surv2.hint("shuffle_hash"), "doc_id")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
     )
 
     # stage 3: sentence dedup among survivors (t20's segmentation)
@@ -982,6 +1030,7 @@ def curation_pipeline(
         _pseudo_sentence_docs(s2), min_docs=2, min_words=3,
         hashed_keys=hashed,
     ).localCheckpoint(eager=True)
+    release_local_checkpoint(s2)
 
     # stage 4: exact-substring scrub of the boilerplate-cleaned text
     # (string grams are the oracle pin; the hashed production form
@@ -1575,32 +1624,22 @@ def _incremental_curation(
     )
     from nycdb_k8s_loader_spark.operators.sampling import sample_bucket
     from nycdb_k8s_loader_spark.operators.textops import (
-        gopher_quality_rules,
         sentence_dedup_from_state,
-        url_domain_filter,
     )
 
-    g = gopher_quality_rules(batch).select(
-        "doc_id",
-        F.col("n_words").alias("n_tokens_raw"),
-        F.col("keep").alias("keep_g"),
-    )
-    urls = g.filter("keep_g").select(
-        "doc_id", F.expr(_T22_URL_SQL).alias("url")
-    )
-    blocklist = spark.createDataFrame(
-        [("badsite.example",)], "domain string"
-    )
-    u = url_domain_filter(urls, blocked_domains=blocklist).select(
-        "doc_id", F.col("keep").alias("keep_u")
-    )
-    spine = g.join(u, "doc_id", "left").localCheckpoint(eager=True)
+    # fused gopher+url spine — one batch pass, zero pre-checkpoint
+    # exchanges (see :func:`_verdict_spine`)
+    spine = _verdict_spine(spark, batch)
 
     surv2 = spine.filter(F.col("keep_g") & F.col("keep_u")).select(
         "doc_id"
     )
-    s2 = batch.join(surv2.hint("shuffle_hash"), "doc_id").select(
-        "doc_id", "text", "source"
+    # checkpointed for the same reason as c07's s2: the sentence stage
+    # consumes its input twice (sentence arrays + instance rows)
+    s2 = (
+        batch.join(surv2.hint("shuffle_hash"), "doc_id")
+        .select("doc_id", "text", "source")
+        .localCheckpoint(eager=True)
     )
 
     c3 = sentence_dedup_from_state(
@@ -1609,6 +1648,7 @@ def _incremental_curation(
         min_words=3,
         hashed_keys=hashed,
     ).localCheckpoint(eager=True)
+    release_local_checkpoint(s2)
 
     c4 = exact_substring_scrub_from_state(
         states["st4"],

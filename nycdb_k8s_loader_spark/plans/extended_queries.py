@@ -959,8 +959,17 @@ def g03(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.union(pairs.select(F.col("v").alias("u"),
-                                     F.col("u").alias("v"))).distinct()
+    # symmetrize via one explode pass (r13): the self-union form ran
+    # the orders⋈lineitem pair build twice inside pagerank's edge
+    # checkpoint, and its extra .distinct() duplicated the dedup
+    # pagerank already applies to its edge input
+    both = F.explode(
+        F.array(
+            F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+            F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+        )
+    )
+    edges = pairs.select(both.alias("e")).select("e.u", "e.v")
     return pagerank(edges, iterations=3, damping=0.85, src="u", dst="v")
 
 

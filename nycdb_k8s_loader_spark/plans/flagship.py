@@ -169,7 +169,16 @@ def flagship_bldgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         customer.join(order_dims, customer.c_custkey == order_dims.o_custkey, "left")
         .drop("o_custkey")
-        .join(revenue, customer.c_custkey == revenue.o_custkey, "left")
+        # shuffle_hash: the per-custkey revenue aggregate's size
+        # estimate inherits the orders⋈lineitem join's (too big to
+        # broadcast by stats), leaving a SortMergeJoin; the hint keeps
+        # the same single exchange per side but drops both sorts
+        # (r13, guide §3.1 — pick the strategy deliberately)
+        .join(
+            revenue.hint("shuffle_hash"),
+            customer.c_custkey == revenue.o_custkey,
+            "left",
+        )
         .drop("o_custkey")
         .select(
             "c_custkey",
