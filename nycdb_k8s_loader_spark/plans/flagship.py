@@ -169,16 +169,17 @@ def flagship_bldgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         customer.join(order_dims, customer.c_custkey == order_dims.o_custkey, "left")
         .drop("o_custkey")
-        # shuffle_hash: the per-custkey revenue aggregate's size
-        # estimate inherits the orders⋈lineitem join's (too big to
-        # broadcast by stats), leaving a SortMergeJoin; the hint keeps
-        # the same single exchange per side but drops both sorts
-        # (r13, guide §3.1 — pick the strategy deliberately)
-        .join(
-            revenue.hint("shuffle_hash"),
-            customer.c_custkey == revenue.o_custkey,
-            "left",
-        )
+        # NO join hint here, deliberately (r13, measured): the static
+        # plan is a SortMergeJoin (revenue's size estimate inherits
+        # orders⋈lineitem — too big to broadcast by stats), but at
+        # runtime the per-custkey aggregate is customer-cardinality
+        # and AQE rewrites the join to a broadcast from the measured
+        # shuffle stats. A shuffle_hash hint pins the strategy and
+        # BLOCKS that conversion — measured exec 0.49-0.67 s unhinted
+        # vs 0.75-0.84 s hinted at sf0.1 (BENCH_r13_runA-D). Guide
+        # §3.1's "pick deliberately" includes leaving AQE the room to
+        # pick better from runtime sizes.
+        .join(revenue, customer.c_custkey == revenue.o_custkey, "left")
         .drop("o_custkey")
         .select(
             "c_custkey",
