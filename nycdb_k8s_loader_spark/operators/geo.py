@@ -362,13 +362,27 @@ def _with_bbox(df: DataFrame, wkt: str, vcol: str) -> DataFrame:
     """Parse a WKT column into a vertex ring plus its bounding box —
     the shared pregate frame of every polygon join here (the bbox
     comparisons are the cheap conjunct that must run before any
-    edge/containment/clip expression)."""
-    verts = parse_wkt_polygon(wkt)
-    xs = F.transform(verts, lambda p: p["x"])
-    ys = F.transform(verts, lambda p: p["y"])
-    return df.select(
+    edge/containment/clip expression).
+
+    The parse is FENCED (spark_partition_id barrier — the geo06 clip
+    idiom, see polygon_clip_area_join) and staged through its own
+    projection (r13, guide §2.4/§7.2): unfenced, Catalyst inlines the
+    regexp/split parse tree into every structural reference — ~5
+    copies in the bbox projection and, worse, the inferred
+    ``isnotnull(bbox)`` join constraints get pushed BELOW the
+    projection as a scan-side Filter carrying 4 more copies, so every
+    row pays the parse in two separate operators (per-operator
+    subexpression elimination cannot merge across Filter/Project).
+    Fenced, the parse materializes exactly once per row; the bbox
+    min/max read the materialized array."""
+    verts = F.when(
+        F.spark_partition_id() >= 0, parse_wkt_polygon(wkt)
+    )
+    staged = df.select("*", verts.alias(vcol))
+    xs = F.transform(F.col(vcol), lambda p: p["x"])
+    ys = F.transform(F.col(vcol), lambda p: p["y"])
+    return staged.select(
         "*",
-        verts.alias(vcol),
         F.array_min(xs).alias(f"{vcol}_x0"),
         F.array_max(xs).alias(f"{vcol}_x1"),
         F.array_min(ys).alias(f"{vcol}_y0"),
@@ -1306,14 +1320,18 @@ def concave_union_area_join(
 
 def _with_geom_bbox(df: DataFrame, wkt: str, gcol: str) -> DataFrame:
     """Parse a (MULTI)POLYGON WKT column into the geometry type plus
-    its GLOBAL bounding box — the multipolygon twin of _with_bbox."""
-    geom = parse_wkt_geometry(wkt)
-    verts = F.flatten(F.flatten(geom))
+    its GLOBAL bounding box — the multipolygon twin of _with_bbox
+    (same r13 parse fence, same rationale: one materialized parse per
+    row instead of one per referencing operator)."""
+    geom = F.when(
+        F.spark_partition_id() >= 0, parse_wkt_geometry(wkt)
+    )
+    staged = df.select("*", geom.alias(gcol))
+    verts = F.flatten(F.flatten(F.col(gcol)))
     xs = F.transform(verts, lambda p: p["x"])
     ys = F.transform(verts, lambda p: p["y"])
-    return df.select(
+    return staged.select(
         "*",
-        geom.alias(gcol),
         F.array_min(xs).alias(f"{gcol}_x0"),
         F.array_max(xs).alias(f"{gcol}_x1"),
         F.array_min(ys).alias(f"{gcol}_y0"),
