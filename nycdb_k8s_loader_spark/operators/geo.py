@@ -1245,8 +1245,20 @@ def with_miter_buffer(
     pid = F.spark_partition_id() >= 0
     staged = (
         df.withColumn(
-            "__mb_ring",
-            F.when(pid, _ccw(_open_ring(parse_wkt_polygon(wkt_col)))),
+            # r13: the raw parse gets its OWN fenced stage.  Composed
+            # as _ccw(_open_ring(parse(...))) in one expression,
+            # _open_ring references its input 4x and _ccw 3x more, so
+            # the regexp/split/cast parse tree was cloned ~50x into
+            # the single (non-codegen, no-CSE) Project — the geo13
+            # plan showed exactly that. Staged, every downstream
+            # reference binds to the materialized attribute.
+            "__mb_verts", F.when(pid, parse_wkt_polygon(wkt_col))
+        )
+        .withColumn(
+            "__mb_open", F.when(pid, _open_ring(F.col("__mb_verts")))
+        )
+        .withColumn(
+            "__mb_ring", F.when(pid, _ccw(F.col("__mb_open")))
         )
         .withColumn(
             "__mb_edges", F.when(pid, _ring_edges(F.col("__mb_ring")))
@@ -1266,7 +1278,7 @@ def with_miter_buffer(
             pid,
             F.zip_with(F.col("__mb_prev"), edges, _miter_join_fn(r)),
         ),
-    ).drop("__mb_ring", "__mb_edges", "__mb_prev")
+    ).drop("__mb_verts", "__mb_open", "__mb_ring", "__mb_edges", "__mb_prev")
 
 
 def concave_union_area_join(

@@ -4471,6 +4471,58 @@ class TestMultipolygonGeometry:
         )
         assert got[4] == _pytest.approx(4.5 * 2.5)
 
+    def test_with_miter_buffer_staged_single_parse(self, spark):
+        """r13 regression pin: the staged form materializes the WKT
+        parse exactly ONCE (its first stage composed
+        _ccw(_open_ring(parse(...))) in one expression and the
+        non-codegen, no-CSE Project cloned the regexp/split parse tree
+        ~50x — geo13 measured x5 slower). Asserts (a) plan shape: one
+        regexp_extract total; (b) result identity with the expression
+        form on the miter fixture."""
+        import math
+
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from nycdb_k8s_loader_spark.operators.geo import (
+            miter_buffer_ring,
+            parse_wkt_polygon,
+            ring_area,
+            with_miter_buffer,
+        )
+
+        rows = [
+            (1, "POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))", 0.25),
+            (2, "POLYGON ((0 0, 0 2, 4 2, 4 0, 0 0))", 0.25),
+            (3, "POLYGON ((2 0, 0 2, -2 0, 0 -2, 2 0))", 0.5),
+        ]
+        df = spark.createDataFrame(
+            rows, "pid long, wkt string, r double"
+        )
+        staged = with_miter_buffer(
+            df, "wkt", F.col("r"), out_col="__b"
+        ).select("pid", ring_area(F.col("__b")).alias("a"))
+        plan = staged._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("regexp_extract") == 1, (
+            "staged miter buffer must parse the WKT exactly once; got "
+            f"{plan.count('regexp_extract')} parse sites"
+        )
+        got = {r["pid"]: r["a"] for r in staged.collect()}
+        expr = F.when(
+            F.spark_partition_id() >= 0,
+            miter_buffer_ring(parse_wkt_polygon("wkt"), F.col("r")),
+        )
+        want = {
+            r["pid"]: r["a"]
+            for r in df.withColumn("__b", expr)
+            .select("pid", ring_area(F.col("__b")).alias("a"))
+            .collect()
+        }
+        assert got == _pytest.approx(want)
+        assert got[3] == _pytest.approx(
+            2 * (2 + 0.5 * math.sqrt(2)) ** 2
+        )
+
     def test_shapefile_to_operators_e2e(self, spark):
         """The source and the consumers finally meet: a type-5 shape
         with a hole and an island round-trips through parse_shp's
