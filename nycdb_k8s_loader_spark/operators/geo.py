@@ -991,6 +991,7 @@ def _fan_clip_area_tail(
     group_cols: list[str],
     area_col: str,
     round_dp: int | None,
+    keep_all_pairs: bool = False,
 ) -> DataFrame:
     """The shared candidate-pair → intersection-area tail of the
     concave clip joins (:func:`concave_clip_area_join` broadcast
@@ -999,7 +1000,16 @@ def _fan_clip_area_tail(
     fan triangles, ring-bbox pregate, the fenced geo06 fold per
     surviving row, one map-side-combinable int64 fixed-point sum,
     positive-overlap filter on the UNROUNDED sum.  ``cand`` must
-    carry the ``__gp``/``__gc`` parsed-geometry columns."""
+    carry the ``__gp``/``__gc`` parsed-geometry columns.
+
+    ``keep_all_pairs=True`` (r13, for :func:`concave_union_area_join`'s
+    single-pass form) keeps EVERY candidate pair in the output with
+    ``area_col`` = 0.0 where the intersection sum is absent or
+    non-positive — exactly the value the old two-pass union recovered
+    via ``coalesce(left-join, 0)``.  The pregate then moves from a
+    row filter into the fold's guard (same rows skipped, nothing
+    dropped from the groupBy) and the explodes go outer so a
+    degenerate empty geometry cannot delete its pair."""
     subj_rings = _signed_clip_rings(F.col("__gp"))
     tris_b = _signed_fan_triangles(F.col("__gc"))
     # the same CollapseProject fence as multipolygon_clip_area_join:
@@ -1021,6 +1031,40 @@ def _fan_clip_area_tail(
     area = F.col("__sum_micro") / F.lit(1e8)
     if round_dp is not None:
         area = F.round(area, round_dp)
+    pregate = _ring_bbox_overlap(
+        F.col("__sr").getField("ring"),
+        F.col("__tb").getField("ring"),
+    )
+    if keep_all_pairs:
+        # every candidate pair must survive to the output: the
+        # pregate guards the fold instead of filtering rows (a
+        # skipped row's term is NULL, which SUM ignores — the exact
+        # semantics the row filter had), the explodes go outer, and
+        # a pair with no positive sum reports 0.0 — the value the
+        # two-pass union's coalesce(left-join, 0) produced.
+        guarded_clip = F.when(
+            pregate & (F.spark_partition_id() >= 0),
+            convex_clip_ring(
+                F.col("__sr").getField("ring"),
+                F.col("__tb").getField("ring"),
+            ),
+        )
+        return (
+            cand
+            .withColumn("__sr", F.explode_outer(subj_rings))
+            .withColumn("__tb", F.explode_outer(tris_b))
+            .withColumn("__clipped", guarded_clip)
+            .withColumn("__term", term)
+            .groupBy(*group_cols)
+            .agg(F.sum("__term").alias("__sum_micro"))
+            .withColumn(
+                area_col,
+                F.when(F.col("__sum_micro") > 0, area).otherwise(
+                    F.lit(0.0)
+                ),
+            )
+            .drop("__sum_micro")
+        )
     return (
         cand
         .withColumn("__sr", F.explode(subj_rings))
@@ -1029,12 +1073,7 @@ def _fan_clip_area_tail(
         # clips to area 0, so the filter never changes the signed
         # sum — it just keeps the interpreted clip fold off rows
         # that would contribute nothing
-        .filter(
-            _ring_bbox_overlap(
-                F.col("__sr").getField("ring"),
-                F.col("__tb").getField("ring"),
-            )
-        )
+        .filter(pregate)
         .withColumn("__clipped", fenced_clip)
         .withColumn("__term", term)
         .groupBy(*group_cols)
@@ -1299,33 +1338,37 @@ def concave_union_area_join(
     pairwise-union consumer asks about — a global cascaded union is a
     different operator: iterate merge rounds or use Sedona).  Same
     grouping corollary as the clip join: keep unique ids."""
-    inter = concave_clip_area_join(
-        polys, clips, wkt_col=wkt_col, clip_wkt_col=clip_wkt_col,
-        area_col="__inter", round_dp=None,
-    )
-    # disjoint-but-bbox-overlapping pairs fall out of the clip join's
-    # positive-area filter; recover them with a left join on the full
-    # bbox candidate set so union = a + b for those
+    # r13 single-pass form (guide §2.4/§7.2): the old shape ran the
+    # bbox candidate join TWICE — once inside concave_clip_area_join
+    # for the intersection and once here for the a/b areas — then
+    # re-attached them with a third (left) join, so both sides were
+    # scanned and WKT-parsed twice (geo12's plan: 8 scans, 4 parse
+    # sites).  One candidate join now carries the per-side areas into
+    # the shared fan-clip tail in keep-all-pairs mode, whose 0.0 for
+    # absent/non-positive sums is exactly the old coalesce(left-join,
+    # 0) value — union = a + b − inter in one pass.
     p = _with_geom_bbox(polys, wkt_col, "__gp")
     c = _with_geom_bbox(clips, clip_wkt_col, "__gc")
+    keys = list(polys.columns) + list(clips.columns)
     cand = (
         p.join(F.broadcast(c), _bbox_overlap("__gp", "__gc"), "inner")
         .select(
-            *polys.columns,
-            *clips.columns,
+            *keys,
             multipolygon_area(F.col("__gp")).alias("__a"),
             multipolygon_area(F.col("__gc")).alias("__b"),
+            "__gp",
+            "__gc",
         )
     )
-    keys = list(polys.columns) + list(clips.columns)
-    area = (
-        F.col("__a") + F.col("__b") - F.coalesce("__inter", F.lit(0.0))
+    joined = _fan_clip_area_tail(
+        cand, keys + ["__a", "__b"], "__inter", None,
+        keep_all_pairs=True,
     )
+    area = F.col("__a") + F.col("__b") - F.col("__inter")
     if round_dp is not None:
         area = F.round(area, round_dp)
     return (
-        cand.join(inter, keys, "left")
-        .withColumn(area_col, area)
+        joined.withColumn(area_col, area)
         .drop("__a", "__b", "__inter")
     )
 

@@ -4418,11 +4418,22 @@ class TestMultipolygonGeometry:
         clips = spark.createDataFrame(
             [("L", l_wkt)], "cid string, clip_wkt string"
         )
-        got = {
-            r["pid"]: r["union_area"]
-            for r in concave_union_area_join(subs, clips).collect()
-        }
+        out = concave_union_area_join(subs, clips)
+        got = {r["pid"]: r["union_area"] for r in out.collect()}
         assert got == {1: 13.0, 2: 13.0}
+        # r13 single-pass pin: ONE candidate join total — the old
+        # two-pass form ran the bbox join twice (intersection pass +
+        # a/b-area pass) and re-attached them with a third left join,
+        # scanning and parsing both sides twice.
+        # (logical plan: the executed-plan string under AQE prints
+        # Final + Initial sections and double-counts)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        n_joins = sum(
+            line.strip().startswith("Join ")
+            or line.lstrip("+-: ").startswith("Join ")
+            for line in plan.splitlines()
+        )
+        assert n_joins == 1, f"union must be single-pass; got {n_joins} joins"
 
     def test_miter_buffer_ring(self, spark):
         """Exact miter offsets: a square grows by r each side; a
