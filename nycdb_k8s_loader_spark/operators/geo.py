@@ -243,6 +243,37 @@ def point_in_polygon(px: Column, py: Column, verts: Column) -> Column:
     return (total % 2) == 1
 
 
+def _pip_edges(px: Column, py: Column, edges: Column) -> Column:
+    """:func:`point_in_polygon` over a PRECOMPUTED edge array
+    (:func:`_ring_edges` output) — the same ray-cast parity, but the
+    per-evaluation ring work (open-ring slice, rotate concat, zip)
+    is gone: one allocation-free fold over the edge structs.
+
+    Join conditions are re-evaluated per CANDIDATE PAIR, so a
+    broadcast tagging join paid the ring→edges rebuild |polygons|
+    times per point (r13 measure); with edges hoisted into each
+    side's projection it is paid once per ROW. Exactly equivalent:
+    ``_ring_edges`` enumerates the same (u, v) pairs the inline
+    zip built, and NULL/degenerate rings propagate identically
+    (NULL edges → NULL parity, empty edges → 0 crossings)."""
+    total = F.aggregate(
+        edges,
+        F.lit(0),
+        lambda acc, e: acc
+        + (
+            ((e["y1"] > py) != (e["y2"] > py))
+            & (
+                px
+                < (e["x2"] - e["x1"])
+                * (py - e["y1"])
+                / (e["y2"] - e["y1"])
+                + e["x1"]
+            )
+        ).cast("int"),
+    )
+    return (total % 2) == 1
+
+
 def _open_ring(r: Column) -> Column:
     """Strip the WKT duplicate closing vertex if present — every ring
     consumer here is wraparound-inclusive, so open and closed inputs
@@ -327,34 +358,49 @@ def polygons_intersect(verts_a: Column, verts_b: Column) -> Column:
     case — oracle fixtures keep geometry off those measure-zero
     configurations.
     """
-    ea, eb = _ring_edges(verts_a), _ring_edges(verts_b)
+    return _polygons_intersect_edges(
+        _ring_edges(verts_a), _ring_edges(verts_b), verts_a, verts_b
+    )
 
+
+def _proper_cross(e1, e2) -> Column:
+    """Strict double-orientation segment-crossing test over two edge
+    structs — the shared core of every intersection predicate here."""
     def orient(ax, ay, bx, by, cx, cy):
         return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
 
-    def proper_cross(e1, e2):
-        d1 = orient(
-            e1["x1"], e1["y1"], e1["x2"], e1["y2"], e2["x1"], e2["y1"]
-        )
-        d2 = orient(
-            e1["x1"], e1["y1"], e1["x2"], e1["y2"], e2["x2"], e2["y2"]
-        )
-        d3 = orient(
-            e2["x1"], e2["y1"], e2["x2"], e2["y2"], e1["x1"], e1["y1"]
-        )
-        d4 = orient(
-            e2["x1"], e2["y1"], e2["x2"], e2["y2"], e1["x2"], e1["y2"]
-        )
-        return ((d1 * d2) < 0) & ((d3 * d4) < 0)
+    d1 = orient(
+        e1["x1"], e1["y1"], e1["x2"], e1["y2"], e2["x1"], e2["y1"]
+    )
+    d2 = orient(
+        e1["x1"], e1["y1"], e1["x2"], e1["y2"], e2["x2"], e2["y2"]
+    )
+    d3 = orient(
+        e2["x1"], e2["y1"], e2["x2"], e2["y2"], e1["x1"], e1["y1"]
+    )
+    d4 = orient(
+        e2["x1"], e2["y1"], e2["x2"], e2["y2"], e1["x2"], e1["y2"]
+    )
+    return ((d1 * d2) < 0) & ((d3 * d4) < 0)
 
+
+def _polygons_intersect_edges(
+    ea: Column, eb: Column, verts_a: Column, verts_b: Column
+) -> Column:
+    """:func:`polygons_intersect` over PRECOMPUTED edge arrays — the
+    hoisted form the broadcast joins evaluate per candidate pair:
+    both containment ray-casts fold over the already-built edges
+    (:func:`_pip_edges`), so a condition evaluation allocates
+    nothing. ``verts_a``/``verts_b`` supply only the representative
+    vertices for the mutual-containment branch."""
     edge_cross = F.exists(
-        ea, lambda e1: F.exists(eb, lambda e2: proper_cross(e1, e2))
+        ea, lambda e1: F.exists(eb, lambda e2: _proper_cross(e1, e2))
     )
     a0, b0 = verts_a[0], verts_b[0]
     return (
         edge_cross
-        | point_in_polygon(b0["x"], b0["y"], verts_a)
-        | point_in_polygon(a0["x"], a0["y"], verts_b)
+        | _pip_edges(b0["x"], b0["y"], ea)
+        | _pip_edges(a0["x"], a0["y"], eb)
     )
 
 
@@ -421,10 +467,21 @@ def polygon_intersection_join(
     if overlap:
         raise ValueError(f"rename overlapping columns first: {overlap}")
 
-    a = _with_bbox(polys_a, wkt_a, "__va")
-    b = _with_bbox(polys_b, wkt_b, "__vb")
+    # r13: hoist each side's ring→edges build into its projection —
+    # the condition re-evaluates per candidate pair, so the inline
+    # form rebuilt BOTH edge arrays per bbox-surviving pair; hoisted,
+    # each row pays it once and the predicate folds allocation-free
+    # (_polygons_intersect_edges).
+    a = _with_bbox(polys_a, wkt_a, "__va").withColumn(
+        "__va_e", _ring_edges(F.col("__va"))
+    )
+    b = _with_bbox(polys_b, wkt_b, "__vb").withColumn(
+        "__vb_e", _ring_edges(F.col("__vb"))
+    )
     bbox = _bbox_overlap("__va", "__vb")
-    cond = bbox & polygons_intersect(F.col("__va"), F.col("__vb"))
+    cond = bbox & _polygons_intersect_edges(
+        F.col("__va_e"), F.col("__vb_e"), F.col("__va"), F.col("__vb")
+    )
     hidden = [c for c in a.columns + b.columns if c.startswith("__v")]
     return b.join(F.broadcast(a), cond, "inner").drop(*hidden)
 
@@ -497,6 +554,17 @@ def polygon_intersection_join_binned(
         F.col("__va_cy")
         == F.floor(F.greatest("__va_y0", "__vb_y0") / cell)
     )
+    # r13, tried and REVERTED on measurement (guide §1.1): staging
+    # the residual's edge arrays into their own fenced per-candidate
+    # columns (the geo06/geo10 hoist) measured ×0.89 HERE — each
+    # candidate row evaluates the predicate exactly once either way,
+    # so the stage saved only two small ring-builds while adding two
+    # interpreted (fence-carrying) projections and the UnsafeRow
+    # materialization of both edge arrays between them. The hoist
+    # pays where a row's structures are re-evaluated MANY times
+    # (broadcast conditions: |polys| evaluations/row) or where
+    # normalization re-ran per pair inside the fold (geo06/10/11/14);
+    # here once-per-row inline is the cheaper shape.
     isect = F.when(
         F.spark_partition_id() >= 0,
         polygons_intersect(F.col("__va"), F.col("__vb")),
@@ -558,9 +626,23 @@ def convex_clip_ring(subject: Column, clip: Column) -> Column:
     precondition (district/boundary rings in this domain are
     rectangles or convex simplifications; general concave∩concave is
     the documented Sedona path)."""
+    return convex_clip_ring_pre(
+        _ccw(_open_ring(subject)),
+        _ring_edges(_ccw(_open_ring(clip))),
+    )
 
-    subj = _ccw(_open_ring(subject))
-    clip_edges = _ring_edges(_ccw(_open_ring(clip)))
+
+def convex_clip_ring_pre(subj: Column, clip_edges: Column) -> Column:
+    """:func:`convex_clip_ring` with the per-evaluation normalization
+    hoisted out: ``subj`` must already be OPEN and CCW
+    (``_ccw(_open_ring(...))``) and ``clip_edges`` the edge array of
+    the open CCW clip ring. The clip joins evaluate the fold once per
+    candidate pair/term, so normalizing there re-ran two shoelace
+    folds plus ring slice/concat allocations per pair (r13 measure);
+    hoisted into each side's per-ROW projection the pair evaluation
+    is the Sutherland–Hodgman fold alone. Equivalent by idempotence:
+    ``_open_ring``/``_ccw`` are no-ops on already-normalized rings,
+    so pre-normalized inputs produce bit-identical output."""
 
     def signed_dist(e, v):
         # > 0 strictly left of directed edge (inside for CCW rings)
@@ -615,8 +697,27 @@ def polygon_clip_area_join(
     if overlap:
         raise ValueError(f"rename overlapping columns first: {overlap}")
 
-    p = _with_bbox(polys, wkt_col, "__vp")
-    c = _with_bbox(clips, clip_wkt_col, "__vc")
+    # r13: each side's ring normalization is hoisted into its own
+    # fenced per-ROW projection — the fold below re-evaluates once
+    # per bbox-surviving pair, and the un-hoisted form re-ran
+    # open/CCW (two shoelace folds + slice/concat allocations) per
+    # pair on both rings. The fence keeps CollapseProject from
+    # inlining the (single-consumer, non-cheap) normalize back into
+    # the per-pair fold expression.
+    p = _with_bbox(polys, wkt_col, "__vp").withColumn(
+        "__vp_n",
+        F.when(
+            F.spark_partition_id() >= 0,
+            _ccw(_open_ring(F.col("__vp"))),
+        ),
+    )
+    c = _with_bbox(clips, clip_wkt_col, "__vc").withColumn(
+        "__vc_e",
+        F.when(
+            F.spark_partition_id() >= 0,
+            _ring_edges(_ccw(_open_ring(F.col("__vc")))),
+        ),
+    )
     bbox = _bbox_overlap("__vp", "__vc")
     # Pushdown BARRIER, load-bearing twice over. (1) Without it
     # Catalyst pushes the `area > 0` filter into the nested-loop join
@@ -633,7 +734,7 @@ def polygon_clip_area_join(
     # value is always the fold (partition ids are never negative).
     fenced_clip = F.when(
         F.spark_partition_id() >= 0,
-        convex_clip_ring(F.col("__vp"), F.col("__vc")),
+        convex_clip_ring_pre(F.col("__vp_n"), F.col("__vc_e")),
     )
     area = ring_area(F.col("__clipped"))
     if round_dp is not None:
@@ -662,16 +763,43 @@ def tag_points_with_polygons(
     frame BROADCASTS and containment evaluates inside the scan stage
     of the points — zero shuffle of the point side. For huge polygon
     sets, pre-bin both sides on a grid first (radius_self_join's
-    pattern) before the residual containment test."""
+    pattern) before the residual containment test.
+
+    r13 (guide §1.2 per-task work): the broadcast side carries the
+    polygon's BBOX and PRECOMPUTED edge array — the join condition
+    is evaluated once per (point, polygon) pair, so the bbox
+    conjunct short-circuits the ray-cast for every pair outside the
+    box (the geo05 cheap-conjunct idiom, previously missing here)
+    and the surviving folds run allocation-free over the hoisted
+    edges (:func:`_pip_edges`). Equivalence: ray-cast-inside implies
+    strictly within the bbox (outside [y0,y1] no edge straddles the
+    ray; right of x1 no intersection lies right of the point; left
+    of x0 every straddling edge counts — even parity), so the added
+    conjunct never changes the predicate; NULL/junk parses propagate
+    NULL exactly as before."""
     polys = polygons.select(
         *tag_cols, parse_wkt_polygon(wkt_col).alias("__verts")
     )
-    joined = points.join(
-        F.broadcast(polys),
-        point_in_polygon(F.col(x_col), F.col(y_col), F.col("__verts")),
-        "left",
+    xs = F.transform(F.col("__verts"), lambda p: p["x"])
+    ys = F.transform(F.col("__verts"), lambda p: p["y"])
+    pp = polys.select(
+        *tag_cols,
+        _ring_edges(F.col("__verts")).alias("__edges"),
+        F.array_min(xs).alias("__bx0"),
+        F.array_max(xs).alias("__bx1"),
+        F.array_min(ys).alias("__by0"),
+        F.array_max(ys).alias("__by1"),
     )
-    return joined.drop("__verts")
+    px, py = F.col(x_col), F.col(y_col)
+    cond = (
+        (px >= F.col("__bx0"))
+        & (px <= F.col("__bx1"))
+        & (py >= F.col("__by0"))
+        & (py <= F.col("__by1"))
+        & _pip_edges(px, py, F.col("__edges"))
+    )
+    joined = points.join(F.broadcast(pp), cond, "left")
+    return joined.drop("__edges", "__bx0", "__bx1", "__by0", "__by1")
 
 
 # --- MULTIPOLYGON + interior rings (holes): the geometry tail ----------------
@@ -780,47 +908,82 @@ def multipolygons_intersect(polys_a: Column, polys_b: Column) -> Column:
     component lies inside the other shape — a donut-with-exclave vs
     a square around only the exclave — has no edge crossings and its
     first component outside (ADVICE r9)."""
-    ea = F.flatten(
-        F.transform(F.flatten(polys_a), lambda r: _ring_edges(r))
+    return _multipolygons_intersect_edges(
+        _flat_geom_edges(polys_a),
+        _flat_geom_edges(polys_b),
+        _geom_poly_edges(polys_a),
+        _geom_poly_edges(polys_b),
+        polys_a,
+        polys_b,
     )
-    eb = F.flatten(
-        F.transform(F.flatten(polys_b), lambda r: _ring_edges(r))
+
+
+def _flat_geom_edges(geom: Column) -> Column:
+    """All edges of every ring of a holed multipolygon, flattened —
+    the edge-cross side of the intersection predicate, precomputable
+    once per row (:func:`_multipolygons_intersect_edges`)."""
+    return F.flatten(
+        F.transform(F.flatten(geom), lambda r: _ring_edges(r))
     )
 
-    def orient(ax, ay, bx, by, cx, cy):
-        return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
 
-    def proper_cross(e1, e2):
-        d1 = orient(
-            e1["x1"], e1["y1"], e1["x2"], e1["y2"], e2["x1"], e2["y1"]
-        )
-        d2 = orient(
-            e1["x1"], e1["y1"], e1["x2"], e1["y2"], e2["x2"], e2["y2"]
-        )
-        d3 = orient(
-            e2["x1"], e2["y1"], e2["x2"], e2["y2"], e1["x1"], e1["y1"]
-        )
-        d4 = orient(
-            e2["x1"], e2["y1"], e2["x2"], e2["y2"], e1["x2"], e1["y2"]
-        )
-        return ((d1 * d2) < 0) & ((d3 * d4) < 0)
+def _geom_poly_edges(geom: Column) -> Column:
+    """Per-component edge structure of a holed multipolygon:
+    ``array<struct<oe: edges(outer), he: array<edges(hole)>>>`` — the
+    containment side of the predicate, precomputable once per row so
+    :func:`_mp_contains_edges` folds without rebuilding rings."""
+    return F.transform(
+        geom,
+        lambda rings: F.struct(
+            _ring_edges(rings[0]).alias("oe"),
+            F.transform(
+                _holes(rings), lambda h: _ring_edges(h)
+            ).alias("he"),
+        ),
+    )
 
+
+def _mp_contains_edges(px: Column, py: Column, pe: Column) -> Column:
+    """:func:`multipolygon_contains` over the precomputed
+    :func:`_geom_poly_edges` structure: inside SOME component's outer
+    edges and not inside any of that component's hole edges."""
+    return F.exists(
+        pe,
+        lambda p: _pip_edges(px, py, p["oe"])
+        & ~F.exists(p["he"], lambda h: _pip_edges(px, py, h)),
+    )
+
+
+def _multipolygons_intersect_edges(
+    fa: Column,
+    fb: Column,
+    pa: Column,
+    pb: Column,
+    polys_a: Column,
+    polys_b: Column,
+) -> Column:
+    """:func:`multipolygons_intersect` over precomputed structures:
+    ``fa``/``fb`` the flat edge arrays (:func:`_flat_geom_edges`),
+    ``pa``/``pb`` the per-component edge structures
+    (:func:`_geom_poly_edges`); the raw geometries supply only the
+    per-component representative vertices. Hoisted into each join
+    side's projection, a condition evaluation rebuilds nothing."""
     edge_cross = F.exists(
-        ea, lambda e1: F.exists(eb, lambda e2: proper_cross(e1, e2))
+        fa, lambda e1: F.exists(fb, lambda e2: _proper_cross(e1, e2))
     )
 
-    def any_component_inside(polys: Column, other: Column) -> Column:
+    def any_component_inside(polys: Column, other_pe: Column) -> Column:
         return F.exists(
             polys,
-            lambda rings: multipolygon_contains(
-                rings[0][0]["x"], rings[0][0]["y"], other
+            lambda rings: _mp_contains_edges(
+                rings[0][0]["x"], rings[0][0]["y"], other_pe
             ),
         )
 
     return (
         edge_cross
-        | any_component_inside(polys_b, polys_a)
-        | any_component_inside(polys_a, polys_b)
+        | any_component_inside(polys_b, pa)
+        | any_component_inside(polys_a, pb)
     )
 
 
@@ -914,6 +1077,44 @@ def _signed_fan_triangles(geom: Column) -> Column:
         return F.filter(tris, lambda t: t["w"] != 0)
 
     return F.flatten(F.transform(_signed_clip_rings(geom), tris_of))
+
+
+def _enrich_subj_ring(sr: Column) -> Column:
+    """(ring, sign) → (ring=open+CCW ring, sign, x0,x1,y0,y1) — the
+    per-element precompute for :func:`_fan_clip_area_tail`'s subject
+    side: normalization and bbox happen once per ring at array-build
+    time, not once per exploded (ring, triangle) row. The bbox reads
+    the RAW ring — open/CCW never change the vertex set."""
+    r = sr["ring"]
+    xs = F.transform(r, lambda p: p["x"])
+    ys = F.transform(r, lambda p: p["y"])
+    return F.struct(
+        _ccw(_open_ring(r)).alias("ring"),
+        sr["sign"].alias("sign"),
+        F.array_min(xs).alias("x0"),
+        F.array_max(xs).alias("x1"),
+        F.array_min(ys).alias("y0"),
+        F.array_max(ys).alias("y1"),
+    )
+
+
+def _enrich_fan_tri(t: Column) -> Column:
+    """(ring, w) → (edges=edges of the CCW triangle, w, x0,x1,y0,y1)
+    — the clip-side precompute for :func:`_fan_clip_area_tail`: the
+    fan triangle [o, u, v] is open by construction (degenerate fans
+    are already filtered by w≠0), so CCW + edge enumeration here is
+    exactly what the fold's internal normalize recomputed per row."""
+    r = t["ring"]
+    xs = F.transform(r, lambda p: p["x"])
+    ys = F.transform(r, lambda p: p["y"])
+    return F.struct(
+        _ring_edges(_ccw(r)).alias("edges"),
+        t["w"].alias("w"),
+        F.array_min(xs).alias("x0"),
+        F.array_max(xs).alias("x1"),
+        F.array_min(ys).alias("y0"),
+        F.array_max(ys).alias("y1"),
+    )
 
 
 def _ring_bbox_overlap(a: Column, b: Column) -> Column:
@@ -1010,16 +1211,31 @@ def _fan_clip_area_tail(
     row filter into the fold's guard (same rows skipped, nothing
     dropped from the groupBy) and the explodes go outer so a
     degenerate empty geometry cannot delete its pair."""
-    subj_rings = _signed_clip_rings(F.col("__gp"))
-    tris_b = _signed_fan_triangles(F.col("__gc"))
+    # r13 (per-EVALUATION → per-ELEMENT hoist): the exploded structs
+    # carry their ring bbox, the subject ring pre-normalized
+    # (open+CCW) and the triangle's normalized EDGES — all computed
+    # once per array element at Generate time instead of once per
+    # exploded row: the pregate is plain field comparisons and the
+    # fold is Sutherland–Hodgman alone (convex_clip_ring_pre), with
+    # no per-row re-normalization or bbox array scans. Equivalent:
+    # open/CCW never change a ring's vertex SET (bbox identical) and
+    # are idempotent (the fold's internal normalize was computing
+    # exactly these), and a degenerate/NULL ring yields NULL bbox →
+    # NULL pregate → row filtered / fold skipped, as before.
+    subj_rings = F.transform(
+        _signed_clip_rings(F.col("__gp")), _enrich_subj_ring
+    )
+    tris_b = F.transform(
+        _signed_fan_triangles(F.col("__gc")), _enrich_fan_tri
+    )
     # the same CollapseProject fence as multipolygon_clip_area_join:
     # ring_area's structural references must bind to the __clipped
     # ATTRIBUTE, not inline copies of the clip fold
     fenced_clip = F.when(
         F.spark_partition_id() >= 0,
-        convex_clip_ring(
+        convex_clip_ring_pre(
             F.col("__sr").getField("ring"),
-            F.col("__tb").getField("ring"),
+            F.col("__tb").getField("edges"),
         ),
     )
     term = (
@@ -1031,9 +1247,12 @@ def _fan_clip_area_tail(
     area = F.col("__sum_micro") / F.lit(1e8)
     if round_dp is not None:
         area = F.round(area, round_dp)
-    pregate = _ring_bbox_overlap(
-        F.col("__sr").getField("ring"),
-        F.col("__tb").getField("ring"),
+    sr, tb = F.col("__sr"), F.col("__tb")
+    pregate = (
+        (sr.getField("x0") < tb.getField("x1"))
+        & (tb.getField("x0") < sr.getField("x1"))
+        & (sr.getField("y0") < tb.getField("y1"))
+        & (tb.getField("y0") < sr.getField("y1"))
     )
     if keep_all_pairs:
         # every candidate pair must survive to the output: the
@@ -1044,9 +1263,9 @@ def _fan_clip_area_tail(
         # two-pass union's coalesce(left-join, 0) produced.
         guarded_clip = F.when(
             pregate & (F.spark_partition_id() >= 0),
-            convex_clip_ring(
+            convex_clip_ring_pre(
                 F.col("__sr").getField("ring"),
-                F.col("__tb").getField("ring"),
+                F.col("__tb").getField("edges"),
             ),
         )
         return (
@@ -1405,18 +1624,38 @@ def tag_points_with_multipolygons(
     """tag_points_with_polygons for holed/multi geometry: left-tag
     each point with the containing multipolygon (NULL when none).
     Boundary sets broadcast parsed; containment evaluates inside the
-    points' scan stage — zero shuffle of the point side."""
+    points' scan stage — zero shuffle of the point side.
+
+    r13: the broadcast side carries the geometry's GLOBAL bbox and
+    the per-component edge structure (:func:`_geom_poly_edges`) —
+    the bbox conjunct short-circuits per-pair evaluation (contained
+    ⟹ inside some outer ring ⟹ within the global bbox, so it never
+    changes the predicate) and surviving ray-casts fold over hoisted
+    edges instead of rebuilding every ring per pair."""
     polys = polygons.select(
         *tag_cols, parse_wkt_geometry(wkt_col).alias("__geom")
     )
-    joined = points.join(
-        F.broadcast(polys),
-        multipolygon_contains(
-            F.col(x_col), F.col(y_col), F.col("__geom")
-        ),
-        "left",
+    verts = F.flatten(F.flatten(F.col("__geom")))
+    xs = F.transform(verts, lambda p: p["x"])
+    ys = F.transform(verts, lambda p: p["y"])
+    pp = polys.select(
+        *tag_cols,
+        _geom_poly_edges(F.col("__geom")).alias("__pe"),
+        F.array_min(xs).alias("__bx0"),
+        F.array_max(xs).alias("__bx1"),
+        F.array_min(ys).alias("__by0"),
+        F.array_max(ys).alias("__by1"),
     )
-    return joined.drop("__geom")
+    px, py = F.col(x_col), F.col(y_col)
+    cond = (
+        (px >= F.col("__bx0"))
+        & (px <= F.col("__bx1"))
+        & (py >= F.col("__by0"))
+        & (py <= F.col("__by1"))
+        & _mp_contains_edges(px, py, F.col("__pe"))
+    )
+    joined = points.join(F.broadcast(pp), cond, "left")
+    return joined.drop("__pe", "__bx0", "__bx1", "__by0", "__by1")
 
 
 def multipolygon_intersection_join(
@@ -1433,10 +1672,29 @@ def multipolygon_intersection_join(
     if overlap:
         raise ValueError(f"rename overlapping columns first: {overlap}")
 
-    a = _with_geom_bbox(polys_a, wkt_a, "__ga")
-    b = _with_geom_bbox(polys_b, wkt_b, "__gb")
+    # r13: hoist the flat edge arrays (edge-cross branch) and the
+    # per-component edge structures (containment branch) into each
+    # side's projection — built once per row instead of once per
+    # bbox-surviving candidate pair.
+    a = (
+        _with_geom_bbox(polys_a, wkt_a, "__ga")
+        .withColumn("__ga_f", _flat_geom_edges(F.col("__ga")))
+        .withColumn("__ga_p", _geom_poly_edges(F.col("__ga")))
+    )
+    b = (
+        _with_geom_bbox(polys_b, wkt_b, "__gb")
+        .withColumn("__gb_f", _flat_geom_edges(F.col("__gb")))
+        .withColumn("__gb_p", _geom_poly_edges(F.col("__gb")))
+    )
     bbox = _bbox_overlap("__ga", "__gb")
-    cond = bbox & multipolygons_intersect(F.col("__ga"), F.col("__gb"))
+    cond = bbox & _multipolygons_intersect_edges(
+        F.col("__ga_f"),
+        F.col("__gb_f"),
+        F.col("__ga_p"),
+        F.col("__gb_p"),
+        F.col("__ga"),
+        F.col("__gb"),
+    )
     hidden = [c for c in a.columns + b.columns if c.startswith("__g")]
     return b.join(F.broadcast(a), cond, "inner").drop(*hidden)
 
@@ -1481,7 +1739,17 @@ def multipolygon_clip_area_join(
     if overlap:
         raise ValueError(f"rename overlapping columns first: {overlap}")
 
-    p = _with_bbox(polys, wkt_col, "__vp")
+    # r13: the subject's open/CCW normalization and the clip ring's
+    # normalized edge build are hoisted into per-ROW fenced
+    # projections (subject side / exploded-ring broadcast side), so
+    # the per-pair evaluation below is the clip fold alone.
+    p = _with_bbox(polys, wkt_col, "__vp").withColumn(
+        "__vp_n",
+        F.when(
+            F.spark_partition_id() >= 0,
+            _ccw(_open_ring(F.col("__vp"))),
+        ),
+    )
     signed = _signed_clip_rings(parse_wkt_geometry(clip_wkt_col))
     c0 = clips.select("*", F.explode(signed).alias("__cr"))
     ring = F.col("__cr").getField("ring")
@@ -1489,6 +1757,10 @@ def multipolygon_clip_area_join(
     ys = F.transform(ring, lambda pt: pt["y"])
     c = c0.select(
         "*",
+        F.when(
+            F.spark_partition_id() >= 0,
+            _ring_edges(_ccw(_open_ring(ring))),
+        ).alias("__cr_e"),
         F.array_min(xs).alias("__cr_x0"),
         F.array_max(xs).alias("__cr_x1"),
         F.array_min(ys).alias("__cr_y0"),
@@ -1504,7 +1776,7 @@ def multipolygon_clip_area_join(
     # query (7x geo06) and OOM'd a 1 GiB driver at 8 threads.
     fenced_clip = F.when(
         F.spark_partition_id() >= 0,
-        convex_clip_ring(F.col("__vp"), ring),
+        convex_clip_ring_pre(F.col("__vp_n"), F.col("__cr_e")),
     )
     term = (
         F.col("__cr").getField("sign").cast("long")
