@@ -117,6 +117,37 @@ def _iteration_sized_shuffle(df: DataFrame, partitions: int | None):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+@contextmanager
+def _static_loop_plans(spark):
+    """AQE off for an iterative loop's fixed-size micro-shuffles —
+    so checkpointed loop state KEEPS its partitioning (r13).
+
+    ``localCheckpoint`` captures the executed plan's output
+    partitioning into the LogicalRDD (LogicalRDD.fromDataset), and a
+    statically-planned downstream join/aggregate recognizes it and
+    skips the exchange; under AQE the executed plan is an
+    AdaptiveSparkPlanExec whose partitioning reports Unknown, so
+    every round re-shuffled the label table TWICE (probe-join side +
+    update-join side) even though each generation was written
+    node-partitioned by the previous round's join. Measured on the
+    probe harness: AQE-on checkpoint → 1 exchange per consumer;
+    AQE-off → 0.
+
+    The loop's shuffles are already clamped to a fixed partition
+    count by :func:`_iteration_sized_shuffle` (so AQE's coalescing
+    has nothing left to do here) and the loop joins are
+    shuffle_hash-pinned (so no strategy is lost); the expensive
+    UPSTREAM edge pipeline still materializes under the session's
+    normal adaptive config because the sym checkpoint executes
+    BEFORE this fence opens."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -132,15 +163,55 @@ def connected_components(
     # the shingled-Jaccard pair build feeding g01) re-executes once
     # per iteration — measured 3× the total g01 runtime at sf0.1.
     with _iteration_sized_shuffle(edges, shuffle_partitions):
+        raw = _symmetrized(edges, src, dst).localCheckpoint(eager=True)
+        return _label_propagation_loop(raw, max_iterations)
+
+
+def _label_propagation_loop(
+    raw: DataFrame, max_iterations: int
+) -> DataFrame:
+    """Min-label propagation over a checkpointed symmetric edge view
+    — the loop body of :func:`connected_components`, run under the
+    static-plan fence so checkpointed loop state keeps its
+    partitioning (see :func:`_static_loop_plans`).
+
+    The edge dedup moved INSIDE the fence onto a b-keyed repartition
+    (r13): hash-partitioning on ``b`` co-locates every duplicate of
+    an (a, b) edge (partitioning on a subset of the dedup keys), so
+    the dedup rides the SAME exchange that keys the edge table for
+    the per-round probe join — and because the checkpoint preserves
+    that partitioning under the fence, the probe join never
+    re-shuffles the edge table in ANY round (previously: one full
+    edge-table exchange per round). The upstream (often expensive)
+    edge pipeline still materializes under adaptive config in the
+    ``raw`` checkpoint above; this job only re-keys the edge list."""
+    with _static_loop_plans(raw.sparkSession):
+        n_shuffle = int(
+            raw.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
         sym = (
-            _symmetrized(edges, src, dst)
-            .distinct()
+            raw.repartition(n_shuffle, "b")
+            .dropDuplicates(["a", "b"])
             .localCheckpoint(eager=True)
         )
+        release_local_checkpoint(raw)
+        # Fused init (r13, guide §2.4): under identity labels, round
+        # 1's neighbor-min join degenerates to min(b) per a — so the
+        # init job emits the ROUND-1 labels directly
+        # (least(node, min neighbor)), one groupBy exchange replacing
+        # the old distinct exchange (same shuffle shape) PLUS the
+        # whole first label round (a labels⋈sym shuffle join + left
+        # join + checkpoint job per CC call). Node set unchanged:
+        # every node of sym appears as `a` (symmetrized), and min(b)
+        # over a node's neighbors is never null. The groupBy's output
+        # partitioning (a → node) rides the checkpoint into round 1.
         labels = (
-            sym.select(F.col("a").alias("node"))
-            .distinct()
-            .withColumn("component", F.col("node"))
+            sym.groupBy("a")
+            .agg(F.min("b").alias("__mb"))
+            .select(
+                F.col("a").alias("node"),
+                F.least(F.col("a"), F.col("__mb")).alias("component"),
+            )
             .localCheckpoint(eager=True)
         )
 
@@ -164,9 +235,17 @@ def connected_components(
             # a null nbr (isolated node this round) compares to null
             # and is not counted.
             obs = Observation()
+            # shuffle_hash on the (per-partition-bounded) neighbor-min
+            # side; under the static fence NEITHER side re-shuffles —
+            # labels carries node-partitioning from its checkpoint,
+            # neighbor_min is already a-partitioned by its groupBy —
+            # so the update join is exchange-free and its output
+            # stays node-partitioned for the NEXT round's checkpoint.
             new_labels = (
                 labels.join(
-                    neighbor_min, labels.node == neighbor_min.a, "left"
+                    neighbor_min.hint("shuffle_hash"),
+                    labels.node == neighbor_min.a,
+                    "left",
                 )
                 .select(
                     "node",
@@ -255,21 +334,47 @@ def connected_components_star(
 def _star_rounds(
     edges: DataFrame, src: str, dst: str, max_rounds: int
 ) -> DataFrame:
+    # ONE materialization of the (often expensive, lazy) upstream
+    # edge plan; cur and all_nodes both derive from the checkpointed
+    # raw projection (r13 — previously each of the two init
+    # checkpoints re-executed the full upstream edge build).
+    raw = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
+    # Canonicalize ONCE at init (r13): every later generation is
+    # already greatest/least-canonical by construction (nxt is built
+    # that way), so the per-round convergence check compares cur
+    # directly instead of re-canonicalizing it through an extra
+    # distinct exchange each round. Orientation is irrelevant to the
+    # star rounds (the loop re-symmetrizes), and merging (a,b)/(b,a)
+    # duplicates here only shrinks the first round's input.
     cur = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    # one explode pass over the edge plan instead of a two-branch
-    # union (each branch would re-run the full upstream edge build)
-    all_nodes = (
-        edges.select(
-            F.explode(F.array(F.col(src), F.col(dst))).alias("node")
+        raw.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .distinct()
         .localCheckpoint(eager=True)
     )
+    all_nodes = (
+        raw.select(
+            F.explode(F.array(F.col("u"), F.col("v"))).alias("node")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    release_local_checkpoint(raw)  # both derivations are materialized
+    with _static_loop_plans(edges.sparkSession):
+        return _star_loop(cur, all_nodes, max_rounds)
+
+
+def _star_loop(
+    cur: DataFrame, all_nodes: DataFrame, max_rounds: int
+) -> DataFrame:
+    """The contraction loop of :func:`connected_components_star`,
+    under the static-plan fence (:func:`_static_loop_plans`): each
+    (u,v)-canonical edge generation keeps its checkpoint partitioning
+    into the next round's convergence compare."""
     for _ in range(max_rounds):
         sym = _symmetrized(cur, "u", "v")
         ls = _large_star(sym)
@@ -289,19 +394,8 @@ def _star_rounds(
             .localCheckpoint(eager=True)
         )
         unchanged = (
-            cur.select(
-                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-            )
-            .distinct()
-            .exceptAll(nxt)
-            .unionByName(
-                nxt.exceptAll(
-                    cur.select(
-                        F.greatest("u", "v").alias("u"),
-                        F.least("u", "v").alias("v"),
-                    ).distinct()
-                )
-            )
+            cur.exceptAll(nxt)
+            .unionByName(nxt.exceptAll(cur))
             .limit(1)
             .count()
             == 0
@@ -383,6 +477,17 @@ def _bfs_rounds(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # static fence (r13, see _static_loop_plans): each hop's frontier
+    # checkpoint keeps its node-partitioning, so the expand join's
+    # frontier side and the anti-join's distinct side plan
+    # exchange-free; sym materialized above under adaptive config.
+    with _static_loop_plans(edges.sparkSession):
+        return _bfs_hops(sym, seeds, seed_col, max_hops)
+
+
+def _bfs_hops(
+    sym: DataFrame, seeds: DataFrame, seed_col: str, max_hops: int
+) -> DataFrame:
     frontier = seeds.select(F.col(seed_col).alias("node")).distinct()
     visited = frontier.withColumn("hops", F.lit(0)).localCheckpoint(eager=True)
     hop = 1
@@ -455,6 +560,28 @@ def pagerank(
     spark = edges.sparkSession
     with _iteration_sized_shuffle(edges, shuffle_partitions):
         e = edges.select(src, dst).distinct().localCheckpoint(eager=True)
+        return _pagerank_rounds(
+            spark, e, iterations, damping, src, dst
+        )
+
+
+def _pagerank_rounds(
+    spark,
+    e: DataFrame,
+    iterations: int,
+    damping: float,
+    src: str,
+    dst: str,
+) -> DataFrame:
+    """The loop half of :func:`pagerank`, run under the static-plan
+    fence (:func:`_static_loop_plans`): the loop-invariant frames are
+    checkpointed PARTITIONED ON THEIR PER-ROUND JOIN KEYS (nodes by
+    node, e_deg by u — each falls out of its own build, no extra
+    repartition) and each rank generation inherits node-partitioning
+    from the join that produced it, so a round's only exchange is the
+    inflow groupBy on ``v``. The upstream edge dedup (``e``) still
+    materializes under the session's adaptive config."""
+    with _static_loop_plans(spark):
         nodes = (
             e.select(
                 F.explode(F.array(F.col(src), F.col(dst))).alias("node")
