@@ -299,14 +299,28 @@ def _large_star(sym: DataFrame) -> DataFrame:
 
 def _small_star(edges_dir: DataFrame) -> DataFrame:
     """Small-star round: orient edges larger→smaller; for every node u,
-    link each small neighbor (and u) to the minimum of them."""
+    link each small neighbor (and u) to the minimum of them.
+
+    Both output orientations ride ONE pass over ``linked`` via explode
+    (second r13 pass — the :func:`_symmetrized` lesson): the previous
+    two-select union re-executed the mins-join subtree once per branch
+    (exchange reuse shares the shuffles, but the join + final
+    aggregates ran twice per round)."""
     # edges_dir: (u, v) with v < u   (strictly, after self-loop removal)
     mins = edges_dir.groupBy("u").agg(F.min("v").alias("m"))
     linked = edges_dir.join(mins.hint("shuffle_hash"), "u")
-    out = linked.select(F.col("v").alias("u"), F.col("m").alias("v")).unionByName(
-        linked.select(F.col("u"), F.col("m").alias("v"))
+    pair = F.explode(
+        F.array(
+            F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+            F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+        )
     )
-    return out.filter(F.col("u") != F.col("v")).distinct()
+    return (
+        linked.select(pair.alias("e"))
+        .select("e.u", "e.v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
 
 
 def connected_components_star(
@@ -342,66 +356,96 @@ def _star_rounds(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=True)
     # Canonicalize ONCE at init (r13): every later generation is
-    # already greatest/least-canonical by construction (nxt is built
-    # that way), so the per-round convergence check compares cur
-    # directly instead of re-canonicalizing it through an extra
-    # distinct exchange each round. Orientation is irrelevant to the
-    # star rounds (the loop re-symmetrizes), and merging (a,b)/(b,a)
-    # duplicates here only shrinks the first round's input.
-    cur = (
-        raw.filter(F.col("u") != F.col("v"))
-        .select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    all_nodes = (
-        raw.select(
-            F.explode(F.array(F.col("u"), F.col("v"))).alias("node")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    release_local_checkpoint(raw)  # both derivations are materialized
+    # already greatest/least-canonical by construction (the star
+    # steps only ever emit node → smaller-node edges), so the
+    # per-round convergence check compares cur directly instead of
+    # re-canonicalizing it through an extra distinct exchange each
+    # round. Orientation is irrelevant to the star rounds (the loop
+    # re-symmetrizes), and merging (a,b)/(b,a) duplicates here only
+    # shrinks the first round's input. Init runs INSIDE the static
+    # fence (second r13 pass) so round 1's convergence join sees
+    # cur's (u,v) checkpoint partitioning like every later round;
+    # |cur| rides the init checkpoint as an Observation — the seed
+    # for the size half of the set-equality test.
     with _static_loop_plans(edges.sparkSession):
-        return _star_loop(cur, all_nodes, max_rounds)
-
-
-def _star_loop(
-    cur: DataFrame, all_nodes: DataFrame, max_rounds: int
-) -> DataFrame:
-    """The contraction loop of :func:`connected_components_star`,
-    under the static-plan fence (:func:`_static_loop_plans`): each
-    (u,v)-canonical edge generation keeps its checkpoint partitioning
-    into the next round's convergence compare."""
-    for _ in range(max_rounds):
-        sym = _symmetrized(cur, "u", "v")
-        ls = _large_star(sym)
-        dir_edges = (
-            ls.select(
-                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        obs0 = Observation()
+        cur = (
+            raw.filter(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"),
+                F.least("u", "v").alias("v"),
             )
-            .filter(F.col("u") != F.col("v"))
             .distinct()
+            .observe(obs0, F.count(F.lit(1)).alias("n_edges"))
+            .localCheckpoint(eager=True)
         )
-        nxt = _small_star(dir_edges)
-        nxt = (
-            nxt.select(
-                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        all_nodes = (
+            raw.select(
+                F.explode(F.array(F.col("u"), F.col("v"))).alias("node")
             )
             .distinct()
             .localCheckpoint(eager=True)
         )
-        unchanged = (
-            cur.exceptAll(nxt)
-            .unionByName(nxt.exceptAll(cur))
-            .limit(1)
-            .count()
-            == 0
+        release_local_checkpoint(raw)  # both derivations materialized
+        return _star_loop(
+            cur, int(obs0.get["n_edges"]), all_nodes, max_rounds
         )
+
+
+def _star_loop(
+    cur: DataFrame, n_cur: int, all_nodes: DataFrame, max_rounds: int
+) -> DataFrame:
+    """The contraction loop of :func:`connected_components_star`,
+    under the static-plan fence (:func:`_static_loop_plans`): each
+    (u,v)-canonical edge generation keeps its checkpoint partitioning
+    into the next round's convergence join.
+
+    Second r13 pass (guide §1/§2.4 — the label-propagation lesson
+    applied here):
+
+    - The re-canonicalize+distinct stages after each star step are
+      GONE: :func:`_large_star` emits (u=b, v=m) with b > a ≥ m and
+      :func:`_small_star` emits (v,m)/(u,m) with m < v < u (equal
+      pairs filtered), so both outputs are already strictly
+      (u>v)-canonical — greatest/least was an identity — and both
+      already end in ``.distinct()``. Two exchanges + two aggregates
+      per round deleted, zero semantic change.
+    - Convergence detection rides the SAME job as the generation
+      checkpoint: ``cur`` and ``nxt`` are both canonical DISTINCT
+      sets, so ``nxt == cur  ⟺  nxt∖cur = ∅  ∧  |nxt| = |cur|`` —
+      a left join of nxt against cur on (u,v) (both sides carry
+      (u,v) hash-partitioning under the fence: nxt from its
+      distinct, cur from its checkpoint → the join plans ZERO
+      exchanges) with an Observation counting rows and non-matches
+      while the checkpoint materializes. The previous per-round
+      convergence job (two ``exceptAll`` set-difference shuffles
+      over both full edge generations + limit + count) is gone."""
+    for _ in range(max_rounds):
+        sym = _symmetrized(cur, "u", "v")
+        # _large_star output is already (u>v)-canonical and distinct
+        # — feed it straight into the small-star step
+        nxt_set = _small_star(_large_star(sym))
+        obs = Observation()
+        nxt = (
+            nxt_set.join(
+                cur.withColumn("__old", F.lit(True)).hint("shuffle_hash"),
+                ["u", "v"],
+                "left",
+            )
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n_edges"),
+                F.count(
+                    F.when(F.col("__old").isNull(), 1)
+                ).alias("n_new"),
+            )
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = int(obs.get["n_edges"])
+        unchanged = int(obs.get["n_new"]) == 0 and n_nxt == n_cur
         release_local_checkpoint(cur)  # superseded edge generation
-        cur = nxt
+        cur, n_cur = nxt, n_nxt
         if unchanged:
             break
     else:
@@ -492,14 +536,19 @@ def _bfs_hops(
     visited = frontier.withColumn("hops", F.lit(0)).localCheckpoint(eager=True)
     hop = 1
     while True:
+        # the frontier-exhausted test rides the checkpoint job as an
+        # Observation (second r13 pass — the star/label-prop lesson):
+        # the previous isEmpty() was one extra job per hop
+        obs = Observation()
         nxt = (
             sym.join(frontier, sym.a == F.col("node"))
             .select(F.col("b").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        if int(obs.get["n"]) == 0:
             release_local_checkpoint(nxt)
             release_local_checkpoint(sym)  # result is visited-only
             # the last productive frontier was folded into visited at

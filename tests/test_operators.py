@@ -3069,6 +3069,46 @@ class TestRound7ReviewFixes:
         assert n_persisted() <= base + 2
         assert a == sorted(tuple(r) for r in out.collect())  # re-exec
 
+    def test_star_steps_emit_canonical_distinct(self, spark):
+        """The r13 star-loop restructure feeds _large_star straight
+        into _small_star and compares edge generations WITHOUT
+        re-canonicalizing — valid only while both steps emit strictly
+        (u > v)-canonical, duplicate-free edge sets (large-star:
+        u=b > a >= m=v; small-star: m < v and m < u after the equal
+        filter). Pin that invariant on a messy multi-component graph
+        with long chains (multiple contraction generations)."""
+        from nycdb_k8s_loader_spark.operators.graph import (
+            _large_star,
+            _small_star,
+            _symmetrized,
+        )
+
+        rows = (
+            [(i, i + 1) for i in range(20)]           # long chain
+            + [(100 + i, 100 + (i * 7 + 3) % 17) for i in range(17)]
+            + [(1, 2), (2, 1), (200, 201), (201, 200)]  # dup/reversed
+        )
+        edges = spark.createDataFrame(rows, "src long, dst long")
+        cur = (
+            edges.filter("src <> dst")
+            .selectExpr(
+                "greatest(src, dst) as u", "least(src, dst) as v"
+            )
+            .distinct()
+        )
+        for _ in range(3):  # several generations, incl. post-converged
+            # checkpoint per generation like the real loop — the test
+            # checks row invariants, not lineage behavior
+            ls = _large_star(
+                _symmetrized(cur, "u", "v")
+            ).localCheckpoint(eager=True)
+            ss = _small_star(ls).localCheckpoint(eager=True)
+            for step_name, df in (("large_star", ls), ("small_star", ss)):
+                got = [(r["u"], r["v"]) for r in df.collect()]
+                assert all(u > v for u, v in got), step_name
+                assert len(got) == len(set(got)), step_name
+            cur = ss
+
 
 class TestPolygonIntersection:
     """geo05's general predicate: proper edge crossing, mutual
