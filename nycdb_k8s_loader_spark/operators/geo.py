@@ -1052,21 +1052,53 @@ def _signed_fan_triangles(geom: Column) -> Column:
     degenerate triangles and drop (n−2 triangles per n-gon instead of
     n from an external anchor), and the triangles stay inside the
     ring's hull — both the pair count and each clip fold's extent
-    shrink, the dominant costs of the pairwise intersection sum."""
-    def tris_of(sr):
-        ring = _open_ring(sr["ring"])
-        o = ring[0]
-        # ring sign × orientation: constant per ring, folded into w
-        base = sr["sign"].cast("double") * F.signum(
-            _signed_shoelace(ring)
-        )
+    shrink, the dominant costs of the pairwise intersection sum.
+
+    Fourth r13 pass — per-ELEMENT staging (the geo13 parse-staging
+    lesson one level down): an expression tree spliced into an
+    interpreted HOF lambda re-evaluates at EVERY reference, and
+    subexpression elimination never runs inside interpreted lambdas.
+    The previous form bound ``ring = _open_ring(...)`` and
+    ``base = sign × signum(shoelace(ring))`` as PYTHON variables —
+    i.e. trees, not values — so the fan origin re-ran the full
+    open-ring slice per VERTEX and the base re-ran the whole shoelace
+    fold per VERTEX (O(n²) work with allocation-heavy constants, per
+    candidate row downstream). Each intermediate now gets its own
+    ``transform`` stage whose lambda variable is evaluated ONCE per
+    element and bound: opened ring → (origin, base weight) →
+    triangles reading bound fields. ``F.get`` (not ``[0]``) keeps the
+    origin ANSI-safe on a junk ring that opened to empty (the old
+    form only ever indexed inside the per-vertex lambda, which an
+    empty ring never entered)."""
+    staged = F.transform(
+        _signed_clip_rings(geom),
+        lambda sr: F.struct(
+            _open_ring(sr["ring"]).alias("r"),
+            sr["sign"].alias("sign"),
+        ),
+    )
+    based = F.transform(
+        staged,
+        lambda s: F.struct(
+            s["r"].alias("r"),
+            F.get(s["r"], 0).alias("o"),
+            # ring sign × orientation: constant per ring, folded into w
+            (
+                s["sign"].cast("double")
+                * F.signum(_signed_shoelace(s["r"]))
+            ).alias("base"),
+        ),
+    )
+
+    def tris_of(s):
+        o = s["o"]
         tris = F.zip_with(
-            ring,
-            _rotated(ring),
+            s["r"],
+            _rotated(s["r"]),
             lambda u, v: F.struct(
                 F.array(o, u, v).alias("ring"),
                 (
-                    base
+                    s["base"]
                     * F.signum(
                         (u["x"] - o["x"]) * (v["y"] - o["y"])
                         - (u["y"] - o["y"]) * (v["x"] - o["x"])
@@ -1076,45 +1108,91 @@ def _signed_fan_triangles(geom: Column) -> Column:
         )
         return F.filter(tris, lambda t: t["w"] != 0)
 
-    return F.flatten(F.transform(_signed_clip_rings(geom), tris_of))
+    return F.flatten(F.transform(based, tris_of))
 
 
-def _enrich_subj_ring(sr: Column) -> Column:
-    """(ring, sign) → (ring=open+CCW ring, sign, x0,x1,y0,y1) — the
-    per-element precompute for :func:`_fan_clip_area_tail`'s subject
-    side: normalization and bbox happen once per ring at array-build
-    time, not once per exploded (ring, triangle) row. The bbox reads
-    the RAW ring — open/CCW never change the vertex set."""
-    r = sr["ring"]
-    xs = F.transform(r, lambda p: p["x"])
-    ys = F.transform(r, lambda p: p["y"])
-    return F.struct(
-        _ccw(_open_ring(r)).alias("ring"),
-        sr["sign"].alias("sign"),
-        F.array_min(xs).alias("x0"),
-        F.array_max(xs).alias("x1"),
-        F.array_min(ys).alias("y0"),
-        F.array_max(ys).alias("y1"),
+def _enriched_subj_rings(signed_rings: Column) -> Column:
+    """array<(ring, sign)> → array<(ring=open+CCW, sign, x0,x1,y0,y1)>
+    — the subject-side precompute for :func:`_fan_clip_area_tail`,
+    with every intermediate STAGED through its own ``transform`` so it
+    is computed once per element and bound (see
+    :func:`_signed_fan_triangles`'s fourth-pass note: the previous
+    per-element form spliced ``_open_ring`` into all three of
+    ``_ccw``'s references, re-running the slice per reference). The
+    bbox reads the staged ring — open drops only a DUPLICATE closing
+    vertex and CCW only reverses, so min/max equal the raw ring's."""
+    opened = F.transform(
+        signed_rings,
+        lambda sr: F.struct(
+            _open_ring(sr["ring"]).alias("r"),
+            sr["sign"].alias("sign"),
+        ),
+    )
+    ccwed = F.transform(
+        opened,
+        lambda s: F.struct(
+            _ccw(s["r"]).alias("r"),
+            s["sign"].alias("sign"),
+        ),
     )
 
+    def fin(s):
+        xs = F.transform(s["r"], lambda p: p["x"])
+        ys = F.transform(s["r"], lambda p: p["y"])
+        return F.struct(
+            s["r"].alias("ring"),
+            s["sign"].alias("sign"),
+            F.array_min(xs).alias("x0"),
+            F.array_max(xs).alias("x1"),
+            F.array_min(ys).alias("y0"),
+            F.array_max(ys).alias("y1"),
+        )
 
-def _enrich_fan_tri(t: Column) -> Column:
-    """(ring, w) → (edges=edges of the CCW triangle, w, x0,x1,y0,y1)
-    — the clip-side precompute for :func:`_fan_clip_area_tail`: the
-    fan triangle [o, u, v] is open by construction (degenerate fans
-    are already filtered by w≠0), so CCW + edge enumeration here is
-    exactly what the fold's internal normalize recomputed per row."""
-    r = t["ring"]
-    xs = F.transform(r, lambda p: p["x"])
-    ys = F.transform(r, lambda p: p["y"])
-    return F.struct(
-        _ring_edges(_ccw(r)).alias("edges"),
-        t["w"].alias("w"),
-        F.array_min(xs).alias("x0"),
-        F.array_max(xs).alias("x1"),
-        F.array_min(ys).alias("y0"),
-        F.array_max(ys).alias("y1"),
+    return F.transform(ccwed, fin)
+
+
+def _enriched_fan_tris(tris: Column) -> Column:
+    """array<(ring, w)> → array<(edges of the CCW triangle, w,
+    x0,x1,y0,y1)> — the clip-side precompute for
+    :func:`_fan_clip_area_tail`, staged like
+    :func:`_enriched_subj_rings` (the previous per-element form ran
+    ``_ring_edges(_ccw(r))``, which re-evaluated the CCW — a full
+    shoelace + reverse — once per ``_open_ring`` reference inside the
+    edge enumeration, ~20× per triangle). The fan triangle [o, u, v]
+    is open by construction (degenerate fans are filtered by w≠0), so
+    the edge zip_with consumes the staged ring directly — exactly the
+    edge set ``_ring_edges`` produced, since ``_open_ring`` is the
+    identity on an open ring."""
+    ccwed = F.transform(
+        tris,
+        lambda t: F.struct(
+            _ccw(t["ring"]).alias("r"),
+            t["w"].alias("w"),
+        ),
     )
+
+    def fin(t):
+        xs = F.transform(t["r"], lambda p: p["x"])
+        ys = F.transform(t["r"], lambda p: p["y"])
+        return F.struct(
+            F.zip_with(
+                t["r"],
+                _rotated(t["r"]),
+                lambda u, v: F.struct(
+                    u["x"].alias("x1"),
+                    u["y"].alias("y1"),
+                    v["x"].alias("x2"),
+                    v["y"].alias("y2"),
+                ),
+            ).alias("edges"),
+            t["w"].alias("w"),
+            F.array_min(xs).alias("x0"),
+            F.array_max(xs).alias("x1"),
+            F.array_min(ys).alias("y0"),
+            F.array_max(ys).alias("y1"),
+        )
+
+    return F.transform(ccwed, fin)
 
 
 def _ring_bbox_overlap(a: Column, b: Column) -> Column:
@@ -1222,12 +1300,8 @@ def _fan_clip_area_tail(
     # are idempotent (the fold's internal normalize was computing
     # exactly these), and a degenerate/NULL ring yields NULL bbox →
     # NULL pregate → row filtered / fold skipped, as before.
-    subj_rings = F.transform(
-        _signed_clip_rings(F.col("__gp")), _enrich_subj_ring
-    )
-    tris_b = F.transform(
-        _signed_fan_triangles(F.col("__gc")), _enrich_fan_tri
-    )
+    subj_rings = _enriched_subj_rings(_signed_clip_rings(F.col("__gp")))
+    tris_b = _enriched_fan_tris(_signed_fan_triangles(F.col("__gc")))
     # the same CollapseProject fence as multipolygon_clip_area_join:
     # ring_area's structural references must bind to the __clipped
     # ATTRIBUTE, not inline copies of the clip fold
