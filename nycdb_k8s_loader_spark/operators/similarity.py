@@ -761,6 +761,26 @@ def _assign_flat(vecs: DataFrame, cents: list[list[float]]) -> DataFrame:
     )
 
 
+def _spread_small_scan(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition a compute-heavy input UP to defaultParallelism
+    when the scan delivers fewer partitions (r14, guide §2:
+    scale-adaptive partitioning — derive from input, don't constant-
+    tune). A single-row-group parquet file scans as ONE task no matter
+    the core count, and every per-row argmin fold downstream
+    (O(n·k·dim) sq_dist per Lloyd round AND the final assignment)
+    serializes on that task; measured at sf0.1 this was d12's whole
+    critical path (4.19 s → 3.17 s warm just from the spread). At
+    cluster scale the embedding table already arrives with >=
+    defaultParallelism scan partitions, so the branch is a no-op —
+    no shuffle is added. Keyed on the id (deterministic hash
+    placement — guide §2.5's retry-safety note), never round-robin."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, F.col(key))
+
+
 def _lloyd_refine(
     vecs: DataFrame, cents: list[list[float]], lloyd_iters: int
 ) -> list[list[float]]:
@@ -919,8 +939,11 @@ def semantic_dedup(
     always use the flat argmin — they run on rounded metadata-scale
     centroid state and their cost is bounded by lloyd_iters.
     """
-    vecs = emb.select(
-        F.col(id_col).alias("vid"), as_double_vec(vec_col).alias("v")
+    vecs = _spread_small_scan(
+        emb.select(
+            F.col(id_col).alias("vid"), as_double_vec(vec_col).alias("v")
+        ),
+        "vid",
     )
     # Seeds: the k smallest ids, renumbered 0..k-1 — collected to the
     # driver (k×dim doubles, metadata-scale).
@@ -981,8 +1004,11 @@ def semantic_dedup_sampled(
     rerun-stable. The oracle-pinned catalog d12 keeps the flat form;
     this is what you run at 100 TB.
     """
-    vecs = emb.select(
-        F.col(id_col).alias("vid"), as_double_vec(vec_col).alias("v")
+    vecs = _spread_small_scan(
+        emb.select(
+            F.col(id_col).alias("vid"), as_double_vec(vec_col).alias("v")
+        ),
+        "vid",
     )
     n = vecs.count()
     if n == 0:

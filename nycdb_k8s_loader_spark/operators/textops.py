@@ -710,6 +710,7 @@ def gopher_quality_rules(
     max_mean_word_len: float = 10.0,
     min_alpha_frac: float = 0.8,
     min_stopword_hits: int = 2,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher/MassiveText document-level quality rules — the composite
     pre-training filter (Rae et al. 2021 §A1.1): word-count bounds,
@@ -724,6 +725,11 @@ def gopher_quality_rules(
     comparisons and the 4 dp display rounding are bit-identical in the
     DuckDB oracle. One codegen'd projection over the scan — no
     shuffle, no Python; parquet-scan speed at 100 TB.
+
+    ``passthrough`` names input columns to carry verbatim onto the
+    output (r14): fused consumers (the c07/c08 verdict spine) ride the
+    SAME corpus pass for the verdict AND the survivor payload instead
+    of re-scanning the corpus to fetch it.
     """
     text = F.col(text_col)
     staged = df.select(
@@ -734,6 +740,7 @@ def gopher_quality_rules(
         (F.length(F.replace(F.trim(text), F.lit(" "), F.lit("")))).alias(
             "__nonspace"
         ),
+        *[F.col(c) for c in passthrough],
     )
     n_words = F.size("__ws")
     # try_divide: empty / whitespace-only docs have n_words == 0, and a
@@ -768,6 +775,7 @@ def gopher_quality_rules(
         ok_alpha.alias("ok_alpha_frac"),
         ok_stop.alias("ok_stopwords"),
         (ok_words & ok_mean & ok_alpha & ok_stop).alias("keep"),
+        *[F.col(c) for c in passthrough],
     )
 
 
