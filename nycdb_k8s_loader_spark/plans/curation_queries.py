@@ -27,9 +27,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nycdb_k8s_loader_spark.operators.graph import (
-    release_local_checkpoint,
-)
 from nycdb_k8s_loader_spark.operators.sampling import sample_bucket_sql
 from nycdb_k8s_loader_spark.operators.textops import STOPWORDS
 from nycdb_k8s_loader_spark.plans.catalog import register
@@ -890,9 +887,12 @@ _C07_SQL = f"""
     """
 
 
-def _verdict_spine(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def _verdict_spine(
+    spark: SparkSession, docs: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """The gopher+url attribution spine shared by c07 and the c08/st14
-    funnel — (doc_id, n_tokens_raw, keep_g, keep_u), checkpointed.
+    funnel — (doc_id, n_tokens_raw, keep_g, keep_u[, *carry]),
+    checkpointed.
 
     FUSED into one corpus pass (r13, guide §2.4): the url fixture
     derives from doc_id alone and every url rule is row-local except
@@ -903,7 +903,16 @@ def _verdict_spine(spark: SparkSession, docs: DataFrame) -> DataFrame:
     paid that join's two exchanges; the fused spine has zero
     exchanges before its checkpoint. ``keep_u`` is NULL for
     gopher-rejected docs — exactly the old left join's semantics (the
-    url stage never saw those rows)."""
+    url stage never saw those rows).
+
+    ``carry`` (r14, guide §2.4/§2.6): input columns (text, source)
+    carried verbatim onto the spine so downstream stages project the
+    survivor payload straight off THIS checkpoint instead of
+    re-scanning the corpus and shuffle-joining it back on doc_id.
+    Deletes one full corpus scan + one shuffle join + one serial
+    checkpoint job (the old ``s2`` survivor-fetch stage) from the
+    c07/c08 critical path; at 100 TB the spine is the stage-1
+    published table and the payload columns ride the same write."""
     import pyspark.sql.functions as F
 
     from nycdb_k8s_loader_spark.operators.textops import (
@@ -919,10 +928,11 @@ def _verdict_spine(spark: SparkSession, docs: DataFrame) -> DataFrame:
         F.lower(F.col("domain")).alias("__bl_dom"),
         F.lit(True).alias("__blocked"),
     ).distinct()
-    g = gopher_quality_rules(docs).select(
+    g = gopher_quality_rules(docs, passthrough=carry).select(
         "doc_id",
         F.col("n_words").alias("n_tokens_raw"),
         F.col("keep").alias("keep_g"),
+        *carry,
     )
     url = F.lower(F.expr(_T22_URL_SQL))
     return (
@@ -945,6 +955,7 @@ def _verdict_spine(spark: SparkSession, docs: DataFrame) -> DataFrame:
                     F.coalesce(F.col("__blocked"), F.lit(False)),
                 ),
             ).alias("keep_u"),
+            *carry,
         )
         .localCheckpoint(eager=True)
     )
@@ -965,15 +976,16 @@ def _verdict_spine(spark: SparkSession, docs: DataFrame) -> DataFrame:
         "published stage tables a production run writes, so no stage "
         "is ever recomputed by a downstream consumer (the classic "
         "composition bug: N consumers of a lazy stage frame re-run "
-        "the whole upstream pipeline N times). Corpus scans: 2 of "
-        "documents.parquet (the gopher/url verdict pass + the "
-        "survivor text fetch) + 1 two-column scan for mixture "
-        "sources; stages 3/4/5 each read the previous checkpoint "
-        "exactly once — at 100 TB each checkpoint is a published "
-        "parquet stage table and the shuffle set is exactly the "
-        "union of each stage's own documented shuffles. Oracle: the "
-        "six published stage oracles composed as one staged-CTE "
-        "chain (the s10 precedent).",
+        "the whole upstream pipeline N times). Corpus scans: ONE "
+        "documents.parquet pass (r14) — the verdict spine carries "
+        "text+source, so the survivor fetch and the mixture-source "
+        "fetch are row-local projections of the spine checkpoint; "
+        "stages 3/4/5 each read the previous checkpoint exactly "
+        "once — at 100 TB each checkpoint is a published parquet "
+        "stage table and the shuffle set is exactly the union of "
+        "each stage's own documented shuffles. Oracle: the six "
+        "published stage oracles composed as one staged-CTE chain "
+        "(the s10 precedent).",
     tags=("pipeline", "text", "quality", "dedup", "sampling"),
 )
 def c07(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1008,21 +1020,20 @@ def curation_pipeline(
     docs = _docs(spark, sf_dir)
 
     # stages 1+2: the fused gopher+url attribution spine — one corpus
-    # pass, zero pre-checkpoint exchanges (see :func:`_verdict_spine`).
-    spine = _verdict_spine(spark, docs)
+    # pass, zero pre-checkpoint exchanges (see :func:`_verdict_spine`),
+    # carrying text+source so it is the ONLY corpus scan (r14): the
+    # old survivor-fetch stage (corpus re-scan ⋈ survivors, its own
+    # eager checkpoint job) collapses to a row-local projection of
+    # this checkpoint, and the mixture stage's source fetch stops
+    # scanning the corpus a third time.
+    spine = _verdict_spine(spark, docs, carry=("text", "source"))
+    verdicts = spine.select("doc_id", "n_tokens_raw", "keep_g", "keep_u")
 
-    surv2 = spine.filter(F.col("keep_g") & F.col("keep_u")).select(
-        "doc_id"
-    )
-    # checkpoint the survivor fetch (r13): sentence_dedup consumes its
-    # input twice (sentence arrays + instance rows), so a lazy s2
-    # re-ran the corpus scan + survivor join per branch — materialized,
-    # the fetch runs ONCE (the docstring's "survivor text fetch" scan
-    # count is now literal) and is released as soon as stage 3 lands
-    s2 = (
-        docs.join(surv2.hint("shuffle_hash"), "doc_id")
-        .select("doc_id", "text")
-        .localCheckpoint(eager=True)
+    # survivor payload: a pure projection of the spine checkpoint —
+    # sentence_dedup's two reads of it hit checkpoint blocks, not a
+    # recomputed corpus scan, so no second materialization is needed
+    s2 = spine.filter(F.col("keep_g") & F.col("keep_u")).select(
+        "doc_id", "text"
     )
 
     # stage 3: sentence dedup among survivors (t20's segmentation)
@@ -1030,7 +1041,6 @@ def curation_pipeline(
         _pseudo_sentence_docs(s2), min_docs=2, min_words=3,
         hashed_keys=hashed,
     ).localCheckpoint(eager=True)
-    release_local_checkpoint(s2)
 
     # stage 4: exact-substring scrub of the boilerplate-cleaned text
     # (string grams are the oracle pin; the hashed production form
@@ -1064,7 +1074,7 @@ def curation_pipeline(
     # re-scan the corpus) three times
     s6 = (
         s5.join(f5.filter("is_kept").hint("shuffle_hash"), "doc_id")
-        .join(docs.select("doc_id", "source"), "doc_id")
+        .join(spine.select("doc_id", "source"), "doc_id")
         .localCheckpoint(eager=True)
     )
     m6 = token_budget_mixture(
@@ -1073,7 +1083,7 @@ def curation_pipeline(
 
     # attribution: first rejecting stage, or 'kept'
     return (
-        spine
+        verdicts
         .join(
             c3.select(
                 "doc_id", F.col("n_removed").alias("sentences_removed")
@@ -1628,18 +1638,15 @@ def _incremental_curation(
     )
 
     # fused gopher+url spine — one batch pass, zero pre-checkpoint
-    # exchanges (see :func:`_verdict_spine`)
-    spine = _verdict_spine(spark, batch)
+    # exchanges (see :func:`_verdict_spine`), carrying text+source so
+    # the survivor fetch and the mixture-source fetch are row-local
+    # projections of this checkpoint (r14) — no batch re-scan, no
+    # survivor shuffle join, one fewer serial checkpoint job
+    spine = _verdict_spine(spark, batch, carry=("text", "source"))
+    verdicts = spine.select("doc_id", "n_tokens_raw", "keep_g", "keep_u")
 
-    surv2 = spine.filter(F.col("keep_g") & F.col("keep_u")).select(
-        "doc_id"
-    )
-    # checkpointed for the same reason as c07's s2: the sentence stage
-    # consumes its input twice (sentence arrays + instance rows)
-    s2 = (
-        batch.join(surv2.hint("shuffle_hash"), "doc_id")
-        .select("doc_id", "text", "source")
-        .localCheckpoint(eager=True)
+    s2 = spine.filter(F.col("keep_g") & F.col("keep_u")).select(
+        "doc_id", "text", "source"
     )
 
     c3 = sentence_dedup_from_state(
@@ -1648,7 +1655,6 @@ def _incremental_curation(
         min_words=3,
         hashed_keys=hashed,
     ).localCheckpoint(eager=True)
-    release_local_checkpoint(s2)
 
     c4 = exact_substring_scrub_from_state(
         states["st4"],
@@ -1669,7 +1675,7 @@ def _incremental_curation(
     # confines batch buckets to [500000, 1M), zeroing out every
     # source with rate_ppm < 500000 (VERDICT r9 #1)
     m6 = (
-        kept5.join(batch.select("doc_id", "source"), "doc_id")
+        kept5.join(spine.select("doc_id", "source"), "doc_id")
         .join(F.broadcast(states["rates"]), "source")
         .filter(
             sample_bucket(F.col("doc_id"), salt=_C08_MIXTURE_SALT)
@@ -1679,7 +1685,7 @@ def _incremental_curation(
     )
 
     return (
-        spine
+        verdicts
         .join(
             c3.select(
                 "doc_id", F.col("n_removed").alias("sentences_removed")
