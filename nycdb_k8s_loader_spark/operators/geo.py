@@ -492,6 +492,7 @@ def polygon_intersection_join_binned(
     wkt_a: str = "geom_wkt",
     wkt_b: str = "geom_wkt",
     cell_deg: float | None = None,
+    dedup_geoms: bool = False,
 ) -> DataFrame:
     """Inner-join TWO DATA-SCALE polygon sets on spatial intersection
     — the join :func:`polygon_intersection_join` refuses (it requires
@@ -529,10 +530,30 @@ def polygon_intersection_join_binned(
     Column sets must be disjoint (rename first). Junk WKT that parses
     to a NULL bbox never enters the join (sequence(NULL) explodes to
     nothing) — inner-join semantics for unparseable rings.
+
+    ``dedup_geoms=True`` (r14, guide §8): run parse → bin → join →
+    predicate over the DISTINCT WKT values of each side and expand
+    back to rows by equi-joining on the WKT strings — row-identical
+    (pair membership is a pure function of the two geometries), and
+    the per-pair predicate work drops by the duplication factor when
+    footprints repeat (templated/tiled data). Off by default: two
+    distinct passes + two join-backs only pay when they deduplicate.
     """
     overlap = set(polys_a.columns) & set(polys_b.columns)
     if overlap:
         raise ValueError(f"rename overlapping columns first: {overlap}")
+    if dedup_geoms:
+        core = polygon_intersection_join_binned(
+            polys_a.select(wkt_a).distinct(),
+            polys_b.select(wkt_b).distinct(),
+            wkt_a=wkt_a, wkt_b=wkt_b, cell_deg=cell_deg,
+            dedup_geoms=False,
+        )
+        return (
+            polys_a.join(core, wkt_a)
+            .join(polys_b, wkt_b)
+            .select(*polys_a.columns, *polys_b.columns)
+        )
 
     a = _with_bbox(polys_a, wkt_a, "__va")
     b = _with_bbox(polys_b, wkt_b, "__vb")
@@ -684,6 +705,7 @@ def polygon_clip_area_join(
     clip_wkt_col: str = "clip_wkt",
     area_col: str = "clip_area",
     round_dp: int | None = 6,
+    dedup_geoms: bool = False,
 ) -> DataFrame:
     """For every (polygon, convex clip) pair with positive-area
     overlap: all columns of both frames plus ``area_col`` = the
@@ -692,10 +714,26 @@ def polygon_clip_area_join(
     clip fold off non-candidates, and the area > 0 filter drops
     touching-only pairs. Column sets must be disjoint. ``round_dp``
     rounds the area (cross-engine float hygiene for oracle compares);
-    None keeps raw doubles."""
+    None keeps raw doubles.
+
+    ``dedup_geoms=True`` (r14, guide §8): run parse + clip over the
+    DISTINCT subject WKTs and re-attach per-row by equi-joining back
+    on the WKT string — row-identical (candidates and areas are pure
+    functions of the geometry pair); the interpreted clip folds drop
+    by the subject duplication factor. Off by default."""
     overlap = set(polys.columns) & set(clips.columns)
     if overlap:
         raise ValueError(f"rename overlapping columns first: {overlap}")
+    if dedup_geoms:
+        core = polygon_clip_area_join(
+            polys.select(wkt_col).distinct(), clips,
+            wkt_col=wkt_col, clip_wkt_col=clip_wkt_col,
+            area_col=area_col, round_dp=round_dp, dedup_geoms=False,
+        )
+        return polys.join(core, wkt_col).select(
+            *polys.columns,
+            *[c_ for c_ in core.columns if c_ != wkt_col],
+        )
 
     # r13: each side's ring normalization is hoisted into its own
     # fenced per-ROW projection — the fold below re-evaluates once
@@ -1221,6 +1259,7 @@ def concave_clip_area_join(
     clip_wkt_col: str = "clip_wkt",
     area_col: str = "clip_area",
     round_dp: int | None = 6,
+    dedup_geoms: bool = False,
 ) -> DataFrame:
     """Intersection AREA between two ARBITRARY simple (multi/holed)
     polygon sets — no convexity requirement on EITHER side, the last
@@ -1250,10 +1289,24 @@ def concave_clip_area_join(
     The subject side groups by ALL its visible columns — pass narrow
     (id, wkt) frames and join attributes back (the
     multipolygon_clip_area_join corollary applies: duplicate subject
-    rows merge, keep a unique id)."""
+    rows merge, keep a unique id).
+
+    ``dedup_geoms=True`` (r14, guide §8): parse + fan-clip over the
+    DISTINCT subject WKTs, re-attached per-row by the WKT string —
+    row-identical, fold work drops by the duplication factor."""
     overlap = set(polys.columns) & set(clips.columns)
     if overlap:
         raise ValueError(f"rename overlapping columns first: {overlap}")
+    if dedup_geoms:
+        core = concave_clip_area_join(
+            polys.select(wkt_col).distinct(), clips,
+            wkt_col=wkt_col, clip_wkt_col=clip_wkt_col,
+            area_col=area_col, round_dp=round_dp, dedup_geoms=False,
+        )
+        return polys.join(core, wkt_col).select(
+            *polys.columns,
+            *[c_ for c_ in core.columns if c_ != wkt_col],
+        )
 
     p = _with_geom_bbox(polys, wkt_col, "__gp")
     c = _with_geom_bbox(clips, clip_wkt_col, "__gc")
@@ -1389,6 +1442,7 @@ def concave_clip_area_join_binned(
     area_col: str = "clip_area",
     round_dp: int | None = 6,
     cell_deg: float | None = None,
+    dedup_geoms: bool = False,
 ) -> DataFrame:
     """Intersection AREA between two DATA-SCALE arbitrary (concave/
     holed/multi) polygon sets — :func:`concave_clip_area_join`
@@ -1417,10 +1471,40 @@ def concave_clip_area_join_binned(
     geometry when outliers exist).  Same grouping corollary: keep
     unique ids.  100 TB shape: one shuffle per side keyed by cell,
     candidate volume tracks local density, the clip fold runs only on
-    canonical bbox-overlapping pairs."""
+    canonical bbox-overlapping pairs.
+
+    ``dedup_geoms=True`` (r14, guide §8: decide on a lightweight
+    proxy, pay the heavy work once per class): run the whole
+    parse → bin → clip machinery over the DISTINCT ``(wkt)`` values
+    of each side and re-attach the per-class areas to the original
+    rows by equi-joining back on the WKT string. Row-for-row
+    equivalent by construction — every output column this operator
+    computes (candidate membership via bbox/cells, the clip-area
+    sum) is a pure function of the two WKT strings. A huge win when
+    many rows share identical footprints (templated/tiled fixtures,
+    cadastral grids: geo14's corpus is 15k lots over 150 distinct
+    shapes × 150k parcels over 600 — the interpreted clip folds drop
+    ~99%); costs two distinct passes and two join-backs, so leave it
+    off when geometries are (near-)unique."""
     overlap = set(polys.columns) & set(clips.columns)
     if overlap:
         raise ValueError(f"rename overlapping columns first: {overlap}")
+    if dedup_geoms:
+        core = concave_clip_area_join_binned(
+            polys.select(wkt_col).distinct(),
+            clips.select(clip_wkt_col).distinct(),
+            wkt_col=wkt_col,
+            clip_wkt_col=clip_wkt_col,
+            area_col=area_col,
+            round_dp=round_dp,
+            cell_deg=cell_deg,
+            dedup_geoms=False,
+        )
+        return (
+            polys.join(core, wkt_col)
+            .join(clips, clip_wkt_col)
+            .select(*polys.columns, *clips.columns, area_col)
+        )
 
     p = _with_geom_bbox(polys, wkt_col, "__gp")
     c = _with_geom_bbox(clips, clip_wkt_col, "__gc")
@@ -1620,6 +1704,7 @@ def concave_union_area_join(
     clip_wkt_col: str = "clip_wkt",
     area_col: str = "union_area",
     round_dp: int | None = 6,
+    dedup_geoms: bool = False,
 ) -> DataFrame:
     """Pairwise UNION area for arbitrary (concave/holed/multi)
     polygon pairs — the ST_Union-area analog, by inclusion–exclusion
@@ -1630,7 +1715,23 @@ def concave_union_area_join(
     the plain sum; pairs whose bboxes never meet are not pairs a
     pairwise-union consumer asks about — a global cascaded union is a
     different operator: iterate merge rounds or use Sedona).  Same
-    grouping corollary as the clip join: keep unique ids."""
+    grouping corollary as the clip join: keep unique ids.
+
+    ``dedup_geoms=True`` (r14, guide §8): the candidate join, both
+    shoelace areas and the fan-clip intersection run over the
+    DISTINCT subject WKTs and re-attach per-row by the WKT string —
+    row-identical (every computed value is a pure function of the
+    geometry pair)."""
+    if dedup_geoms:
+        core = concave_union_area_join(
+            polys.select(wkt_col).distinct(), clips,
+            wkt_col=wkt_col, clip_wkt_col=clip_wkt_col,
+            area_col=area_col, round_dp=round_dp, dedup_geoms=False,
+        )
+        return polys.join(core, wkt_col).select(
+            *polys.columns,
+            *[c_ for c_ in core.columns if c_ != wkt_col],
+        )
     # r13 single-pass form (guide §2.4/§7.2): the old shape ran the
     # bbox candidate join TWICE — once inside concave_clip_area_join
     # for the intersection and once here for the a/b areas — then
@@ -1737,14 +1838,28 @@ def multipolygon_intersection_join(
     polys_b: DataFrame,
     wkt_a: str = "geom_wkt",
     wkt_b: str = "geom_wkt",
+    dedup_geoms: bool = False,
 ) -> DataFrame:
     """polygon_intersection_join for holed/multi geometry: the A side
     (boundary sets) BROADCASTS parsed; B streams through with the
     global-bbox short-circuit ANDed before the full predicate.
-    Column sets must be disjoint."""
+    Column sets must be disjoint.
+
+    ``dedup_geoms=True`` (r14, guide §8): the parse + predicate runs
+    over the DISTINCT B-side WKTs and expands back to rows by
+    equi-joining on the WKT string — row-identical (pair membership
+    is a pure function of the two geometries)."""
     overlap = set(polys_a.columns) & set(polys_b.columns)
     if overlap:
         raise ValueError(f"rename overlapping columns first: {overlap}")
+    if dedup_geoms:
+        core = multipolygon_intersection_join(
+            polys_a, polys_b.select(wkt_b).distinct(),
+            wkt_a=wkt_a, wkt_b=wkt_b, dedup_geoms=False,
+        )
+        return polys_b.join(core, wkt_b).select(
+            *polys_b.columns, *[c for c in polys_a.columns]
+        )
 
     # r13: hoist the flat edge arrays (edge-cross branch) and the
     # per-component edge structures (containment branch) into each
@@ -1780,6 +1895,7 @@ def multipolygon_clip_area_join(
     clip_wkt_col: str = "clip_wkt",
     area_col: str = "clip_area",
     round_dp: int | None = 6,
+    dedup_geoms: bool = False,
 ) -> DataFrame:
     """polygon_clip_area_join for holed/multi CLIP geometry (every
     clip ring convex — rectangles/convex district cells): all columns
@@ -1808,10 +1924,25 @@ def multipolygon_clip_area_join(
     back after. Corollary of the groupBy: two IDENTICAL subject rows
     merge into one output row with their areas SUMMED (the geo06
     join would emit two rows) — keep a unique id column in the
-    subject frame."""
+    subject frame.
+
+    ``dedup_geoms=True`` (r14, guide §8): parse + per-ring clip over
+    the DISTINCT subject WKTs, re-attached per-row by the WKT string
+    — row-identical (and the duplicate-merge corollary above cannot
+    trigger: the deduped subject is unique by construction)."""
     overlap = set(polys.columns) & set(clips.columns)
     if overlap:
         raise ValueError(f"rename overlapping columns first: {overlap}")
+    if dedup_geoms:
+        core = multipolygon_clip_area_join(
+            polys.select(wkt_col).distinct(), clips,
+            wkt_col=wkt_col, clip_wkt_col=clip_wkt_col,
+            area_col=area_col, round_dp=round_dp, dedup_geoms=False,
+        )
+        return polys.join(core, wkt_col).select(
+            *polys.columns,
+            *[c_ for c_ in core.columns if c_ != wkt_col],
+        )
 
     # r13: the subject's open/CCW normalization and the clip ring's
     # normalized edge build are hoisted into per-ROW fenced

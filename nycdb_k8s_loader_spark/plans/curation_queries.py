@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nycdb_k8s_loader_spark.operators.sampling import sample_bucket_sql
+from nycdb_k8s_loader_spark.operators.similarity import _spread_small_scan
 from nycdb_k8s_loader_spark.operators.textops import STOPWORDS
 from nycdb_k8s_loader_spark.plans.catalog import register
 
@@ -1025,8 +1026,17 @@ def curation_pipeline(
     # old survivor-fetch stage (corpus re-scan ⋈ survivors, its own
     # eager checkpoint job) collapses to a row-local projection of
     # this checkpoint, and the mixture stage's source fetch stops
-    # scanning the corpus a third time.
-    spine = _verdict_spine(spark, docs, carry=("text", "source"))
+    # scanning the corpus a third time. The scan is spread up to
+    # defaultParallelism first (r14): a single-row-group corpus file
+    # scans as ONE task, and with zero exchanges before the spine
+    # checkpoint the whole verdict pass — and every downstream
+    # stage's pre-exchange map work reading the checkpoint — would
+    # serialize on that task (the pipeline's measured 8→32-core
+    # scaling ratio was 0.75). No-op at cluster scale where the scan
+    # is already wide.
+    spine = _verdict_spine(
+        spark, _spread_small_scan(docs, "doc_id"), carry=("text", "source")
+    )
     verdicts = spine.select("doc_id", "n_tokens_raw", "keep_g", "keep_u")
 
     # survivor payload: a pure projection of the spine checkpoint —
@@ -1641,8 +1651,13 @@ def _incremental_curation(
     # exchanges (see :func:`_verdict_spine`), carrying text+source so
     # the survivor fetch and the mixture-source fetch are row-local
     # projections of this checkpoint (r14) — no batch re-scan, no
-    # survivor shuffle join, one fewer serial checkpoint job
-    spine = _verdict_spine(spark, batch, carry=("text", "source"))
+    # survivor shuffle join, one fewer serial checkpoint job. The
+    # batch is spread up to defaultParallelism first (single-row-group
+    # scans deliver the whole funnel's pre-exchange work to ONE task
+    # otherwise; no-op when the batch already arrives wide).
+    spine = _verdict_spine(
+        spark, _spread_small_scan(batch, "doc_id"), carry=("text", "source")
+    )
     verdicts = spine.select("doc_id", "n_tokens_raw", "keep_g", "keep_u")
 
     s2 = spine.filter(F.col("keep_g") & F.col("keep_u")).select(

@@ -626,8 +626,11 @@ def geo06(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     districts, lots = _district_lot_fixture(spark, sf_dir)
+    # dedup_geoms (r14): 15k lots tile over 50 distinct shapes —
+    # the clip folds run once per distinct (lot, district) pair.
     return polygon_clip_area_join(
-        lots, districts, wkt_col="lot_wkt", clip_wkt_col="district_wkt"
+        lots, districts, wkt_col="lot_wkt", clip_wkt_col="district_wkt",
+        dedup_geoms=True,
     ).select("c_custkey", "ntacode", "clip_area")
 
 
@@ -714,8 +717,12 @@ def geo07(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, lots = _district_lot_fixture(spark, sf_dir)
     parcels = _parcel_fixture(spark, sf_dir)
+    # dedup_geoms (r14): the fixtures tile — 15k lots share 50
+    # distinct shapes, 150k parcels share 500 — so the bin + exact
+    # predicate run once per distinct WKT pair (guide §8).
     return polygon_intersection_join_binned(
-        lots, parcels, wkt_a="lot_wkt", wkt_b="parcel_wkt"
+        lots, parcels, wkt_a="lot_wkt", wkt_b="parcel_wkt",
+        dedup_geoms=True,
     ).select("c_custkey", "o_orderkey")
 
 
@@ -878,8 +885,11 @@ def geo09(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, lots = _district_lot_fixture(spark, sf_dir)
     districts = _donut_district_fixture(spark, sf_dir)
+    # dedup_geoms (r14): the streamed lot side tiles 50 ways — the
+    # broadcast predicate evaluates once per distinct lot shape.
     return multipolygon_intersection_join(
-        districts, lots, wkt_a="district_wkt", wkt_b="lot_wkt"
+        districts, lots, wkt_a="district_wkt", wkt_b="lot_wkt",
+        dedup_geoms=True,
     ).select("c_custkey", "ntacode")
 
 
@@ -934,8 +944,10 @@ def geo10(spark: SparkSession, sf_dir: str) -> DataFrame:
     districts = _donut_district_fixture(spark, sf_dir).select(
         "ntacode", F.col("district_wkt").alias("clip_wkt")
     )
+    # dedup_geoms (r14): 50 distinct lot shapes — per-ring clip
+    # folds run once per distinct (lot, district-ring) pair.
     return multipolygon_clip_area_join(
-        lots, districts, wkt_col="lot_wkt"
+        lots, districts, wkt_col="lot_wkt", dedup_geoms=True,
     ).select("c_custkey", "ntacode", "clip_area")
 
 
@@ -1057,8 +1069,9 @@ def geo11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     districts, lots = _l_shape_fixture(spark, sf_dir)
+    # dedup_geoms (r14): 15k L-lots tile over 150 distinct shapes.
     return concave_clip_area_join(
-        lots, districts, wkt_col="lot_wkt"
+        lots, districts, wkt_col="lot_wkt", dedup_geoms=True,
     ).select("c_custkey", "ntacode", "clip_area")
 
 
@@ -1119,8 +1132,9 @@ def geo12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     districts, lots = _l_shape_fixture(spark, sf_dir)
+    # dedup_geoms (r14): 15k L-lots tile over 150 distinct shapes.
     return concave_union_area_join(
-        lots, districts, wkt_col="lot_wkt"
+        lots, districts, wkt_col="lot_wkt", dedup_geoms=True,
     ).select("c_custkey", "ntacode", "union_area")
 
 
@@ -1255,6 +1269,11 @@ def geo14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, lots = _l_shape_fixture(spark, sf_dir)
     parcels = _l_parcel_fixture(spark, sf_dir)
+    # dedup_geoms (r14): the L fixtures tile — 15k lots share 150
+    # distinct shapes, 150k parcels share 600 — so the parse + clip
+    # machinery runs once per distinct WKT pair and the per-row areas
+    # re-attach by the WKT key (row-identical; guide §8).
     return concave_clip_area_join_binned(
-        lots, parcels, wkt_col="lot_wkt", clip_wkt_col="parcel_wkt"
+        lots, parcels, wkt_col="lot_wkt", clip_wkt_col="parcel_wkt",
+        dedup_geoms=True,
     ).select("c_custkey", "o_orderkey", "clip_area")

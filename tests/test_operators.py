@@ -4747,10 +4747,114 @@ class TestBinnedPolygonJoin:
             spark, "/root/testdata/sf0.001"
         )
         plan = df._jdf.queryExecution().executedPlan().toString()
+        # the CELL join must stay a hinted shuffle_hash equi-join (the
+        # derived-size broadcast trap) and nothing may go cartesian.
+        # r14: the dedup_geoms join-backs (distinct-WKT core expanded
+        # back to rows) MAY broadcast — the core is class-level-small
+        # by construction — but never on the cell key.
         assert "ShuffledHashJoin" in plan
-        assert "BroadcastHashJoin" not in plan
         assert "BroadcastNestedLoop" not in plan
         assert "Cartesian" not in plan
+        for line in plan.splitlines():
+            if "BroadcastHashJoin" in line:
+                assert "_cx" not in line and "_cy" not in line
+
+
+class TestDedupGeoms:
+    """r14: the ``dedup_geoms`` fast path (distinct-WKT core + join-
+    back) must be row-for-row identical to the direct path on frames
+    whose geometries repeat — including rows sharing a WKT under
+    different ids."""
+
+    def _lots(self, spark):
+        # 6 rows over 2 distinct squares; ids unique (the operators'
+        # documented contract)
+        sq = "POLYGON (({0} 0, {1} 0, {1} 2, {0} 2, {0} 0))"
+        rows = [(i, sq.format(i % 2, i % 2 + 2)) for i in range(6)]
+        return spark.createDataFrame(rows, "lid long, lw string")
+
+    def _clips(self, spark):
+        return spark.createDataFrame(
+            [(10, "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")],
+            "cid long, cw string",
+        )
+
+    def test_clip_area_join_paths_agree(self, spark):
+        from nycdb_k8s_loader_spark.operators.geo import (
+            polygon_clip_area_join,
+        )
+
+        lots, clips = self._lots(spark), self._clips(spark)
+        direct = polygon_clip_area_join(
+            lots, clips, wkt_col="lw", clip_wkt_col="cw"
+        )
+        fast = polygon_clip_area_join(
+            lots, clips, wkt_col="lw", clip_wkt_col="cw",
+            dedup_geoms=True,
+        )
+        assert direct.columns == fast.columns
+        assert sorted(map(tuple, direct.collect())) == sorted(
+            map(tuple, fast.collect())
+        )
+
+    def test_binned_intersection_paths_agree(self, spark):
+        from nycdb_k8s_loader_spark.operators.geo import (
+            polygon_intersection_join_binned,
+        )
+
+        lots = self._lots(spark)
+        parcels = spark.createDataFrame(
+            [
+                (i, f"POLYGON (({x} 0.5, {x + 1} 0.5, {x + 1} 1.5, "
+                    f"{x} 1.5, {x} 0.5))")
+                for i, x in [(7, 0.25), (8, 0.25), (9, 40.0)]
+            ],
+            "pid long, pw string",
+        )
+        direct = polygon_intersection_join_binned(
+            lots, parcels, wkt_a="lw", wkt_b="pw"
+        )
+        fast = polygon_intersection_join_binned(
+            lots, parcels, wkt_a="lw", wkt_b="pw", dedup_geoms=True
+        )
+        assert direct.columns == fast.columns
+        assert sorted(map(tuple, direct.collect())) == sorted(
+            map(tuple, fast.collect())
+        )
+
+    def test_concave_binned_paths_agree(self, spark):
+        from nycdb_k8s_loader_spark.operators.geo import (
+            concave_clip_area_join_binned,
+        )
+
+        # L-shapes: 4 rows over 2 distinct shapes
+        l_wkt = (
+            "POLYGON (({0} 0, {1} 0, {1} 1, {2} 1, {2} 2, {0} 2, "
+            "{0} 0))"
+        )
+        lots = spark.createDataFrame(
+            [(i, l_wkt.format(i % 2, i % 2 + 2, i % 2 + 1))
+             for i in range(4)],
+            "lid long, lw string",
+        )
+        parcels = spark.createDataFrame(
+            [(10, "POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, "
+                  "0.5 0.5))"),
+             (11, "POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, "
+                  "0.5 0.5))")],
+            "pid long, pw string",
+        )
+        direct = concave_clip_area_join_binned(
+            lots, parcels, wkt_col="lw", clip_wkt_col="pw"
+        )
+        fast = concave_clip_area_join_binned(
+            lots, parcels, wkt_col="lw", clip_wkt_col="pw",
+            dedup_geoms=True,
+        )
+        assert direct.columns == fast.columns
+        assert sorted(map(tuple, direct.collect())) == sorted(
+            map(tuple, fast.collect())
+        )
 
 
 class TestConvexClipArea:
@@ -4768,13 +4872,23 @@ class TestConvexClipArea:
         df = spark.createDataFrame(
             [(subject_wkt, clip_wkt)], "ws string, wc string"
         )
-        return df.select(
-            ring_area(
-                convex_clip_ring(
-                    parse_wkt_polygon("ws"), parse_wkt_polygon("wc")
-                )
-            ).alias("a")
-        ).collect()[0]["a"]
+        # stage the fold behind the production fence (r14): ring_area
+        # references its input ~8×, and the unfenced composition
+        # inlined 8 copies of the whole interpreted clip tree — ~60 s
+        # of fixed plan/codegen per test for the same executed math
+        # (every operator composes these fenced; the fold itself is
+        # exercised identically)
+        clipped = F.when(
+            F.spark_partition_id() >= 0,
+            convex_clip_ring(
+                parse_wkt_polygon("ws"), parse_wkt_polygon("wc")
+            ),
+        )
+        return (
+            df.select(clipped.alias("__c"))
+            .select(ring_area(F.col("__c")).alias("a"))
+            .collect()[0]["a"]
+        )
 
     def test_rect_rect_overlap(self, spark):
         a = self._area(
@@ -5066,6 +5180,15 @@ class TestUnclosedRings:
             [(tri_closed, tri_open, crosser)],
             "wc string, wo string, wx string",
         )
+        # clip fold fenced into its own column (r14, same reason as
+        # TestConvexClipArea._area: ring_area would inline ~8 copies
+        # of the interpreted clip tree — ~50 s of plan/codegen)
+        clipped = F.when(
+            F.spark_partition_id() >= 0,
+            convex_clip_ring(
+                parse_wkt_polygon("wo"), parse_wkt_polygon("wx")
+            ),
+        )
         row = df.select(
             polygons_intersect(
                 parse_wkt_polygon("wc"), parse_wkt_polygon("wx")
@@ -5077,11 +5200,10 @@ class TestUnclosedRings:
                 F.lit(5.0), F.lit(3.0), parse_wkt_polygon("wo")
             ).alias("open_contains"),
             ring_area(parse_wkt_polygon("wo")).alias("open_area"),
-            ring_area(
-                convex_clip_ring(
-                    parse_wkt_polygon("wo"), parse_wkt_polygon("wx")
-                )
-            ).alias("open_clip_area"),
+            clipped.alias("__c"),
+        ).select(
+            "closed_hit", "open_hit", "open_contains", "open_area",
+            ring_area(F.col("__c")).alias("open_clip_area"),
         ).collect()[0]
         assert row["closed_hit"] is True
         assert row["open_hit"] is True          # was False pre-fix

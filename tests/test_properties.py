@@ -618,15 +618,20 @@ def test_convex_clip_area_matches_rect_algebra(spark, rects):
         oh = max(0.0, min(sy + sh, cy + ch) / 4 - max(sy, cy) / 4)
         want.append((i, ow * oh))
     df = spark.createDataFrame(rows, "i long, ws string, wc string")
+    # fold fenced into its own column as every operator composes it
+    # (r14): the unfenced form inlined ~8 copies of the clip tree into
+    # ring_area's structural references — ~57 s of fixed plan/codegen
+    # PER EXAMPLE for identical executed math
+    clipped = F.when(
+        F.spark_partition_id() >= 0,
+        convex_clip_ring(
+            parse_wkt_polygon("ws"), parse_wkt_polygon("wc")
+        ),
+    )
     got = sorted(
         (r["i"], r["a"])
-        for r in df.select(
-            "i",
-            ring_area(
-                convex_clip_ring(
-                    parse_wkt_polygon("ws"), parse_wkt_polygon("wc")
-                )
-            ).alias("a"),
-        ).collect()
+        for r in df.select("i", clipped.alias("__c"))
+        .select("i", ring_area(F.col("__c")).alias("a"))
+        .collect()
     )
     assert [(i, round(a, 9)) for i, a in got] == sorted(want)
