@@ -451,6 +451,7 @@ def polygon_intersection_join(
     polys_b: DataFrame,
     wkt_a: str = "geom_wkt",
     wkt_b: str = "geom_wkt",
+    dedup_geoms: bool = False,
 ) -> DataFrame:
     """Inner-join polygon sets on spatial intersection. The A side
     (boundary sets: NTAs, districts — metadata-scale by nature)
@@ -462,10 +463,22 @@ def polygon_intersection_join(
     of B; for polygon–polygon joins where BOTH sides are data-scale,
     pre-bin rings into grid cells by bbox (radius_self_join's
     pattern) and run this predicate residually per cell.
-    """
+
+    ``dedup_geoms=True`` (r14, guide §8): parse + predicate over the
+    DISTINCT B-side WKTs, expanded back to rows by the WKT string —
+    row-identical (pair membership is a pure function of the two
+    geometries)."""
     overlap = set(polys_a.columns) & set(polys_b.columns)
     if overlap:
         raise ValueError(f"rename overlapping columns first: {overlap}")
+    if dedup_geoms:
+        core = polygon_intersection_join(
+            polys_a, polys_b.select(wkt_b).distinct(),
+            wkt_a=wkt_a, wkt_b=wkt_b, dedup_geoms=False,
+        )
+        return polys_b.join(core, wkt_b).select(
+            *polys_b.columns, *[c for c in polys_a.columns]
+        )
 
     # r13: hoist each side's ring→edges build into its projection —
     # the condition re-evaluates per candidate pair, so the inline

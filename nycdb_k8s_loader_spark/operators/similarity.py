@@ -1385,22 +1385,39 @@ def _pq_sq_dist(a: Column, b: Column) -> Column:
 
 
 def _pq_assign(sub: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vid, m, cid): nearest codeword per subvector — broadcast
-    codebook join + struct-min argmin (ties → smallest cid, the d12
-    convention)."""
-    joined = sub.join(F.broadcast(cents), "m")
+    """(vid, m, sv, cid): nearest codeword per subvector.
+
+    r14 (guide §2.4): IN-ROW argmin — the codebook collapses to one
+    per-subspace array (m rows of ``codebook`` structs, broadcast),
+    and each subvector row folds a struct-min over it, exactly
+    :func:`_assign_flat`'s shape. The previous form exploded sub ×
+    codebook through a broadcast join and re-grouped by (vid, m) —
+    one whole exchange of the subvector stream per assignment, and
+    the training loop then paid a second shuffle join to re-attach
+    ``sv``. Now assignment is map-side and ``sv`` never leaves the
+    row. Tie order identical: struct-min over (d, cid) — smaller
+    distance, then smaller cid."""
+    bym = cents.groupBy("m").agg(
+        F.sort_array(F.collect_list(F.struct("cid", "c"))).alias(
+            "__cents"
+        )
+    )
     return (
-        joined.select(
+        sub.join(F.broadcast(bym), "m")
+        .select(
             "vid",
             "m",
-            F.struct(
-                _pq_sq_dist(F.col("sv"), F.col("c")).alias("d"),
-                F.col("cid"),
-            ).alias("dc"),
+            "sv",
+            F.array_min(
+                F.transform(
+                    "__cents",
+                    lambda ct: F.struct(
+                        _pq_sq_dist(F.col("sv"), ct["c"]).alias("d"),
+                        ct["cid"].alias("cid"),
+                    ),
+                )
+            )["cid"].alias("cid"),
         )
-        .groupBy("vid", "m")
-        .agg(F.min("dc").alias("dc"))
-        .select("vid", "m", F.col("dc").getField("cid").alias("cid"))
     )
 
 
@@ -1450,9 +1467,14 @@ def pq_train_codebooks(
         cents_py, "m int, cid int, c array<double>"
     )
     for _ in range(lloyd_iters):
+        # r14: _pq_assign keeps sv on the row (in-row argmin), so the
+        # old re-attach join (sub ⋈ assigned on (vid, m) — a shuffle
+        # of BOTH sides plus a second execution of the sub explode)
+        # is gone; the round is one map-side assign + one partial-agg
+        # mean exchange.
         assigned = _pq_assign(sub, cents)
         means = (
-            sub.join(assigned.hint("shuffle_hash"), ["vid", "m"])
+            assigned
             .select("m", "cid", F.posexplode("sv").alias("pos", "x"))
             .groupBy("m", "cid", "pos")
             .agg(F.round(F.avg("x"), 4).alias("mx"))
@@ -1534,7 +1556,9 @@ def pq_topk(
             vec_col=vec_col, lloyd_iters=lloyd_iters,
         )
     sub = _pq_sub_frame(emb, m, d, id_col, vec_col)
-    enc = _pq_assign(sub, codebooks).withColumnRenamed("cid", "code")
+    enc = _pq_assign(sub, codebooks).select(
+        "vid", "m", F.col("cid").alias("code")
+    )
 
     qsub = sub.filter(F.col("vid").isin(query_ids))
     qt = (
@@ -1740,8 +1764,8 @@ def ivf_pq_topk(
     enc = codes
     if enc is None:
         sub = _pq_sub_frame(emb, m, d, id_col, vec_col)
-        enc = _pq_assign(sub, codebooks).withColumnRenamed(
-            "cid", "code"
+        enc = _pq_assign(sub, codebooks).select(
+            "vid", "m", F.col("cid").alias("code")
         )
     qsub = _pq_sub_frame(
         emb.filter(F.col(id_col).isin(query_ids)), m, d, id_col, vec_col

@@ -1514,6 +1514,22 @@ def c08(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _incremental_curation(spark, batch, states)
 
 
+def _eager_all(*dfs: DataFrame) -> list[DataFrame]:
+    """Materialize several INDEPENDENT eager localCheckpoints
+    concurrently (r14, guide §2.6: actions are only sequential
+    because driver code calls them sequentially — submitting the
+    independent state builds from a small thread pool lets each
+    job's tail back-fill the others' idle executors). Used for the
+    c08/c09 published-state quartets, whose four builds share only
+    the already-materialized ``cpre`` checkpoint."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(dfs)) as ex:
+        return list(
+            ex.map(lambda df: df.localCheckpoint(eager=True), dfs)
+        )
+
+
 def _c08_states(
     spark: SparkSession,
     sf_dir: str,
@@ -1560,17 +1576,8 @@ def _c08_states(
     # the gram state is string-identical either way — the hashed
     # frequency pass re-verifies exact strings); the catalog pins
     # False for the DuckDB oracle
-    st3 = sentence_dedup_state(
-        cpre, min_docs=2, min_words=3, hashed_keys=hashed
-    ).localCheckpoint(eager=True)
-    st4 = duplicated_gram_state(
-        cpre, ngram=8, hashed_grams=hashed
-    ).localCheckpoint(eager=True)
     if st5_banding is None:
         st5_banding = dict(num_hashes=8, bands=4)
-    st5 = dedup_signature_state(
-        cpre, shingles=3, **st5_banding
-    ).localCheckpoint(eager=True)
     # frozen mixture rates, rebuilt from corpus totals with p07's
     # exact int64 ppm chain (taking DISTINCT (source, rate_ppm) off
     # token_budget_mixture's KEPT output would silently lose any
@@ -1580,7 +1587,16 @@ def _c08_states(
         .groupBy("source")
         .agg(F.sum("n_tokens").alias("t_s"))
     )
-    rates = _frozen_rates(tok).localCheckpoint(eager=True)
+    # the four published states share only the cpre checkpoint —
+    # materialize them concurrently (guide §2.6)
+    st3, st4, st5, rates = _eager_all(
+        sentence_dedup_state(
+            cpre, min_docs=2, min_words=3, hashed_keys=hashed
+        ),
+        duplicated_gram_state(cpre, ngram=8, hashed_grams=hashed),
+        dedup_signature_state(cpre, shingles=3, **st5_banding),
+        _frozen_rates(tok),
+    )
     return {"st3": st3, "st4": st4, "st5": st5, "rates": rates}
 
 
@@ -2028,22 +2044,24 @@ def _c09_compacted_states(spark: SparkSession, sf_dir: str) -> dict:
         .agg(F.sum("n_tokens").alias("t_s"))
     )
 
-    st3c = sentence_dedup_state_compact(
-        st3, retired_pre, min_docs=2, min_words=3
-    ).localCheckpoint(eager=True)
-    st4c = duplicated_gram_state_compact(
-        st4, retired_pre, ngram=8, min_count=2
-    ).localCheckpoint(eager=True)
-    st5c = dedup_signature_state_compact(
-        st5, retired_pre.select("doc_id")
-    ).localCheckpoint(eager=True)
     tokc = source_token_state_compact(
         tok,
         corpus.filter(takedown).select(
             "source", _c08_ntokens().alias("n_tokens")
         ),
     )
-    rates = _frozen_rates(tokc).localCheckpoint(eager=True)
+    # the four build+compact chains are independent past cpre —
+    # materialize them concurrently (r14, guide §2.6)
+    st3c, st4c, st5c, rates = _eager_all(
+        sentence_dedup_state_compact(
+            st3, retired_pre, min_docs=2, min_words=3
+        ),
+        duplicated_gram_state_compact(
+            st4, retired_pre, ngram=8, min_count=2
+        ),
+        dedup_signature_state_compact(st5, retired_pre.select("doc_id")),
+        _frozen_rates(tokc),
+    )
     return {"st3": st3c, "st4": st4c, "st5": st5c, "rates": rates}
 
 
